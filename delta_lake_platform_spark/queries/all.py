@@ -1,0 +1,3 @@
+"""Import every query module so the registry is fully populated."""
+
+from . import tpch  # noqa: F401

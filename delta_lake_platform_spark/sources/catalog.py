@@ -1,0 +1,62 @@
+"""Parquet star-schema catalog.
+
+Maps the driver's test tables (/root/testdata/sf*/ — see
+/root/repo/TESTDATA.md) into DataFrames / temp views. The reference
+reads its tables via ``spark.sql(f"select * from {target_table}")``
+(scd_handler.py:71); here sources are parquet directories addressed by
+scale-factor dir, which keeps scans columnar and lets Catalyst push
+filters/projections into the parquet reader.
+
+Scale note: at 100 TB each table would be a partitioned/bucketed
+parquet (or Delta/Iceberg) root rather than a single file; the loader
+is path-based so nothing else changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet INT64 TIMESTAMP(NANOS): Spark 4 rejects it
+        # unless read as a raw long. Truncate ns -> us with integer
+        # division (exact; `div`, not `/`, which would go through double
+        # and lose precision on epoch-nanos magnitudes). DuckDB reads the
+        # same column as a us-truncated TIMESTAMP, so oracles agree.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() can use it."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
