@@ -1,3 +1,4 @@
 """Import every query module so the registry is fully populated."""
 
 from . import tpch  # noqa: F401
+from . import scd_queries  # noqa: F401
