@@ -1,0 +1,109 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All transforms are pure ``pyspark.sql.functions`` column expressions
+(JVM-side, whole-stage-codegen) — no Python UDFs, so a 100 TB document
+scan stays vectorized end to end. Each helper returns added columns on
+the input DataFrame so they compose into one projection.
+
+Operators: token counting (whitespace + BPE-ish word-piece regex),
+quality scoring (length/punct/stopword ratios), language ID (marker
+n-gram heuristic), document fingerprinting (normalized content hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker words per language for the heuristic language-ID scorer.
+LANG_MARKERS: dict[str, str] = {
+    "en": "the|and|of|to|is|in|that|for|with|as",
+    "de": "der|die|das|und|ist|nicht|mit|ein|zu|den",
+    "es": "el|la|los|de|que|y|en|un|una|es",
+    "fr": "le|la|les|de|et|un|une|est|pour|que",
+    "zh": "de|le|shi|bu|wo|zai|you|he|ren|ta",
+}
+
+STOPWORDS_RE = "the|a|an|and|or|of|to|in|is|it|that|for|on|with|as"
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """token_count: whitespace tokens; wordpiece_count: BPE-ish segments
+    (runs of letters, digits, or single punctuation — a proxy for
+    subword token counts)."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "char_count": F.length(t).cast("long"),
+            "token_count": F.size(_tokens(t)).cast("long"),
+            "wordpiece_count": F.size(
+                F.regexp_extract_all(F.lower(t), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1)
+            ).cast("long"),
+        }
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword-ratio quality heuristics.
+
+    quality_score in [0,1]: long-enough documents with a natural
+    stopword rate and low punctuation noise score high.
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tok = F.size(toks)
+    punct_ratio = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")) / F.length(t)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.rlike(f"^({STOPWORDS_RE})$"))) / n_tok
+    )
+    avg_token_len = F.length(F.regexp_replace(t, r"\s+", "")) / n_tok
+    score = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.3
+    )
+    return df.withColumns(
+        {
+            "punct_ratio": F.round(punct_ratio, 6),
+            "stopword_ratio": F.round(stop_ratio, 6),
+            "avg_token_len": F.round(avg_token_len, 6),
+            "quality_score": F.round(score, 6),
+        }
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score each language by marker-token
+    hits, pick the argmax (ties broken by language code order)."""
+    toks = _tokens(F.col(text_col))
+    scores = [
+        F.size(F.filter(toks, lambda x, m=markers: x.rlike(f"^({m})$"))).alias(
+            f"score_{lang}"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = df.select("*", *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):  # earlier langs win ties
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.withColumn("predicted_lang", pred).drop(
+        *[f"score_{lang}" for lang in langs]
+    )
+
+
+def normalized_fingerprint(text_col: str = "text") -> Column:
+    """Content fingerprint: sha2-256 of case- and whitespace-normalized
+    text. The canonical key for exact dedup."""
+    return F.sha2(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), 256
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", normalized_fingerprint(text_col))

@@ -2,3 +2,6 @@
 
 from . import tpch  # noqa: F401
 from . import scd_queries  # noqa: F401
+from . import pipeline  # noqa: F401
+from . import streaming_queries  # noqa: F401
+from . import multimodal_queries  # noqa: F401

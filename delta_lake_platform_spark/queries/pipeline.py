@@ -1,0 +1,320 @@
+"""Training-data pipeline queries over ``documents`` / ``embeddings``,
+each paired with a DuckDB oracle.
+
+Near-dup operators need actual duplicates to demonstrate anything, and
+the synthetic corpus has none (max natural 5-gram Jaccard ~0.30, max
+pairwise cosine ~0.51). Each near-dup query therefore PLANTS duplicates
+in-query (a deterministic union with id-shifted, optionally mutated
+copies) so the expected pair set is exact and oracle-checkable, while
+thresholds (0.8 Jaccard / 0.9 cosine) sit far above the natural
+background — the LSH candidate-generation path is exercised end to end
+with provable recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from ..sources.catalog import load_table
+from .registry import register
+
+# Normalization must match operators/text.py::normalized_fingerprint;
+# DuckDB needs the 'g' flag for global regexp_replace.
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_STOP = text.STOPWORDS_RE
+
+
+# --- token stats + fingerprint ---------------------------------------------
+
+TOKEN_ORACLE = f"""
+SELECT doc_id,
+  LENGTH(text)::BIGINT AS char_count,
+  LEN(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS token_count,
+  LEN(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1))::BIGINT AS wordpiece_count,
+  sha256({_NORM}) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("docs_token_stats", TOKEN_ORACLE)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.with_fingerprint(text.with_token_stats(docs))
+        .select("doc_id", "char_count", "token_count", "wordpiece_count", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+# --- quality scoring --------------------------------------------------------
+
+QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+    LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / LENGTH(text) AS praw,
+    text
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    LEN(toks) AS n_tok,
+    praw,
+    LEN(list_filter(toks, x -> regexp_full_match(x, '({_STOP})'))) * 1.0 / LEN(toks) AS sraw,
+    LENGTH(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / LEN(toks) AS araw
+  FROM t
+)
+SELECT doc_id,
+  ROUND(praw, 6) AS punct_ratio,
+  ROUND(sraw, 6) AS stopword_ratio,
+  ROUND(araw, 6) AS avg_token_len,
+  ROUND(
+    LEAST(n_tok / 50.0, 1.0) * 0.4
+    + LEAST(sraw * 5.0, 1.0) * 0.3
+    + (1.0 - LEAST(praw * 10.0, 1.0)) * 0.3, 6) AS quality_score
+FROM s
+ORDER BY doc_id
+"""
+
+
+@register("docs_quality_score", QUALITY_ORACLE)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.with_quality_score(docs)
+        .select(
+            "doc_id", "punct_ratio", "stopword_ratio", "avg_token_len", "quality_score"
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- language ID ------------------------------------------------------------
+
+def _lang_scores_sql() -> str:
+    return ",\n    ".join(
+        f"LEN(list_filter(toks, x -> regexp_full_match(x, '({markers})'))) AS s_{lang}"
+        for lang, markers in text.LANG_MARKERS.items()
+    )
+
+
+LANG_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    {_lang_scores_sql()}
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE
+    WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+    WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+    WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+    WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+    ELSE 'zh'
+  END AS predicted_lang
+FROM s
+ORDER BY doc_id
+"""
+
+
+@register("docs_lang_id", LANG_ORACLE)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.with_lang_id(docs)
+        .select("doc_id", "lang", "predicted_lang")
+        .orderBy("doc_id")
+    )
+
+
+# --- exact dedup (planted copies) -------------------------------------------
+
+EXACT_DEDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+),
+f AS (SELECT doc_id, sha256({_NORM}) AS fingerprint FROM corpus)
+SELECT fingerprint, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM f
+GROUP BY fingerprint
+ORDER BY canonical_id
+"""
+
+
+@register("docs_exact_dedup", EXACT_DEDUP_ORACLE)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return (
+        dedup.exact_dedup(docs.unionByName(planted))
+        .orderBy("canonical_id")
+    )
+
+
+# --- MinHash-LSH near-dup (planted mutated copies) --------------------------
+
+_MINHASH_CORPUS = """
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' z' FROM documents WHERE doc_id < 100 AND doc_id % 2 = 0
+"""
+
+MINHASH_ORACLE = f"""
+WITH corpus AS ({_MINHASH_CORPUS}),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, GREATEST(LENGTH({_NORM}) - 4, 1) + 1),
+      i -> ({_NORM})[i:i+4]
+    )) AS shingles
+  FROM corpus
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(LEN(list_intersect(a.shingles, b.shingles)) * 1.0 /
+    (LEN(a.shingles) + LEN(b.shingles) - LEN(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE LEN(list_intersect(a.shingles, b.shingles)) * 1.0 /
+    (LEN(a.shingles) + LEN(b.shingles) - LEN(list_intersect(a.shingles, b.shingles))) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+@register("docs_minhash_neardup", MINHASH_ORACLE)
+def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact verification. The oracle is the
+    brute-force pair set; planted pairs have Jaccard ~0.98, where the
+    16x4 banding miss probability is ~1e-18 — recall is effectively
+    exact, so LSH output == brute-force output."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    planted = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" z")))
+    )
+    corpus = docs.unionByName(planted)
+    return dedup.minhash_lsh_pairs(corpus, threshold=0.8).orderBy("id_a", "id_b")
+
+
+# --- SimHash identical-content pairs ----------------------------------------
+
+SIMHASH_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
+),
+n AS (
+  SELECT doc_id,
+    list_sort(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+  FROM corpus
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::BIGINT AS hamming
+FROM n a JOIN n b ON a.doc_id < b.doc_id AND a.toks = b.toks
+ORDER BY id_a, id_b
+"""
+
+
+@register("docs_simhash_identical_pairs", SIMHASH_ORACLE)
+def docs_simhash_identical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band-bucketed candidates at Hamming distance 0, exactly
+    verified by token-multiset equality (SimHash is order-invariant, so
+    the verified semantic — and the oracle — is same-token-multiset;
+    with the small synthetic vocabulary even distinct multisets can
+    collide on all 64 bits, which the verify step filters)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 200
+    )
+    planted = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = docs.unionByName(planted)
+    return dedup.simhash_pairs(
+        corpus, max_hamming=0, verify_multiset=True
+    ).orderBy("id_a", "id_b")
+
+
+# --- embedding cosine near-dup (planted copies, LSH path) -------------------
+
+NEARDUP_EMB_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 4 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+@register("embeddings_neardup_lsh", NEARDUP_EMB_ORACLE)
+def embeddings_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH + exact cosine verify. Planted exact copies
+    share every sign bit (same bucket, recall 1.0); max natural pairwise
+    cosine is ~0.51, far under the 0.9 threshold, so LSH == brute force."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 4 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    corpus = emb.unionByName(planted)
+    return dedup.embedding_neardup_pairs(corpus, threshold=0.9).orderBy("id_a", "id_b")
+
+
+# --- ANN: brute-force cosine top-k ------------------------------------------
+
+ANN_ORACLE = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+  FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_cosine_topk", ANN_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_bruteforce(queries, emb, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+# --- ANN: IVF approximate top-k (rows-only: centroid hash not in DuckDB) ----
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-k (scale path). No SQL oracle: the
+    centroid assignment depends on xxhash64, which DuckDB lacks; recall
+    vs brute force is asserted in tests/test_similarity.py instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(queries, emb, k=5, nprobe=4).orderBy(
+        "query_id", "rank"
+    )

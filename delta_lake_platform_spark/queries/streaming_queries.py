@@ -1,0 +1,71 @@
+"""Event-stream analytics exposed to the driver.
+
+These run the streaming logical plans in batch mode (Spark's unified
+semantics: same plan, same results on a static frame) so DuckDB can
+oracle-check them; tests/test_streaming.py runs the same plans as real
+streams with watermarks and asserts stream==batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.catalog import load_table
+from ..streaming.events import sessionize, windowed_counts
+from .registry import register
+
+HOURLY_ORACLE = """
+SELECT
+  time_bucket(INTERVAL '1 hour', ts) AS window_start,
+  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+  event_type,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+@register("events_hourly_by_type", HOURLY_ORACLE)
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_counts(ev, window="1 hour").orderBy("window_start", "event_type")
+
+
+SESSION_ORACLE = """
+WITH l AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events
+),
+g AS (
+  SELECT *, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS new_session
+  FROM l
+),
+s AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL '30 minutes' AS session_end,
+  user_id,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS session_value
+FROM s
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@register("events_sessionize", SESSION_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (F.session_window); the oracle derives
+    sessions relationally via lag + cumulative-sum — the classic proof
+    of session-window semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap="30 minutes").orderBy("user_id", "session_start")

@@ -67,6 +67,12 @@ class ScdConfig:
     initial_eff_date_col: str | None = None
     compat_hash: bool = False
     clock: Callable[[], datetime] = datetime.now
+    # Collapse the incoming batch to its latest row per PK (by
+    # effective_from) before applying. The reference assumes unique PKs
+    # per batch and lets Delta MERGE throw otherwise; a streaming
+    # micro-batch routinely carries several versions of one entity, and
+    # only the newest should become the active row.
+    dedupe_batch: bool = True
 
 
 def _validate_target_schema(df: DataFrame, cfg: ScdConfig) -> None:
@@ -100,7 +106,7 @@ def _stamp_incoming(df: DataFrame, cfg: ScdConfig, now: datetime) -> DataFrame:
         if cfg.initial_eff_date_col
         else eff_from
     )
-    return df.select(
+    stamped = df.select(
         *select_cols,
         F.lit("A").alias("record_status"),
         eff_from.alias("effective_from"),
@@ -111,6 +117,16 @@ def _stamp_incoming(df: DataFrame, cfg: ScdConfig, now: datetime) -> DataFrame:
         row_fingerprint(upd_cols, cfg.compat_hash).alias("upd_key"),
         initial_eff.alias("initial_effective_from"),
     )
+    if cfg.dedupe_batch:
+        w = Window.partitionBy(*cfg.pk_cols).orderBy(
+            F.col("effective_from").desc(), F.col("scd_key").desc()
+        )
+        stamped = (
+            stamped.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return stamped
 
 
 def _split_current(target: DataFrame, cfg: ScdConfig) -> tuple[DataFrame, DataFrame]:
