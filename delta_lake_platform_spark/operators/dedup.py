@@ -14,6 +14,7 @@ Scale design (the whole point of these):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -302,40 +303,30 @@ def embedding_neardup_pairs(
     overwhelming probability, so candidates reduce to an equi-join on
     the 16-bit bucket; exact cosine then filters.
     """
+    from pyspark.sql.functions import pandas_udf
+
     from ..functions.vectors import cosine_similarity
+    from .similarity import deterministic_planes
 
-    v = F.col(vec_col).cast("array<double>")
-    # Deterministic "hyperplane" coefficient for (plane p, dim i):
-    # xxhash64(p,i) scaled to [-1,1].
-    def plane_dot(p: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(v) - 1),
-                lambda x, i: x
-                * (
-                    (
-                        F.xxhash64(
-                            F.concat(p.cast("string"), F.lit("_"), i.cast("string"))
-                        ).cast("double")
-                        / F.lit(float(2**63))
-                    )
-                ),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # Hyperplane coefficients are row-independent: computed once on the
+    # driver. The sign-bit bucket is an Arrow-batched matmul (a pure
+    # expression tree fell out of codegen and dominated bench time).
+    dim = len(df.select(vec_col).first()[0])
+    plane_mat = deterministic_planes(planes, dim, seed=42)
 
-    bucket = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(planes - 1)),
-            lambda p: F.when(plane_dot(p) >= 0, F.call_function("shiftleft", F.lit(1).cast("long"), p))
-            .otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseXOR(x),
+    @pandas_udf("long")
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        pm = np.asarray(plane_mat)
+        m = np.stack(vecs.to_numpy()).astype("float64")
+        signs = (m @ pm.T) >= 0
+        weights = (1 << np.arange(signs.shape[1])).astype("int64")
+        return pd.Series((signs @ weights).astype("int64"))
+
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), bucket_of(F.col(vec_col)).alias("bucket")
     )
-    bucketed = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(

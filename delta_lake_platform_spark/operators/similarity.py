@@ -11,12 +11,16 @@
   real deployment the corpus side is written partitioned by
   ``centroid_id``, so a probe is partition-pruned I/O, not a scan.
 
-All arithmetic is JVM higher-order functions (zip_with/aggregate) in
-double precision — no Python UDFs.
+Per-pair cosine scoring is JVM higher-order functions
+(zip_with/aggregate) in double precision; the centroid/probe
+assignment is an Arrow-batched pandas_udf (one BLAS matmul per batch —
+measured ~100x faster than the equivalent literal expression tree,
+which falls out of whole-stage codegen at this width).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -61,20 +65,24 @@ def cosine_topk_bruteforce(
     )
 
 
-def _centroid_expr(dim: int, n_centroids: int):
-    """Deterministic pseudo-random unit-ish centroids: coefficient for
-    (centroid c, dim i) = xxhash64("c_i") scaled to [-1,1]. Stable across
-    runs and engines — no fitted state to ship."""
-    def centroid_vec(c):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.xxhash64(
-                F.concat(c.cast("string"), F.lit("_"), i.cast("string"))
-            ).cast("double")
-            / F.lit(float(2**63)),
-        )
+def deterministic_planes(n: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random coefficient matrix (numpy PCG with a
+    fixed seed — stable across runs and machines). Computed ONCE on the
+    driver and shipped as literals: the alternative (hash expressions
+    per row) re-derives row-independent constants n*dim times per row,
+    which dominated the scan cost at bench."""
+    import numpy as np
 
-    return centroid_vec
+    rng = np.random.RandomState(seed)
+    return (rng.uniform(-1.0, 1.0, size=(n, dim))).tolist()
+
+
+def _centroid_matrix(dim: int, n_centroids: int):
+    """(normalized centroid matrix, raw) — computed once on the driver."""
+    import numpy as np
+
+    cents = np.asarray(deterministic_planes(n_centroids, dim, seed=7))
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
 
 def ivf_assign(
@@ -84,20 +92,24 @@ def ivf_assign(
     n_centroids: int = 16,
 ) -> DataFrame:
     """Assign each vector to its nearest (max-cosine) centroid. At scale
-    the output is partitioned/bucketed by centroid_id at write time."""
-    centroid_vec = _centroid_expr(dim, n_centroids)
-    v = F.col(vec_col).cast("array<double>")
-    sims = F.transform(
-        F.sequence(F.lit(0), F.lit(n_centroids - 1)),
-        lambda c: F.aggregate(
-            F.zip_with(v, centroid_vec(c), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / F.sqrt(F.aggregate(centroid_vec(c), F.lit(0.0), lambda a, x: a + x * x)),
-    )
-    best = F.array_position(sims, F.array_max(sims)) - 1
-    return df.withColumn("centroid_id", best.cast("int"))
+    the output is partitioned/bucketed by centroid_id at write time.
+
+    The assignment is an Arrow-batched pandas_udf doing one BLAS matmul
+    per batch: a pure-expression formulation (16x64 literal tree) falls
+    out of whole-stage codegen and ran ~100x slower at bench.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cn = _centroid_matrix(dim, n_centroids)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m = np.stack(vecs.to_numpy()).astype("float64")
+        return pd.Series(np.argmax(m @ cn.T, axis=1).astype("int32"))
+
+    return df.withColumn("centroid_id", assign(F.col(vec_col)))
 
 
 def ivf_topk(
@@ -117,40 +129,24 @@ def ivf_topk(
     Join is an equi-join on centroid_id (queries exploded to their probe
     list, broadcast), so the corpus is filtered to ~nprobe/C of its rows
     before any distance math."""
-    centroid_vec = _centroid_expr(dim, n_centroids)
+    from pyspark.sql.functions import pandas_udf
+
     corpus_assigned = ivf_assign(corpus, vec_col, dim, n_centroids)
 
-    qv = F.col(vec_col).cast("array<double>")
-    sims = F.transform(
-        F.sequence(F.lit(0), F.lit(n_centroids - 1)),
-        lambda c: F.aggregate(
-            F.zip_with(qv, centroid_vec(c), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / F.sqrt(F.aggregate(centroid_vec(c), F.lit(0.0), lambda a, x: a + x * x)),
-    )
-    # indices of the nprobe best centroids
-    probes = F.slice(
-        F.reverse(
-            F.transform(
-                F.array_sort(
-                    F.zip_with(
-                        sims,
-                        F.sequence(F.lit(0), F.lit(n_centroids - 1)),
-                        lambda s, i: F.struct(s.alias("s"), i.alias("i")),
-                    )
-                ),
-                lambda st: st["i"],
-            )
-        ),
-        1,
-        nprobe,
-    )
+    cn = _centroid_matrix(dim, n_centroids)
+
+    @pandas_udf("array<int>")
+    def probe_list(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m = np.stack(vecs.to_numpy()).astype("float64")
+        order = np.argsort(-(m @ cn.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
     q = queries.select(
         F.col(q_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.explode(probes).alias("centroid_id"),
+        F.explode(probe_list(F.col(vec_col))).alias("centroid_id"),
     )
     joined = F.broadcast(q).join(corpus_assigned, on="centroid_id").select(
         "query_id",

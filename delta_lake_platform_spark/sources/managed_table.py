@@ -79,6 +79,12 @@ class ManagedTable:
     def _commit(self, df: DataFrame, operation: str, metrics: dict) -> int:
         version = (self._versions()[-1] + 1) if self.exists() else 0
         df.write.mode("overwrite").parquet(self._data_dir(version))
+        if "numOutputRows" in metrics and metrics["numOutputRows"] is None:
+            # Post-write metadata count (parquet footers) — never
+            # recompute the plan just for metrics.
+            metrics["numOutputRows"] = self.spark.read.parquet(
+                self._data_dir(version)
+            ).count()
         os.makedirs(self._log_dir, exist_ok=True)
         entry = {
             "version": version,
@@ -100,7 +106,7 @@ class ManagedTable:
                 raise FileExistsError(self.path)
             if mode == "ignore":
                 return self.latest_version()
-        return self._commit(df, "CREATE OR OVERWRITE", {"numOutputRows": df.count()})
+        return self._commit(df, "CREATE OR OVERWRITE", {"numOutputRows": None})
 
     def read(self, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version
@@ -179,7 +185,7 @@ class ManagedTable:
                     else F.lit(None).cast(dict(target.dtypes)[c]).alias(c)
                     for c in tcols
                 ]
-            )
+            ).localCheckpoint(eager=False)  # reused by count + commit write
             n_inserted = inserts.count()
             new_target = new_target.unionByName(inserts)
 
@@ -191,4 +197,4 @@ class ManagedTable:
         return v
 
     def overwrite(self, df: DataFrame, operation: str = "WRITE") -> int:
-        return self._commit(df, operation, {"numOutputRows": df.count()})
+        return self._commit(df, operation, {"numOutputRows": None})
