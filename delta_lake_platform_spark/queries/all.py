@@ -1,6 +1,7 @@
 """Import every query module so the registry is fully populated."""
 
 from . import tpch  # noqa: F401
+from . import tpch_advanced  # noqa: F401
 from . import scd_queries  # noqa: F401
 from . import pipeline  # noqa: F401
 from . import streaming_queries  # noqa: F401

@@ -1,0 +1,66 @@
+"""Plan-quality gates: the optimizations the 100 TB design depends on
+must be visible in the physical plan, or the test fails here instead of
+on a cluster.
+
+(SURVEY.md §4.2: all of these are delegated to Catalyst; these tests
+pin that the delegation actually engages for our query shapes.)
+"""
+
+from __future__ import annotations
+
+import delta_lake_platform_spark.queries.all  # noqa: F401
+from delta_lake_platform_spark.plans import (
+    count_exchanges,
+    has_broadcast_hash_join,
+    has_whole_stage_codegen,
+    has_window_group_limit,
+    pushed_filters,
+    read_schema_columns,
+)
+from delta_lake_platform_spark.queries.registry import QUERIES
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: {pushed!r}"
+    scans = read_schema_columns(df)
+    li_scan = max(scans, key=len)
+    # Column pruning: only the 7 columns the query needs are read.
+    assert li_scan <= {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, f"scan reads too much: {li_scan}"
+    assert has_whole_stage_codegen(df)
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed!r}"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume",
+                 "q7_nation_pair_volume", "q14_promo_revenue"):
+        df = QUERIES[name](spark, sf_dir)
+        assert has_broadcast_hash_join(df), f"{name}: no broadcast join"
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    df = QUERIES["topk_orders_per_customer"](spark, sf_dir)
+    assert has_window_group_limit(df), "rank<=k not rewritten to partial top-k"
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    """Scan -> partial agg -> one exchange -> final agg (+1 tiny sort).
+    More exchanges would mean the partial aggregation is broken."""
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+
+
+def test_semi_anti_no_extra_shuffle_of_dim(spark, sf_dir):
+    df = QUERIES["customers_without_big_orders"](spark, sf_dir)
+    # left_anti against a filtered keyset should broadcast the keyset
+    assert has_broadcast_hash_join(df) or count_exchanges(df) <= 3
