@@ -5,4 +5,5 @@ from . import tpch_advanced  # noqa: F401
 from . import scd_queries  # noqa: F401
 from . import pipeline  # noqa: F401
 from . import streaming_queries  # noqa: F401
+from . import temporal_queries  # noqa: F401
 from . import multimodal_queries  # noqa: F401

@@ -1,0 +1,107 @@
+"""Temporal operators exposed to the driver: as-of join, banded range
+join, and JSON extraction over the events stream."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, range_join_count
+from ..sources.catalog import load_table
+from .registry import register
+
+ASOF_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts,
+       p.value AS prior_purchase_value,
+       p.ts AS prior_purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts > p.ts
+ORDER BY e.event_id
+"""
+
+
+@register("asof_prior_purchase", ASOF_ORACLE)
+def asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct as-of join: each error event sees the most
+    recent strictly-earlier purchase of the same user (operators/
+    temporal.py — single shuffle, no range explosion)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        errors,
+        purchases,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_cols=["value", "ts"],
+        strict=True,
+        suffix="_p",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value_p").alias("prior_purchase_value"),
+        F.col("ts_p").alias("prior_purchase_ts"),
+    ).orderBy("event_id")
+
+
+RANGE_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts,
+  (SELECT COUNT(*) FROM events c
+   WHERE c.event_type = 'click' AND c.user_id = e.user_id
+     AND c.ts < e.ts AND c.ts >= e.ts - INTERVAL '10 minutes')::BIGINT AS n_in_range
+FROM events e
+WHERE e.event_type = 'error'
+ORDER BY e.event_id
+"""
+
+
+@register("range_clicks_before_error", RANGE_ORACLE)
+def range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: clicks in the 10 minutes before each error,
+    per user — O(n·m) theta join turned into a bucketed equi-join."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return range_join_count(
+        errors, clicks, on=["user_id"], left_time="ts", right_time="ts",
+        lookback_seconds=600,
+    ).orderBy("event_id")
+
+
+JSON_ORACLE = """
+SELECT event_type,
+  COUNT(*) AS n,
+  ROUND(AVG(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
+  MAX(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_json_props", JSON_ORACLE)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON path into typed column, then
+    aggregate (F.get_json_object — JVM-side Jackson, no Python)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

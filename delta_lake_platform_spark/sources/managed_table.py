@@ -198,3 +198,79 @@ class ManagedTable:
 
     def overwrite(self, df: DataFrame, operation: str = "WRITE") -> int:
         return self._commit(df, operation, {"numOutputRows": None})
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Append rows as a new version. With ``merge_schema``, new
+        columns widen the table schema (Delta's mergeSchema); existing
+        rows get NULLs (reference has no schema evolution at all —
+        SURVEY.md §1.3 flags the gap)."""
+        current = self.read()
+        if merge_schema:
+            for c, t in df.dtypes:
+                if c not in current.columns:
+                    current = current.withColumn(c, F.lit(None).cast(t))
+            for c, t in current.dtypes:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast(t))
+        new = current.unionByName(df, allowMissingColumns=False)
+        return self._commit(new, "APPEND", {"numOutputRows": None})
+
+    def compact(self, target_partitions: int = 1) -> int:
+        """OPTIMIZE analogue: rewrite the current snapshot into
+        ``target_partitions`` files (small-file compaction). At scale
+        this is per-partition ``OPTIMIZE WHERE``; here the snapshot is
+        the unit."""
+        df = self.read().coalesce(target_partitions)
+        return self._commit(df, "OPTIMIZE", {"numOutputRows": None})
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Delete data for all but the last ``keep_last`` versions
+        (Delta VACUUM analogue). Log entries are kept (history stays
+        queryable; the data is gone). Returns removed versions."""
+        import shutil
+
+        versions = self._versions()
+        to_remove = versions[:-keep_last] if keep_last > 0 else versions
+        removed = []
+        for v in to_remove:
+            d = self._data_dir(v)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                removed.append(v)
+        return removed
+
+    def change_feed(
+        self, from_version: int, to_version: int | None = None,
+        key_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """CDF analogue: row-level changes between two versions.
+
+        Computed as a full-outer diff (exceptAll both ways when no keys
+        are given): ``_change_type`` in {'insert','delete'}; with
+        ``key_cols``, matched-but-different rows become
+        'update_preimage'/'update_postimage' pairs, like Delta's CDF.
+        """
+        before = self.read(from_version)
+        after = self.read(self.latest_version() if to_version is None else to_version)
+        if not key_cols:
+            ins = after.exceptAll(before).withColumn("_change_type", F.lit("insert"))
+            dels = before.exceptAll(after).withColumn("_change_type", F.lit("delete"))
+            return ins.unionByName(dels)
+        removed = before.exceptAll(after)
+        added = after.exceptAll(before)
+        keys_removed = removed.select(*key_cols).distinct()
+        keys_added = added.select(*key_cols).distinct()
+        upd_keys = keys_removed.join(keys_added, on=key_cols, how="inner")
+        pre = removed.join(upd_keys, on=key_cols, how="left_semi").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = added.join(upd_keys, on=key_cols, how="left_semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        pure_ins = added.join(upd_keys, on=key_cols, how="left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        pure_del = removed.join(upd_keys, on=key_cols, how="left_anti").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return pure_ins.unionByName(pure_del).unionByName(pre).unionByName(post)

@@ -1,0 +1,110 @@
+"""ManagedTable platform ops: reference-parity merge API, compaction,
+vacuum, schema evolution, change feed, merge multi-match error."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime
+
+import pytest
+
+from delta_lake_platform_spark.scd.api import apply_scd, delta_merge
+from delta_lake_platform_spark.scd.engine import ScdConfig, create_scd_target
+from delta_lake_platform_spark.sources.managed_table import (
+    ManagedTable,
+    MergeClauses,
+    MergeError,
+)
+
+CLK = lambda: datetime(2026, 3, 1)  # noqa: E731
+
+
+@pytest.fixture
+def tmp_table(spark):
+    d = tempfile.mkdtemp(prefix="mt_")
+    yield ManagedTable(spark, f"{d}/t")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _seed(spark, table):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    )
+    cfg = ScdConfig(pk_cols=["id"], scd_cols=["v"], clock=CLK)
+    create_scd_target(table, df, cfg)
+    apply_scd(df, ["v"], ["id"], table, clock=CLK)
+    return df
+
+
+def test_reference_api_roundtrip(spark, tmp_table):
+    """delta_merge + apply_scd signatures from scd_handler.py:7,58."""
+    _seed(spark, tmp_table)
+    state = tmp_table.read().collect()
+    assert len(state) == 3
+    assert all(r.record_status == "A" for r in state)
+    # SCD2 change through the reference signature
+    batch = spark.createDataFrame([(1, "a", 99)], "id long, name string, v long")
+    apply_scd(batch, ["v"], ["id"], tmp_table, clock=lambda: datetime(2026, 3, 2))
+    rows = sorted(tmp_table.read().collect(), key=lambda r: (r.id, str(r.effective_from)))
+    one = [r for r in rows if r.id == 1]
+    assert len(one) == 2
+    assert {r.record_status for r in one} == {"A", "I"}
+
+
+def test_merge_multi_match_raises(spark, tmp_table):
+    _seed(spark, tmp_table)
+    dup_source = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id long, name string"
+    )
+    with pytest.raises(MergeError):
+        tmp_table.merge(
+            dup_source,
+            MergeClauses(
+                condition="target.id = updates.id",
+                matched_update={"name": "updates.name"},
+            ),
+        )
+
+
+def test_compact_and_vacuum(spark, tmp_table):
+    _seed(spark, tmp_table)
+    v_before = tmp_table.latest_version()
+    tmp_table.compact()
+    assert tmp_table.read().count() == 3
+    h = tmp_table.history(1)[0]
+    assert h["operation"] == "OPTIMIZE"
+    removed = tmp_table.vacuum(keep_last=1)
+    assert v_before in removed
+    assert tmp_table.read().count() == 3  # latest still readable
+    with pytest.raises(Exception):
+        tmp_table.read(version=0).collect()  # vacuumed data is gone
+
+
+def test_schema_evolution_append(spark, tmp_table):
+    tmp_table.create(
+        spark.createDataFrame([(1, "a")], "id long, name string")
+    )
+    tmp_table.append(
+        spark.createDataFrame([(2, "b", 5.0)], "id long, name string, score double"),
+        merge_schema=True,
+    )
+    df = tmp_table.read()
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 5.0
+
+
+def test_change_feed_keys(spark, tmp_table):
+    tmp_table.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    )
+    v0 = tmp_table.latest_version()
+    tmp_table.overwrite(
+        spark.createDataFrame([(1, "a2"), (3, "c")], "id long, name string")
+    )
+    feed = tmp_table.change_feed(v0, key_cols=["id"]).collect()
+    types = {(r.id, r._change_type) for r in feed}
+    assert (3, "insert") in types
+    assert (2, "delete") in types
+    assert (1, "update_preimage") in types and (1, "update_postimage") in types
