@@ -209,6 +209,41 @@ def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(corpus, threshold=0.8).orderBy("id_a", "id_b")
 
 
+# --- exact n-gram Jaccard: top-k most similar pairs -------------------------
+
+NGRAM_TOPK_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, GREATEST(LENGTH({_NORM}) - 4, 1) + 1),
+      i -> ({_NORM})[i:i+4]
+    )) AS shingles
+  FROM documents WHERE doc_id < 60
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(LEN(list_intersect(a.shingles, b.shingles)) * 1.0 /
+    (LEN(a.shingles) + LEN(b.shingles) - LEN(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+ORDER BY jaccard DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+@register("docs_ngram_jaccard_topk", NGRAM_TOPK_ORACLE)
+def docs_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 5-gram Jaccard on a bounded sample — the
+    verification primitive under the LSH paths, exposed directly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 60
+    )
+    return (
+        dedup.ngram_jaccard_pairs(docs)
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")  # order on UNrounded,
+        .limit(20)                                    # exactly as the oracle
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 # --- SimHash identical-content pairs ----------------------------------------
 
 SIMHASH_ORACLE = """

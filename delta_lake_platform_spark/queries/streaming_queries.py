@@ -33,6 +33,51 @@ def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts(ev, window="1 hour").orderBy("window_start", "event_type")
 
 
+SLIDING_ORACLE = """
+WITH slid AS (
+  SELECT e.*, time_bucket(INTERVAL '30 minutes', e.ts) - (o.k * INTERVAL '30 minutes') AS window_start
+  FROM events e
+  CROSS JOIN (SELECT UNNEST([0, 1]) AS k) o
+)
+SELECT window_start,
+  window_start + INTERVAL '1 hour' AS window_end,
+  event_type,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS sum_value
+FROM slid
+WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+@register("events_sliding_by_type", SLIDING_ORACLE)
+def events_sliding_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 1-hour window, 30-minute slide — each
+    event lands in 2 windows. The oracle derives the same assignment
+    relationally (bucket minus k slides)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 SESSION_ORACLE = """
 WITH l AS (
   SELECT user_id, ts, value,

@@ -305,12 +305,15 @@ def _apply_scd_two_merge(batch: DataFrame, table: ManagedTable, cfg: ScdConfig) 
     cols = [c for c in active.columns]
 
     # Merge 1: close-outs (update ALL columns of the close-out row).
+    # The batch is deduped per PK (cfg.dedupe_batch) so the Delta
+    # multi-match check is provably redundant — skipped for speed.
     if not closeouts.isEmpty():
         table.merge(
             closeouts,
             MergeClauses(
                 condition=base_cond,
                 matched_update={c: f"updates.{c}" for c in cols},
+                check_multi_match=not cfg.dedupe_batch,
             ),
         )
     # Merge 2: active upserts; scd_key equality in the search condition,
@@ -328,6 +331,7 @@ def _apply_scd_two_merge(batch: DataFrame, table: ManagedTable, cfg: ScdConfig) 
             },
             matched_condition="target.upd_key != updates.upd_key",
             not_matched_insert={c: f"updates.{c}" for c in cols},
+            check_multi_match=not cfg.dedupe_batch,
         ),
     )
 

@@ -43,6 +43,10 @@ class MergeClauses:
     matched_update: dict[str, str] | None = None
     matched_condition: str | None = None
     not_matched_insert: dict[str, str] | None = None
+    # Delta errors when >1 source row matches one target row. The check
+    # costs an extra aggregation job; callers that guarantee unique
+    # source keys (e.g. the SCD engine after batch dedupe) disable it.
+    check_multi_match: bool = True
 
 
 class ManagedTable:
@@ -142,18 +146,19 @@ class ManagedTable:
         n_updated = n_inserted = 0
         if clauses.matched_update is not None:
             joined = t.join(s, cond, "left_outer").localCheckpoint(eager=False)
-            # Delta semantics: >1 source row matching one target row is an
-            # error (the update would be ambiguous).
-            dup = (
-                joined.filter(F.col("updates.__src").isNotNull())
-                .groupBy("__tid")
-                .count()
-                .filter(F.col("count") > 1)
-            )
-            if not dup.isEmpty():
-                raise MergeError(
-                    "MERGE: multiple source rows matched a single target row"
+            if clauses.check_multi_match:
+                # Delta semantics: >1 source row matching one target row
+                # is an error (the update would be ambiguous).
+                dup = (
+                    joined.filter(F.col("updates.__src").isNotNull())
+                    .groupBy("__tid")
+                    .count()
+                    .filter(F.col("count") > 1)
                 )
+                if not dup.isEmpty():
+                    raise MergeError(
+                        "MERGE: multiple source rows matched a single target row"
+                    )
             gate = (
                 F.expr(clauses.matched_condition)
                 if clauses.matched_condition
