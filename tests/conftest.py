@@ -15,7 +15,15 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("dlp-tests", master="local[8]", shuffle_partitions=8)
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="dlp_warehouse_")
+    s = get_spark(
+        "dlp-tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
     s.stop()
 
