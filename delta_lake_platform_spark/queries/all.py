@@ -7,3 +7,4 @@ from . import pipeline  # noqa: F401
 from . import streaming_queries  # noqa: F401
 from . import temporal_queries  # noqa: F401
 from . import multimodal_queries  # noqa: F401
+from . import warehouse_extra  # noqa: F401

@@ -1,0 +1,242 @@
+"""Additional warehouse surface: pivot, set operations, percentiles,
+statistical aggregates, array aggregation, string/date function suites.
+Each paired with a DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+PIVOT_ORACLE = """
+SELECT EXTRACT(day FROM ts)::BIGINT AS day,
+  COUNT(*) FILTER (event_type = 'click')    AS click,
+  COUNT(*) FILTER (event_type = 'error')    AS error,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (event_type = 'signup')   AS signup,
+  COUNT(*) FILTER (event_type = 'view')     AS view
+FROM events
+GROUP BY day
+ORDER BY day
+"""
+
+
+@register("events_pivot_by_day", PIVOT_ORACLE)
+def events_pivot_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): per-day counts per event type. Explicit value
+    list keeps the output schema static (required at scale: an unlisted
+    pivot triggers a distinct-value job first)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.dayofmonth("ts").cast("long").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("day")
+    )
+
+
+INTERSECT_ORACLE = """
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+ORDER BY custkey
+"""
+
+
+@register("set_intersect_rich_big_buyers", INTERSECT_ORACLE)
+def set_intersect_rich_big_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return rich.intersect(big).orderBy("custkey")
+
+
+EXCEPT_ORACLE = """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ORDER BY custkey
+"""
+
+
+@register("set_except_non_building_buyers", EXCEPT_ORACLE)
+def set_except_non_building_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buyers = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return buyers.exceptAll(building).distinct().orderBy("custkey")
+
+
+PERCENTILE_ORACLE = """
+SELECT o_orderstatus,
+  ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+  ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+  ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("orders_price_percentiles", PERCENTILE_ORACLE)
+def orders_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (F.percentile ==
+    quantile_cont semantics). At 100 TB the approximate sketch
+    (approx_percentile / t-digest) is the scale path; the exact form is
+    the correctness baseline."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+STATS_ORACLE = """
+SELECT l_returnflag,
+  ROUND(stddev_samp(l_quantity), 4) AS qty_stddev,
+  ROUND(var_samp(l_discount), 6) AS disc_var,
+  ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("lineitem_stats_by_flag", STATS_ORACLE)
+def lineitem_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covar"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ARRAY_AGG_ORACLE = """
+SELECT r_name,
+  array_to_string(list_sort(list(n_name)), ',') AS nations_csv,
+  LEN(list(n_name)) AS n_nations
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+@register("region_nation_arrays", ARRAY_AGG_ORACLE)
+def region_nation_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested types: grouped array aggregation (sort_array(collect_list)
+    for deterministic ordering), serialized to CSV for the value-hash
+    compare (array cells hash differently across engines' dataframes)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+                "nations_csv"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+STRING_ORACLE = """
+SELECT c_custkey,
+  UPPER(c_name) AS name_uc,
+  SUBSTRING(c_name, 1, 8) AS name_prefix,
+  REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+  LPAD(CAST(c_nationkey AS VARCHAR), 4, '0') AS nat_padded,
+  LENGTH(c_name)::BIGINT AS name_len,
+  CONCAT(c_mktsegment, '/', CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+  levenshtein(c_mktsegment, 'BUILDING')::BIGINT AS seg_dist
+FROM customer
+WHERE c_custkey <= 200
+ORDER BY c_custkey
+"""
+
+
+@register("customer_string_functions", STRING_ORACLE)
+def customer_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_uc"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "name_short"
+        ),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nat_padded"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("/", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nat"
+        ),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING"))
+        .cast("long")
+        .alias("seg_dist"),
+    ).orderBy("c_custkey")
+
+
+DATE_ORACLE = """
+SELECT o_orderkey,
+  EXTRACT(year FROM o_orderdate)::BIGINT AS yr,
+  EXTRACT(quarter FROM o_orderdate)::BIGINT AS qtr,
+  EXTRACT(month FROM o_orderdate)::BIGINT AS mth,
+  date_trunc('month', o_orderdate) AS month_start,
+  o_orderdate + INTERVAL '90 days' AS due_date,
+  datediff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00')::BIGINT AS age_days
+FROM orders
+WHERE o_orderkey <= 500
+ORDER BY o_orderkey
+"""
+
+
+@register("orders_date_functions", DATE_ORACLE)
+def orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.month("o_orderdate").cast("long").alias("mth"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(
+            F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")
+        ).cast("long").alias("age_days"),
+    ).orderBy("o_orderkey")
