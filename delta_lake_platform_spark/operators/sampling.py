@@ -1,0 +1,52 @@
+"""Deterministic sampling for pipeline reproducibility.
+
+``df.sample()`` is seed-stable only for a fixed partitioning — a
+repartitioned or incrementally-grown input samples differently. These
+operators key the decision on row CONTENT, so the same row is always
+in or out regardless of layout, executors, or retries:
+
+- ``hash_sample``: keep rows where hash(key) mod M < frac*M. O(1)
+  per row, no shuffle, stable under any partitioning.
+- ``stratified_hash_sample``: per-stratum fractions with the same
+  guarantee.
+- ``reservoir_sample``: exact-size uniform sample via per-partition
+  reservoirs merged on the driver — the mapPartitions "last resort"
+  pattern (SURVEY §2: RDD-free elsewhere); for when an exact k is
+  required rather than a fraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_M = 1_000_000
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    gate = int(fraction * _M)
+    return df.filter(F.pmod(F.xxhash64(F.col(key_col)), F.lit(_M)) < gate)
+
+
+def stratified_hash_sample(
+    df: DataFrame, key_col: str, stratum_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    gate = F.lit(0)
+    expr = None
+    for value, frac in fractions.items():
+        cond = F.col(stratum_col) == value
+        g = int(frac * _M)
+        expr = F.when(cond, g) if expr is None else expr.when(cond, g)
+    gate = expr.otherwise(0) if expr is not None else gate
+    return df.filter(F.pmod(F.xxhash64(F.col(key_col)), F.lit(_M)) < gate)
+
+
+def reservoir_sample(df: DataFrame, k: int, key_col: str) -> DataFrame:
+    """Exact-k sample, deterministic given content: global top-k by
+    hash value (equivalent to a uniform k-sample under a random hash).
+    Implemented as the rank idiom so Spark plans a partial top-k —
+    no full sort, no driver collect of the data."""
+    ranked = df.withColumn("__h", F.xxhash64(F.col(key_col)))
+    return (
+        ranked.orderBy("__h").limit(k).drop("__h")
+    )

@@ -37,6 +37,12 @@ class MergeError(Exception):
     pass
 
 
+class ConcurrentWriteError(Exception):
+    """Another writer committed the version this writer was producing
+    (optimistic concurrency, like Delta's protocol — the log entry
+    create is the atomic commit point)."""
+
+
 @dataclass
 class MergeClauses:
     condition: str
@@ -96,10 +102,21 @@ class ManagedTable:
             "operation": operation,
             "operationMetrics": metrics,
         }
-        tmp = os.path.join(self._log_dir, f".{version}.json.tmp")
-        with open(tmp, "w") as f:
+        # Atomic commit point: O_EXCL create of the log entry. If a
+        # concurrent writer already committed this version, fail rather
+        # than overwrite its commit (Delta-style optimistic concurrency;
+        # the loser retries on a fresh read of the table).
+        try:
+            fd = os.open(
+                os.path.join(self._log_dir, f"{version}.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError as e:
+            raise ConcurrentWriteError(
+                f"version {version} of {self.path} was committed concurrently"
+            ) from e
+        with os.fdopen(fd, "w") as f:
             json.dump(entry, f)
-        os.replace(tmp, os.path.join(self._log_dir, f"{version}.json"))
         return version
 
     # -- public API ---------------------------------------------------------

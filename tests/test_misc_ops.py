@@ -1,0 +1,121 @@
+"""Concurrency control, sampling determinism, UDTF, stream-stream join."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.operators.sampling import (
+    hash_sample,
+    reservoir_sample,
+    stratified_hash_sample,
+)
+from delta_lake_platform_spark.sources.catalog import load_table
+from delta_lake_platform_spark.sources.managed_table import (
+    ConcurrentWriteError,
+    ManagedTable,
+)
+from delta_lake_platform_spark.streaming.joins import purchases_after_signup
+
+
+def test_concurrent_commit_detected(spark):
+    """Writer A reads the table, writer B commits, writer A tries to
+    claim the same version -> optimistic-concurrency error (the log
+    entry O_EXCL create is the atomic commit point)."""
+    from unittest.mock import patch
+
+    d = tempfile.mkdtemp(prefix="ccw_")
+    try:
+        t = ManagedTable(spark, f"{d}/t")
+        df = spark.createDataFrame([(1,)], "id long")
+        t.create(df)  # version 0
+        other = ManagedTable(spark, f"{d}/t")
+        other.overwrite(df)  # version 1 lands first
+        # Writer A still believes latest is 0 (stale read) and claims 1:
+        with patch.object(t, "_versions", return_value=[0]):
+            with pytest.raises(ConcurrentWriteError):
+                t.overwrite(df)
+        # After a fresh read, the retry succeeds on version 2.
+        assert t.overwrite(df) == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hash_sample_stable_under_repartition(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = {r.event_id for r in hash_sample(ev, "event_id", 0.2).collect()}
+    b = {
+        r.event_id
+        for r in hash_sample(ev.repartition(13), "event_id", 0.2).collect()
+    }
+    assert a == b and a  # same rows regardless of layout
+    n = ev.count()
+    assert 0.1 < len(a) / n < 0.3
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    s = stratified_hash_sample(
+        ev, "event_id", "event_type", {"click": 0.5, "error": 0.1}
+    )
+    got = {r.event_type: r.n for r in
+           s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r.event_type: r.n for r in
+              ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= {"click", "error"}
+    assert abs(got["click"] / totals["click"] - 0.5) < 0.15
+    assert abs(got["error"] / totals["error"] - 0.1) < 0.08
+
+
+def test_reservoir_sample_exact_k_deterministic(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = sorted(r.event_id for r in reservoir_sample(ev, 25, "event_id").collect())
+    b = sorted(
+        r.event_id
+        for r in reservoir_sample(ev.repartition(7), 25, "event_id").collect()
+    )
+    assert len(a) == 25 and a == b
+
+
+def test_udtf_word_ngrams(spark):
+    from delta_lake_platform_spark.operators.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM word_ngrams('the quick brown fox', 2)"
+    ).collect()
+    assert [(r.pos, r.ngram) for r in rows] == [
+        (0, "the quick"),
+        (1, "quick brown"),
+        (2, "brown fox"),
+    ]
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="ssj_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        signups = ev.filter(F.col("event_type") == "signup")
+        purchases = ev.filter(F.col("event_type") == "purchase")
+        signups.write.parquet(f"{d}/s")
+        purchases.write.parquet(f"{d}/p")
+        schema = ev.schema
+        s_stream = spark.readStream.schema(schema).parquet(f"{d}/s")
+        p_stream = spark.readStream.schema(schema).parquet(f"{d}/p")
+        q = (
+            purchases_after_signup(s_stream, p_stream)
+            .writeStream.format("memory")
+            .queryName("ssj")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.table("ssj").count()
+        expected = purchases_after_signup(signups, purchases).count()
+        assert got == expected and expected > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
