@@ -171,6 +171,15 @@ def apply_scd(
     incoming = _stamp_incoming(batch, cfg, now)
     out_cols = [c for c in target.columns]
 
+    # Initial-load fast path: an empty target means every batch row is a
+    # brand-new entity (effective_from = initial date). Skips the window
+    # collapse and the full-outer join — the common bulk-load case.
+    if target.isEmpty():
+        first_load = incoming.withColumn(
+            "effective_from", F.col("initial_effective_from")
+        ).select(*out_cols)
+        return table.overwrite(first_load, operation="SCD_APPLY")
+
     current, historic = _split_current(target, cfg)
 
     t = current.alias("t")
