@@ -340,6 +340,70 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- the full curation pipeline, composed -----------------------------------
+
+CURATION_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 5 = 0
+),
+t AS (
+  SELECT doc_id, text, lang,
+    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+    LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / LENGTH(text) AS praw,
+    sha256({_NORM}) AS fingerprint
+  FROM corpus
+),
+s AS (
+  SELECT doc_id, text, lang, fingerprint,
+    LEN(toks) AS n_tok,
+    LEAST(LEN(toks) / 50.0, 1.0) * 0.4
+      + LEAST(LEN(list_filter(toks, x -> regexp_full_match(x, '({_STOP})'))) * 1.0 / LEN(toks) * 5.0, 1.0) * 0.3
+      + (1.0 - LEAST(praw * 10.0, 1.0)) * 0.3 AS quality
+  FROM t
+),
+canon AS (
+  SELECT fingerprint, MIN(doc_id) AS canonical_id FROM s GROUP BY fingerprint
+)
+SELECT s.doc_id, s.lang,
+  s.n_tok::BIGINT AS token_count,
+  ROUND(s.quality, 6) AS quality_score
+FROM s JOIN canon ON s.fingerprint = canon.fingerprint AND s.doc_id = canon.canonical_id
+WHERE s.quality >= 0.5
+ORDER BY s.doc_id
+"""
+
+
+@register("docs_curation_pipeline", CURATION_ORACLE)
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pass: exact dedup (keep
+    canonical copy) -> quality gate -> per-doc stats. One pipeline, one
+    shuffle for the dedup groupBy; quality/token math rides the same
+    scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = docs.unionByName(planted)
+    scored = text.with_quality_score(text.with_token_stats(
+        text.with_fingerprint(corpus)
+    ))
+    canon = scored.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    return (
+        scored.join(
+            canon,
+            (scored.fingerprint == canon.fingerprint)
+            & (scored.doc_id == canon.canonical_id),
+        )
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "lang", "token_count", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
 # --- ANN: IVF approximate top-k (rows-only: centroid hash not in DuckDB) ----
 
 
