@@ -176,6 +176,66 @@ def region_nation_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUBE_ORACLE = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n,
+  ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+@register("cube_orders_status_priority", CUBE_ORACLE)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+UNPIVOT_ORACLE = """
+SELECT s_suppkey, metric, val FROM (
+  SELECT s_suppkey,
+    CAST(s_nationkey AS DOUBLE) AS nationkey,
+    ROUND(s_acctbal, 2) AS acctbal
+  FROM supplier WHERE s_suppkey <= 100
+) t
+UNPIVOT (val FOR metric IN (nationkey, acctbal))
+ORDER BY s_suppkey, metric
+"""
+
+
+@register("unpivot_supplier_metrics", UNPIVOT_ORACLE)
+def unpivot_supplier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long (melt/unpivot)."""
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 100)
+        .select(
+            "s_suppkey",
+            F.col("s_nationkey").cast("double").alias("nationkey"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )
+    return s.unpivot(
+        "s_suppkey", ["nationkey", "acctbal"], "metric", "val"
+    ).orderBy("s_suppkey", "metric")
+
+
 STRING_ORACLE = """
 SELECT c_custkey,
   UPPER(c_name) AS name_uc,

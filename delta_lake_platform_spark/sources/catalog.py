@@ -38,6 +38,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # The fixtures store naive wall-clock timestamps; date-part
+    # functions (year/dayofmonth/date_trunc) convert through the session
+    # timezone. Pin UTC here so results match the (timezone-naive)
+    # DuckDB oracle regardless of the caller's session/JVM default.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet INT64 TIMESTAMP(NANOS): Spark 4 rejects it
         # unless read as a raw long. Truncate ns -> us with integer
