@@ -285,6 +285,62 @@ def simhash_pairs(
     return out
 
 
+# --- pair -> cluster resolution ---------------------------------------------
+
+def connected_components(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: each vertex gets
+    ``cluster_id`` = the minimum id reachable through the pair graph
+    (transitive closure — a pair list alone under-merges A~B, B~C).
+
+    Label propagation: every iteration each vertex takes the min of its
+    own label and its neighbors' labels; converges in O(graph diameter)
+    iterations — duplicate clusters are near-cliques in practice, so
+    2-3. Each iteration is one broadcast-or-shuffle join + groupBy on
+    the edge list (edges << corpus for realistic dup rates).
+    """
+    edges = (
+        pairs.selectExpr(f"id_a as src", f"id_b as dst")
+        .unionByName(pairs.selectExpr("id_b as src", "id_a as dst"))
+        .distinct()
+    )
+    labels = vertices.select(F.col(id_col).alias("vid")).withColumn(
+        "label", F.col("vid")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.vid)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.vid == neighbor_min.src, "left_outer")
+            .select(
+                "vid",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate the iterative lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="vid")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels.select(
+        F.col("vid").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 # --- embedding cosine near-dup ----------------------------------------------
 
 def embedding_neardup_pairs(

@@ -340,6 +340,67 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- near-dup clusters (pairs -> transitive closure) ------------------------
+
+CLUSTERS_ORACLE = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 100 AND doc_id % 4 = 0
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, GREATEST(LENGTH({_NORM}) - 4, 1) + 1),
+      i -> ({_NORM})[i:i+4]
+    )) AS shingles
+  FROM corpus
+),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+  WHERE LEN(list_intersect(a.shingles, b.shingles)) * 1.0 /
+    (LEN(a.shingles) + LEN(b.shingles) - LEN(list_intersect(a.shingles, b.shingles))) >= 0.9
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM corpus
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id
+FROM reach
+GROUP BY src
+ORDER BY doc_id
+"""
+
+
+@register("docs_dedup_clusters", CLUSTERS_ORACLE)
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs -> connected components -> cluster ids.
+
+    Exact copies are planted in chains (doc, +1M, +2M) so components
+    exceed pair size and a pair list alone would under-merge. The
+    oracle computes true reachability over the same >=0.9-Jaccard graph
+    with a recursive CTE — this also covers the natural (non-planted)
+    near-dup pairs present in the corpus (max natural Jaccard ~0.985 at
+    sf0.001). LSH recall at j>=0.9 with 16x4 banding is ~1-1e-9, so
+    both sides see the same edge set."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    p1 = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    p2 = docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    corpus = docs.unionByName(p1).unionByName(p2)
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.9)
+    return dedup.connected_components(corpus, pairs).orderBy("doc_id")
+
+
 # --- the full curation pipeline, composed -----------------------------------
 
 CURATION_ORACLE = f"""
