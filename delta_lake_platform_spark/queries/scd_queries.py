@@ -178,3 +178,47 @@ def scd_hybrid_two_batches_merge_mode(spark: SparkSession, sf_dir: str) -> DataF
     """Same pipeline through the reference-parity two-merge flow
     (ManagedTable.merge — reference delta_merge, scd_handler.py:7-55)."""
     return _run_pipeline(spark, sf_dir, "two_merge")
+
+
+# Day-1 state via time travel: after BOTH batches are applied, read the
+# table AS OF the version the first apply committed. The oracle is the
+# day-1 load alone — proving versioned reads return historical state
+# (replaces the reference's CTAS snapshots, test_scd_handler.py:138-139).
+TIME_TRAVEL_ORACLE = """
+WITH b1 AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents
+  FROM customer
+)
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal_cents,
+  'A' AS record_status,
+  TIMESTAMP '2026-01-01 00:00:00' AS effective_from,
+  CAST(NULL AS TIMESTAMP) AS effective_to,
+  TIMESTAMP '2026-01-01 00:00:00' AS dw_inserted_at,
+  TIMESTAMP '2026-01-01 00:00:00' AS dw_updated_at,
+  sha256(concat_ws(chr(31), CAST(c_acctbal_cents AS VARCHAR), CAST(c_custkey AS VARCHAR))) AS scd_key,
+  sha256(concat_ws(chr(31), c_name, CAST(c_nationkey AS VARCHAR), c_mktsegment)) AS upd_key
+FROM b1
+ORDER BY c_custkey
+"""
+
+
+@register("scd_time_travel_day1", TIME_TRAVEL_ORACLE)
+def scd_time_travel_day1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = _tempfile.mkdtemp(prefix="scd_tt_q_")
+    table = ManagedTable(spark, f"{d}/customer_scd")
+    b1 = _batch1(spark, sf_dir)
+    create_scd_target(table, b1, _cfg(T1))
+    v_day1 = apply_scd(b1, table, _cfg(T1))
+    apply_scd(_batch2(spark, sf_dir), table, _cfg(T2))
+    out = (
+        table.read(version=v_day1)
+        .select(*_BUSINESS, *_SYSTEM)
+        .orderBy("c_custkey")
+        .localCheckpoint()
+    )
+    _shutil.rmtree(d, ignore_errors=True)
+    return out
