@@ -2,6 +2,7 @@
 
 from . import tpch  # noqa: F401
 from . import tpch_advanced  # noqa: F401
+from . import tpch_remaining  # noqa: F401
 from . import scd_queries  # noqa: F401
 from . import pipeline  # noqa: F401
 from . import streaming_queries  # noqa: F401
