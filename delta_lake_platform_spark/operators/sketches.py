@@ -1,0 +1,63 @@
+"""Heavy-hitter / frequent-item operators.
+
+The reference has no approximate aggregation surface (SURVEY.md §2.4:
+only count/count-distinct assertions, test_scd_handler.py:109,166), but
+a 100 TB curation pipeline needs frequency analysis over unbounded key
+domains (which users/domains/dedup-clusters dominate the corpus).
+
+Two tiers, mirroring the exact-baseline + sketch-scale-path pattern used
+for percentiles (queries/warehouse_extra.py):
+
+- ``heavy_hitters_exact``: two-phase exact counting. groupBy(key).count
+  does map-side partial aggregation, so the shuffle carries at most
+  (#distinct keys x #partitions) pre-aggregated rows, not the raw data;
+  the global total rides along as a broadcast scalar. This is the
+  correctness baseline and is itself scale-safe for key domains that fit
+  a shuffle (users, domains — up to ~1e9 keys).
+- ``frequent_items_approx``: Spark's built-in one-pass sketch
+  (``DataFrame.freqItems``, Karp et al. misra-gries variant) for the
+  truly unbounded case; support-bounded, may overreport — pair with an
+  exact recount of the returned candidates (sketch-for-candidates,
+  exact-verify, same discipline as dedup.py's SimHash pairing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_hitters_exact(
+    df: DataFrame, key_cols: list[str], min_share: float | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Keys holding >= ``min_share`` of all rows, and/or the top ``k``
+    by count. Output: key cols + ``cnt`` + ``share`` (rounded to 6).
+
+    One shuffle (partial-agg groupBy); the total-count side is a single
+    broadcast row, so the share computation adds no exchange.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.select(F.count(F.lit(1)).alias("__total"))
+    out = counts.crossJoin(F.broadcast(total)).select(
+        *key_cols,
+        "cnt",
+        F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+    )
+    if min_share is not None:
+        out = out.filter(F.col("share") >= min_share)
+    out = out.orderBy(F.col("cnt").desc(), *key_cols)
+    if k is not None:
+        out = out.limit(k)
+    return out
+
+
+def frequent_items_approx(
+    df: DataFrame, key_col: str, support: float = 0.01
+) -> list:
+    """Candidate heavy hitters via the one-pass misra-gries sketch
+    (``freqItems``). Returns the candidate list (driver-side, tiny by
+    construction: at most 1/support items). False positives possible;
+    verify with ``heavy_hitters_exact`` over the candidate set."""
+    row = df.freqItems([key_col], support=support).first()
+    return sorted(row[f"{key_col}_freqItems"])

@@ -9,4 +9,5 @@ from . import streaming_queries  # noqa: F401
 from . import temporal_queries  # noqa: F401
 from . import multimodal_queries  # noqa: F401
 from . import warehouse_extra  # noqa: F401
+from . import analytics_extra  # noqa: F401
 from . import window_extra  # noqa: F401

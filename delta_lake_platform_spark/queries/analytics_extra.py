@@ -1,0 +1,153 @@
+"""Frequency analysis, higher-order array functions, grouping sets,
+and ordered string aggregation — surface the reference lacks entirely
+(SURVEY.md §2.4/§2.8 list only count/distinct aggregates and 8 scalar
+functions) but a corpus-curation warehouse needs. Each query has a
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketches import heavy_hitters_exact
+from ..sources.catalog import load_table
+from .registry import register
+
+HEAVY_HITTERS_ORACLE = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+), t AS (
+  SELECT COUNT(*) AS total FROM events
+)
+SELECT user_id, cnt, ROUND(cnt / total, 6) AS share
+FROM c, t
+ORDER BY cnt DESC, user_id
+LIMIT 20
+"""
+
+
+@register("events_heavy_hitter_users", HEAVY_HITTERS_ORACLE)
+def events_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by event volume with traffic share: exact two-phase
+    heavy hitters (operators/sketches.py). One partial-agg shuffle; the
+    global total is a broadcast scalar. The unbounded-domain scale path
+    (freqItems sketch + exact recount of candidates) is bounded against
+    this in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters_exact(ev, ["user_id"], k=20)
+
+
+HOF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS tokens
+  FROM documents
+)
+SELECT doc_id,
+  len(tokens) AS n_tokens,
+  len(list_filter(tokens, x -> len(x) >= 6)) AS n_long_tokens,
+  CAST(COALESCE(list_aggregate(list_transform(tokens, x -> len(x)), 'sum'), 0) AS BIGINT) AS total_chars,
+  COALESCE(list_aggregate(list_transform(tokens, x -> len(x)), 'max'), 0) AS max_token_len
+FROM toks
+ORDER BY doc_id
+"""
+
+
+@register("docs_higher_order_tokens", HOF_ORACLE)
+def docs_higher_order_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on the token array: filter/
+    transform/aggregate lambdas run inside codegen (JVM-side, no UDF) —
+    the idiomatic way to process array columns at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) > 0
+    )
+    lens = F.transform(F.col("tokens"), lambda x: F.length(x))
+    return (
+        docs.select("doc_id", tokens.alias("tokens"))
+        .select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            F.size(F.filter(F.col("tokens"), lambda x: F.length(x) >= 6))
+            .cast("long")
+            .alias("n_long_tokens"),
+            F.aggregate(
+                lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("total_chars"),
+            F.coalesce(F.array_max(lens).cast("long"), F.lit(0)).alias(
+                "max_token_len"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+  COUNT(*) AS n_orders,
+  ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+ORDER BY gid, status, priority
+"""
+
+
+@register("grouping_sets_orders", GROUPING_SETS_ORACLE)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind the registered
+    rollup/cube queries) with grouping_id disambiguation of the NULL
+    produced by the grouping vs a NULL in the data. Spark expands the
+    sets in a single Expand+Aggregate — one shuffle for all three
+    groupings."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          COALESCE(o_orderstatus, 'ALL') AS status,
+          COALESCE(o_orderpriority, 'ALL') AS priority,
+          GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+          COUNT(*) AS n_orders,
+          ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY gid, status, priority
+        """
+    )
+
+
+STRING_AGG_ORACLE = """
+SELECT n_name,
+  COUNT(*) AS n_suppliers,
+  string_agg(s_name, '|' ORDER BY s_name) AS supplier_names
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("nation_supplier_namelist", STRING_AGG_ORACLE)
+def nation_supplier_namelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg): collect_list is
+    order-nondeterministic under parallel merge, so sort the array
+    before joining — the deterministic distributed equivalent of
+    ``string_agg(... ORDER BY ...)``."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias(
+                "supplier_names"
+            ),
+        )
+        .orderBy("n_name")
+    )

@@ -245,14 +245,25 @@ class ManagedTable:
         df = self.read().coalesce(target_partitions)
         return self._commit(df, "OPTIMIZE", {"numOutputRows": None})
 
-    def vacuum(self, keep_last: int = 2) -> list[int]:
-        """Delete data for all but the last ``keep_last`` versions
-        (Delta VACUUM analogue). Log entries are kept (history stays
-        queryable; the data is gone). Returns removed versions."""
+    def vacuum(
+        self, keep_last: int = 2, older_than_s: float | None = None
+    ) -> list[int]:
+        """Delete data for old versions (Delta VACUUM analogue). Log
+        entries are kept (history stays queryable; the data is gone).
+
+        ``keep_last`` pins the most recent N versions unconditionally.
+        ``older_than_s`` is Delta's ``RETAIN <n> HOURS``: additionally
+        keep any version whose commit is younger than the retention
+        window, so readers of recent snapshots don't lose data under
+        them. Returns removed versions."""
         import shutil
 
         versions = self._versions()
-        to_remove = versions[:-keep_last] if keep_last > 0 else versions
+        to_remove = versions[:-keep_last] if keep_last > 0 else list(versions)
+        if older_than_s is not None:
+            cutoff = time.time() - older_than_s
+            commit_ts = {h["version"]: h["timestamp"] for h in self.history()}
+            to_remove = [v for v in to_remove if commit_ts[v] <= cutoff]
         removed = []
         for v in to_remove:
             d = self._data_dir(v)

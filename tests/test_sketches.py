@@ -1,0 +1,79 @@
+"""Heavy hitters: exact baseline, misra-gries candidates, count-min
+width bounds, and the sketch->exact-recount composition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.operators.sketches import (
+    frequent_items_approx,
+    heavy_hitters_exact,
+)
+from delta_lake_platform_spark.sources.catalog import load_table
+
+
+def test_heavy_hitters_exact_matches_naive(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        (r.user_id, r.cnt) for r in heavy_hitters_exact(ev, ["user_id"], k=10).collect()
+    }
+    naive = (
+        ev.groupBy("user_id")
+        .count()
+        .orderBy(F.col("count").desc(), "user_id")
+        .limit(10)
+        .collect()
+    )
+    assert got == {(r.user_id, r["count"]) for r in naive}
+
+
+def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
+    """misra-gries guarantee: every key with share > support IS in the
+    candidate list (no false negatives; false positives allowed)."""
+    ev = load_table(spark, sf_dir, "events")
+    support = 0.02
+    candidates = set(frequent_items_approx(ev, "user_id", support=support))
+    total = ev.count()
+    truly_heavy = {
+        r.user_id
+        for r in ev.groupBy("user_id").count().collect()
+        if r["count"] / total > support
+    }
+    assert truly_heavy <= candidates, truly_heavy - candidates
+
+
+def test_sketch_then_exact_recount(spark, sf_dir):
+    """The scale composition: cheap one-pass candidates, then an exact
+    count restricted to candidates (a broadcastable semi-join)."""
+    ev = load_table(spark, sf_dir, "events")
+    candidates = frequent_items_approx(ev, "user_id", support=0.01)
+    recount = (
+        ev.filter(F.col("user_id").isin(candidates))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = {
+        r.user_id: r["count"] for r in ev.groupBy("user_id").count().collect()
+    }
+    for r in recount.collect():
+        assert r.cnt == exact[r.user_id]
+
+
+def test_count_min_sketch_overcounts_only(spark, sf_dir):
+    """CMS point estimates are >= true counts (one-sided error), and
+    within eps*N with the configured confidence."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = ev.select(
+        F.count_min_sketch(
+            F.col("user_id"), F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("cms")
+    ).first()["cms"]
+    jvm_sketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sketch)
+    )
+    total = ev.count()
+    true_counts = {r.user_id: r["count"] for r in ev.groupBy("user_id").count().collect()}
+    for uid, true in list(true_counts.items())[:20]:
+        est = jvm_sketch.estimateCount(uid)
+        assert est >= true
+        assert est - true <= 0.001 * total * 3  # 3x slack on the eps bound
