@@ -307,6 +307,10 @@ def connected_components(
         pairs.selectExpr(f"id_a as src", f"id_b as dst")
         .unionByName(pairs.selectExpr("id_b as src", "id_a as dst"))
         .distinct()
+        # Materialize once: the pair lineage (LSH: shingles -> 64-hash
+        # signatures -> band explode -> bucket self-join) would otherwise
+        # be recomputed by every iteration's join.
+        .localCheckpoint(eager=False)
     )
     labels = vertices.select(F.col(id_col).alias("vid")).withColumn(
         "label", F.col("vid")
@@ -317,24 +321,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # One checkpointed frame carries both the new labels and the
+        # did-anything-change flag, so convergence detection is a tiny
+        # aggregate over materialized data instead of a re-join.
+        flagged = (
             labels.join(neighbor_min, labels.vid == neighbor_min.src, "left_outer")
             .select(
                 "vid",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
+                    "__chg"
+                ),
             )
             .localCheckpoint()  # truncate the iterative lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="vid")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if changed:
+        labels = flagged.drop("__chg")
+        if flagged.filter(F.col("__chg")).isEmpty():
             break
     return labels.select(
         F.col("vid").alias(id_col), F.col("label").alias("cluster_id")
