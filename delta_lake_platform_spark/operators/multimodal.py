@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     LongType,
     StringType,
@@ -111,3 +112,110 @@ def decode_features(
             )
 
     return df.mapInPandas(decode, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Image resize over mapInPandas: one output row per input, fixed
+    ``width*height``-byte pixel buffer. The real body would be
+    PIL.Image.resize; the stand-in tiles the payload bytes to the target
+    size, preserving the contract a real decoder obeys (deterministic,
+    shape-exact, 1:1)."""
+
+    def resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        size = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs not available; pass fake=True for the stand-in"
+                )
+            out = []
+            for payload in pdf[bin_col]:
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                reps = -(-size // max(len(raw), 1))  # ceil
+                out.append(np.tile(raw, reps)[:size].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "pixels": out,
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_size: int = 512,
+    stride: int = 4,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Video frame sampling over mapInPandas: each media row EXPLODES
+    into one row per sampled frame (indices 0, stride, 2*stride, ...
+    over ``ceil(byte_len/frame_size)`` frames) — the row-multiplying
+    batch shape a real ffmpeg keyframe sampler produces. The stand-in
+    "frame" is the corresponding byte slice; its length and sha256 are
+    deterministic, so the full explosion is oracle-checkable in SQL."""
+
+    def frames(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video codecs not available; pass fake=True for the stand-in"
+                )
+            ids, idxs, lens, shas = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(payload)
+                n_frames = max(1, -(-len(raw) // frame_size))
+                for i in range(0, n_frames, stride):
+                    chunk = raw[i * frame_size : (i + 1) * frame_size]
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    shas.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_sha": pd.Series(shas, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(frames, schema=FRAME_SCHEMA)
