@@ -97,6 +97,59 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
+# interpret identically — no backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+URL_RE = r"https?://[^\s]+"
+
+
+def with_pii_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count PII-shaped spans (emails / phone-ish numbers / URLs) —
+    the filter signal a curation pipeline gates on before training.
+    Pure JVM regex, no UDF."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_emails": F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("long"),
+            "n_phones": F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).cast("long"),
+            "n_urls": F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0)).cast("long"),
+        }
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted") -> DataFrame:
+    """Replace PII spans with typed placeholder tokens (the standard
+    pre-training scrub). Order matters: URLs first so their
+    query-string '@'s aren't re-matched as emails."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, URL_RE, "<URL>")
+    red = F.regexp_replace(red, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    return df.withColumn(out_col, red)
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition signals (Gopher-style quality rules): the share of
+    distinct tokens and of distinct sentences. Boilerplate and
+    template spam score low on both; all JVM array functions."""
+    toks = _tokens(F.col(text_col))
+    sents = F.filter(
+        F.split(F.col(text_col), r"\.\s+"), lambda s: F.length(F.trim(s)) > 0
+    )
+    return df.withColumns(
+        {
+            "distinct_token_ratio": F.round(
+                F.size(F.array_distinct(toks)) / F.size(toks), 6
+            ),
+            "distinct_sentence_ratio": F.round(
+                F.size(F.array_distinct(sents)) / F.size(sents), 6
+            ),
+        }
+    )
+
+
 def normalized_fingerprint(text_col: str = "text") -> Column:
     """Content fingerprint: sha2-256 of case- and whitespace-normalized
     text. The canonical key for exact dedup."""

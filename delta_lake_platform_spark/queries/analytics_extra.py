@@ -122,6 +122,97 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_CORPUS_SQL = """
+  SELECT doc_id,
+    text
+      || CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || doc_id || '@example.com now.' ELSE '' END
+      || CASE WHEN doc_id % 4 = 0 THEN ' See https://site' || doc_id || '.example/a?x=1 today.' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' Call +1-555-123-4567 anytime.' ELSE '' END
+      AS text
+  FROM documents
+"""
+
+PII_ORACLE = f"""
+WITH corpus AS ({_PII_CORPUS_SQL})
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '\\+?[0-9]{{1,3}}[-. ][0-9]{{3}}[-. ][0-9]{{3,4}}[-. ]?[0-9]{{0,4}}'))::BIGINT AS n_phones,
+  len(regexp_extract_all(text, 'https?://[^\\s]+'))::BIGINT AS n_urls,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+    '\\+?[0-9]{{1,3}}[-. ][0-9]{{3}}[-. ][0-9]{{3,4}}[-. ]?[0-9]{{0,4}}', '<PHONE>', 'g') AS redacted
+FROM corpus
+ORDER BY doc_id
+"""
+
+
+@register("docs_pii_redaction", PII_ORACLE)
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII span counting + typed-placeholder redaction (the standard
+    pre-training scrub). Deterministic PII is planted on a doc_id
+    schedule since the synthetic corpus has none; patterns stay in the
+    Java/RE2-common regex subset so the oracle is exact. Pure JVM
+    regex — no UDF in the scan."""
+    from ..operators.text import redact_pii, with_pii_flags
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" Contact user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com now.")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" See https://site"), F.col("doc_id").cast("string"),
+                         F.lit(".example/a?x=1 today.")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" Call +1-555-123-4567 anytime."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    flagged = with_pii_flags(docs)
+    return (
+        redact_pii(flagged)
+        .select("doc_id", "n_emails", "n_phones", "n_urls", "redacted")
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS toks,
+    list_filter(string_split_regex(text, '\\.\\s+'), s -> len(trim(s)) > 0) AS sents
+  FROM documents
+)
+SELECT doc_id,
+  ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_token_ratio,
+  ROUND(len(list_distinct(sents)) * 1.0 / len(sents), 6) AS distinct_sentence_ratio
+FROM t
+ORDER BY doc_id
+"""
+
+
+@register("docs_repetition_stats", REPETITION_ORACLE)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: distinct-token and
+    distinct-sentence ratios. Boilerplate/template spam scores low;
+    all JVM array functions, zero shuffle (scan -> project -> sort)."""
+    from ..operators.text import with_repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_repetition_stats(docs)
+        .select("doc_id", "distinct_token_ratio", "distinct_sentence_ratio")
+        .orderBy("doc_id")
+    )
+
+
 STRING_AGG_ORACLE = """
 SELECT n_name,
   COUNT(*) AS n_suppliers,
