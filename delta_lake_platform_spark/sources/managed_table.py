@@ -49,6 +49,11 @@ class MergeClauses:
     matched_update: dict[str, str] | None = None
     matched_condition: str | None = None
     not_matched_insert: dict[str, str] | None = None
+    # whenMatchedDelete: matched rows passing this predicate (over
+    # target./updates. columns; "true" for unconditional) are removed.
+    # Evaluated BEFORE the update clause, like a Delta merge with the
+    # delete clause listed first.
+    matched_delete_condition: str | None = None
     # Delta errors when >1 source row matches one target row. The check
     # costs an extra aggregation job; callers that guarantee unique
     # source keys (e.g. the SCD engine after batch dedupe) disable it.
@@ -160,8 +165,8 @@ class ManagedTable:
         s = source.withColumn("__src", F.lit(1)).alias("updates")
         cond = F.expr(clauses.condition)
 
-        n_updated = n_inserted = 0
-        if clauses.matched_update is not None:
+        n_updated = n_inserted = n_deleted = 0
+        if clauses.matched_update is not None or clauses.matched_delete_condition:
             joined = t.join(s, cond, "left_outer").localCheckpoint(eager=False)
             if clauses.check_multi_match:
                 # Delta semantics: >1 source row matching one target row
@@ -176,25 +181,41 @@ class ManagedTable:
                     raise MergeError(
                         "MERGE: multiple source rows matched a single target row"
                     )
+            matched = F.col("updates.__src").isNotNull()
+            do_delete = (
+                matched
+                & F.coalesce(F.expr(clauses.matched_delete_condition), F.lit(False))
+                if clauses.matched_delete_condition
+                else F.lit(False)
+            )
             gate = (
                 F.expr(clauses.matched_condition)
                 if clauses.matched_condition
                 else F.lit(True)
             )
-            do_update = F.col("updates.__src").isNotNull() & F.coalesce(
-                gate, F.lit(False)
+            do_update = (
+                matched & ~do_delete & F.coalesce(gate, F.lit(False))
+                if clauses.matched_update is not None
+                else F.lit(False)
             )
+            upd = clauses.matched_update or {}
             upd_exprs = [
-                F.when(do_update, F.expr(clauses.matched_update[c]))
+                F.when(do_update, F.expr(upd[c]))
                 .otherwise(F.col(f"target.{c}"))
                 .alias(c)
-                if c in clauses.matched_update
+                if c in upd
                 else F.col(f"target.{c}").alias(c)
                 for c in tcols
             ]
-            flagged = joined.select(*upd_exprs, do_update.alias("__upd"))
-            n_updated = flagged.filter(F.col("__upd")).count()
-            new_target = flagged.drop("__upd")
+            flagged = joined.select(
+                *upd_exprs, do_update.alias("__upd"), do_delete.alias("__del")
+            ).localCheckpoint(eager=False)
+            counts = flagged.select(
+                F.sum(F.col("__upd").cast("long")).alias("u"),
+                F.sum(F.col("__del").cast("long")).alias("d"),
+            ).first()
+            n_updated, n_deleted = int(counts.u or 0), int(counts.d or 0)
+            new_target = flagged.filter(~F.col("__del")).drop("__upd", "__del")
         else:
             new_target = target
 
@@ -214,9 +235,39 @@ class ManagedTable:
         v = self._commit(
             new_target,
             "MERGE",
-            {"numTargetRowsUpdated": n_updated, "numTargetRowsInserted": n_inserted},
+            {
+                "numTargetRowsUpdated": n_updated,
+                "numTargetRowsInserted": n_inserted,
+                "numTargetRowsDeleted": n_deleted,
+            },
         )
         return v
+
+    def update(self, set_exprs: dict[str, str], condition: str | None = None) -> int:
+        """Delta UPDATE: rewrite rows matching ``condition`` with
+        ``set_exprs`` (SQL expressions over the row's own columns)."""
+        target = self.read()
+        cond = F.expr(condition) if condition else F.lit(True)
+        cond = F.coalesce(cond, F.lit(False))
+        out = target.select(
+            *[
+                F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
+        n = target.filter(cond).count()
+        return self._commit(out, "UPDATE", {"numUpdatedRows": n})
+
+    def delete(self, condition: str) -> int:
+        """Delta DELETE: drop rows matching ``condition``."""
+        target = self.read().localCheckpoint(eager=False)
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+        n = target.filter(cond).count()
+        return self._commit(
+            target.filter(~cond), "DELETE", {"numDeletedRows": n}
+        )
 
     def overwrite(self, df: DataFrame, operation: str = "WRITE") -> int:
         return self._commit(df, operation, {"numOutputRows": None})

@@ -108,3 +108,46 @@ def test_change_feed_keys(spark, tmp_table):
     assert (3, "insert") in types
     assert (2, "delete") in types
     assert (1, "update_preimage") in types and (1, "update_postimage") in types
+
+
+def test_update_and_delete(spark, tmp_table):
+    from pyspark.sql import functions as F
+
+    tmp_table.create(
+        spark.range(10).withColumn("val", F.col("id") * 10)
+    )
+    v1 = tmp_table.update({"val": "val + 1"}, condition="id % 2 = 0")
+    got = {r.id: r.val for r in tmp_table.read().collect()}
+    assert got[0] == 1 and got[1] == 10 and got[2] == 21
+    h = tmp_table.history(1)[0]
+    assert h["operation"] == "UPDATE" and h["operationMetrics"]["numUpdatedRows"] == 5
+
+    tmp_table.delete("id >= 8")
+    assert tmp_table.read().count() == 8
+    h = tmp_table.history(1)[0]
+    assert h["operation"] == "DELETE" and h["operationMetrics"]["numDeletedRows"] == 2
+    # time travel still sees the pre-delete state
+    assert tmp_table.read(version=v1).count() == 10
+
+
+def test_merge_with_delete_clause(spark, tmp_table):
+    from pyspark.sql import functions as F
+
+    from delta_lake_platform_spark.sources.managed_table import MergeClauses
+
+    tmp_table.create(spark.range(6).withColumn("val", F.lit(0)))
+    src = spark.range(4).withColumn("flag", F.when(F.col("id") < 2, "del").otherwise("upd"))
+    v = tmp_table.merge(
+        src,
+        MergeClauses(
+            condition="target.id = updates.id",
+            matched_delete_condition="updates.flag = 'del'",
+            matched_update={"val": "99"},
+        ),
+    )
+    got = {r.id: r.val for r in tmp_table.read().collect()}
+    assert set(got) == {2, 3, 4, 5}          # 0,1 deleted
+    assert got[2] == 99 and got[3] == 99     # matched, updated
+    assert got[4] == 0 and got[5] == 0       # untouched
+    m = tmp_table.history(1)[0]["operationMetrics"]
+    assert m["numTargetRowsDeleted"] == 2 and m["numTargetRowsUpdated"] == 2
