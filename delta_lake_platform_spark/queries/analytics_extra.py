@@ -264,6 +264,35 @@ def embeddings_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_ORACLE = """
+SELECT user_id,
+  COUNT(*)::BIGINT AS n,
+  ROUND(median(value), 6) AS median_value,
+  ROUND(mad(value), 6) AS mad_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_value_mad_per_user", MAD_ORACLE)
+def events_value_mad_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate via applyInPandas (grouped-map Arrow
+    UDF): median absolute deviation needs two ordered passes per group,
+    which no Spark built-in aggregate expresses. One shuffle on
+    user_id; DuckDB's built-in mad() is the oracle."""
+    from ..operators.grouped import value_mad_per_user
+
+    ev = load_table(spark, sf_dir, "events")
+    out = value_mad_per_user(ev)
+    return out.select(
+        "user_id",
+        "n",
+        F.round("median_value", 6).alias("median_value"),
+        F.round("mad_value", 6).alias("mad_value"),
+    ).orderBy("user_id")
+
+
 STRING_AGG_ORACLE = """
 SELECT n_name,
   COUNT(*) AS n_suppliers,
