@@ -46,3 +46,39 @@ def test_bruteforce_topk_is_sorted_and_complete(spark, sf_dir):
         assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
         cosines = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_quantized_ann_recall(spark, sf_dir):
+    """int8-quantized vectors preserve cosine neighborhoods: recall@5
+    of quantized search vs full-precision search stays high — the
+    coarse-search-then-rerank scale path is sound."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_platform_spark.functions.vectors import (
+        dequantize_int8,
+        max_abs,
+        quantize_int8,
+    )
+    from delta_lake_platform_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(20)
+    fp = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(queries, emb, k=5).collect()
+    }
+    qemb = emb.select(
+        "vec_id",
+        dequantize_int8(
+            quantize_int8("embedding"), max_abs("embedding")
+        ).alias("embedding"),
+    )
+    qq = qemb.join(queries.select("vec_id"), on="vec_id", how="left_semi")
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(qq, qemb, k=5).collect()
+    }
+    recall = len(fp & quant) / len(fp)
+    assert recall >= 0.9, recall
