@@ -92,6 +92,7 @@ class ManagedTable:
         return os.path.join(self.path, "data", f"v={version}")
 
     def _commit(self, df: DataFrame, operation: str, metrics: dict) -> int:
+        self.verify_constraints(df)
         version = (self._versions()[-1] + 1) if self.exists() else 0
         df.write.mode("overwrite").parquet(self._data_dir(version))
         if "numOutputRows" in metrics and metrics["numOutputRows"] is None:
@@ -322,6 +323,66 @@ class ManagedTable:
                 shutil.rmtree(d)
                 removed.append(v)
         return removed
+
+    def retry(self, op, retries: int = 3):
+        """Delta-style optimistic-concurrency retry: run ``op(self)``;
+        on ConcurrentWriteError re-run it (the op re-reads the fresh
+        snapshot, so the recomputation sees the winner's commit)."""
+        for attempt in range(retries + 1):
+            try:
+                return op(self)
+            except ConcurrentWriteError:
+                if attempt == retries:
+                    raise
+
+    def restore(self, version: int) -> int:
+        """Delta RESTORE: make a past snapshot the new current version
+        (forward-written as a new commit — history is append-only, so
+        the restore itself is auditable and reversible)."""
+        df = self.read(version)
+        return self._commit(
+            df, "RESTORE", {"restoredVersion": version, "numOutputRows": None}
+        )
+
+    # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analogue) -------
+
+    def _constraints_path(self) -> str:
+        return os.path.join(self.path, "_constraints.json")
+
+    def constraints(self) -> dict[str, str]:
+        if not os.path.isfile(self._constraints_path()):
+            return {}
+        with open(self._constraints_path()) as f:
+            return json.load(f)
+
+    def add_constraint(self, name: str, check_expr: str) -> None:
+        """Register a CHECK constraint (SQL boolean expr over the row).
+        The current snapshot is validated first, like Delta's ADD
+        CONSTRAINT; subsequent commits through ``verify_constraints``-
+        aware writers reject violating rows."""
+        self.verify_constraints(self.read(), {name: check_expr})
+        cons = self.constraints()
+        cons[name] = check_expr
+        with open(self._constraints_path(), "w") as f:
+            json.dump(cons, f)
+
+    def verify_constraints(
+        self, df: DataFrame, constraints: dict[str, str] | None = None
+    ) -> None:
+        """Raise if any row violates any CHECK constraint. One job for
+        all constraints (a single disjunctive filter), not one per."""
+        cons = self.constraints() if constraints is None else constraints
+        if not cons:
+            return
+        violation = None
+        for expr in cons.values():
+            clause = ~F.coalesce(F.expr(expr), F.lit(False))
+            violation = clause if violation is None else (violation | clause)
+        bad = df.filter(violation)
+        if not bad.isEmpty():
+            raise ValueError(
+                f"CHECK constraint violation in {self.path}: {list(cons)}"
+            )
 
     def change_feed(
         self, from_version: int, to_version: int | None = None,

@@ -151,3 +151,67 @@ def test_merge_with_delete_clause(spark, tmp_table):
     assert got[4] == 0 and got[5] == 0       # untouched
     m = tmp_table.history(1)[0]["operationMetrics"]
     assert m["numTargetRowsDeleted"] == 2 and m["numTargetRowsUpdated"] == 2
+
+
+def test_restore_past_version(spark, tmp_table):
+    from pyspark.sql import functions as F
+
+    tmp_table.create(spark.range(5))
+    tmp_table.overwrite(spark.range(3))
+    v = tmp_table.restore(0)
+    assert tmp_table.read().count() == 5
+    h = tmp_table.history(1)[0]
+    assert h["operation"] == "RESTORE"
+    assert h["operationMetrics"]["restoredVersion"] == 0
+    # restore is itself a commit: the pre-restore state is still there
+    assert tmp_table.read(version=v - 1).count() == 3
+
+
+def test_check_constraints(spark, tmp_table):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    tmp_table.create(spark.range(5).withColumn("val", F.col("id") * 10))
+    tmp_table.add_constraint("val_nonneg", "val >= 0")
+    # conforming write passes
+    tmp_table.append(spark.range(5, 7).withColumn("val", F.lit(1)))
+    # violating write is rejected and commits nothing
+    before = tmp_table.latest_version()
+    with _pytest.raises(ValueError, match="val_nonneg"):
+        tmp_table.append(spark.range(7, 8).withColumn("val", F.lit(-5)))
+    assert tmp_table.latest_version() == before
+    # adding a constraint the existing data violates is rejected
+    with _pytest.raises(ValueError):
+        tmp_table.add_constraint("impossible", "val > 100")
+    assert "impossible" not in tmp_table.constraints()
+
+
+def test_optimistic_retry_on_conflict(spark, tmp_table):
+    import json as _json
+    import os as _os
+
+    from delta_lake_platform_spark.sources.managed_table import (
+        ConcurrentWriteError,
+    )
+
+    tmp_table.create(spark.range(5))
+    attempts = []
+
+    def op(t):
+        # First attempt: another writer lands the next version just
+        # before our commit -> O_EXCL create fails -> retried op sees
+        # the winner's table and succeeds on the next version number.
+        if not attempts:
+            attempts.append(1)
+            nxt = t.latest_version() + 1
+            with open(_os.path.join(t._log_dir, f"{nxt}.json"), "w") as f:
+                _json.dump({"version": nxt, "timestamp": 0,
+                            "operation": "WRITE", "operationMetrics": {}}, f)
+            _os.makedirs(t._data_dir(nxt), exist_ok=True)
+            spark.range(99).write.mode("overwrite").parquet(t._data_dir(nxt))
+        return t.append(spark.range(5, 6))
+
+    v = tmp_table.retry(op)
+    assert v == tmp_table.latest_version()
+    # the winner's 99 rows + our appended row
+    assert tmp_table.read().count() == 100
