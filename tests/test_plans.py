@@ -64,3 +64,30 @@ def test_semi_anti_no_extra_shuffle_of_dim(spark, sf_dir):
     df = QUERIES["customers_without_big_orders"](spark, sf_dir)
     # left_anti against a filtered keyset should broadcast the keyset
     assert has_broadcast_hash_join(df) or count_exchanges(df) <= 3
+
+
+def test_curation_scans_are_shuffle_free(spark, sf_dir):
+    """PII/repetition/array-lambda/quantization queries must stay pure
+    scan->project pipelines: at most the final sort's exchange."""
+    from delta_lake_platform_spark.plans.introspect import count_exchanges
+
+    for name in (
+        "docs_pii_redaction",
+        "docs_repetition_stats",
+        "docs_higher_order_tokens",
+        "embeddings_int8_quant_error",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        n = count_exchanges(df)
+        assert n <= 2, f"{name}: {n} exchanges"
+        assert has_whole_stage_codegen(df), f"{name}: no codegen span"
+
+
+def test_heavy_hitters_single_agg_shuffle(spark, sf_dir):
+    """Two-phase heavy hitters: one partial-agg shuffle + final sort;
+    the global total must arrive via broadcast, not a join shuffle."""
+    from delta_lake_platform_spark.plans.introspect import explain_str
+
+    df = QUERIES["events_heavy_hitter_users"](spark, sf_dir)
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+    assert "BroadcastNestedLoopJoin" in explain_str(df) or has_broadcast_hash_join(df)
