@@ -88,8 +88,20 @@ class ManagedTable:
     def exists(self) -> bool:
         return bool(self._versions())
 
-    def _data_dir(self, version: int) -> str:
+    def _local_data_dir(self, version: int) -> str:
         return os.path.join(self.path, "data", f"v={version}")
+
+    def _data_dir(self, version: int) -> str:
+        """Resolve a version's data location. Normally local; a SHALLOW
+        CLONE commit references the source table's files via a
+        ``dataPath`` pointer in its log entry (zero data copied)."""
+        entry_path = os.path.join(self._log_dir, f"{version}.json")
+        if os.path.isfile(entry_path):
+            with open(entry_path) as f:
+                entry = json.load(f)
+            if "dataPath" in entry:
+                return entry["dataPath"]
+        return self._local_data_dir(version)
 
     def _commit(self, df: DataFrame, operation: str, metrics: dict) -> int:
         self.verify_constraints(df)
@@ -318,11 +330,44 @@ class ManagedTable:
             to_remove = [v for v in to_remove if commit_ts[v] <= cutoff]
         removed = []
         for v in to_remove:
-            d = self._data_dir(v)
+            # Only ever delete THIS table's local files: a shallow-clone
+            # version points into the source table and owns nothing.
+            if self._data_dir(v) != self._local_data_dir(v):
+                continue
+            d = self._local_data_dir(v)
             if os.path.isdir(d):
                 shutil.rmtree(d)
                 removed.append(v)
         return removed
+
+    def clone(self, target_path: str) -> "ManagedTable":
+        """Delta SHALLOW CLONE: a new table whose version 0 references
+        this table's current snapshot files through a ``dataPath`` log
+        pointer — zero bytes copied. Subsequent writes to the clone land
+        under its own path (copy-on-write divergence), and the clone's
+        VACUUM never touches the source's files."""
+        src_version = self.latest_version()
+        target = ManagedTable(self.spark, target_path)
+        if target.exists():
+            raise FileExistsError(target_path)
+        os.makedirs(target._log_dir, exist_ok=True)
+        entry = {
+            "version": 0,
+            "timestamp": time.time(),
+            "operation": "CLONE",
+            "operationMetrics": {
+                "sourcePath": self.path,
+                "sourceVersion": src_version,
+            },
+            "dataPath": self._data_dir(src_version),
+        }
+        fd = os.open(
+            os.path.join(target._log_dir, "0.json"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+        with os.fdopen(fd, "w") as f:
+            json.dump(entry, f)
+        return target
 
     def retry(self, op, retries: int = 3):
         """Delta-style optimistic-concurrency retry: run ``op(self)``;

@@ -215,3 +215,26 @@ def test_optimistic_retry_on_conflict(spark, tmp_table):
     assert v == tmp_table.latest_version()
     # the winner's 99 rows + our appended row
     assert tmp_table.read().count() == 100
+
+
+def test_shallow_clone(spark, tmp_table, tmp_path):
+    import os as _os
+
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    tmp_table.create(spark.range(10))
+    clone = tmp_table.clone(str(tmp_path / "clone"))
+    # zero data copied: the clone has no local data dir for v0
+    assert not _os.path.isdir(clone._local_data_dir(0))
+    assert clone.read().count() == 10
+    assert clone.history(1)[0]["operation"] == "CLONE"
+
+    # copy-on-write divergence: writes to the clone don't touch source
+    clone.append(spark.range(10, 15))
+    assert clone.read().count() == 15
+    assert tmp_table.read().count() == 10
+
+    # clone vacuum never deletes the source's files
+    removed = clone.vacuum(keep_last=1, older_than_s=0)
+    assert 0 not in removed
+    assert tmp_table.read().count() == 10
