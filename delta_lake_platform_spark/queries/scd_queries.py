@@ -180,6 +180,115 @@ def scd_hybrid_two_batches_merge_mode(spark: SparkSession, sf_dir: str) -> DataF
     return _run_pipeline(spark, sf_dir, "two_merge")
 
 
+# CDF between the day-1 and day-2 commits. Classification with
+# key_cols=(c_custkey, effective_from):
+#   SCD2 entities: the old version flips A->I in place (update pair at
+#     key (pk, T1)) and the new active version appears (insert at
+#     (pk, T2));
+#   SCD1 entities: business columns rewritten in place (update pair);
+#   untouched entities: absent from the feed.
+CDF_ORACLE = """
+WITH b1 AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents
+  FROM customer
+),
+b2 AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MODIFIED' ELSE c_mktsegment END AS c_mktsegment,
+         c_acctbal_cents + CASE WHEN c_custkey % 10 = 0 THEN 10000 ELSE 0 END AS c_acctbal_cents
+  FROM b1
+),
+h1 AS (
+  SELECT *,
+    sha256(concat_ws(chr(31), CAST(c_acctbal_cents AS VARCHAR), CAST(c_custkey AS VARCHAR))) AS scd_key,
+    sha256(concat_ws(chr(31), c_name, CAST(c_nationkey AS VARCHAR), c_mktsegment)) AS upd_key
+  FROM b1
+),
+h2 AS (
+  SELECT *,
+    sha256(concat_ws(chr(31), CAST(c_acctbal_cents AS VARCHAR), CAST(c_custkey AS VARCHAR))) AS scd_key,
+    sha256(concat_ws(chr(31), c_name, CAST(c_nationkey AS VARCHAR), c_mktsegment)) AS upd_key
+  FROM b2
+),
+paired AS (
+  SELECT h1.c_custkey,
+         h1.c_name AS n1, h1.c_nationkey AS k1, h1.c_mktsegment AS m1,
+         h1.c_acctbal_cents AS a1, h1.scd_key AS s1, h1.upd_key AS u1,
+         h2.c_name AS n2, h2.c_nationkey AS k2, h2.c_mktsegment AS m2,
+         h2.c_acctbal_cents AS a2, h2.scd_key AS s2, h2.upd_key AS u2
+  FROM h1 JOIN h2 USING (c_custkey)
+)
+SELECT * FROM (
+  -- SCD2: old active version, before the close-out
+  SELECT c_custkey, n1 AS c_name, k1 AS c_nationkey, m1 AS c_mktsegment,
+         a1 AS c_acctbal_cents, 'A' AS record_status,
+         TIMESTAMP '2026-01-01 00:00:00' AS effective_from,
+         CAST(NULL AS TIMESTAMP) AS effective_to,
+         TIMESTAMP '2026-01-01 00:00:00' AS dw_inserted_at,
+         TIMESTAMP '2026-01-01 00:00:00' AS dw_updated_at,
+         s1 AS scd_key, u1 AS upd_key,
+         'update_preimage' AS _change_type
+  FROM paired WHERE s1 != s2
+  UNION ALL
+  -- SCD2: the same row after the close-out
+  SELECT c_custkey, n1, k1, m1, a1, 'I',
+         TIMESTAMP '2026-01-01 00:00:00', TIMESTAMP '2026-01-02 00:00:00',
+         TIMESTAMP '2026-01-01 00:00:00', TIMESTAMP '2026-01-02 00:00:00',
+         s1, u1, 'update_postimage'
+  FROM paired WHERE s1 != s2
+  UNION ALL
+  -- SCD2: the new active version
+  SELECT c_custkey, n2, k2, m2, a2, 'A',
+         TIMESTAMP '2026-01-02 00:00:00', NULL,
+         TIMESTAMP '2026-01-02 00:00:00', TIMESTAMP '2026-01-02 00:00:00',
+         s2, u2, 'insert'
+  FROM paired WHERE s1 != s2
+  UNION ALL
+  -- SCD1: before the in-place update
+  SELECT c_custkey, n1, k1, m1, a1, 'A',
+         TIMESTAMP '2026-01-01 00:00:00', NULL,
+         TIMESTAMP '2026-01-01 00:00:00', TIMESTAMP '2026-01-01 00:00:00',
+         s1, u1, 'update_preimage'
+  FROM paired WHERE s1 = s2 AND u1 != u2
+  UNION ALL
+  -- SCD1: after
+  SELECT c_custkey, n2, k2, m2, a2, 'A',
+         TIMESTAMP '2026-01-01 00:00:00', NULL,
+         TIMESTAMP '2026-01-01 00:00:00', TIMESTAMP '2026-01-02 00:00:00',
+         s2, u2, 'update_postimage'
+  FROM paired WHERE s1 = s2 AND u1 != u2
+) t
+ORDER BY c_custkey, _change_type, effective_from
+"""
+
+
+@register("scd_change_feed_day2", CDF_ORACLE)
+def scd_change_feed_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed between the day-1 and day-2 SCD commits
+    (ManagedTable.change_feed — the CDF analogue of Delta's
+    table_changes, SURVEY.md §7 step 5). Every insert / update_preimage
+    / update_postimage row is value-checked against the closed-form
+    day-2 delta."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = _tempfile.mkdtemp(prefix="scd_cdf_q_")
+    table = ManagedTable(spark, f"{d}/customer_scd")
+    b1 = _batch1(spark, sf_dir)
+    create_scd_target(table, b1, _cfg(T1))
+    v1 = apply_scd(b1, table, _cfg(T1))
+    v2 = apply_scd(_batch2(spark, sf_dir), table, _cfg(T2))
+    out = (
+        table.change_feed(v1, v2, key_cols=["c_custkey", "effective_from"])
+        .select(*_BUSINESS, *_SYSTEM, "_change_type")
+        .orderBy("c_custkey", "_change_type", "effective_from")
+        .localCheckpoint()
+    )
+    _shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 # Day-1 state via time travel: after BOTH batches are applied, read the
 # table AS OF the version the first apply committed. The oracle is the
 # day-1 load alone — proving versioned reads return historical state
