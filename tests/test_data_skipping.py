@@ -1,0 +1,71 @@
+"""File-level data skipping on ManagedTable (Delta min/max stats
+analogue): commits record per-file column ranges from the parquet
+footers, and range reads open only the files the predicate can touch."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.sources.catalog import load_table
+from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+
+def _range_layout_table(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="dlp_skip_")
+    cust = load_table(spark, sf_dir, "customer").repartitionByRange(
+        8, "c_custkey"
+    )
+    t = ManagedTable(spark, f"{d}/customer_ranged")
+    t.create(cust)
+    return t
+
+
+def test_commit_records_file_stats(spark, sf_dir):
+    t = _range_layout_table(spark, sf_dir)
+    stats = t.history(1)[0]["fileStats"]
+    assert len(stats) >= 2  # range layout -> multiple files
+    for cols in stats.values():
+        assert "c_custkey" in cols
+        mn, mx = cols["c_custkey"]
+        assert mn <= mx
+
+
+def test_range_read_prunes_files(spark, sf_dir):
+    t = _range_layout_table(spark, sf_dir)
+    full = t.read()
+    n_total = full.count()
+    lo = 1
+    hi = max(n_total // 8, 2)  # a slice that lives in ~1 of 8 range files
+    kept, total = t.prune_files("c_custkey", lo, hi)
+    assert total >= 2
+    assert len(kept) < total  # skipping actually skipped files
+
+    pruned = t.read_pruned("c_custkey", lo, hi)
+    expected = full.filter(
+        (F.col("c_custkey") >= lo) & (F.col("c_custkey") <= hi)
+    )
+    assert pruned.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(pruned).isEmpty()
+    assert pruned.count() == expected.count() > 0
+
+
+def test_pruning_on_non_layout_column_stays_correct(spark, sf_dir):
+    t = _range_layout_table(spark, sf_dir)
+    # Layout is by c_custkey, so c_nationkey ranges straddle the files:
+    # skipping rarely fires, but whatever it keeps must be exact.
+    got = t.read_pruned("c_nationkey", 3, 3).count()
+    want = t.read().filter(F.col("c_nationkey") == 3).count()
+    assert got == want > 0
+
+    kept, total = t.prune_files("c_nationkey", -5, -1)  # below domain
+    assert kept == []
+    assert total >= 2
+
+
+def test_empty_range_reads_zero_rows(spark, sf_dir):
+    t = _range_layout_table(spark, sf_dir)
+    kept, _ = t.prune_files("c_custkey", 10**12, None)
+    assert kept == []
+    assert t.read_pruned("c_custkey", 10**12, None).count() == 0
