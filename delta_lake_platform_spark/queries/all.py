@@ -11,3 +11,4 @@ from . import multimodal_queries  # noqa: F401
 from . import warehouse_extra  # noqa: F401
 from . import analytics_extra  # noqa: F401
 from . import window_extra  # noqa: F401
+from . import curation_extra  # noqa: F401

@@ -1,0 +1,173 @@
+"""Corpus-curation queries over ``documents`` (operators/curation.py),
+each value-checked against a DuckDB oracle.
+
+Hash determinism contract shared by both sides: bucket = first (or
+5th-) 4 hex chars of sha256(cast(doc_id as string)) parsed base-16,
+mod 100 — Spark ``conv(substring(sha2(...),p,4),16,10)`` and DuckDB
+``('0x' || substr(sha256(...),p,4))::INT`` produce identical values
+because both digests are lowercase hex of the same bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation
+from ..operators.text import with_token_stats
+from ..sources.catalog import load_table
+from .registry import register
+
+_BUCKET1 = "CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100"
+_BUCKET5 = "CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 5, 4)) AS INTEGER) % 100"
+
+# --- deterministic train/val/test split ------------------------------------
+
+SPLIT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {_BUCKET1} AS bucket FROM documents
+)
+SELECT doc_id, source, bucket,
+  CASE WHEN bucket < 80 THEN 'train'
+       WHEN bucket < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM t
+ORDER BY doc_id
+"""
+
+
+@register("docs_train_split", SPLIT_ORACLE)
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/val/test assignment: stable under reruns and
+    corpus growth (unlike randomSplit), shuffle-free at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        curation.train_val_test_split(docs)
+        .select("doc_id", "source", "bucket", "split")
+        .orderBy("doc_id")
+    )
+
+
+# --- sequence packing (concat-and-chunk) -----------------------------------
+
+_SEQ_LEN = 512
+
+PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    LEN(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS token_count
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, token_count,
+    COALESCE(SUM(token_count) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT source,
+  CAST(FLOOR(cum_before / {_SEQ_LEN}) AS BIGINT) AS chunk_id,
+  COUNT(*)::BIGINT AS n_docs,
+  SUM(token_count)::BIGINT AS chunk_tokens,
+  MIN(doc_id) AS first_doc,
+  MAX(doc_id) AS last_doc
+FROM c
+GROUP BY source, chunk_id
+ORDER BY source, chunk_id
+"""
+
+
+@register("docs_pack_sequences", PACK_ORACLE)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing into {_SEQ_LEN}-token training windows,
+    independent per source shard (one shuffle; shards pack in
+    parallel across executors)."""
+    docs = with_token_stats(load_table(spark, sf_dir, "documents"))
+    return curation.pack_sequences(docs, seq_len=_SEQ_LEN).orderBy(
+        "source", "chunk_id"
+    )
+
+
+# --- benchmark n-gram contamination ----------------------------------------
+
+_NGRAM = 8
+
+CONTAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    unnest([array_to_string(toks[i:i+{_NGRAM - 1}], ' ')
+            for i in range(1, len(toks) - {_NGRAM - 2})]) AS ngram
+  FROM t WHERE len(toks) >= {_NGRAM}
+),
+d AS (SELECT DISTINCT doc_id, ngram FROM g),
+bench AS (SELECT DISTINCT ngram FROM d WHERE doc_id % 97 = 0),
+train AS (SELECT * FROM d WHERE doc_id % 97 <> 0),
+tot AS (SELECT doc_id, COUNT(*)::BIGINT AS n_ngrams FROM train GROUP BY doc_id),
+ov AS (
+  SELECT t.doc_id, COUNT(*)::BIGINT AS n_overlap
+  FROM train t JOIN bench b USING (ngram) GROUP BY t.doc_id
+)
+SELECT tot.doc_id, n_ngrams,
+  COALESCE(n_overlap, 0) AS n_overlap,
+  ROUND(COALESCE(n_overlap, 0) * 1.0 / n_ngrams, 6) AS overlap_ratio,
+  COALESCE(n_overlap, 0) * 1.0 / n_ngrams >= 0.1 AS contaminated
+FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
+ORDER BY tot.doc_id
+"""
+
+
+@register("docs_benchmark_contamination", CONTAM_ORACLE)
+def docs_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: docs with doc_id % 97 == 0 stand in for a
+    held-out benchmark; every training doc reports what fraction of its
+    distinct word 8-grams leak from that set. The benchmark n-gram side
+    is broadcast — the corpus scan is shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.ngram_contamination(
+        docs, bench_predicate=F.col("doc_id") % 97 == 0, n=_NGRAM
+    ).orderBy("doc_id")
+
+
+# --- domain mixture resampling ---------------------------------------------
+
+# Target mixture by source number: srcnum % 3 == 0 -> 0.5x (downsample),
+# == 1 -> 1.0x (keep), == 2 -> 2.5x (upsample with fractional part).
+_WEIGHT_SQL = """CASE CAST(substr(source, 4) AS INTEGER) % 3
+       WHEN 0 THEN 0.5 WHEN 1 THEN 1.0 ELSE 2.5 END"""
+
+MIXTURE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    {_WEIGHT_SQL} AS w,
+    {_BUCKET5} AS b
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+    CAST(FLOOR(w) AS INTEGER)
+      + CASE WHEN b < CAST((w - FLOOR(w)) * 100 AS INTEGER) THEN 1 ELSE 0 END AS rep
+  FROM t
+)
+SELECT doc_id, source, u.copy_idx
+FROM r, UNNEST(range(1, rep + 1)) AS u(copy_idx)
+ORDER BY doc_id, copy_idx
+"""
+
+
+@register("docs_domain_mixture", MIXTURE_ORACLE)
+def docs_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling to a target per-domain mixture: repeat
+    factors are row-local (integer part + hash-resolved fraction), so
+    the resample needs no global counts and no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    srcnum = F.substring("source", 4, 10).cast("int")
+    weight = (
+        F.when(srcnum % 3 == 0, F.lit(0.5))
+        .when(srcnum % 3 == 1, F.lit(1.0))
+        .otherwise(F.lit(2.5))
+    )
+    return curation.domain_mixture(docs, weight).orderBy("doc_id", "copy_idx")

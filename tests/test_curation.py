@@ -1,0 +1,80 @@
+"""Unit tests for operators/curation.py (the oracle queries cover the
+full-corpus paths; these pin edge semantics on hand-built inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.operators import curation
+
+
+def test_split_is_deterministic_and_row_local(spark):
+    base = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    s1 = curation.train_val_test_split(base).select("doc_id", "split")
+    # Same ids through a different-sized frame: identical assignment
+    # (randomSplit would reshuffle membership here).
+    bigger = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    s2 = (
+        curation.train_val_test_split(bigger)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "split")
+    )
+    assert s1.exceptAll(s2).isEmpty() and s2.exceptAll(s1).isEmpty()
+    frac = {
+        r["split"]: r["n"]
+        for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert frac["train"] > frac.get("val", 0) + frac.get("test", 0)
+
+
+def test_pack_sequences_exact_boundaries(spark):
+    rows = [("s", i, tc) for i, tc in enumerate([60, 60, 60, 60])]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "token_count"])
+    out = {
+        r["chunk_id"]: (r["n_docs"], r["chunk_tokens"])
+        for r in curation.pack_sequences(df, seq_len=100).collect()
+    }
+    # cum_before: 0,60,120,180 -> chunks 0,0,1,1
+    assert out == {0: (2, 120), 1: (2, 120)}
+
+
+def test_word_ngrams_short_doc_is_empty(spark):
+    df = spark.createDataFrame([("a b c",)], ["text"])
+    toks = F.split(F.col("text"), " ")
+    row = df.select(
+        curation.word_ngrams(toks, 2).alias("g2"),
+        curation.word_ngrams(toks, 4).alias("g4"),
+    ).first()
+    assert row["g2"] == ["a b", "b c"]
+    assert row["g4"] == []
+
+
+def test_contamination_flags_planted_copy(spark):
+    bench_text = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, bench_text),  # benchmark doc (id % 2 == 0 predicate below)
+        (1, bench_text),  # exact copy -> ratio 1.0
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in curation.ngram_contamination(
+            docs, bench_predicate=F.col("doc_id") % 2 == 0, n=8
+        ).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["overlap_ratio"] == 1.0
+    assert not out[3]["contaminated"] and out[3]["n_overlap"] == 0
+
+
+def test_domain_mixture_repeat_bounds(spark):
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    out = curation.domain_mixture(df, weight=F.lit(2.5))
+    per_doc = out.groupBy("doc_id").agg(F.count("*").alias("n"))
+    bad = per_doc.filter(~F.col("n").isin(2, 3))
+    assert bad.isEmpty()
+    total = out.count()
+    assert 2 * 300 < total < 3 * 300  # fraction resolved by hash, ~2.5x
+
+    kept = curation.domain_mixture(df, weight=F.lit(0.5)).count()
+    assert 0 < kept < 300
