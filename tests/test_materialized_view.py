@@ -1,0 +1,102 @@
+"""Incremental materialized-view maintenance: after any mix of base
+DML (append / delete / merge-update), refresh() must land on exactly
+the state a full recompute produces — and must do so from the change
+feed, not a base rescan."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.sources.catalog import load_table
+from delta_lake_platform_spark.sources.managed_table import ManagedTable, MergeClauses
+from delta_lake_platform_spark.sources.materialized_view import MaterializedAggView
+
+
+@pytest.fixture()
+def base_and_view(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="dlp_mv_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    base = ManagedTable(spark, f"{d}/orders_base")
+    base.create(orders)
+    mv = MaterializedAggView(
+        base, f"{d}/orders_by_status_mv",
+        group_cols=["o_orderstatus"], sum_cols=["price_cents"],
+    )
+    mv.create()
+    return base, mv
+
+
+def _recompute(mv):
+    return mv._aggregate(mv.base.read())
+
+
+def _assert_view_exact(mv):
+    got, want = mv.read().drop("avg_price_cents"), _recompute(mv)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_refresh_after_append_and_delete(base_and_view):
+    base, mv = base_and_view
+    sample = base.read().filter(F.col("o_orderkey") % 13 == 0)
+    shifted = sample.withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    base.append(shifted)
+    base.delete("o_orderkey % 17 = 0")
+    assert mv.is_stale()
+    mv.refresh()
+    assert not mv.is_stale()
+    _assert_view_exact(mv)
+
+
+def test_refresh_after_merge_update(base_and_view):
+    base, mv = base_and_view
+    bump = (
+        base.read()
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .withColumn("price_cents", F.col("price_cents") + 500)
+    )
+    base.merge(
+        bump,
+        MergeClauses(
+            condition="target.o_orderkey = updates.o_orderkey",
+            matched_update={
+                "price_cents": "updates.price_cents",
+                "o_orderstatus": "updates.o_orderstatus",
+            },
+            check_multi_match=False,
+        ),
+    )
+    mv.refresh()
+    _assert_view_exact(mv)
+
+
+def test_refresh_is_noop_when_current(base_and_view):
+    base, mv = base_and_view
+    v = mv.state.latest_version()
+    assert mv.refresh() == v
+    assert mv.state.latest_version() == v  # no empty commit
+
+
+def test_group_disappears_when_all_rows_deleted(base_and_view):
+    base, mv = base_and_view
+    base.delete("o_orderstatus = 'F'")
+    mv.refresh()
+    assert mv.read().filter(F.col("o_orderstatus") == "F").isEmpty()
+    _assert_view_exact(mv)
+
+
+def test_avg_derivation(base_and_view):
+    base, mv = base_and_view
+    row = mv.read().filter(F.col("o_orderstatus") == "O").first()
+    assert row["avg_price_cents"] == pytest.approx(
+        row["sum_price_cents"] / row["n_rows"]
+    )

@@ -83,6 +83,29 @@ def test_curation_scans_are_shuffle_free(spark, sf_dir):
         assert has_whole_stage_codegen(df), f"{name}: no codegen span"
 
 
+def test_split_and_mixture_are_shuffle_free(spark, sf_dir):
+    """Hash split and mixture resampling are row-local: the only
+    exchange allowed is the presentation sort's range partitioning."""
+    for name in ("docs_train_split", "docs_domain_mixture"):
+        df = QUERIES[name](spark, sf_dir)
+        n = count_exchanges(df)
+        assert n <= 1, f"{name}: {n} exchanges"
+        assert has_whole_stage_codegen(df), f"{name}: no codegen span"
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """Packing = one hash shuffle on the shard column; the window and
+    the chunk aggregation must reuse that partitioning (plus the
+    presentation sort)."""
+    df = QUERIES["docs_pack_sequences"](spark, sf_dir)
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+
+
+def test_contamination_broadcasts_bench_side(spark, sf_dir):
+    df = QUERIES["docs_benchmark_contamination"](spark, sf_dir)
+    assert has_broadcast_hash_join(df), "bench n-gram set not broadcast"
+
+
 def test_heavy_hitters_single_agg_shuffle(spark, sf_dir):
     """Two-phase heavy hitters: one partial-agg shuffle + final sort;
     the global total must arrive via broadcast, not a join shuffle."""
