@@ -13,3 +13,4 @@ from . import analytics_extra  # noqa: F401
 from . import window_extra  # noqa: F401
 from . import curation_extra  # noqa: F401
 from . import mv_queries  # noqa: F401
+from . import identity_queries  # noqa: F401

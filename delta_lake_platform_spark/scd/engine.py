@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import row_fingerprint
+from ..functions.ids import assign_dense_ids, fill_identity
 from ..sources.managed_table import ManagedTable, MergeClauses
 
 SYSTEM_COLUMNS = (
@@ -73,6 +74,13 @@ class ScdConfig:
     # micro-batch routinely carries several versions of one entity, and
     # only the newest should become the active row.
     dedupe_batch: bool = True
+    # GENERATED-ALWAYS surrogate key (reference account_key identity
+    # column, test_scd_handler.py:41). Every inserted row — brand-new
+    # entity or new SCD2 version — draws a fresh dense id from the
+    # table's high-water mark; surviving rows keep theirs. Values the
+    # batch supplies for this column are ignored (GENERATED ALWAYS).
+    surrogate_col: str | None = None
+    surrogate_start: int = 1  # reference: START WITH 10
 
 
 def _validate_target_schema(df: DataFrame, cfg: ScdConfig) -> None:
@@ -84,6 +92,22 @@ def _validate_target_schema(df: DataFrame, cfg: ScdConfig) -> None:
     missing_pk = [c for c in cfg.pk_cols if c not in df.columns]
     if missing_pk:
         raise ValueError(f"target table missing pk columns: {missing_pk}")
+    if cfg.surrogate_col and cfg.surrogate_col not in df.columns:
+        raise ValueError(f"target table missing surrogate column: {cfg.surrogate_col}")
+
+
+def _surrogate_hwm(table: ManagedTable, target: DataFrame, cfg: ScdConfig) -> int:
+    """Next-id high-water mark: max issued key across every commit,
+    read from footer stats in the log (no data scan); a Spark agg only
+    as the fallback when stats are unavailable."""
+    hwm = None
+    for v in table._versions():
+        m = table.column_max(cfg.surrogate_col, v)
+        if m is not None:
+            hwm = m if hwm is None else max(hwm, m)
+    if hwm is None:
+        hwm = target.agg(F.max(cfg.surrogate_col)).first()[0]
+    return int(hwm) if hwm is not None else cfg.surrogate_start - 1
 
 
 def _stamp_incoming(df: DataFrame, cfg: ScdConfig, now: datetime) -> DataFrame:
@@ -161,6 +185,12 @@ def apply_scd(
 ) -> int:
     """Apply one incremental batch; returns the committed version."""
     if mode == "two_merge":
+        if cfg.surrogate_col:
+            raise ValueError(
+                "surrogate_col requires single_commit mode (the "
+                "two-merge compatibility flow delegates inserts to "
+                "MERGE, which cannot assign identity values)"
+            )
         return _apply_scd_two_merge(batch, table, cfg)
     if mode != "single_commit":
         raise ValueError(f"unknown mode {mode!r}")
@@ -168,7 +198,13 @@ def apply_scd(
     target = table.read()
     _validate_target_schema(target, cfg)
     now = cfg.clock()
+    if cfg.surrogate_col:
+        batch = batch.drop(cfg.surrogate_col)  # GENERATED ALWAYS
     incoming = _stamp_incoming(batch, cfg, now)
+    if cfg.surrogate_col:
+        incoming = incoming.withColumn(
+            cfg.surrogate_col, F.lit(None).cast("long")
+        )
     out_cols = [c for c in target.columns]
 
     # Initial-load fast path: an empty target means every batch row is a
@@ -178,6 +214,13 @@ def apply_scd(
         first_load = incoming.withColumn(
             "effective_from", F.col("initial_effective_from")
         ).select(*out_cols)
+        if cfg.surrogate_col:
+            first_load = assign_dense_ids(
+                first_load.drop(cfg.surrogate_col),
+                list(cfg.pk_cols),
+                start=cfg.surrogate_start,
+                id_col=cfg.surrogate_col,
+            ).select(*out_cols)
         return table.overwrite(first_load, operation="SCD_APPLY")
 
     current, historic = _split_current(target, cfg)
@@ -221,6 +264,12 @@ def apply_scd(
     def pick(c: str):
         if c in cfg.pk_cols:
             return F.col(c).alias(c)
+        if c == cfg.surrogate_col:
+            # Surviving versions keep their key; brand-new entities get
+            # null here and draw a fresh id below.
+            return F.when(only_u, F.lit(None).cast("long")).otherwise(
+                tcol(c)
+            ).alias(c)
         if c == "record_status":
             expr = (
                 F.when(only_t | dup, tcol(c))
@@ -261,6 +310,16 @@ def apply_scd(
     )
 
     new_state = historic.select(*out_cols).unionByName(primary).unionByName(scd2_new)
+    if cfg.surrogate_col:
+        # Inserted rows (new entities + new SCD2 versions) carry null
+        # keys at this point; fill them from the high-water mark,
+        # ordered by (pk, effective_from) for reproducibility.
+        new_state = fill_identity(
+            new_state,
+            cfg.surrogate_col,
+            list(cfg.pk_cols) + ["effective_from"],
+            next_value=_surrogate_hwm(table, target, cfg) + 1,
+        ).select(*out_cols)
     return table.overwrite(new_state, operation="SCD_APPLY")
 
 
@@ -351,7 +410,13 @@ def create_scd_target(
     """Create an empty SCD target with the contract columns derived from
     a batch's schema (the reference declares DDL by hand,
     test_scd_handler.py:40-57)."""
+    if cfg.surrogate_col:
+        batch_schema_df = batch_schema_df.drop(cfg.surrogate_col)
     empty = _stamp_incoming(batch_schema_df.limit(0), cfg, cfg.clock()).drop(
         "initial_effective_from"
     )
+    if cfg.surrogate_col:
+        empty = empty.select(
+            F.lit(None).cast("long").alias(cfg.surrogate_col), "*"
+        )
     return table.create(empty)

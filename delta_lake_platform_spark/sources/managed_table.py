@@ -248,6 +248,27 @@ class ManagedTable:
             df = df.filter(c <= F.lit(hi))
         return df
 
+    def column_max(self, col: str, version: int | None = None):
+        """Snapshot-wide max of ``col`` from the commit's footer stats —
+        no Spark job, no data read. Returns None when any file lacks
+        stats for the column (caller falls back to an aggregation).
+        This is how an identity column's high-water mark should be
+        found at 100 TB: the log already knows it."""
+        v = self.latest_version() if version is None else version
+        with open(os.path.join(self._log_dir, f"{v}.json")) as f:
+            entry = json.load(f)
+        stats = entry.get("fileStats")
+        if stats is None:
+            return None
+        maxes = []
+        for fname, cols in stats.items():
+            if not cols:
+                continue  # zero-row file (no row groups -> no stats)
+            if col not in cols:
+                return None  # a file without stats could hide the max
+            maxes.append(cols[col][1])
+        return max(maxes) if maxes else None
+
     def history(self, limit: int | None = None) -> list[dict]:
         """Newest-first commit log (reference: delta_table.history(1),
         scd_handler.py:54)."""
