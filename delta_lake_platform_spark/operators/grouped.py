@@ -14,15 +14,20 @@ executor's memory (same constraint Spark's own window functions have
 per partition-key). Key-skew is the failure mode — salt upstream or
 bound group size if a key can be pathological.
 
-Median absolute deviation is the demonstrator because it genuinely
-needs two ordered passes over the group (median, then median of
-deviations) — not expressible with Spark's built-in aggregates, while
-DuckDB's built-in ``mad()`` provides an exact oracle.
+Median absolute deviation is the demonstrator because it needs two
+ordered passes over the group (median, then median of deviations),
+while DuckDB's built-in ``mad()`` provides an exact oracle. Spark 4's
+exact ``percentile`` aggregate CAN express it as two grouped
+aggregations (``value_mad_per_user_builtin``) — kept side by side with
+the grouped-map version deliberately: the JVM two-shuffle plan beats
+one shuffle + per-group Python by ~5x, the measured version of "UDFs
+are the slow path".
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MAD_SCHEMA = "user_id long, n long, median_value double, mad_value double"
 
@@ -49,3 +54,29 @@ def value_mad_per_user(
         )
 
     return events.groupBy(key_col).applyInPandas(mad, schema=MAD_SCHEMA)
+
+
+def value_mad_per_user_builtin(
+    events: DataFrame, key_col: str = "user_id", val_col: str = "value"
+) -> DataFrame:
+    """Same result, no Python on the data path: per-key exact median
+    (agg 1), broadcast the #keys-row medians back onto the events, then
+    exact median of absolute deviations (agg 2). Two hash shuffles of
+    the fact table, both whole-stage-codegen; the join ships only the
+    tiny per-key medians."""
+    v = F.col(val_col)
+    med = events.groupBy(key_col).agg(
+        F.count(v).alias("n"),
+        F.percentile(v, F.lit(0.5)).alias("median_value"),
+    )
+    return (
+        events.join(F.broadcast(med), on=key_col)
+        .groupBy(key_col)
+        .agg(
+            F.first("n").alias("n"),
+            F.first("median_value").alias("median_value"),
+            F.percentile(F.abs(v - F.col("median_value")), F.lit(0.5)).alias(
+                "mad_value"
+            ),
+        )
+    )

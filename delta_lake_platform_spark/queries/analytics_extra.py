@@ -275,22 +275,52 @@ ORDER BY user_id
 """
 
 
-@register("events_value_mad_per_user", MAD_ORACLE)
-def events_value_mad_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom grouped aggregate via applyInPandas (grouped-map Arrow
-    UDF): median absolute deviation needs two ordered passes per group,
-    which no Spark built-in aggregate expresses. One shuffle on
-    user_id; DuckDB's built-in mad() is the oracle."""
-    from ..operators.grouped import value_mad_per_user
-
-    ev = load_table(spark, sf_dir, "events")
-    out = value_mad_per_user(ev)
+def _mad_shape(out: DataFrame) -> DataFrame:
     return out.select(
         "user_id",
         "n",
         F.round("median_value", 6).alias("median_value"),
         F.round("mad_value", 6).alias("mad_value"),
     ).orderBy("user_id")
+
+
+@register("events_value_mad_per_user", MAD_ORACLE)
+def events_value_mad_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per user, all-JVM: two exact-percentile
+    grouped aggregations with the #users-row medians broadcast back
+    between them (operators/grouped.py::value_mad_per_user_builtin).
+    DuckDB's built-in mad() is the oracle."""
+    from ..operators.grouped import value_mad_per_user_builtin
+
+    ev = load_table(spark, sf_dir, "events")
+    return _mad_shape(value_mad_per_user_builtin(ev))
+
+
+MAD_UDF_ORACLE = """
+SELECT user_id,
+  COUNT(*)::BIGINT AS n,
+  ROUND(median(value), 6) AS median_value,
+  ROUND(mad(value), 6) AS mad_value
+FROM events
+WHERE user_id % 7 = 0
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_value_mad_grouped_udf", MAD_UDF_ORACLE)
+def events_value_mad_grouped_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same MAD via applyInPandas (grouped-map Arrow UDF) — the
+    escalation tier for grouped aggregates built-ins genuinely can't
+    express. Restricted to a 1-in-7 user slice: the point is the
+    operator's correctness, and bench keeps the measured JVM-vs-Python
+    gap honest without paying the full-corpus Python cost."""
+    from ..operators.grouped import value_mad_per_user
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 7 == 0
+    )
+    return _mad_shape(value_mad_per_user(ev))
 
 
 STRING_AGG_ORACLE = """

@@ -564,8 +564,12 @@ class ManagedTable:
             ins = after.exceptAll(before).withColumn("_change_type", F.lit("insert"))
             dels = before.exceptAll(after).withColumn("_change_type", F.lit("delete"))
             return ins.unionByName(dels)
-        removed = before.exceptAll(after)
-        added = after.exceptAll(before)
+        # Each diff feeds three downstream joins; without pinning, the
+        # exceptAll (a full-table anti-diff) would re-execute per branch
+        # — the same recompute waste the reference's isEmpty() guards
+        # have (SURVEY.md §4.3).
+        removed = before.exceptAll(after).localCheckpoint(eager=False)
+        added = after.exceptAll(before).localCheckpoint(eager=False)
         keys_removed = removed.select(*key_cols).distinct()
         keys_added = added.select(*key_cols).distinct()
         upd_keys = keys_removed.join(keys_added, on=key_cols, how="inner")
