@@ -427,6 +427,20 @@ class ManagedTable:
         df = self.read().coalesce(target_partitions)
         return self._commit(df, "OPTIMIZE", {"numOutputRows": None})
 
+    def optimize_zorder(self, zorder_cols: list[str], n_files: int = 8) -> int:
+        """``OPTIMIZE ZORDER BY`` analogue: rewrite the snapshot
+        clustered by interleaved Z-value so each file covers a compact
+        hyper-rectangle of the key space — after which ``prune_files``
+        / ``read_pruned`` skip on EVERY Z-ordered column's footer
+        stats, not just a single sort key. Pure layout change: same
+        rows, new commit, old version still time-travelable."""
+        from .partitioning import zorder_frame
+
+        df = zorder_frame(self.read(), zorder_cols, n_files=n_files)
+        return self._commit(
+            df, "OPTIMIZE_ZORDER", {"numOutputRows": None, "zorderBy": zorder_cols}
+        )
+
     def vacuum(
         self, keep_last: int = 2, older_than_s: float | None = None
     ) -> list[int]:

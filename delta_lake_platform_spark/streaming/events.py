@@ -131,3 +131,29 @@ def streaming_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_mv_maintenance(
+    stream: DataFrame, base, view, checkpoint_dir: str
+):
+    """Continuously-maintained materialized view: each micro-batch is
+    appended to the base ManagedTable, then the view folds in exactly
+    that commit's change feed (sources/materialized_view.py) — the
+    Materialize/Databricks "live table" shape. The view state is
+    |groups|-sized, so per-batch cost is O(|batch| + |groups|)
+    regardless of base size; replaying from the checkpoint is safe
+    because refresh() is a no-op when already at the base's version.
+    Returns the StreamingQuery."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        base.append(batch_df)
+        view.refresh()
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

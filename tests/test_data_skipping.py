@@ -69,3 +69,36 @@ def test_empty_range_reads_zero_rows(spark, sf_dir):
     kept, _ = t.prune_files("c_custkey", 10**12, None)
     assert kept == []
     assert t.read_pruned("c_custkey", 10**12, None).count() == 0
+
+
+def test_optimize_zorder_enables_multi_column_skipping(spark, sf_dir):
+    """After OPTIMIZE ZORDER BY (o_custkey, o_orderkey), a narrow range
+    on EITHER column must skip most files — single-column sort layouts
+    only ever prune on their one sort key."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="dlp_zorder_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = ManagedTable(spark, f"{d}/orders_z")
+    t.create(orders.repartition(8))  # hash layout: no column clusters
+    bounds = orders.agg(
+        F.max("o_orderkey").alias("mk"), F.max("o_custkey").alias("mc")
+    ).first()
+
+    v_before = t.latest_version()
+    t.optimize_zorder(["o_custkey", "o_orderkey"], n_files=8)
+
+    for col, mx in (("o_custkey", bounds["mc"]), ("o_orderkey", bounds["mk"])):
+        lo, hi = 1, max(mx // 8, 2)
+        kept_before, total_b = t.prune_files(col, lo, hi, version=v_before)
+        kept_after, total_a = t.prune_files(col, lo, hi)
+        assert len(kept_before) == total_b  # hash layout: nothing skipped
+        assert len(kept_after) <= total_a // 2, (col, len(kept_after), total_a)
+        got = t.read_pruned(col, lo, hi)
+        want = t.read().filter(F.col(col).between(lo, hi))
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    # Same rows, different layout; old version still readable.
+    assert t.read().count() == t.read(v_before).count()

@@ -166,3 +166,53 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
         assert got == {(r.user_tier, r.n) for r in batch.collect()}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_mv_maintenance(spark, sf_dir):
+    """Stream-fed materialized view: after the stream drains, the view
+    state must equal a from-scratch aggregation of everything ingested,
+    with one refresh commit per non-empty micro-batch."""
+    from delta_lake_platform_spark.sources.materialized_view import (
+        MaterializedAggView,
+    )
+    from delta_lake_platform_spark.streaming.events import (
+        streaming_mv_maintenance,
+    )
+
+    d = tempfile.mkdtemp(prefix="mv_stream_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("value_cents")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(f"{d}/in")
+
+    base = ManagedTable(spark, f"{d}/base")
+    base.create(ev.limit(0))
+    mv = MaterializedAggView(
+        base, f"{d}/mv", group_cols=["event_type"], sum_cols=["value_cents"]
+    )
+    mv.create()
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in")
+    )
+    q = streaming_mv_maintenance(stream, base, mv, f"{d}/ckpt")
+    q.awaitTermination(120)
+
+    got = mv.state.read().select("event_type", "n_rows", "sum_value_cents")
+    want = (
+        base.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    refreshes = [
+        h for h in mv.state.history() if h["operation"] == "MV_REFRESH"
+    ]
+    assert len(refreshes) >= 2  # maxFilesPerTrigger=1 -> several batches
+    assert not mv.is_stale()
+    shutil.rmtree(d, ignore_errors=True)
