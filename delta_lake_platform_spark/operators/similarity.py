@@ -10,6 +10,10 @@
   queries probe only the ``nprobe`` nearest centroid partitions. On a
   real deployment the corpus side is written partitioned by
   ``centroid_id``, so a probe is partition-pruned I/O, not a scan.
+- ``pq_topk``: the byte-budget path — product quantization (trained
+  per-subspace codebooks, m-byte codes) with asymmetric-distance
+  lookups and an exact re-rank of the shortlist. Composable with IVF
+  (IVF prunes rows, PQ shrinks bytes) exactly as in FAISS's IVF-PQ.
 
 Per-pair cosine scoring is JVM higher-order functions
 (zip_with/aggregate) in double precision; the centroid/probe
@@ -110,6 +114,168 @@ def ivf_assign(
         return pd.Series(np.argmax(m @ cn.T, axis=1).astype("int32"))
 
     return df.withColumn("centroid_id", assign(F.col(vec_col)))
+
+
+def train_pq_codebooks(
+    sample, m: int = 8, ksub: int = 16, iters: int = 8, seed: int = 11
+):
+    """Per-subspace Lloyd's k-means on a driver-side sample (numpy,
+    deterministic seed/init): the standard PQ training recipe — at
+    100 TB the sample is still ~10^5 vectors, so training stays a
+    driver-side O(sample) job while encoding/search distribute.
+    ``sample``: (n, dim) array of L2-normalized vectors. Returns
+    (m, ksub, dsub) codebooks."""
+    import numpy as np
+
+    n, dim = sample.shape
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(n, size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books.append(cents)
+    return np.stack(books)
+
+
+def _normalized_sample(corpus: DataFrame, vec_col: str, limit: int = 2048):
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(limit).collect()
+    m = np.stack([np.asarray(r[0], dtype="float64") for r in rows])
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def pq_encode(
+    df: DataFrame, codebooks, vec_col: str = "embedding"
+) -> DataFrame:
+    """Encode each (normalized) vector as ``pq_codes`` — m codebook
+    indices, dim*4 bytes -> m bytes. Arrow-batched argmin per subspace
+    (one BLAS pass per batch)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, dsub = codebooks.shape
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = np.stack(vecs.to_numpy()).astype("float64")
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((x.shape[0], m), dtype="int32")
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            # argmin ||sub - c||^2 == argmax (sub.c - ||c||^2/2)
+            dots = sub @ codebooks[j].T
+            norms = (codebooks[j] ** 2).sum(axis=1) / 2.0
+            codes[:, j] = np.argmax(dots - norms[None, :], axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn("pq_codes", encode(F.col(vec_col)))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC) and an
+    exact re-rank — the billion-scale tier beyond int8/IVF:
+
+    1. corpus encoded to m-byte codes (``pq_encode``, write-time at
+       scale: the scan ships codes, not vectors — a 32x byte cut at
+       dim=64/m=8);
+    2. per query, an m x ksub distance table (tiny, broadcast with the
+       query batch);
+    3. approx distance = m JVM array lookups summed via zip_with +
+       aggregate — no Python, no vector math on the corpus scan;
+    4. the rerank_factor*k ADC shortlist is re-scored with exact cosine
+       (the standard two-stage recipe; only shortlist rows touch the
+       full vectors).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    books = train_pq_codebooks(
+        _normalized_sample(corpus, vec_col), m=m, ksub=ksub
+    )
+    dsub = books.shape[2]
+    enc = pq_encode(corpus, books, vec_col).select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        "pq_codes",
+    )
+
+    @pandas_udf("array<array<float>>")
+    def dist_tables(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = np.stack(vecs.to_numpy()).astype("float64")
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        out = []
+        for row in x:
+            t = np.empty((m, ksub), dtype="float32")
+            for j in range(m):
+                sub = row[j * dsub : (j + 1) * dsub]
+                t[j] = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+            out.append(list(map(list, t)))
+        return pd.Series(out)
+
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        dist_tables(F.col(vec_col)).alias("__tables"),
+    )
+    # ADC: sum of per-subspace table lookups — pure JVM codegen.
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("pq_codes"),
+            F.col("__tables"),
+            lambda c, t: F.element_at(t, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = F.broadcast(q).crossJoin(enc)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    shortlist_w = Window.partitionBy("query_id").orderBy(
+        F.asc("__adc"), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("__adc", adc)
+        .withColumn("__srank", F.row_number().over(shortlist_w))
+        .filter(F.col("__srank") <= rerank_factor * k)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__cos"), F.col("neighbor_id")
+    )
+    return (
+        shortlist.withColumn(
+            "__cos", cosine_similarity(F.col("__qv"), F.col("__cv"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
 
 
 def ivf_topk(

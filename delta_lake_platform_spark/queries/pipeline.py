@@ -478,3 +478,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, k=5, nprobe=4).orderBy(
         "query_id", "rank"
     )
+
+
+@register("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC + exact re-rank of the shortlist).
+    No SQL oracle: codebooks come from sampled k-means; recall vs brute
+    force is asserted in tests/test_similarity.py instead. The corpus
+    scan ships m=8 one-byte codes per row instead of 64 floats — the
+    32x byte cut that makes billion-vector search shuffleable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_topk(queries, emb, k=5, rerank_factor=8).orderBy(
+        "query_id", "rank"
+    )

@@ -161,7 +161,12 @@ def _split_current(target: DataFrame, cfg: ScdConfig) -> tuple[DataFrame, DataFr
         F.col("dw_inserted_at").desc(),
         F.coalesce(F.col("effective_to"), F.lit("9999-12-31").cast("timestamp")).desc(),
     )
-    ranked = target.withColumn("__rn", F.row_number().over(w))
+    # Both returned frames branch off this window; pin it so the
+    # partition+rank shuffle runs once, not once per consumer (the
+    # reference recomputes this subtree up to 4x, SURVEY.md §4.3).
+    ranked = target.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     current = ranked.filter(
         (F.col("__rn") == 1)
         & (F.col("record_status") == "A")
@@ -354,6 +359,7 @@ def _apply_scd_two_merge(batch: DataFrame, table: ManagedTable, cfg: ScdConfig) 
             F.col("u.effective_from").alias("effective_to"),
             F.lit(now).cast("timestamp").alias("dw_updated_at"),
         )
+        .localCheckpoint(eager=False)  # isEmpty() guard + merge reuse it
     )
 
     # New entities use initial_effective_from as their version start

@@ -82,3 +82,35 @@ def test_quantized_ann_recall(spark, sf_dir):
     }
     recall = len(fp & quant) / len(fp)
     assert recall >= 0.9, recall
+
+
+def test_pq_adc_recall_with_rerank(spark, sf_dir):
+    """PQ+ADC shortlist re-ranked exactly: recall@5 must be high —
+    the shortlist only has to CONTAIN the true neighbors; exact cosine
+    then orders them."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_topk(queries, emb, k=5, rerank_factor=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall {recall:.2f}"
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.train_pq_codebooks(
+        similarity._normalized_sample(emb, "embedding")
+    )
+    assert books.shape == (8, 16, 8)  # m=8 subspaces, 16 codes, dsub=8
+    a = similarity.pq_encode(emb, books).select("vec_id", "pq_codes")
+    b = similarity.pq_encode(emb, books).select("vec_id", "pq_codes")
+    assert a.exceptAll(b).isEmpty()
+    row = a.first()
+    assert len(row["pq_codes"]) == 8
+    assert all(0 <= c < 16 for c in row["pq_codes"])
