@@ -280,16 +280,43 @@ class ManagedTable:
                 break
         return out
 
-    def merge(self, source: DataFrame, clauses: MergeClauses) -> int:
+    def merge(
+        self,
+        source: DataFrame,
+        clauses: MergeClauses,
+        auto_schema_evolution: bool = False,
+    ) -> int:
         """Delta-style MERGE: one shuffle join, one snapshot commit.
 
         ``clauses.condition`` references ``target.<col>`` /
         ``updates.<col>`` exactly like the reference's merge condition
         string (scd_handler.py:34). Update/insert expr dicts map target
         column -> SQL expr over ``updates.`` (reference :38-46).
+
+        ``auto_schema_evolution`` is Delta's
+        ``schema.autoMerge.enabled``: source columns absent from the
+        target widen the target schema before matching (existing rows
+        get NULLs), so update/insert clauses may assign them.
         """
         target = self.read()
+        if auto_schema_evolution:
+            tgt_types = dict(target.dtypes)
+            new_cols = [
+                (c, dt) for c, dt in source.dtypes if c not in tgt_types
+            ]
+            if new_cols:
+                target = target.select(
+                    "*",
+                    *[F.lit(None).cast(dt).alias(c) for c, dt in new_cols],
+                )
         tcols = target.columns
+        for clause in (clauses.matched_update, clauses.not_matched_insert):
+            unknown = set(clause or {}) - set(tcols)
+            if unknown:
+                raise MergeError(
+                    f"MERGE assigns unknown target column(s) {sorted(unknown)}"
+                    " (pass auto_schema_evolution=True to widen the schema)"
+                )
         t = target.withColumn("__tid", F.monotonically_increasing_id()).alias("target")
         # Explicit match indicator: a source column could legitimately be
         # NULL in a matched row, so null-probing the join output is wrong.
@@ -418,6 +445,38 @@ class ManagedTable:
                     df = df.withColumn(c, F.lit(None).cast(t))
         new = current.unionByName(df, allowMissingColumns=False)
         return self._commit(new, "APPEND", {"numOutputRows": None})
+
+    def alter_add_column(self, name: str, dtype: str) -> int:
+        """ALTER TABLE ADD COLUMN: new column, all NULLs. Delta does
+        this as a metadata-only commit; here the snapshot rewrite is
+        one scan with no shuffle (the projection is narrow)."""
+        if name in self.read().columns:
+            raise ValueError(f"column {name} already exists")
+        out = self.read().withColumn(name, F.lit(None).cast(dtype))
+        return self._commit(out, "ADD COLUMN", {"column": name})
+
+    def alter_rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN. Delta needs column-mapping mode
+        (name-based IDs) to make this metadata-only; this layer rewrites
+        the snapshot — still scan-only, no shuffle."""
+        cols = self.read().columns
+        if old not in cols:
+            raise ValueError(f"no column {old}")
+        if new in cols:
+            raise ValueError(f"column {new} already exists")
+        return self._commit(
+            self.read().withColumnRenamed(old, new),
+            "RENAME COLUMN",
+            {"from": old, "to": new},
+        )
+
+    def alter_drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN (column-mapping analogue)."""
+        if name not in self.read().columns:
+            raise ValueError(f"no column {name}")
+        return self._commit(
+            self.read().drop(name), "DROP COLUMN", {"column": name}
+        )
 
     def compact(self, target_partitions: int = 1) -> int:
         """OPTIMIZE analogue: rewrite the current snapshot into

@@ -1,0 +1,103 @@
+"""Streaming change-data-feed source over ManagedTable.
+
+Delta's streaming source (``spark.readStream.format("delta")
+.option("readChangeFeed", "true")``) is a log tailer: each micro-batch
+serves the commits between the checkpointed offset and the current head,
+and the offset advances only after the batch is durably processed. This
+module re-creates that mechanism over the ManagedTable commit log —
+the reference repo (scd_handler.py) has no streaming at all; its
+"incremental" story is re-running apply_scd per day. A CDF tail turns
+those day-batches into a push pipeline.
+
+Scale: each micro-batch diffs exactly the snapshot pair it covers —
+cost is O(delta + matched partitions), never a re-read of history.
+Offsets are one tiny JSON file (Delta stores the same in the stream
+checkpoint), atomically replaced, so a crashed consumer resumes at the
+last committed offset: at-least-once delivery, exactly-once effect when
+the sink is idempotent (e.g. keyed MERGE), which is the same contract
+Structured Streaming gives foreachBatch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+
+class ChangeFeedStream:
+    """Tail a ManagedTable's change feed with a durable offset.
+
+    ``process_available(sink)`` delivers one micro-batch covering all
+    commits since the stored offset; ``max_versions_per_batch`` bounds
+    a batch (Delta's ``maxFilesPerTrigger`` analogue) so a consumer
+    that fell far behind catches up in bounded-memory steps.
+    """
+
+    def __init__(
+        self,
+        table: ManagedTable,
+        checkpoint_dir: str,
+        key_cols: list[str] | None = None,
+        max_versions_per_batch: int | None = None,
+    ):
+        self.table = table
+        self.key_cols = key_cols
+        self.max_versions = max_versions_per_batch
+        self._offset_path = os.path.join(checkpoint_dir, "cdf_offset.json")
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def offset(self) -> int | None:
+        """Last fully processed version, or None before the first batch
+        (the first batch then snapshots version 0 as pure inserts —
+        Delta's startingVersion=0 initial load)."""
+        if not os.path.isfile(self._offset_path):
+            return None
+        with open(self._offset_path) as f:
+            return json.load(f)["version"]
+
+    def _advance(self, version: int) -> None:
+        tmp = self._offset_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self._offset_path)  # atomic on POSIX
+
+    def process_available(
+        self, sink: Callable[[DataFrame, int, int], None]
+    ) -> int:
+        """Run micro-batches until the head of the log is reached.
+        ``sink(batch_df, from_version, to_version)`` sees rows tagged
+        with ``_change_type`` and ``_commit_version``. Returns the
+        number of batches delivered."""
+        batches = 0
+        while True:
+            head = self.table.latest_version()
+            cur = self.offset()
+            if cur is not None and cur >= head:
+                return batches
+            if cur is None:
+                # initial load: the base snapshot is one insert batch
+                to_v = 0 if self.max_versions else head
+                batch = (
+                    self.table.read(to_v)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            else:
+                to_v = (
+                    min(cur + self.max_versions, head)
+                    if self.max_versions
+                    else head
+                )
+                batch = self.table.change_feed(
+                    cur, to_version=to_v, key_cols=self.key_cols
+                )
+            sink(
+                batch.withColumn("_commit_version", F.lit(to_v)), cur if cur is not None else -1, to_v
+            )
+            self._advance(to_v)  # commit the offset AFTER the sink ran
+            batches += 1

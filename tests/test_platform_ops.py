@@ -95,6 +95,64 @@ def test_schema_evolution_append(spark, tmp_table):
     assert rows[1].score is None and rows[2].score == 5.0
 
 
+def test_merge_auto_schema_evolution(spark, tmp_table):
+    """Delta schema.autoMerge analogue: a source column the target has
+    never seen widens the schema; matched rows take its value, untouched
+    rows read NULL."""
+    tmp_table.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    )
+    src = spark.createDataFrame(
+        [(1, "a2", 0.9), (3, "c", 0.1)], "id long, name string, score double"
+    )
+    tmp_table.merge(
+        src,
+        MergeClauses(
+            condition="target.id = updates.id",
+            matched_update={"name": "updates.name", "score": "updates.score"},
+            not_matched_insert={
+                "id": "updates.id",
+                "name": "updates.name",
+                "score": "updates.score",
+            },
+        ),
+        auto_schema_evolution=True,
+    )
+    rows = {r.id: r for r in tmp_table.read().collect()}
+    assert set(tmp_table.read().columns) == {"id", "name", "score"}
+    assert rows[1].name == "a2" and rows[1].score == 0.9
+    assert rows[2].score is None
+    assert rows[3].name == "c" and rows[3].score == 0.1
+    # without the flag, the same merge must fail (unknown column)
+    with pytest.raises(Exception):
+        tmp_table.merge(
+            spark.createDataFrame([(9, "z", 1, 1.0)], "id long, name string, extra long, score double"),
+            MergeClauses(
+                condition="target.id = updates.id",
+                not_matched_insert={"id": "updates.id", "extra": "updates.extra"},
+            ),
+        )
+
+
+def test_alter_column_ops(spark, tmp_table):
+    tmp_table.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    )
+    tmp_table.alter_add_column("score", "double")
+    assert [r.score for r in tmp_table.read().collect()] == [None, None]
+    tmp_table.alter_rename_column("score", "quality")
+    assert "quality" in tmp_table.read().columns
+    with pytest.raises(ValueError):
+        tmp_table.alter_rename_column("nope", "x")
+    with pytest.raises(ValueError):
+        tmp_table.alter_add_column("id", "long")
+    tmp_table.alter_drop_column("quality")
+    assert set(tmp_table.read().columns) == {"id", "name"}
+    # every ALTER is a versioned commit — time travel sees the old shape
+    ops = [h["operation"] for h in tmp_table.history()]
+    assert {"ADD COLUMN", "RENAME COLUMN", "DROP COLUMN"} <= set(ops)
+
+
 def test_change_feed_keys(spark, tmp_table):
     tmp_table.create(
         spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
