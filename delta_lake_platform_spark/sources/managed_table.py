@@ -151,7 +151,9 @@ class ManagedTable:
                 return entry["dataPath"]
         return self._local_data_dir(version)
 
-    def _commit(self, df: DataFrame, operation: str, metrics: dict) -> int:
+    def _commit(
+        self, df: DataFrame, operation: str, metrics: dict, extra: dict | None = None
+    ) -> int:
         self.verify_constraints(df)
         version = (self._versions()[-1] + 1) if self.exists() else 0
         df.write.mode("overwrite").parquet(self._data_dir(version))
@@ -167,6 +169,7 @@ class ManagedTable:
             "operation": operation,
             "operationMetrics": metrics,
             "fileStats": file_stats,
+            **(extra or {}),
         }
         # Atomic commit point: O_EXCL create of the log entry. If a
         # concurrent writer already committed this version, fail rather
@@ -446,6 +449,56 @@ class ManagedTable:
         new = current.unionByName(df, allowMissingColumns=False)
         return self._commit(new, "APPEND", {"numOutputRows": None})
 
+    def copy_into(
+        self,
+        src_dir: str,
+        format: str = "parquet",
+        pattern: str | None = None,
+        schema: str | None = None,
+        options: dict | None = None,
+    ) -> int:
+        """Delta ``COPY INTO``: idempotent file-based ingest. Every run
+        lists ``src_dir``, loads only files no previous COPY INTO
+        committed (the loaded-file set lives in the commit log, like
+        Delta's), and appends them — re-running after a crash or on a
+        schedule never double-loads. This is the Auto Loader contract
+        built on directory listing; at scale the listing itself is the
+        bottleneck and switches to notification queues, but the
+        dedup-by-filename mechanism is identical.
+
+        Returns the new version, or the current version if nothing new.
+        ``schema`` (DDL string) is required for schemaless formats
+        (csv/json) to keep ingest deterministic.
+        """
+        import fnmatch
+
+        pat = pattern or f"*.{format}"
+        found = sorted(
+            os.path.join(src_dir, f)
+            for f in os.listdir(src_dir)
+            if fnmatch.fnmatch(f, pat)
+        )
+        loaded: set[str] = set()
+        for entry in self.history():
+            loaded.update(entry.get("copyIntoFiles", []))
+        new_files = [f for f in found if f not in loaded]
+        if not new_files:
+            return self.latest_version()
+        reader = self.spark.read
+        if schema:
+            reader = reader.schema(schema)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        batch = reader.format(format).load(new_files)
+        current = self.read()
+        out = current.unionByName(batch.select(*current.columns))
+        return self._commit(
+            out,
+            "COPY INTO",
+            {"numFiles": len(new_files), "numOutputRows": None},
+            extra={"copyIntoFiles": new_files},
+        )
+
     def alter_add_column(self, name: str, dtype: str) -> int:
         """ALTER TABLE ADD COLUMN: new column, all NULLs. Delta does
         this as a metadata-only commit; here the snapshot rewrite is
@@ -626,36 +679,61 @@ class ManagedTable:
     ) -> DataFrame:
         """CDF analogue: row-level changes between two versions.
 
-        Computed as a full-outer diff (exceptAll both ways when no keys
-        are given): ``_change_type`` in {'insert','delete'}; with
-        ``key_cols``, matched-but-different rows become
+        ``_change_type`` in {'insert','delete'}; with ``key_cols``,
+        keys present on both sides of the diff become
         'update_preimage'/'update_postimage' pairs, like Delta's CDF.
+
+        Physical shape: ONE bag-difference aggregation (both snapshots
+        union-tagged ±1, grouped on every column — what two exceptAll
+        calls would each shuffle for, fused into a single exchange),
+        then at most one window shuffle on ``key_cols`` to classify
+        update pairs. Two exchanges total; the previous form (2×
+        exceptAll + key dedup + inner + 2 semi + 2 anti joins) was ~9.
+        At 100 TB the diff is the dominated term — cost is one shuffle
+        of the two snapshots, and unchanged rows cancel in the partial
+        (map-side) aggregation, so the exchange carries ~only the delta.
         """
+        from pyspark.sql.window import Window
+
         before = self.read(from_version)
         after = self.read(self.latest_version() if to_version is None else to_version)
+        cols = before.columns
+        bag = (
+            before.withColumn("__w", F.lit(1))
+            .unionByName(after.select(*cols).withColumn("__w", F.lit(-1)))
+            .groupBy(*cols)
+            .agg(F.sum("__w").alias("__n"))
+            .filter(F.col("__n") != 0)
+        )
+        # exceptAll multiplicity: a row removed (added) k times appears
+        # k times in the feed.
+        diff = bag.select(
+            *cols,
+            F.when(F.col("__n") > 0, F.lit("removed"))
+            .otherwise(F.lit("added"))
+            .alias("__side"),
+            F.explode(
+                F.array_repeat(F.lit(0), F.abs(F.col("__n")).cast("int"))
+            ).alias("__dup"),
+        ).drop("__dup")
         if not key_cols:
-            ins = after.exceptAll(before).withColumn("_change_type", F.lit("insert"))
-            dels = before.exceptAll(after).withColumn("_change_type", F.lit("delete"))
-            return ins.unionByName(dels)
-        # Each diff feeds three downstream joins; without pinning, the
-        # exceptAll (a full-table anti-diff) would re-execute per branch
-        # — the same recompute waste the reference's isEmpty() guards
-        # have (SURVEY.md §4.3).
-        removed = before.exceptAll(after).localCheckpoint(eager=False)
-        added = after.exceptAll(before).localCheckpoint(eager=False)
-        keys_removed = removed.select(*key_cols).distinct()
-        keys_added = added.select(*key_cols).distinct()
-        upd_keys = keys_removed.join(keys_added, on=key_cols, how="inner")
-        pre = removed.join(upd_keys, on=key_cols, how="left_semi").withColumn(
-            "_change_type", F.lit("update_preimage")
+            return diff.select(
+                *cols,
+                F.when(F.col("__side") == "added", F.lit("insert"))
+                .otherwise(F.lit("delete"))
+                .alias("_change_type"),
+            )
+        both = F.size(
+            F.collect_set("__side").over(Window.partitionBy(*key_cols))
+        ) == 2
+        return diff.select(
+            *cols,
+            F.when(
+                F.col("__side") == "removed",
+                F.when(both, F.lit("update_preimage")).otherwise(F.lit("delete")),
+            )
+            .otherwise(
+                F.when(both, F.lit("update_postimage")).otherwise(F.lit("insert"))
+            )
+            .alias("_change_type"),
         )
-        post = added.join(upd_keys, on=key_cols, how="left_semi").withColumn(
-            "_change_type", F.lit("update_postimage")
-        )
-        pure_ins = added.join(upd_keys, on=key_cols, how="left_anti").withColumn(
-            "_change_type", F.lit("insert")
-        )
-        pure_del = removed.join(upd_keys, on=key_cols, how="left_anti").withColumn(
-            "_change_type", F.lit("delete")
-        )
-        return pure_ins.unionByName(pure_del).unionByName(pre).unionByName(post)
