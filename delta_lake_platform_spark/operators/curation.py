@@ -123,30 +123,50 @@ def ngram_contamination(
     Output: id_col, n_ngrams, n_overlap, overlap_ratio, contaminated.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    grams = (
-        docs.select(
-            F.col(id_col), bench_predicate.alias("__bench"),
-            F.explode(word_ngrams(toks, n)).alias("ngram"),
-        )
+    # Per-doc dedup happens INSIDE the row (array_distinct before any
+    # explode): doc_id is unique, so this equals a global distinct on
+    # (id, ngram) — minus the full-corpus exchange distinct() costs.
+    # Each side filters BEFORE tokenizing, so the bench predicate
+    # pushes down to the scan and only the benchmark sliver is
+    # tokenized on that branch.
+    bench_grams = (
+        docs.filter(bench_predicate)
+        .select(F.explode(F.array_distinct(word_ngrams(toks, n))).alias("ngram"))
         .distinct()
     )
-    # The bench branch re-derives from `grams`, but its __bench filter
-    # pushes down to the scan, so it only reads the benchmark sliver.
-    # The (large) train side is scanned ONCE: a broadcast left join
-    # tags each n-gram, and one aggregation yields total + overlap.
-    bench_grams = (
-        grams.filter("__bench").select("ngram").distinct()
-        .withColumn("__hit", F.lit(1))
+    # Corpus side: one narrow exchange of the RAW text rows spreads the
+    # tokenize+explode across cores even when the input has few splits
+    # (shuffling text once is far cheaper than shuffling the n=8
+    # blown-up (id, ngram) pairs). The tokenized frame is pinned —
+    # both consumers (hit counting, final join) reuse one pass instead
+    # of re-running the regex tokenizer.
+    base = (
+        docs.filter(~bench_predicate)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_ngrams(toks, n)).alias("__grams"),
+        )
+        .select(id_col, F.size("__grams").alias("n_ngrams"), "__grams")
+        .localCheckpoint(eager=False)
+    )
+    # n_ngrams is row-local (array size). The corpus explode feeds an
+    # INNER broadcast join, so only contaminated (id, ngram) pairs —
+    # a sliver — reach the count aggregation; the clean bulk of the
+    # corpus is dropped map-side and never shuffles. The tiny hit
+    # table then broadcasts back onto the one-row-per-doc base.
+    hits = (
+        base.select(id_col, F.explode("__grams").alias("ngram"))
+        .join(F.broadcast(bench_grams), on="ngram", how="inner")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
     )
     ratio = F.col("n_overlap") / F.col("n_ngrams")
     return (
-        grams.filter(~F.col("__bench"))
-        .join(F.broadcast(bench_grams), on="ngram", how="left")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_ngrams"),
-            F.count("__hit").alias("n_overlap"),
-        )
+        base.drop("__grams")
+        .filter(F.col("n_ngrams") > 0)
+        .join(F.broadcast(hits), on=id_col, how="left")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
         .select(
             id_col,
             "n_ngrams",
