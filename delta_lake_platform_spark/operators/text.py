@@ -150,6 +150,58 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k keywords per document by tf-idf.
+
+    tf = in-document term count (row-local: explode of the token
+    array); idf = ln(N / df) over the corpus. Physical shape: one
+    groupBy (doc, term) for tf, one groupBy (term) for df — both
+    map-side-combinable — a join on term (AQE broadcasts the doc-freq
+    side when the vocabulary is small), and a WindowGroupLimit top-k
+    per doc. The corpus size N rides in as a broadcast single-row
+    aggregate, never a driver round-trip.
+
+    Output: id_col, term, tf, df, score (rounded), rank.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = df.select(F.count("*").alias("__n"))
+    tf = (
+        df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # Rank on the ROUNDED score: raw ln() can differ by an ulp across
+    # engines/libms, and the rank must be reproducible — at 6 decimals
+    # the ordering is stable, with the term as a deterministic tiebreak.
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(docfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def normalized_fingerprint(text_col: str = "text") -> Column:
     """Content fingerprint: sha2-256 of case- and whitespace-normalized
     text. The canonical key for exact dedup."""

@@ -492,3 +492,45 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(queries, emb, k=5, rerank_factor=8).orderBy(
         "query_id", "rank"
     )
+
+
+# --- tf-idf keyword extraction ----------------------------------------------
+
+TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+docfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+         ROUND(tf.tf * LN(n.n_docs * 1.0 / docfreq.df), 6) AS score
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rank
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+@register("docs_tfidf_keywords", TFIDF_ORACLE)
+def docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document: two map-side-combinable
+    aggregations + a term join + WindowGroupLimit top-k. The corpus
+    count rides along as a broadcast 1-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")

@@ -433,6 +433,50 @@ class ManagedTable:
     def overwrite(self, df: DataFrame, operation: str = "WRITE") -> int:
         return self._commit(df, operation, {"numOutputRows": None})
 
+    def overwrite_where(
+        self, df: DataFrame, condition: str, validate: bool = True
+    ) -> int:
+        """Delta ``replaceWhere``: atomically replace exactly the rows
+        matching ``condition`` with ``df``. With ``validate`` (Delta's
+        default), writing a row that does NOT match the predicate is an
+        error — the guard that keeps partition reloads honest. At scale
+        the untouched side is file-pruned (the predicate bounds which
+        files can contain matches), so the rewrite is proportional to
+        the replaced slice, not the table."""
+        cond = F.expr(condition)
+        if validate and not df.filter(~F.coalesce(cond, F.lit(False))).isEmpty():
+            raise ValueError(
+                f"overwrite_where: input rows violate the predicate {condition!r}"
+            )
+        kept = self.read().filter(~F.coalesce(cond, F.lit(False)))
+        n_new = df.count()
+        return self._commit(
+            kept.unionByName(df.select(*self.read().columns)),
+            "REPLACE WHERE",
+            {"predicate": condition, "numOutputRows": None, "numAddedRows": n_new},
+        )
+
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL analogue: table-level metadata from the
+        commit log + current data files (no data scan)."""
+        v = self.latest_version()
+        data_dir = self._data_dir(v)
+        files = [
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        ]
+        entry = self.history(1)[0]
+        return {
+            "location": self.path,
+            "version": v,
+            "numFiles": len(files),
+            "sizeInBytes": sum(os.path.getsize(f) for f in files),
+            "numRows": entry.get("operationMetrics", {}).get("numOutputRows"),
+            "lastOperation": entry["operation"],
+            "constraints": self.constraints(),
+        }
+
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Append rows as a new version. With ``merge_schema``, new
         columns widen the table schema (Delta's mergeSchema); existing

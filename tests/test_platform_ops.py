@@ -153,6 +153,36 @@ def test_alter_column_ops(spark, tmp_table):
     assert {"ADD COLUMN", "RENAME COLUMN", "DROP COLUMN"} <= set(ops)
 
 
+def test_overwrite_where_replaces_only_matching_slice(spark, tmp_table):
+    tmp_table.create(
+        spark.createDataFrame(
+            [(1, "US", 10), (2, "US", 20), (3, "DE", 30)],
+            "id long, country string, v long",
+        )
+    )
+    tmp_table.overwrite_where(
+        spark.createDataFrame([(9, "US", 99)], "id long, country string, v long"),
+        "country = 'US'",
+    )
+    rows = {(r.id, r.country, r.v) for r in tmp_table.read().collect()}
+    assert rows == {(9, "US", 99), (3, "DE", 30)}
+    # validation: rows outside the predicate are rejected
+    with pytest.raises(ValueError):
+        tmp_table.overwrite_where(
+            spark.createDataFrame([(5, "FR", 1)], "id long, country string, v long"),
+            "country = 'US'",
+        )
+    assert tmp_table.history(1)[0]["operation"] == "REPLACE WHERE"
+
+
+def test_describe_detail(spark, tmp_table):
+    tmp_table.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    d = tmp_table.detail()
+    assert d["version"] == 0 and d["numFiles"] >= 1
+    assert d["sizeInBytes"] > 0
+    assert d["lastOperation"].startswith("CREATE")
+
+
 def test_change_feed_keys(spark, tmp_table):
     tmp_table.create(
         spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
