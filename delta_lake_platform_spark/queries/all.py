@@ -14,3 +14,4 @@ from . import window_extra  # noqa: F401
 from . import curation_extra  # noqa: F401
 from . import mv_queries  # noqa: F401
 from . import identity_queries  # noqa: F401
+from . import relational_extra  # noqa: F401
