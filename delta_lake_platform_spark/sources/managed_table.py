@@ -141,15 +141,37 @@ class ManagedTable:
 
     def _data_dir(self, version: int) -> str:
         """Resolve a version's data location. Normally local; a SHALLOW
-        CLONE commit references the source table's files via a
+        CLONE or deletion-vector commit references existing files via a
         ``dataPath`` pointer in its log entry (zero data copied)."""
-        entry_path = os.path.join(self._log_dir, f"{version}.json")
-        if os.path.isfile(entry_path):
-            with open(entry_path) as f:
-                entry = json.load(f)
-            if "dataPath" in entry:
-                return entry["dataPath"]
+        entry = self._entry(version)
+        if entry is not None and "dataPath" in entry:
+            return entry["dataPath"]
         return self._local_data_dir(version)
+
+    def _entry(self, version: int) -> dict | None:
+        entry_path = os.path.join(self._log_dir, f"{version}.json")
+        if not os.path.isfile(entry_path):
+            return None
+        with open(entry_path) as f:
+            return json.load(f)
+
+    def _write_entry(self, version: int, entry: dict) -> None:
+        """Atomic commit point: O_EXCL create of the log entry. If a
+        concurrent writer already committed this version, fail rather
+        than overwrite its commit (Delta-style optimistic concurrency;
+        the loser retries on a fresh read of the table)."""
+        os.makedirs(self._log_dir, exist_ok=True)
+        try:
+            fd = os.open(
+                os.path.join(self._log_dir, f"{version}.json"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError as e:
+            raise ConcurrentWriteError(
+                f"version {version} of {self.path} was committed concurrently"
+            ) from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(entry, f)
 
     def _commit(
         self, df: DataFrame, operation: str, metrics: dict, extra: dict | None = None
@@ -171,21 +193,7 @@ class ManagedTable:
             "fileStats": file_stats,
             **(extra or {}),
         }
-        # Atomic commit point: O_EXCL create of the log entry. If a
-        # concurrent writer already committed this version, fail rather
-        # than overwrite its commit (Delta-style optimistic concurrency;
-        # the loser retries on a fresh read of the table).
-        try:
-            fd = os.open(
-                os.path.join(self._log_dir, f"{version}.json"),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError as e:
-            raise ConcurrentWriteError(
-                f"version {version} of {self.path} was committed concurrently"
-            ) from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(entry, f)
+        self._write_entry(version, entry)
         return version
 
     # -- public API ---------------------------------------------------------
@@ -200,7 +208,33 @@ class ManagedTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version
-        return self.spark.read.parquet(self._data_dir(v))
+        df = self.spark.read.parquet(self._data_dir(v))
+        entry = self._entry(v)
+        if entry is not None and "deletionVector" in entry:
+            df = self._apply_dv(df, entry["deletionVector"])
+        return df
+
+    def _dv_dir(self, version: int) -> str:
+        return os.path.join(self.path, "dv", f"v={version}")
+
+    def _apply_dv(self, df: DataFrame, dv_dir: str) -> DataFrame:
+        """Merge-on-read: drop positions listed in the deletion vector.
+        Positions are (file_path, row_index) from the parquet reader's
+        ``_metadata`` struct — stable for immutable files. The DV side
+        is tiny relative to the data by construction (compaction is the
+        escape hatch when it isn't), so AQE plans the anti-join as a
+        broadcast: no shuffle of the data side."""
+        cols = df.columns
+        dv = self.spark.read.parquet(dv_dir)
+        return (
+            df.select(
+                F.col("_metadata.file_path").alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+                *cols,
+            )
+            .join(F.broadcast(dv), on=["__dv_file", "__dv_pos"], how="left_anti")
+            .select(*cols)
+        )
 
     # -- file-level data skipping (Delta/Iceberg min-max stats analogue) -----
 
@@ -244,6 +278,11 @@ class ManagedTable:
         if not kept:
             return self.read(version).filter(F.lit(False))
         df = self.spark.read.parquet(*kept)
+        v = self.latest_version() if version is None else version
+        entry = self._entry(v)
+        if entry is not None and "deletionVector" in entry:
+            # DV rows for skipped files simply find no match.
+            df = self._apply_dv(df, entry["deletionVector"])
         c = F.col(col)
         if lo is not None:
             df = df.filter(c >= F.lit(lo))
@@ -421,14 +460,76 @@ class ManagedTable:
         n = target.filter(cond).count()
         return self._commit(out, "UPDATE", {"numUpdatedRows": n})
 
-    def delete(self, condition: str) -> int:
-        """Delta DELETE: drop rows matching ``condition``."""
-        target = self.read().localCheckpoint(eager=False)
+    def delete(self, condition: str, rewrite: bool = True) -> int:
+        """Delta DELETE. With ``rewrite`` (copy-on-write), matching rows
+        are dropped by writing a new snapshot. With ``rewrite=False``
+        (merge-on-read deletion vectors, Delta's DV feature): no data
+        file is touched — the commit records the previous snapshot via
+        ``dataPath`` plus a sidecar parquet of deleted (file, row
+        position) pairs that every read anti-joins away. Deleting 10
+        rows from a 1 GB file costs a tiny sidecar write instead of a
+        1 GB rewrite — the point of DVs at 100 TB. Any later full
+        rewrite (compact/OPTIMIZE/UPDATE/...) reads through the DV and
+        materializes the survivors, clearing the debt."""
+        if rewrite:
+            target = self.read().localCheckpoint(eager=False)
+            cond = F.coalesce(F.expr(condition), F.lit(False))
+            n = target.filter(cond).count()
+            return self._commit(
+                target.filter(~cond), "DELETE", {"numDeletedRows": n}
+            )
+        v = self.latest_version()
+        entry = self._entry(v)
+        data_dir = self._data_dir(v)
         cond = F.coalesce(F.expr(condition), F.lit(False))
-        n = target.filter(cond).count()
-        return self._commit(
-            target.filter(~cond), "DELETE", {"numDeletedRows": n}
+        base = self.spark.read.parquet(data_dir)
+        tagged = base.select(
+            F.col("_metadata.file_path").alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+            *base.columns,
         )
+        old_dv_dir = entry.get("deletionVector") if entry else None
+        if old_dv_dir:
+            old_dv = self.spark.read.parquet(old_dv_dir)
+            tagged = tagged.join(
+                F.broadcast(old_dv), on=["__dv_file", "__dv_pos"], how="left_anti"
+            )
+        new_pos = tagged.filter(cond).select("__dv_file", "__dv_pos")
+        new_version = v + 1
+        dv_dir = self._dv_dir(new_version)
+        # Each DV commit writes the COMPLETE vector (prior ∪ new), so no
+        # version ever depends on another version's sidecar.
+        full_dv = (
+            new_pos
+            if not old_dv_dir
+            else self.spark.read.parquet(old_dv_dir).unionByName(new_pos)
+        )
+        full_dv.coalesce(1).write.mode("overwrite").parquet(dv_dir)
+        total_dv, _ = _scan_parquet_footers(dv_dir)
+        n_data, _ = _scan_parquet_footers(data_dir)
+        prior_dv = 0
+        if old_dv_dir:
+            prior_dv, _ = _scan_parquet_footers(old_dv_dir)
+        self._write_entry(
+            new_version,
+            {
+                "version": new_version,
+                "timestamp": time.time(),
+                "operation": "DELETE (DV)",
+                "operationMetrics": {
+                    "numDeletedRows": total_dv - prior_dv,
+                    "numDeletionVectorRows": total_dv,
+                    "numOutputRows": n_data - total_dv,
+                },
+                # Footer stats describe the (unchanged) data files — a
+                # superset bound once rows are DV-deleted, which keeps
+                # prune_files/column_max conservative and therefore safe.
+                "fileStats": (entry or {}).get("fileStats"),
+                "dataPath": data_dir,
+                "deletionVector": dv_dir,
+            },
+        )
+        return new_version
 
     def overwrite(self, df: DataFrame, operation: str = "WRITE") -> int:
         return self._commit(df, operation, {"numOutputRows": None})
@@ -473,6 +574,9 @@ class ManagedTable:
             "numFiles": len(files),
             "sizeInBytes": sum(os.path.getsize(f) for f in files),
             "numRows": entry.get("operationMetrics", {}).get("numOutputRows"),
+            "numDeletionVectorRows": entry.get("operationMetrics", {}).get(
+                "numDeletionVectorRows", 0
+            ),
             "lastOperation": entry["operation"],
             "constraints": self.constraints(),
         }
@@ -616,13 +720,23 @@ class ManagedTable:
             cutoff = time.time() - older_than_s
             commit_ts = {h["version"]: h["timestamp"] for h in self.history()}
             to_remove = [v for v in to_remove if commit_ts[v] <= cutoff]
+        # Data dirs still referenced by a RETAINED version's dataPath
+        # pointer (a deletion-vector commit reads its predecessor's
+        # files) must survive even when their own version is vacuumed —
+        # same live-file rule as Delta's VACUUM.
+        retained = [v for v in versions if v not in to_remove]
+        referenced = {self._data_dir(v) for v in retained}
         removed = []
         for v in to_remove:
+            # A version's DV sidecar is referenced only by that version.
+            dvd = self._dv_dir(v)
+            if os.path.isdir(dvd):
+                shutil.rmtree(dvd)
             # Only ever delete THIS table's local files: a shallow-clone
-            # version points into the source table and owns nothing.
-            if self._data_dir(v) != self._local_data_dir(v):
-                continue
+            # or DV version points at files it does not own.
             d = self._local_data_dir(v)
+            if self._data_dir(v) != d or d in referenced:
+                continue
             if os.path.isdir(d):
                 shutil.rmtree(d)
                 removed.append(v)
@@ -638,7 +752,6 @@ class ManagedTable:
         target = ManagedTable(self.spark, target_path)
         if target.exists():
             raise FileExistsError(target_path)
-        os.makedirs(target._log_dir, exist_ok=True)
         entry = {
             "version": 0,
             "timestamp": time.time(),
@@ -649,12 +762,12 @@ class ManagedTable:
             },
             "dataPath": self._data_dir(src_version),
         }
-        fd = os.open(
-            os.path.join(target._log_dir, "0.json"),
-            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-        )
-        with os.fdopen(fd, "w") as f:
-            json.dump(entry, f)
+        src_entry = self._entry(src_version)
+        if src_entry is not None and "deletionVector" in src_entry:
+            # The clone must see the source's merge-on-read deletes too,
+            # or vanished rows would resurrect in the clone.
+            entry["deletionVector"] = src_entry["deletionVector"]
+        target._write_entry(0, entry)
         return target
 
     def retry(self, op, retries: int = 3):

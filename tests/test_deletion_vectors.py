@@ -1,0 +1,126 @@
+"""Merge-on-read DELETE via deletion vectors (ManagedTable.delete
+rewrite=False): no data-file rewrite, sidecar applied on every read
+path, cleared by the next full rewrite, safe under vacuum/clone."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+
+@pytest.fixture()
+def table(spark):
+    d = tempfile.mkdtemp(prefix="dv_table_")
+    t = ManagedTable(spark, f"{d}/t")
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("bucket"),
+        (F.col("id") * 2).alias("val"),
+    )
+    t.create(df.repartition(4))
+    return t
+
+
+def _data_files(t: ManagedTable, version: int) -> list[str]:
+    return sorted(glob.glob(os.path.join(t._data_dir(version), "*.parquet")))
+
+
+def test_dv_delete_hides_rows_without_rewriting_files(table):
+    files_before = _data_files(table, 0)
+    mtimes = {f: os.path.getmtime(f) for f in files_before}
+
+    v = table.delete("bucket = 3", rewrite=False)
+    assert v == 1
+    # Data files untouched — same paths, same mtimes (merge-on-read).
+    assert _data_files(table, 1) == files_before
+    assert {f: os.path.getmtime(f) for f in files_before} == mtimes
+
+    got = table.read()
+    assert got.count() == 900
+    assert got.filter("bucket = 3").count() == 0
+    # Unrelated rows intact, values included.
+    assert got.filter("id = 4").select("val").first()[0] == 8
+
+    h = table.history(1)[0]
+    assert h["operation"] == "DELETE (DV)"
+    assert h["operationMetrics"]["numDeletedRows"] == 100
+    assert h["operationMetrics"]["numOutputRows"] == 900
+    assert table.detail()["numDeletionVectorRows"] == 100
+
+
+def test_dv_deletes_accumulate_and_time_travel_sees_each_state(table):
+    table.delete("bucket = 3", rewrite=False)
+    table.delete("id < 50", rewrite=False)  # overlaps bucket 3 rows
+
+    assert table.read(0).count() == 1000
+    assert table.read(1).count() == 900
+    # 45 of id<50 not already deleted (5 of them are bucket 3).
+    assert table.read(2).count() == 855
+    m = table.history(1)[0]["operationMetrics"]
+    assert m["numDeletedRows"] == 45
+    assert m["numDeletionVectorRows"] == 145
+
+
+def test_full_rewrite_materializes_survivors_and_clears_dv(table):
+    table.delete("bucket = 3", rewrite=False)
+    v = table.compact(target_partitions=2)
+    assert "deletionVector" not in table._entry(v)
+    assert table.read().count() == 900
+    assert table.read().filter("bucket = 3").count() == 0
+    # The rewrite owns fresh local files.
+    assert table._data_dir(v) == table._local_data_dir(v)
+
+
+def test_read_pruned_applies_dv(table):
+    # Lay out files by bucket range so pruning actually skips files.
+    table.overwrite(table.read().repartitionByRange(4, "bucket").sortWithinPartitions("bucket"))
+    table.delete("id = 500", rewrite=False)
+    b = (500 * 2) % 10 // 2  # noqa: F841  (bucket of id 500 is 0)
+    pruned = table.read_pruned("bucket", lo=0, hi=0)
+    assert pruned.filter("id = 500").count() == 0
+    assert pruned.count() == 99
+
+
+def test_vacuum_keeps_data_referenced_by_dv_commit(table):
+    table.delete("bucket = 3", rewrite=False)  # v1: dataPath -> v0 files
+    table.append(table.spark.range(1).select(
+        F.lit(5000).alias("id"), F.lit(1).alias("bucket"), F.lit(0).alias("val")
+    ))  # v2: full snapshot
+    table.delete("bucket = 4", rewrite=False)  # v3: dataPath -> v2 files
+    removed = table.vacuum(keep_last=2)  # retains v2, v3
+    assert 0 in removed  # v0's files are unreferenced by v2/v3
+    # v2's files survive (v3 references them); v3 still readable.
+    assert table.read(3).count() == 801
+    assert table.read().filter("bucket = 4").count() == 0
+
+
+def test_clone_carries_deletion_vector(table, spark):
+    table.delete("bucket = 7", rewrite=False)
+    d = tempfile.mkdtemp(prefix="dv_clone_")
+    c = table.clone(f"{d}/c")
+    assert c.read().count() == 900
+    assert c.read().filter("bucket = 7").count() == 0
+
+
+def test_dml_on_top_of_dv_sees_filtered_state(table):
+    table.delete("bucket = 9", rewrite=False)
+    table.update({"val": "val + 1"}, "bucket = 0")
+    got = table.read()
+    assert got.count() == 900
+    assert got.filter("bucket = 9").count() == 0
+    assert got.filter("id = 10").select("val").first()[0] == 21
+
+
+def test_change_feed_reports_dv_deletes(table):
+    table.delete("id in (1, 2)", rewrite=False)
+    feed = table.change_feed(0, 1)
+    rows = feed.collect()
+    assert len(rows) == 2
+    assert {r["_change_type"] for r in rows} == {"delete"}
+    assert sorted(r["id"] for r in rows) == [1, 2]
