@@ -15,3 +15,4 @@ from . import curation_extra  # noqa: F401
 from . import mv_queries  # noqa: F401
 from . import identity_queries  # noqa: F401
 from . import relational_extra  # noqa: F401
+from . import sql_dml  # noqa: F401

@@ -1,0 +1,134 @@
+"""PlatformSQL: the SQL surface over ManagedTable (MERGE/UPDATE/DELETE
+DML, DESCRIBE HISTORY/DETAIL, VACUUM, OPTIMIZE, RESTORE, VERSION/
+TIMESTAMP AS OF time travel), reference entry point #3 (SURVEY.md §3:
+spark.sql strings at scd_handler.py:71)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.sql import PlatformSQL
+from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+
+@pytest.fixture()
+def psql(spark):
+    d = tempfile.mkdtemp(prefix="platform_sql_")
+    t = ManagedTable(spark, f"{d}/accounts")
+    t.create(
+        spark.createDataFrame(
+            [(1, "alice", 100), (2, "bob", 200), (3, "carol", 300)],
+            "id long, name string, balance long",
+        )
+    )
+    p = PlatformSQL(spark)
+    p.register("accounts", t)
+    return p
+
+
+def test_select_and_time_travel(psql, spark):
+    assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 3
+    psql.sql("DELETE FROM accounts WHERE id = 2")
+    assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 2
+    got = psql.sql(
+        "SELECT name FROM accounts VERSION AS OF 0 ORDER BY id"
+    ).collect()
+    assert [r.name for r in got] == ["alice", "bob", "carol"]
+
+
+def test_timestamp_as_of(psql):
+    import datetime
+
+    psql.sql("DELETE FROM accounts WHERE id = 1")
+    # A timestamp far in the future resolves to the latest commit.
+    future = (
+        datetime.datetime.now() + datetime.timedelta(days=1)
+    ).isoformat()
+    n = psql.sql(
+        f"SELECT count(*) AS n FROM accounts TIMESTAMP AS OF '{future}'"
+    ).first().n
+    assert n == 2
+
+
+def test_update_and_history(psql):
+    out = psql.sql("UPDATE accounts SET balance = balance + 10 WHERE id <= 2")
+    assert out.first().numUpdatedRows == 2
+    got = psql.sql("SELECT balance FROM accounts ORDER BY id").collect()
+    assert [r.balance for r in got] == [110, 210, 300]
+    h = psql.sql("DESCRIBE HISTORY accounts").collect()
+    assert [r.operation for r in h][0] == "UPDATE"
+    assert len(h) == 2
+
+
+def test_merge_update_delete_insert(psql, spark):
+    spark.createDataFrame(
+        [(2, "bob2", 999), (3, "carol", -1), (4, "dave", 400)],
+        "id long, name string, balance long",
+    ).createOrReplaceTempView("changes")
+    out = psql.sql(
+        """
+        MERGE INTO accounts AS a USING changes AS c
+        ON a.id = c.id
+        WHEN MATCHED AND c.balance < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET name = c.name, balance = c.balance
+        WHEN NOT MATCHED THEN INSERT (id, name, balance) VALUES (c.id, c.name, c.balance)
+        """
+    ).first()
+    assert (out.numTargetRowsUpdated, out.numTargetRowsDeleted,
+            out.numTargetRowsInserted) == (1, 1, 1)
+    got = psql.sql("SELECT * FROM accounts ORDER BY id").collect()
+    assert [(r.id, r.name, r.balance) for r in got] == [
+        (1, "alice", 100), (2, "bob2", 999), (4, "dave", 400),
+    ]
+
+
+def test_merge_star_clauses(psql, spark):
+    spark.createDataFrame(
+        [(3, "carol3", 333), (5, "eve", 500)],
+        "id long, name string, balance long",
+    ).createOrReplaceTempView("changes2")
+    psql.sql(
+        "MERGE INTO accounts t USING changes2 s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = psql.sql("SELECT name FROM accounts ORDER BY id").collect()
+    assert [r.name for r in got] == ["alice", "bob", "carol3", "eve"]
+
+
+def test_optimize_restore_vacuum_detail(psql):
+    psql.sql("DELETE FROM accounts WHERE id = 1")        # v1
+    psql.sql("OPTIMIZE accounts")                        # v2
+    assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 2
+    psql.sql("RESTORE accounts TO VERSION AS OF 0")      # v3
+    assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 3
+    d = psql.sql("DESCRIBE DETAIL accounts").first()
+    assert d.version == 3 and d.lastOperation == "RESTORE"
+    removed = psql.sql("VACUUM accounts KEEP LAST 2").first().removedVersions
+    assert removed == "[0, 1]"
+    # Time travel to vacuumed versions is gone; recent ones remain.
+    assert psql.sql("SELECT count(*) AS n FROM accounts VERSION AS OF 2").first().n == 2
+
+
+def test_zorder_via_sql(psql, spark):
+    big = spark.range(0, 512).select(
+        F.col("id"), (F.col("id") % 16).alias("name"),
+        (F.col("id") % 7).alias("balance"),
+    ).select("id", F.col("name").cast("string").alias("name"), "balance")
+    psql.tables["accounts"].overwrite(big)
+    out = psql.sql("OPTIMIZE accounts ZORDER BY (id, balance)").first()
+    assert out.operation == "OPTIMIZE_ZORDER"
+    assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 512
+
+
+def test_plain_sql_passthrough(psql, spark):
+    spark.createDataFrame([(1, "x")], "id long, tag string").createOrReplaceTempView(
+        "tags"
+    )
+    got = psql.sql(
+        "SELECT a.name, t.tag FROM accounts a JOIN tags t ON a.id = t.id"
+    ).collect()
+    assert [(r.name, r.tag) for r in got] == [("alice", "x")]
