@@ -146,7 +146,20 @@ class ManagedTable:
         entry = self._entry(version)
         if entry is not None and "dataPath" in entry:
             return entry["dataPath"]
+        if entry is not None and "dataPaths" in entry:
+            return entry["dataPaths"][0]
         return self._local_data_dir(version)
+
+    def _data_dirs(self, version: int) -> list[str]:
+        """All data locations of a version. A fast-append (incremental)
+        commit references every prior data dir plus the dir holding just
+        its own batch — the Iceberg/Delta add-files model, where a
+        commit's manifest is 'previous files + these new ones' and an
+        append never rewrites a byte of existing data."""
+        entry = self._entry(version)
+        if entry is not None and "dataPaths" in entry:
+            return list(entry["dataPaths"])
+        return [self._data_dir(version)]
 
     def _entry(self, version: int) -> dict | None:
         entry_path = os.path.join(self._log_dir, f"{version}.json")
@@ -196,6 +209,50 @@ class ManagedTable:
         self._write_entry(version, entry)
         return version
 
+    def _commit_incremental(
+        self, batch: DataFrame, operation: str, metrics: dict, extra: dict | None = None
+    ) -> int:
+        """Fast-append commit: write ONLY the batch's files and reference
+        every prior data dir alongside them (``dataPaths``). Cost is
+        O(batch), not O(table) — the only viable append shape when the
+        table is 100 TB and the batch is 100 MB. Constraints are checked
+        on the batch alone (existing data was validated by its own
+        commits). A prior deletion vector keeps applying: its positions
+        name old files only."""
+        self.verify_constraints(batch)
+        v_prev = self.latest_version()
+        prev_entry = self._entry(v_prev) or {}
+        version = v_prev + 1
+        local = self._local_data_dir(version)
+        batch.write.mode("overwrite").parquet(local)
+        n_new, new_stats = _scan_parquet_footers(local)
+        prev_rows = (prev_entry.get("operationMetrics") or {}).get("numOutputRows")
+        merged_stats = dict(prev_entry.get("fileStats") or {})
+        merged_stats.update(new_stats)
+        metrics = {
+            **metrics,
+            "numAppendedRows": n_new,
+            "numOutputRows": (
+                prev_rows + n_new if isinstance(prev_rows, int) else None
+            ),
+        }
+        entry = {
+            "version": version,
+            "timestamp": time.time(),
+            "operation": operation,
+            "operationMetrics": metrics,
+            "fileStats": merged_stats,
+            "dataPaths": self._data_dirs(v_prev) + [local],
+            **(
+                {"deletionVector": prev_entry["deletionVector"]}
+                if "deletionVector" in prev_entry
+                else {}
+            ),
+            **(extra or {}),
+        }
+        self._write_entry(version, entry)
+        return version
+
     # -- public API ---------------------------------------------------------
 
     def create(self, df: DataFrame, mode: str = "error") -> int:
@@ -208,7 +265,7 @@ class ManagedTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version
-        df = self.spark.read.parquet(self._data_dir(v))
+        df = self.spark.read.parquet(*self._data_dirs(v))
         entry = self._entry(v)
         if entry is not None and "deletionVector" in entry:
             df = self._apply_dv(df, entry["deletionVector"])
@@ -250,8 +307,11 @@ class ManagedTable:
         v = self.latest_version() if version is None else version
         with open(os.path.join(self._log_dir, f"{v}.json")) as f:
             entry = json.load(f)
-        data_dir = self._data_dir(v)
-        all_files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+        all_files = sorted(
+            f
+            for d in self._data_dirs(v)
+            for f in glob.glob(os.path.join(d, "*.parquet"))
+        )
         stats = entry.get("fileStats")
         if stats is None:  # pre-stats commit (e.g. shallow clone v0)
             return all_files, len(all_files)
@@ -480,9 +540,9 @@ class ManagedTable:
             )
         v = self.latest_version()
         entry = self._entry(v)
-        data_dir = self._data_dir(v)
+        data_dirs = self._data_dirs(v)
         cond = F.coalesce(F.expr(condition), F.lit(False))
-        base = self.spark.read.parquet(data_dir)
+        base = self.spark.read.parquet(*data_dirs)
         tagged = base.select(
             F.col("_metadata.file_path").alias("__dv_file"),
             F.col("_metadata.row_index").alias("__dv_pos"),
@@ -506,7 +566,7 @@ class ManagedTable:
         )
         full_dv.coalesce(1).write.mode("overwrite").parquet(dv_dir)
         total_dv, _ = _scan_parquet_footers(dv_dir)
-        n_data, _ = _scan_parquet_footers(data_dir)
+        n_data = sum(_scan_parquet_footers(d)[0] for d in data_dirs)
         prior_dv = 0
         if old_dv_dir:
             prior_dv, _ = _scan_parquet_footers(old_dv_dir)
@@ -525,7 +585,7 @@ class ManagedTable:
                 # superset bound once rows are DV-deleted, which keeps
                 # prune_files/column_max conservative and therefore safe.
                 "fileStats": (entry or {}).get("fileStats"),
-                "dataPath": data_dir,
+                "dataPaths": data_dirs,
                 "deletionVector": dv_dir,
             },
         )
@@ -561,10 +621,10 @@ class ManagedTable:
         """DESCRIBE DETAIL analogue: table-level metadata from the
         commit log + current data files (no data scan)."""
         v = self.latest_version()
-        data_dir = self._data_dir(v)
         files = [
-            os.path.join(data_dir, f)
-            for f in os.listdir(data_dir)
+            os.path.join(d, f)
+            for d in self._data_dirs(v)
+            for f in os.listdir(d)
             if f.endswith(".parquet")
         ]
         entry = self.history(1)[0]
@@ -581,11 +641,16 @@ class ManagedTable:
             "constraints": self.constraints(),
         }
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
-        """Append rows as a new version. With ``merge_schema``, new
-        columns widen the table schema (Delta's mergeSchema); existing
-        rows get NULLs (reference has no schema evolution at all —
-        SURVEY.md §1.3 flags the gap)."""
+    def append(
+        self, df: DataFrame, merge_schema: bool = False, fast: bool = True
+    ) -> int:
+        """Append rows as a new version. With ``fast`` (default), the
+        commit writes only the batch's files and references all prior
+        data (``_commit_incremental``) — O(batch) ingest. With
+        ``merge_schema``, new columns widen the table schema (Delta's
+        mergeSchema); existing rows get NULLs — schema widening rewrites
+        the snapshot, so it takes the full-commit path (reference has no
+        schema evolution at all — SURVEY.md §1.3 flags the gap)."""
         current = self.read()
         if merge_schema:
             for c, t in df.dtypes:
@@ -594,6 +659,10 @@ class ManagedTable:
             for c, t in current.dtypes:
                 if c not in df.columns:
                     df = df.withColumn(c, F.lit(None).cast(t))
+        elif fast:
+            return self._commit_incremental(
+                df.select(*current.columns), "APPEND", {}
+            )
         new = current.unionByName(df, allowMissingColumns=False)
         return self._commit(new, "APPEND", {"numOutputRows": None})
 
@@ -639,11 +708,13 @@ class ManagedTable:
             reader = reader.option(k, v)
         batch = reader.format(format).load(new_files)
         current = self.read()
-        out = current.unionByName(batch.select(*current.columns))
-        return self._commit(
-            out,
+        # Incremental commit: ingest cost tracks the new files, not the
+        # table — the property that makes scheduled COPY INTO viable on
+        # a table thousands of batches deep.
+        return self._commit_incremental(
+            batch.select(*current.columns),
             "COPY INTO",
-            {"numFiles": len(new_files), "numOutputRows": None},
+            {"numFiles": len(new_files)},
             extra={"copyIntoFiles": new_files},
         )
 
@@ -720,22 +791,22 @@ class ManagedTable:
             cutoff = time.time() - older_than_s
             commit_ts = {h["version"]: h["timestamp"] for h in self.history()}
             to_remove = [v for v in to_remove if commit_ts[v] <= cutoff]
-        # Data dirs still referenced by a RETAINED version's dataPath
-        # pointer (a deletion-vector commit reads its predecessor's
-        # files) must survive even when their own version is vacuumed —
-        # same live-file rule as Delta's VACUUM.
+        # Data dirs still referenced by a RETAINED version (a deletion-
+        # vector commit reads its predecessor's files; a fast-append
+        # commit references every prior batch dir) must survive even
+        # when their own version is vacuumed — same live-file rule as
+        # Delta's VACUUM. A version only ever OWNS its local dir; clone
+        # and DV versions point at files they do not own.
         retained = [v for v in versions if v not in to_remove]
-        referenced = {self._data_dir(v) for v in retained}
+        referenced = {d for v in retained for d in self._data_dirs(v)}
         removed = []
         for v in to_remove:
             # A version's DV sidecar is referenced only by that version.
             dvd = self._dv_dir(v)
             if os.path.isdir(dvd):
                 shutil.rmtree(dvd)
-            # Only ever delete THIS table's local files: a shallow-clone
-            # or DV version points at files it does not own.
             d = self._local_data_dir(v)
-            if self._data_dir(v) != d or d in referenced:
+            if d in referenced:
                 continue
             if os.path.isdir(d):
                 shutil.rmtree(d)
@@ -760,7 +831,7 @@ class ManagedTable:
                 "sourcePath": self.path,
                 "sourceVersion": src_version,
             },
-            "dataPath": self._data_dir(src_version),
+            "dataPaths": self._data_dirs(src_version),
         }
         src_entry = self._entry(src_version)
         if src_entry is not None and "deletionVector" in src_entry:

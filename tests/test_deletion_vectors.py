@@ -88,11 +88,11 @@ def test_read_pruned_applies_dv(table):
 
 
 def test_vacuum_keeps_data_referenced_by_dv_commit(table):
-    table.delete("bucket = 3", rewrite=False)  # v1: dataPath -> v0 files
+    table.delete("bucket = 3", rewrite=False)  # v1: dataPaths -> v0 files
     table.append(table.spark.range(1).select(
         F.lit(5000).alias("id"), F.lit(1).alias("bucket"), F.lit(0).alias("val")
-    ))  # v2: full snapshot
-    table.delete("bucket = 4", rewrite=False)  # v3: dataPath -> v2 files
+    ), fast=False)  # v2: full snapshot (drops the reference to v0's files)
+    table.delete("bucket = 4", rewrite=False)  # v3: dataPaths -> v2 files
     removed = table.vacuum(keep_last=2)  # retains v2, v3
     assert 0 in removed  # v0's files are unreferenced by v2/v3
     # v2's files survive (v3 references them); v3 still readable.
