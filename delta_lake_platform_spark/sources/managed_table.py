@@ -503,22 +503,101 @@ class ManagedTable:
         )
         return v
 
-    def update(self, set_exprs: dict[str, str], condition: str | None = None) -> int:
+    def update(
+        self,
+        set_exprs: dict[str, str],
+        condition: str | None = None,
+        rewrite: bool = True,
+    ) -> int:
         """Delta UPDATE: rewrite rows matching ``condition`` with
-        ``set_exprs`` (SQL expressions over the row's own columns)."""
-        target = self.read()
-        cond = F.expr(condition) if condition else F.lit(True)
-        cond = F.coalesce(cond, F.lit(False))
-        out = target.select(
+        ``set_exprs`` (SQL expressions over the row's own columns).
+
+        With ``rewrite=False`` (merge-on-read): one commit that (a)
+        extends the deletion vector with the matched rows' positions and
+        (b) fast-appends the rewritten rows as a new batch dir — cost is
+        O(matched rows), not O(table). This is exactly how Delta updates
+        a table with DVs enabled: mark old copies dead, add new copies."""
+        if rewrite:
+            target = self.read()
+            cond = F.expr(condition) if condition else F.lit(True)
+            cond = F.coalesce(cond, F.lit(False))
+            out = target.select(
+                *[
+                    F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in target.columns
+                ]
+            )
+            n = target.filter(cond).count()
+            return self._commit(out, "UPDATE", {"numUpdatedRows": n})
+
+        v = self.latest_version()
+        entry = self._entry(v) or {}
+        data_dirs = self._data_dirs(v)
+        cond = F.coalesce(
+            F.expr(condition) if condition else F.lit(True), F.lit(False)
+        )
+        base = self.spark.read.parquet(*data_dirs)
+        cols = base.columns
+        tagged = base.select(
+            F.col("_metadata.file_path").alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+            *cols,
+        )
+        old_dv_dir = entry.get("deletionVector")
+        if old_dv_dir:
+            tagged = tagged.join(
+                F.broadcast(self.spark.read.parquet(old_dv_dir)),
+                on=["__dv_file", "__dv_pos"],
+                how="left_anti",
+            )
+        matched = tagged.filter(cond).localCheckpoint(eager=False)
+
+        rewritten = matched.select(
             *[
-                F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
-                if c in set_exprs
-                else F.col(c)
-                for c in target.columns
+                F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+                for c in cols
             ]
         )
-        n = target.filter(cond).count()
-        return self._commit(out, "UPDATE", {"numUpdatedRows": n})
+        self.verify_constraints(rewritten)
+        new_version = v + 1
+        batch_dir = self._local_data_dir(new_version)
+        rewritten.write.mode("overwrite").parquet(batch_dir)
+        n_upd, batch_stats = _scan_parquet_footers(batch_dir)
+
+        dv_dir = self._dv_dir(new_version)
+        new_pos = matched.select("__dv_file", "__dv_pos")
+        full_dv = (
+            new_pos
+            if not old_dv_dir
+            else self.spark.read.parquet(old_dv_dir).unionByName(new_pos)
+        )
+        full_dv.coalesce(1).write.mode("overwrite").parquet(dv_dir)
+        total_dv, _ = _scan_parquet_footers(dv_dir)
+
+        prev_rows = (entry.get("operationMetrics") or {}).get("numOutputRows")
+        merged_stats = dict(entry.get("fileStats") or {})
+        merged_stats.update(batch_stats)
+        self._write_entry(
+            new_version,
+            {
+                "version": new_version,
+                "timestamp": time.time(),
+                "operation": "UPDATE (MOR)",
+                "operationMetrics": {
+                    "numUpdatedRows": n_upd,
+                    "numDeletionVectorRows": total_dv,
+                    "numOutputRows": prev_rows
+                    if isinstance(prev_rows, int)
+                    else None,
+                },
+                "fileStats": merged_stats,
+                "dataPaths": data_dirs + [batch_dir],
+                "deletionVector": dv_dir,
+            },
+        )
+        return new_version
 
     def delete(self, condition: str, rewrite: bool = True) -> int:
         """Delta DELETE. With ``rewrite`` (copy-on-write), matching rows

@@ -124,3 +124,46 @@ def test_change_feed_reports_dv_deletes(table):
     assert len(rows) == 2
     assert {r["_change_type"] for r in rows} == {"delete"}
     assert sorted(r["id"] for r in rows) == [1, 2]
+
+
+def test_mor_update_rewrites_only_matched_rows(table):
+    files_before = _data_files(table, 0)
+    mtimes = {f: os.path.getmtime(f) for f in files_before}
+    v = table.update({"val": "val + 1000000"}, "bucket = 5", rewrite=False)
+    assert v == 1
+    assert {f: os.path.getmtime(f) for f in files_before} == mtimes
+
+    got = table.read()
+    assert got.count() == 1000
+    assert got.filter("val >= 1000000").count() == 100
+    assert got.filter("id = 5").select("val").first()[0] == 1000010
+    assert got.filter("id = 4").select("val").first()[0] == 8
+    m = table.history(1)[0]["operationMetrics"]
+    assert m["numUpdatedRows"] == 100
+    assert m["numDeletionVectorRows"] == 100
+    # The rewritten batch landed in its own dir alongside v0's files.
+    assert table._data_dirs(1) == [table._local_data_dir(0), table._local_data_dir(1)]
+
+
+def test_mor_update_after_dv_delete_composes(table):
+    table.delete("bucket = 1", rewrite=False)
+    table.update({"val": "0 - val"}, "bucket = 2", rewrite=False)
+    got = table.read()
+    assert got.count() == 900
+    assert got.filter("bucket = 1").count() == 0
+    assert got.filter("bucket = 2 AND val > 0").count() == 0
+    assert got.filter("bucket = 2").count() == 100
+    # Updating an already-updated row hits the REWRITTEN copy, not the
+    # DV-masked original.
+    table.update({"val": "val - 1"}, "bucket = 2", rewrite=False)
+    assert table.read().filter("id = 2").select("val").first()[0] == -5
+
+
+def test_mor_update_time_travel_and_compaction(table):
+    table.update({"val": "val * 0"}, "id < 10", rewrite=False)
+    assert table.read(0).filter("id < 10").agg(F.sum("val")).first()[0] == 90
+    assert table.read(1).filter("id < 10").agg(F.sum("val")).first()[0] == 0
+    v = table.compact(target_partitions=2)
+    assert "deletionVector" not in table._entry(v)
+    assert table.read().count() == 1000
+    assert table.read().filter("id < 10").agg(F.sum("val")).first()[0] == 0
