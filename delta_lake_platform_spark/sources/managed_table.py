@@ -387,6 +387,7 @@ class ManagedTable:
         source: DataFrame,
         clauses: MergeClauses,
         auto_schema_evolution: bool = False,
+        rewrite: bool = True,
     ) -> int:
         """Delta-style MERGE: one shuffle join, one snapshot commit.
 
@@ -399,8 +400,37 @@ class ManagedTable:
         ``schema.autoMerge.enabled``: source columns absent from the
         target widen the target schema before matching (existing rows
         get NULLs), so update/insert clauses may assign them.
-        """
-        target = self.read()
+
+        ``rewrite=False`` is the merge-on-read MERGE: matched-updated
+        and matched-deleted target rows become deletion-vector entries,
+        their replacements plus the inserts land in one new batch dir —
+        the commit costs O(touched + inserted), never O(table). This is
+        the shape a dimension merge must have when the dimension is
+        billions of rows and the batch is thousands. Incompatible with
+        ``auto_schema_evolution`` (widening needs a rewrite)."""
+        if not rewrite and auto_schema_evolution:
+            raise MergeError(
+                "merge(rewrite=False) cannot widen the schema; "
+                "use rewrite=True with auto_schema_evolution"
+            )
+        if not rewrite:
+            v_prev = self.latest_version()
+            prev_entry = self._entry(v_prev) or {}
+            base = self.spark.read.parquet(*self._data_dirs(v_prev))
+            pos_cols = [
+                F.col("_metadata.file_path").alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            ]
+            target = base.select(*pos_cols, *base.columns)
+            old_dv_dir = prev_entry.get("deletionVector")
+            if old_dv_dir:
+                target = target.join(
+                    F.broadcast(self.spark.read.parquet(old_dv_dir)),
+                    on=["__dv_file", "__dv_pos"],
+                    how="left_anti",
+                )
+        else:
+            target = self.read()
         if auto_schema_evolution:
             tgt_types = dict(target.dtypes)
             new_cols = [
@@ -411,7 +441,7 @@ class ManagedTable:
                     "*",
                     *[F.lit(None).cast(dt).alias(c) for c, dt in new_cols],
                 )
-        tcols = target.columns
+        tcols = [c for c in target.columns if c not in ("__dv_file", "__dv_pos")]
         for clause in (clauses.matched_update, clauses.not_matched_insert):
             unknown = set(clause or {}) - set(tcols)
             if unknown:
@@ -467,8 +497,16 @@ class ManagedTable:
                 else F.col(f"target.{c}").alias(c)
                 for c in tcols
             ]
+            pos_sel = (
+                []
+                if rewrite
+                else [F.col("target.__dv_file"), F.col("target.__dv_pos")]
+            )
             flagged = joined.select(
-                *upd_exprs, do_update.alias("__upd"), do_delete.alias("__del")
+                *upd_exprs,
+                *pos_sel,
+                do_update.alias("__upd"),
+                do_delete.alias("__del"),
             ).localCheckpoint(eager=False)
             counts = flagged.select(
                 F.sum(F.col("__upd").cast("long")).alias("u"),
@@ -479,6 +517,7 @@ class ManagedTable:
         else:
             new_target = target
 
+        inserts = None
         if clauses.not_matched_insert is not None:
             anti = s.join(t, cond, "left_anti").drop("__src")
             inserts = anti.select(
@@ -490,18 +529,77 @@ class ManagedTable:
                 ]
             ).localCheckpoint(eager=False)  # reused by count + commit write
             n_inserted = inserts.count()
-            new_target = new_target.unionByName(inserts)
 
-        v = self._commit(
-            new_target,
-            "MERGE",
+        metrics = {
+            "numTargetRowsUpdated": n_updated,
+            "numTargetRowsInserted": n_inserted,
+            "numTargetRowsDeleted": n_deleted,
+        }
+        if rewrite:
+            if inserts is not None:
+                new_target = new_target.unionByName(inserts)
+            return self._commit(new_target, "MERGE", metrics)
+
+        # Merge-on-read commit: touched target rows -> DV entries; their
+        # replacements + the inserts -> one new batch dir.
+        new_version = v_prev + 1
+        batch_dir = self._local_data_dir(new_version)
+        parts = []
+        if clauses.matched_update is not None or clauses.matched_delete_condition:
+            parts.append(flagged.filter(F.col("__upd")).select(*tcols))
+        if inserts is not None:
+            parts.append(inserts)
+        if not parts:
+            parts = [target.select(*tcols).filter(F.lit(False))]
+        batch = parts[0]
+        for p in parts[1:]:
+            batch = batch.unionByName(p)
+        self.verify_constraints(batch)
+        batch.write.mode("overwrite").parquet(batch_dir)
+        _n_batch, batch_stats = _scan_parquet_footers(batch_dir)
+
+        dv_dir = self._dv_dir(new_version)
+        old_dv_dir = prev_entry.get("deletionVector")
+        dv_parts = []
+        if old_dv_dir:
+            dv_parts.append(self.spark.read.parquet(old_dv_dir))
+        if clauses.matched_update is not None or clauses.matched_delete_condition:
+            dv_parts.append(
+                flagged.filter(F.col("__upd") | F.col("__del")).select(
+                    "__dv_file", "__dv_pos"
+                )
+            )
+        if dv_parts:
+            full_dv = dv_parts[0]
+            for p in dv_parts[1:]:
+                full_dv = full_dv.unionByName(p)
+            full_dv.coalesce(1).write.mode("overwrite").parquet(dv_dir)
+            total_dv, _ = _scan_parquet_footers(dv_dir)
+        else:
+            dv_dir, total_dv = None, 0
+
+        prev_rows = (prev_entry.get("operationMetrics") or {}).get("numOutputRows")
+        merged_stats = dict(prev_entry.get("fileStats") or {})
+        merged_stats.update(batch_stats)
+        metrics["numDeletionVectorRows"] = total_dv
+        metrics["numOutputRows"] = (
+            prev_rows + n_inserted - n_deleted
+            if isinstance(prev_rows, int)
+            else None
+        )
+        self._write_entry(
+            new_version,
             {
-                "numTargetRowsUpdated": n_updated,
-                "numTargetRowsInserted": n_inserted,
-                "numTargetRowsDeleted": n_deleted,
+                "version": new_version,
+                "timestamp": time.time(),
+                "operation": "MERGE (MOR)",
+                "operationMetrics": metrics,
+                "fileStats": merged_stats,
+                "dataPaths": self._data_dirs(v_prev) + [batch_dir],
+                **({"deletionVector": dv_dir} if dv_dir else {}),
             },
         )
-        return v
+        return new_version
 
     def update(
         self,

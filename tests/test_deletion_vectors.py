@@ -167,3 +167,86 @@ def test_mor_update_time_travel_and_compaction(table):
     assert "deletionVector" not in table._entry(v)
     assert table.read().count() == 1000
     assert table.read().filter("id < 10").agg(F.sum("val")).first()[0] == 0
+
+
+def test_mor_merge_update_delete_insert(table, spark):
+    files_before = _data_files(table, 0)
+    mtimes = {f: os.path.getmtime(f) for f in files_before}
+    src = spark.createDataFrame(
+        [(1, 111), (2, -1), (5000, 7)], "id long, newval long"
+    )
+    from delta_lake_platform_spark.sources.managed_table import MergeClauses
+
+    v = table.merge(
+        src,
+        MergeClauses(
+            condition="target.id = updates.id",
+            matched_update={"val": "updates.newval"},
+            matched_delete_condition="updates.newval < 0",
+            not_matched_insert={
+                "id": "updates.id", "bucket": "updates.id % 10",
+                "val": "updates.newval",
+            },
+        ),
+        rewrite=False,
+    )
+    assert v == 1
+    assert {f: os.path.getmtime(f) for f in files_before} == mtimes
+    got = table.read()
+    assert got.count() == 1000  # -1 deleted +1 inserted
+    assert got.filter("id = 1").select("val").first()[0] == 111
+    assert got.filter("id = 2").count() == 0
+    assert got.filter("id = 5000").select("val").first()[0] == 7
+    m = table.history(1)[0]["operationMetrics"]
+    assert (m["numTargetRowsUpdated"], m["numTargetRowsDeleted"],
+            m["numTargetRowsInserted"]) == (1, 1, 1)
+    assert m["numDeletionVectorRows"] == 2
+    assert m["numOutputRows"] == 1000
+
+
+def test_mor_merge_composes_with_prior_mor_dml(table, spark):
+    from delta_lake_platform_spark.sources.managed_table import MergeClauses
+
+    table.delete("id = 1", rewrite=False)
+    table.update({"val": "val + 1"}, "id = 3", rewrite=False)
+    src = spark.createDataFrame([(1, 50), (3, 60)], "id long, newval long")
+    table.merge(
+        src,
+        MergeClauses(
+            condition="target.id = updates.id",
+            matched_update={"val": "updates.newval"},
+            not_matched_insert={
+                "id": "updates.id", "bucket": "updates.id % 10",
+                "val": "updates.newval",
+            },
+        ),
+        rewrite=False,
+    )
+    got = table.read()
+    # id=1 was DV-deleted -> merge re-inserts it.
+    assert got.filter("id = 1").select("val").first()[0] == 50
+    assert got.filter("id = 1").count() == 1
+    # id=3's rewritten copy (val=7) is the one updated.
+    assert got.filter("id = 3").select("val").first()[0] == 60
+    assert got.count() == 1000
+    # Full rewrite settles everything.
+    table.compact()
+    assert table.read().count() == 1000
+    assert table.read().filter("id = 3").select("val").first()[0] == 60
+
+
+def test_mor_merge_multi_match_still_raises(table, spark):
+    from delta_lake_platform_spark.sources.managed_table import (
+        MergeClauses, MergeError,
+    )
+
+    src = spark.createDataFrame([(1, 5), (1, 6)], "id long, newval long")
+    with pytest.raises(MergeError):
+        table.merge(
+            src,
+            MergeClauses(
+                condition="target.id = updates.id",
+                matched_update={"val": "updates.newval"},
+            ),
+            rewrite=False,
+        )
