@@ -114,3 +114,27 @@ def test_heavy_hitters_single_agg_shuffle(spark, sf_dir):
     df = QUERIES["events_heavy_hitter_users"](spark, sf_dir)
     assert count_exchanges(df) <= 2, count_exchanges(df)
     assert "BroadcastNestedLoopJoin" in explain_str(df) or has_broadcast_hash_join(df)
+
+
+def test_regression_agg_single_shuffle(spark, sf_dir):
+    """regr_slope/intercept/corr are distributive: partial agg ->
+    one exchange -> final agg (+ tiny sort)."""
+    df = QUERIES["events_value_regression"](spark, sf_dir)
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+    assert has_whole_stage_codegen(df)
+
+
+def test_gapfill_broadcasts_the_spine(spark, sf_dir):
+    """The 59-row date spine must broadcast; the orders date-range
+    filter must reach the parquet scan (partition pruning at scale)."""
+    df = QUERIES["orders_daily_gapfill"](spark, sf_dir)
+    assert has_broadcast_hash_join(df), "date spine not broadcast"
+    assert "o_orderdate" in " ".join(pushed_filters(df))
+
+
+def test_full_outer_joins_pre_aggregated_sides(spark, sf_dir):
+    """Both sides collapse to ~dozens of rows BEFORE the full-outer
+    join: 2 partial-agg exchanges + 1 tiny join exchange + sort. If the
+    join ran on base tables the exchange count would jump."""
+    df = QUERIES["full_outer_balance_bands"](spark, sf_dir)
+    assert count_exchanges(df) <= 5, count_exchanges(df)
