@@ -46,6 +46,14 @@ def _json_stat(v):
     return None
 
 
+def _parquet_files(data_dir: str) -> list[str]:
+    """All parquet files of a snapshot dir, including hive-partitioned
+    subdirectories (``p=.../part-*.parquet``)."""
+    return sorted(
+        glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    )
+
+
 def _scan_parquet_footers(data_dir: str) -> tuple[int, dict]:
     """One driver-side pass over the parquet footers of a snapshot:
     total row count + per-file min/max column stats. Replaces a Spark
@@ -56,7 +64,7 @@ def _scan_parquet_footers(data_dir: str) -> tuple[int, dict]:
 
     total_rows = 0
     file_stats: dict[str, dict] = {}
-    for fpath in sorted(glob.glob(os.path.join(data_dir, "*.parquet"))):
+    for fpath in _parquet_files(data_dir):
         md = pq.ParquetFile(fpath).metadata
         total_rows += md.num_rows
         cols: dict[str, list] = {}
@@ -77,8 +85,30 @@ def _scan_parquet_footers(data_dir: str) -> tuple[int, dict]:
                     cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
                 else:
                     cols[name] = [mn, mx]
-        file_stats[os.path.basename(fpath)] = cols
+        # A hive partition dir (k=v) is an exact min=max stat for k:
+        # the value is not stored inside the files, but the commit log
+        # can still prune on it through the one data-skipping API.
+        rel = os.path.relpath(fpath, data_dir)
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                if v != "__HIVE_DEFAULT_PARTITION__":
+                    pv = _parse_partition_value(v)
+                    cols[k] = [pv, pv]
+        # Stats are keyed by dir-relative path: partitioned writes reuse
+        # the same task-file basename in every partition dir, so a bare
+        # basename key would collide and clobber stats.
+        file_stats[rel] = cols
     return total_rows, file_stats
+
+
+def _parse_partition_value(v: str):
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            continue
+    return v
 
 
 class MergeError(Exception):
@@ -186,12 +216,63 @@ class ManagedTable:
         with os.fdopen(fd, "w") as f:
             json.dump(entry, f)
 
+    # -- partitioning (hive layout) -----------------------------------------
+
+    def _partitioning_path(self) -> str:
+        return os.path.join(self.path, "_partitioning.json")
+
+    def partition_spec(self) -> list[str]:
+        if not os.path.isfile(self._partitioning_path()):
+            return []
+        with open(self._partitioning_path()) as f:
+            return json.load(f)["partitionBy"]
+
+    def _set_partition_spec(self, cols: list[str]) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._partitioning_path(), "w") as f:
+            json.dump({"partitionBy": cols}, f)
+
+    def _write_data(self, df: DataFrame, data_dir: str) -> None:
+        w = df.write.mode("overwrite")
+        spec = self.partition_spec()
+        if spec:
+            w = w.partitionBy(*spec)
+        w.parquet(data_dir)
+
+    def _scan(self, dirs: list[str], with_positions: bool = False) -> DataFrame:
+        """One DataFrame over a version's data dirs. Non-partitioned
+        tables scan all dirs as a single relation. Hive-partitioned
+        tables need one relation per root (Spark rejects multiple
+        partitioned roots in one scan), unioned by name — each scan
+        still gets its own PartitionFilters, so partition pruning fires
+        per dir. ``with_positions`` exposes the (file, row-position)
+        metadata the DV machinery joins on; it must be projected per
+        relation (``_metadata`` does not exist on a union)."""
+
+        def tag(df: DataFrame) -> DataFrame:
+            if not with_positions:
+                return df
+            return df.select(
+                F.col("_metadata.file_path").alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+                *df.columns,
+            )
+
+        if not self.partition_spec() or len(dirs) == 1:
+            return tag(self.spark.read.parquet(*dirs))
+        nonempty = [d for d in dirs if _parquet_files(d)] or dirs[:1]
+        out = None
+        for d in nonempty:
+            df = tag(self.spark.read.parquet(d))
+            out = df if out is None else out.unionByName(df)
+        return out
+
     def _commit(
         self, df: DataFrame, operation: str, metrics: dict, extra: dict | None = None
     ) -> int:
         self.verify_constraints(df)
         version = (self._versions()[-1] + 1) if self.exists() else 0
-        df.write.mode("overwrite").parquet(self._data_dir(version))
+        self._write_data(df, self._data_dir(version))
         # One footer pass gives the row count (no Spark job, no plan
         # recompute) AND the per-file min/max stats for data skipping.
         n_rows, file_stats = _scan_parquet_footers(self._data_dir(version))
@@ -224,7 +305,7 @@ class ManagedTable:
         prev_entry = self._entry(v_prev) or {}
         version = v_prev + 1
         local = self._local_data_dir(version)
-        batch.write.mode("overwrite").parquet(local)
+        self._write_data(batch, local)
         n_new, new_stats = _scan_parquet_footers(local)
         prev_rows = (prev_entry.get("operationMetrics") or {}).get("numOutputRows")
         merged_stats = dict(prev_entry.get("fileStats") or {})
@@ -255,21 +336,41 @@ class ManagedTable:
 
     # -- public API ---------------------------------------------------------
 
-    def create(self, df: DataFrame, mode: str = "error") -> int:
+    def create(
+        self,
+        df: DataFrame,
+        mode: str = "error",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Create the table. ``partition_by`` lays every snapshot out in
+        hive-partitioned dirs (``k=v/...``); the partition values double
+        as exact file stats in the commit log, so the same
+        ``prune_files``/``read_pruned`` API skips whole partitions."""
         if self.exists():
             if mode == "error":
                 raise FileExistsError(self.path)
             if mode == "ignore":
                 return self.latest_version()
+        if partition_by is not None:
+            self._set_partition_spec(partition_by)
         return self._commit(df, "CREATE OR OVERWRITE", {"numOutputRows": None})
 
     def read(self, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version
-        df = self.spark.read.parquet(*self._data_dirs(v))
         entry = self._entry(v)
-        if entry is not None and "deletionVector" in entry:
-            df = self._apply_dv(df, entry["deletionVector"])
-        return df
+        dv_dir = entry.get("deletionVector") if entry else None
+        if dv_dir is None:
+            return self._scan(self._data_dirs(v))
+        tagged = self._scan(self._data_dirs(v), with_positions=True)
+        cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
+        return (
+            tagged.join(
+                F.broadcast(self.spark.read.parquet(dv_dir)),
+                on=["__dv_file", "__dv_pos"],
+                how="left_anti",
+            )
+            .select(*cols)
+        )
 
     def _dv_dir(self, version: int) -> str:
         return os.path.join(self.path, "dv", f"v={version}")
@@ -308,16 +409,19 @@ class ManagedTable:
         with open(os.path.join(self._log_dir, f"{v}.json")) as f:
             entry = json.load(f)
         all_files = sorted(
-            f
+            (f, os.path.relpath(f, d))
             for d in self._data_dirs(v)
-            for f in glob.glob(os.path.join(d, "*.parquet"))
+            for f in _parquet_files(d)
         )
         stats = entry.get("fileStats")
         if stats is None:  # pre-stats commit (e.g. shallow clone v0)
-            return all_files, len(all_files)
+            return [f for f, _ in all_files], len(all_files)
         kept = []
-        for fpath in all_files:
-            s = stats.get(os.path.basename(fpath), {}).get(col)
+        for fpath, rel in all_files:
+            # Dir-relative key; bare basename for pre-partitioning logs.
+            s = (
+                stats.get(rel, stats.get(os.path.basename(fpath), {}))
+            ).get(col)
             if s is None:
                 kept.append(fpath)
                 continue
@@ -334,6 +438,16 @@ class ManagedTable:
         ``read().filter(lo <= col <= hi)`` but only opens surviving
         files. The exact filter is still applied (stats are a superset
         bound, and parquet row-group pushdown finishes the job)."""
+        if self.partition_spec():
+            # Reading bare files would drop hive partition columns; let
+            # Spark's own PartitionFilters do the dir-level skipping.
+            c = F.col(col)
+            df = self.read(version)
+            if lo is not None:
+                df = df.filter(c >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(c <= F.lit(hi))
+            return df
         kept, _total = self.prune_files(col, lo, hi, version)
         if not kept:
             return self.read(version).filter(F.lit(False))
@@ -416,12 +530,7 @@ class ManagedTable:
         if not rewrite:
             v_prev = self.latest_version()
             prev_entry = self._entry(v_prev) or {}
-            base = self.spark.read.parquet(*self._data_dirs(v_prev))
-            pos_cols = [
-                F.col("_metadata.file_path").alias("__dv_file"),
-                F.col("_metadata.row_index").alias("__dv_pos"),
-            ]
-            target = base.select(*pos_cols, *base.columns)
+            target = self._scan(self._data_dirs(v_prev), with_positions=True)
             old_dv_dir = prev_entry.get("deletionVector")
             if old_dv_dir:
                 target = target.join(
@@ -555,7 +664,7 @@ class ManagedTable:
         for p in parts[1:]:
             batch = batch.unionByName(p)
         self.verify_constraints(batch)
-        batch.write.mode("overwrite").parquet(batch_dir)
+        self._write_data(batch, batch_dir)
         _n_batch, batch_stats = _scan_parquet_footers(batch_dir)
 
         dv_dir = self._dv_dir(new_version)
@@ -636,13 +745,8 @@ class ManagedTable:
         cond = F.coalesce(
             F.expr(condition) if condition else F.lit(True), F.lit(False)
         )
-        base = self.spark.read.parquet(*data_dirs)
-        cols = base.columns
-        tagged = base.select(
-            F.col("_metadata.file_path").alias("__dv_file"),
-            F.col("_metadata.row_index").alias("__dv_pos"),
-            *cols,
-        )
+        tagged = self._scan(data_dirs, with_positions=True)
+        cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
         old_dv_dir = entry.get("deletionVector")
         if old_dv_dir:
             tagged = tagged.join(
@@ -661,7 +765,7 @@ class ManagedTable:
         self.verify_constraints(rewritten)
         new_version = v + 1
         batch_dir = self._local_data_dir(new_version)
-        rewritten.write.mode("overwrite").parquet(batch_dir)
+        self._write_data(rewritten, batch_dir)
         n_upd, batch_stats = _scan_parquet_footers(batch_dir)
 
         dv_dir = self._dv_dir(new_version)
@@ -719,12 +823,7 @@ class ManagedTable:
         entry = self._entry(v)
         data_dirs = self._data_dirs(v)
         cond = F.coalesce(F.expr(condition), F.lit(False))
-        base = self.spark.read.parquet(*data_dirs)
-        tagged = base.select(
-            F.col("_metadata.file_path").alias("__dv_file"),
-            F.col("_metadata.row_index").alias("__dv_pos"),
-            *base.columns,
-        )
+        tagged = self._scan(data_dirs, with_positions=True)
         old_dv_dir = entry.get("deletionVector") if entry else None
         if old_dv_dir:
             old_dv = self.spark.read.parquet(old_dv_dir)
@@ -798,12 +897,7 @@ class ManagedTable:
         """DESCRIBE DETAIL analogue: table-level metadata from the
         commit log + current data files (no data scan)."""
         v = self.latest_version()
-        files = [
-            os.path.join(d, f)
-            for d in self._data_dirs(v)
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
-        ]
+        files = [f for d in self._data_dirs(v) for f in _parquet_files(d)]
         entry = self.history(1)[0]
         return {
             "location": self.path,
@@ -818,8 +912,23 @@ class ManagedTable:
             "constraints": self.constraints(),
         }
 
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest transaction version committed for ``app_id`` (Delta's
+        ``txnAppId``/``txnVersion`` idempotent-writer protocol). One
+        newest-first log scan; None if the app never committed."""
+        for entry in self.history():
+            txn = entry.get("txn")
+            if txn and txn.get("appId") == app_id:
+                return txn["version"]
+        return None
+
     def append(
-        self, df: DataFrame, merge_schema: bool = False, fast: bool = True
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        fast: bool = True,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """Append rows as a new version. With ``fast`` (default), the
         commit writes only the batch's files and references all prior
@@ -827,7 +936,26 @@ class ManagedTable:
         ``merge_schema``, new columns widen the table schema (Delta's
         mergeSchema); existing rows get NULLs — schema widening rewrites
         the snapshot, so it takes the full-commit path (reference has no
-        schema evolution at all — SURVEY.md §1.3 flags the gap)."""
+        schema evolution at all — SURVEY.md §1.3 flags the gap).
+
+        ``txn_app``/``txn_version`` is Delta's idempotent-writer
+        contract (``txnAppId``/``txnVersion``): if this app already
+        committed a transaction version >= ``txn_version``, the append
+        is a NO-OP returning the current table version. A foreachBatch
+        sink passing (query_id, batch_id) gets exactly-once appends
+        across micro-batch retries and driver restarts — the state
+        lives in the target table's own log, not in the writer."""
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version go together")
+        if txn_app is not None:
+            last = self.last_txn_version(txn_app)
+            if last is not None and last >= txn_version:
+                return self.latest_version()
+        txn_extra = (
+            {"txn": {"appId": txn_app, "version": txn_version}}
+            if txn_app is not None
+            else None
+        )
         current = self.read()
         if merge_schema:
             for c, t in df.dtypes:
@@ -838,10 +966,12 @@ class ManagedTable:
                     df = df.withColumn(c, F.lit(None).cast(t))
         elif fast:
             return self._commit_incremental(
-                df.select(*current.columns), "APPEND", {}
+                df.select(*current.columns), "APPEND", {}, extra=txn_extra
             )
         new = current.unionByName(df, allowMissingColumns=False)
-        return self._commit(new, "APPEND", {"numOutputRows": None})
+        return self._commit(
+            new, "APPEND", {"numOutputRows": None}, extra=txn_extra
+        )
 
     def copy_into(
         self,
@@ -1015,6 +1145,9 @@ class ManagedTable:
             # The clone must see the source's merge-on-read deletes too,
             # or vanished rows would resurrect in the clone.
             entry["deletionVector"] = src_entry["deletionVector"]
+        spec = self.partition_spec()
+        if spec:
+            target._set_partition_spec(spec)
         target._write_entry(0, entry)
         return target
 

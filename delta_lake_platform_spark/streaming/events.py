@@ -133,6 +133,30 @@ def streaming_dedup_ingest(
     )
 
 
+def streaming_txn_ingest(
+    stream: DataFrame, table, checkpoint_dir: str, app_id: str
+):
+    """Exactly-once streaming appends via the transactional-writer
+    protocol (Delta's ``txnAppId``/``txnVersion``): each micro-batch
+    commits with ``txn_version = batch_id``; a replayed batch (source
+    retry, driver restart, checkpoint re-read) sees its version already
+    recorded in the TARGET table's log and becomes a no-op. Unlike
+    ``streaming_dedup_ingest`` this needs no key scan of the target —
+    idempotence costs one log read regardless of table size, and rows
+    need no natural key. The table must already exist (create it with
+    the stream's schema)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(batch_df, txn_app=app_id, txn_version=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_mv_maintenance(
     stream: DataFrame, base, view, checkpoint_dir: str
 ):

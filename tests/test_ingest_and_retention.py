@@ -139,3 +139,64 @@ def test_streaming_dedup_ingest_is_idempotent(spark, sf_dir):
         assert got.select("event_id").distinct().count() == ev.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_txn_append_is_idempotent(spark):
+    d = tempfile.mkdtemp(prefix="txn_append_")
+    try:
+        t = ManagedTable(spark, f"{d}/t")
+        t.create(spark.range(0, 5).selectExpr("id"))
+        v1 = t.append(spark.range(5, 8).selectExpr("id"),
+                      txn_app="loader", txn_version=1)
+        assert t.read().count() == 8
+        # Replay of the same (or an older) txn version: no-op.
+        assert t.append(spark.range(100, 200).selectExpr("id"),
+                        txn_app="loader", txn_version=1) == v1
+        assert t.append(spark.range(100, 200).selectExpr("id"),
+                        txn_app="loader", txn_version=0) == v1
+        assert t.read().count() == 8
+        # A NEW txn version commits; an unrelated app is independent.
+        t.append(spark.range(8, 10).selectExpr("id"),
+                 txn_app="loader", txn_version=2)
+        t.append(spark.range(10, 11).selectExpr("id"),
+                 txn_app="other", txn_version=0)
+        assert t.read().count() == 11
+        assert t.last_txn_version("loader") == 2
+        assert t.last_txn_version("other") == 0
+        assert t.last_txn_version("nobody") is None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_txn_ingest_exactly_once(spark):
+    from delta_lake_platform_spark.streaming.events import streaming_txn_ingest
+
+    d = tempfile.mkdtemp(prefix="txn_stream_")
+    try:
+        src = f"{d}/src"
+        import os as _os
+        _os.makedirs(src)
+        spark.range(0, 20).selectExpr("id").write.parquet(f"{src}/b0")
+        stream = spark.readStream.schema("id long").parquet(f"{src}/b*")
+        t = ManagedTable(spark, f"{d}/t")
+        t.create(spark.createDataFrame([], "id long"))
+
+        q = streaming_txn_ingest(stream, t, f"{d}/ckpt", app_id="ingest")
+        q.awaitTermination(60)
+        n1 = t.read().count()
+        assert n1 == 20
+
+        # Restart from the same checkpoint with no new data: the replayed
+        # planning commits nothing (txn versions already recorded).
+        q = streaming_txn_ingest(stream, t, f"{d}/ckpt", app_id="ingest")
+        q.awaitTermination(60)
+        assert t.read().count() == 20
+
+        # New file -> exactly its rows land.
+        spark.range(20, 25).selectExpr("id").write.parquet(f"{src}/b1")
+        q = streaming_txn_ingest(stream, t, f"{d}/ckpt", app_id="ingest")
+        q.awaitTermination(60)
+        assert t.read().count() == 25
+        assert {r.id for r in t.read().collect()} == set(range(25))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
