@@ -171,3 +171,93 @@ def docs_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(2.5))
     )
     return curation.domain_mixture(docs, weight).orderBy("doc_id", "copy_idx")
+
+
+UNIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(ln(cnt / total)), 6) AS avg_logprob
+FROM toks JOIN vocab USING (tok), tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("docs_unigram_logprob", UNIGRAM_ORACLE)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: a unigram LM trained on the
+    corpus itself scores each document by mean token log-probability —
+    the classic cheap LM filter (low avg logprob = gibberish or
+    boilerplate-heavy). Two aggregations: token counts (one shuffle on
+    token), then a broadcast join of the vocab back onto the token
+    stream and a per-doc aggregate. The corpus total is a broadcast
+    scalar. At 100 TB the vocab would be truncated to top-K + an OOV
+    bucket; the dataflow is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) > 0
+            )
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        toks.join(F.broadcast(vocab), on="tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LENGTH_HIST_ORACLE = """
+WITH b AS (
+  SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket, COUNT(*) AS n_docs
+  FROM documents GROUP BY 1
+), t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total FROM b)
+SELECT bucket, n_docs, ROUND(n_docs / total, 6) AS share,
+       CAST(SUM(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs
+FROM b, t
+ORDER BY bucket
+"""
+
+
+@register("docs_length_histogram", LENGTH_HIST_ORACLE)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: 100-char histogram buckets with share and
+    cumulative counts — the first diagnostic anyone runs on a new crawl
+    dump. One partial-agg shuffle; the cumulative window runs over
+    |buckets| rows (driver-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    b = docs.groupBy(
+        F.floor(F.col("n_chars") / 100).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("n_docs"))
+    t = b.agg(F.sum("n_docs").cast("double").alias("total"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
+            F.sum("n_docs").over(w).alias("cum_docs"),
+        )
+        .orderBy("bucket")
+    )

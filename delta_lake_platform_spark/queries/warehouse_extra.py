@@ -356,3 +356,55 @@ def dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+PARTITIONED_EVENTS_ORACLE = """
+SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS day,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY day
+ORDER BY day
+"""
+
+_PARTITIONED_EVENTS_CACHE: dict[str, str] = {}
+
+
+@register("events_partitioned_by_type", PARTITIONED_EVENTS_ORACLE)
+def events_partitioned_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned managed table end to end: events land in a
+    table partitioned by event_type, and the per-day purchase rollup
+    reads it with a partition predicate — the scan opens only the
+    `event_type=purchase/` directory (per-dir PartitionFilters +
+    partition values as exact file stats in the commit log). At 100 TB
+    this layout is what turns a full-table scan into a single-partition
+    read for every type-scoped query."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.managed_table import ManagedTable
+
+    path = _PARTITIONED_EVENTS_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        d = tempfile.mkdtemp(prefix="events_part_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        t = ManagedTable(spark, f"{d}/events_by_type")
+        t.create(
+            load_table(spark, sf_dir, "events"), partition_by=["event_type"]
+        )
+        _PARTITIONED_EVENTS_CACHE[sf_dir] = t.path
+        path = t.path
+    t = ManagedTable(spark, path)
+    return (
+        t.read()
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.dayofmonth("ts").cast("long").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day")
+    )

@@ -138,3 +138,15 @@ def test_full_outer_joins_pre_aggregated_sides(spark, sf_dir):
     join ran on base tables the exchange count would jump."""
     df = QUERIES["full_outer_balance_bands"](spark, sf_dir)
     assert count_exchanges(df) <= 5, count_exchanges(df)
+
+
+def test_partitioned_events_scan_prunes_partitions(spark, sf_dir):
+    """The type predicate must land as a PartitionFilter (directory-
+    level pruning), not a post-scan filter over all partitions."""
+    from delta_lake_platform_spark.plans import explain_str
+
+    df = QUERIES["events_partitioned_by_type"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], "type predicate not pushed to partition pruning"
