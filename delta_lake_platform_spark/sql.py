@@ -170,6 +170,55 @@ class PlatformSQL:
     def sql(self, text: str) -> DataFrame:
         t = text.strip().rstrip(";")
 
+        m = re.match(
+            rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s+LOCATION\s+'([^']+)'"
+            rf"(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?\s+AS\s+(.*)$",
+            t,
+        )
+        if m:
+            name, path, pcols, select = m.groups()
+            df = self.sql(select)
+            table = ManagedTable(self.spark, path)
+            v = table.create(
+                df,
+                partition_by=(
+                    [c.strip() for c in pcols.split(",")] if pcols else None
+                ),
+            )
+            self.register(name, table)
+            return self._df([{"version": v, "location": path}])
+        m = re.match(
+            rf"(?is)^INSERT\s+INTO\s+({_IDENT})\s*(?:\(([^)]*)\))?\s+"
+            r"(SELECT\s+.*|VALUES\s*.*)$",
+            t,
+        )
+        if m:
+            name, col_list, body = m.groups()
+            table = self.tables[name]
+            # Positional binding follows the table's CURRENT column
+            # order (hive layout puts partition columns last) — name
+            # the columns explicitly to be order-independent.
+            cols = (
+                [c.strip() for c in col_list.split(",")]
+                if col_list
+                else table.read().columns
+            )
+            if body.upper().startswith("VALUES"):
+                df = self.spark.sql(body).toDF(*cols)
+            else:
+                df = self.sql(body).toDF(*cols)
+            v = table.append(df)
+            met = table.history(1)[0]["operationMetrics"]
+            return self._df([{"version": v, **{k: v2 for k, v2 in met.items() if v2 is not None}}])
+        m = re.match(rf"(?is)^SHOW\s+PARTITIONS\s+({_IDENT})$", t)
+        if m:
+            table = self.tables[m.group(1)]
+            spec = table.partition_spec()
+            if not spec:
+                raise ValueError(f"{m.group(1)} is not partitioned")
+            return (
+                table.read().select(*spec).distinct().orderBy(*spec)
+            )
         m = re.match(rf"(?is)^DESCRIBE\s+HISTORY\s+({_IDENT})$", t)
         if m:
             return self._history(m.group(1))

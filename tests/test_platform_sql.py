@@ -132,3 +132,26 @@ def test_plain_sql_passthrough(psql, spark):
         "SELECT a.name, t.tag FROM accounts a JOIN tags t ON a.id = t.id"
     ).collect()
     assert [(r.name, r.tag) for r in got] == [("alice", "x")]
+
+
+def test_create_table_as_insert_into_show_partitions(psql, spark):
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="psql_ctas_")
+    out = psql.sql(
+        f"CREATE TABLE rich LOCATION '{d}/rich' PARTITIONED BY (name) AS "
+        "SELECT id, name, balance FROM accounts WHERE balance >= 200"
+    ).first()
+    assert out.version == 0
+    assert psql.sql("SELECT count(*) AS n FROM rich").first().n == 2
+
+    psql.sql("INSERT INTO rich (id, name, balance) VALUES (9, 'zed', 900)")
+    psql.sql(
+        "INSERT INTO rich (id, name, balance) "
+        "SELECT id, name, balance FROM accounts WHERE id = 1"
+    )
+    got = psql.sql("SELECT name FROM rich ORDER BY id").collect()
+    assert [r.name for r in got] == ["alice", "bob", "carol", "zed"]
+
+    parts = psql.sql("SHOW PARTITIONS rich").collect()
+    assert [r.name for r in parts] == ["alice", "bob", "carol", "zed"]
