@@ -292,16 +292,23 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: each vertex gets
     ``cluster_id`` = the minimum id reachable through the pair graph
     (transitive closure — a pair list alone under-merges A~B, B~C).
 
-    Label propagation: every iteration each vertex takes the min of its
-    own label and its neighbors' labels; converges in O(graph diameter)
-    iterations — duplicate clusters are near-cliques in practice, so
-    2-3. Each iteration is one broadcast-or-shuffle join + groupBy on
-    the edge list (edges << corpus for realistic dup rates).
+    Two physical paths on one semantic:
+
+    - **Small graph** (|edges| <= ``small_graph_edges``, the realistic
+      case — the LSH edge list is tiny relative to the corpus even at
+      100 TB): collect the edges, union-find on the driver, broadcast
+      the vertex->component map back as ONE join. Replaces O(diameter)
+      Spark jobs with one collect + one broadcast join; 2M edges is
+      ~32 MB on the driver.
+    - **Large graph**: label propagation — every iteration each vertex
+      takes the min of its own and its neighbors' labels; converges in
+      O(diameter) iterations, one edge join + groupBy each.
     """
     edges = (
         pairs.selectExpr(f"id_a as src", f"id_b as dst")
@@ -312,6 +319,41 @@ def connected_components(
         # be recomputed by every iteration's join.
         .localCheckpoint(eager=False)
     )
+    n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.toLocalIterator():
+            ra, rb = find(row.src), find(row.dst)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        mapping = [(v, find(v)) for v in list(parent)]
+        if not mapping:
+            return vertices.select(
+                F.col(id_col), F.col(id_col).alias("cluster_id")
+            )
+        spark = vertices.sparkSession
+        map_df = spark.createDataFrame(mapping, schema=["vid", "__root"])
+        return (
+            vertices.select(id_col)
+            .join(
+                F.broadcast(map_df),
+                vertices[id_col] == map_df.vid,
+                "left_outer",
+            )
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("__root"), F.col(id_col)).alias("cluster_id"),
+            )
+        )
     labels = vertices.select(F.col(id_col).alias("vid")).withColumn(
         "label", F.col("vid")
     )
