@@ -101,3 +101,70 @@ class ChangeFeedStream:
             )
             self._advance(to_v)  # commit the offset AFTER the sink ran
             batches += 1
+
+
+def cdc_replicate(
+    upstream: ManagedTable,
+    replica: ManagedTable,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    max_versions_per_batch: int | None = None,
+) -> int:
+    """Replicate a table by applying its change feed to a downstream
+    copy — the lakehouse CDC pattern (Delta CDF -> MERGE into replica).
+
+    Each micro-batch is the NET effect of the covered commits (a
+    two-snapshot diff): inserts/update-postimages upsert into the
+    replica, deletes remove their keys — both as merge-on-read commits,
+    so replication cost is O(changed rows), never a replica rewrite.
+    Replays are idempotent (keyed MERGE), which upgrades the offset
+    protocol's at-least-once delivery to exactly-once effect; a fresh
+    checkpoint against an existing replica simply re-upserts identical
+    rows. Returns the number of micro-batches applied."""
+    stream = ChangeFeedStream(
+        upstream,
+        checkpoint_dir,
+        key_cols=key_cols,
+        max_versions_per_batch=max_versions_per_batch,
+    )
+    from delta_lake_platform_spark.sources.managed_table import MergeClauses
+
+    pk_eq = " AND ".join(f"target.{c} = updates.{c}" for c in key_cols)
+
+    def sink(batch: DataFrame, from_v: int, to_v: int) -> None:
+        cols = [
+            c
+            for c in batch.columns
+            if c not in ("_change_type", "_commit_version")
+        ]
+        batch = batch.localCheckpoint(eager=False)  # two filters reuse it
+        ups = batch.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(*cols)
+        dels = (
+            batch.filter(F.col("_change_type") == "delete")
+            .select(*key_cols)
+            .distinct()
+        )
+        if not replica.exists():
+            replica.create(ups)
+        elif not ups.isEmpty():
+            replica.merge(
+                ups,
+                MergeClauses(
+                    condition=pk_eq,
+                    matched_update={c: f"updates.{c}" for c in cols},
+                    not_matched_insert={c: f"updates.{c}" for c in cols},
+                ),
+                rewrite=False,
+            )
+        if replica.exists() and not dels.isEmpty():
+            replica.merge(
+                dels,
+                MergeClauses(
+                    condition=pk_eq, matched_delete_condition="true"
+                ),
+                rewrite=False,
+            )
+
+    return stream.process_available(sink)

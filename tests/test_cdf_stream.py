@@ -7,6 +7,7 @@ import shutil
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from delta_lake_platform_spark.sources.managed_table import ManagedTable
 from delta_lake_platform_spark.streaming.cdf import ChangeFeedStream
@@ -91,3 +92,58 @@ def test_failed_sink_does_not_advance_offset(spark, tdir):
     got = []
     stream.process_available(lambda df, fv, tv: got.append(df.count()))
     assert got == [2]
+
+
+def test_cdc_replicate_follows_upstream_dml(spark):
+    import tempfile
+
+    from delta_lake_platform_spark.streaming.cdf import cdc_replicate
+
+    d = tempfile.mkdtemp(prefix="cdc_rep_")
+    up = ManagedTable(spark, f"{d}/up")
+    rep = ManagedTable(spark, f"{d}/rep")
+    up.create(
+        spark.range(0, 50).select(
+            "id", (F.col("id") * 10).alias("v")
+        )
+    )
+    assert cdc_replicate(up, rep, f"{d}/ckpt", ["id"]) == 1
+    assert sorted(map(tuple, rep.read().collect())) == sorted(
+        map(tuple, up.read().collect())
+    )
+
+    # Upstream DML across several commits -> one net-effect batch.
+    up.update({"v": "v + 1"}, "id < 10")
+    up.delete("id >= 45")
+    up.append(spark.range(100, 105).select("id", (F.col("id") * 10).alias("v")))
+    assert cdc_replicate(up, rep, f"{d}/ckpt", ["id"]) >= 1
+    assert sorted(map(tuple, rep.read().collect())) == sorted(
+        map(tuple, up.read().collect())
+    )
+    # The replica followed via MoR commits, not rewrites.
+    assert rep.history(1)[0]["operation"].startswith(("MERGE", "DELETE"))
+
+    # Replay from a fresh checkpoint: idempotent (exactly-once effect).
+    assert cdc_replicate(up, rep, f"{d}/ckpt2", ["id"]) == 1
+    assert sorted(map(tuple, rep.read().collect())) == sorted(
+        map(tuple, up.read().collect())
+    )
+
+
+def test_cdc_replicate_bounded_catchup(spark):
+    import tempfile
+
+    from delta_lake_platform_spark.streaming.cdf import cdc_replicate
+
+    d = tempfile.mkdtemp(prefix="cdc_rep2_")
+    up = ManagedTable(spark, f"{d}/up")
+    rep = ManagedTable(spark, f"{d}/rep")
+    up.create(spark.range(0, 10).select("id", F.lit(0).alias("v")))
+    for i in range(1, 5):
+        up.update({"v": str(i)}, f"id % {i + 1} = 0")
+    # 1 initial batch + ceil(4/2) catch-up batches.
+    n = cdc_replicate(up, rep, f"{d}/ckpt", ["id"], max_versions_per_batch=2)
+    assert n == 3
+    assert sorted(map(tuple, rep.read().collect())) == sorted(
+        map(tuple, up.read().collect())
+    )
