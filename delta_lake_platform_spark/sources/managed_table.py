@@ -871,27 +871,109 @@ class ManagedTable:
         return self._commit(df, operation, {"numOutputRows": None})
 
     def overwrite_where(
-        self, df: DataFrame, condition: str, validate: bool = True
+        self,
+        df: DataFrame,
+        condition: str,
+        validate: bool = True,
+        rewrite: bool = True,
     ) -> int:
         """Delta ``replaceWhere``: atomically replace exactly the rows
         matching ``condition`` with ``df``. With ``validate`` (Delta's
         default), writing a row that does NOT match the predicate is an
-        error — the guard that keeps partition reloads honest. At scale
-        the untouched side is file-pruned (the predicate bounds which
-        files can contain matches), so the rewrite is proportional to
-        the replaced slice, not the table."""
+        error — the guard that keeps partition reloads honest.
+
+        ``rewrite=True`` writes a new snapshot (untouched side is
+        file-pruned by the predicate at scan time). ``rewrite=False``
+        is the merge-on-read form: the old slice's positions extend the
+        deletion vector and the replacement lands as one new batch dir
+        — the whole partition reload costs O(slice), the canonical
+        daily-reload shape for a date-partitioned 100 TB fact table."""
         cond = F.expr(condition)
         if validate and not df.filter(~F.coalesce(cond, F.lit(False))).isEmpty():
             raise ValueError(
                 f"overwrite_where: input rows violate the predicate {condition!r}"
             )
-        kept = self.read().filter(~F.coalesce(cond, F.lit(False)))
-        n_new = df.count()
-        return self._commit(
-            kept.unionByName(df.select(*self.read().columns)),
-            "REPLACE WHERE",
-            {"predicate": condition, "numOutputRows": None, "numAddedRows": n_new},
+        if rewrite:
+            kept = self.read().filter(~F.coalesce(cond, F.lit(False)))
+            n_new = df.count()
+            return self._commit(
+                kept.unionByName(df.select(*self.read().columns)),
+                "REPLACE WHERE",
+                {"predicate": condition, "numOutputRows": None, "numAddedRows": n_new},
+            )
+
+        v = self.latest_version()
+        entry = self._entry(v) or {}
+        data_dirs = self._data_dirs(v)
+        tagged = self._scan(data_dirs, with_positions=True)
+        cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
+        old_dv_dir = entry.get("deletionVector")
+        if old_dv_dir:
+            tagged = tagged.join(
+                F.broadcast(self.spark.read.parquet(old_dv_dir)),
+                on=["__dv_file", "__dv_pos"],
+                how="left_anti",
+            )
+        replaced_pos = tagged.filter(F.coalesce(cond, F.lit(False))).select(
+            "__dv_file", "__dv_pos"
         )
+        batch = df.select(*cols)
+        self.verify_constraints(batch)
+        new_version = v + 1
+        batch_dir = self._local_data_dir(new_version)
+        self._write_data(batch, batch_dir)
+        n_new, batch_stats = _scan_parquet_footers(batch_dir)
+
+        dv_dir = self._dv_dir(new_version)
+        full_dv = (
+            replaced_pos
+            if not old_dv_dir
+            else self.spark.read.parquet(old_dv_dir).unionByName(replaced_pos)
+        )
+        full_dv.coalesce(1).write.mode("overwrite").parquet(dv_dir)
+        total_dv, _ = _scan_parquet_footers(dv_dir)
+        merged_stats = dict(entry.get("fileStats") or {})
+        merged_stats.update(batch_stats)
+        self._write_entry(
+            new_version,
+            {
+                "version": new_version,
+                "timestamp": time.time(),
+                "operation": "REPLACE WHERE (MOR)",
+                "operationMetrics": {
+                    "predicate": condition,
+                    "numAddedRows": n_new,
+                    "numDeletionVectorRows": total_dv,
+                    "numOutputRows": None,
+                },
+                "fileStats": merged_stats,
+                "dataPaths": data_dirs + [batch_dir],
+                "deletionVector": dv_dir,
+            },
+        )
+        return new_version
+
+    def maybe_compact(self, max_data_dirs: int = 16, max_dv_rows: int | None = None) -> int | None:
+        """Auto-compaction trigger (Delta's autoCompaction analogue):
+        rewrite the snapshot when incremental commits have accumulated
+        past the thresholds — too many referenced batch dirs (manifest
+        and open-file count grow per fast append) or too large a
+        deletion vector (every read pays the anti-join). Call it after
+        ingest ticks; returns the OPTIMIZE version, or None if under
+        both thresholds. This bounds read amplification without giving
+        up O(batch) ingest."""
+        v = self.latest_version()
+        entry = self._entry(v) or {}
+        over_dirs = len(self._data_dirs(v)) > max_data_dirs
+        dv_rows = (entry.get("operationMetrics") or {}).get(
+            "numDeletionVectorRows", 0
+        )
+        over_dv = max_dv_rows is not None and dv_rows > max_dv_rows
+        if not (over_dirs or over_dv):
+            return None
+        return self.compact(target_partitions=max(
+            1, self.spark.sparkContext.defaultParallelism // 4
+        ))
 
     def detail(self) -> dict:
         """DESCRIBE DETAIL analogue: table-level metadata from the

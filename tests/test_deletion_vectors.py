@@ -250,3 +250,44 @@ def test_mor_merge_multi_match_still_raises(table, spark):
             ),
             rewrite=False,
         )
+
+
+def test_mor_replace_where(table, spark):
+    files_before = _data_files(table, 0)
+    mtimes = {f: os.path.getmtime(f) for f in files_before}
+    new_slice = spark.range(0, 40).select(
+        (F.col("id") * 10 + 3).alias("id"),   # bucket 3 ids: 3, 13, 23...
+        F.lit(3).alias("bucket"),
+        F.lit(-1).alias("val"),
+    )
+    v = table.overwrite_where(new_slice, "bucket = 3", rewrite=False)
+    assert v == 1
+    assert {f: os.path.getmtime(f) for f in files_before} == mtimes
+    got = table.read()
+    # 900 untouched + 40 replacement rows.
+    assert got.count() == 940
+    assert got.filter("bucket = 3").count() == 40
+    assert got.filter("bucket = 3 AND val != -1").count() == 0
+    # Validation still applies on the MoR path.
+    with pytest.raises(ValueError):
+        table.overwrite_where(
+            spark.range(1).select(F.lit(1).alias("id"), F.lit(9).alias("bucket"),
+                                  F.lit(0).alias("val")),
+            "bucket = 3",
+            rewrite=False,
+        )
+
+
+def test_maybe_compact_bounds_read_amplification(table, spark):
+    for lo in range(0, 5):
+        table.append(spark.range(2000 + lo, 2001 + lo).select(
+            "id", F.lit(0).alias("bucket"), F.lit(0).alias("val")))
+    assert table.maybe_compact(max_data_dirs=16) is None   # under threshold
+    v = table.maybe_compact(max_data_dirs=3)
+    assert v is not None
+    assert len(table._data_dirs(v)) == 1
+    assert table.read().count() == 1005
+    # DV-size trigger.
+    table.delete("bucket = 1", rewrite=False)
+    assert table.maybe_compact(max_data_dirs=16, max_dv_rows=50) is not None
+    assert "deletionVector" not in table._entry(table.latest_version())
