@@ -352,3 +352,104 @@ def nation_supplier_namelist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+FUNNEL_ORACLE = """
+WITH stage_times AS (
+  SELECT user_id,
+         MIN(ts) FILTER (event_type = 'view')     AS t_view,
+         MIN(ts) FILTER (event_type = 'click')    AS t_click,
+         MIN(ts) FILTER (event_type = 'purchase') AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT COUNT(*) FILTER (t_view IS NOT NULL) AS n_viewed,
+       COUNT(*) FILTER (t_view IS NOT NULL AND t_click > t_view) AS n_clicked_after_view,
+       COUNT(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                        AND t_purchase > t_click) AS n_purchased_after_click,
+       ROUND(COUNT(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                              AND t_purchase > t_click) * 1.0
+             / COUNT(*) FILTER (t_view IS NOT NULL), 6) AS view_to_purchase_rate
+FROM stage_times
+"""
+
+
+@register("events_conversion_funnel", FUNNEL_ORACLE)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): per-user
+    first-touch times per stage via conditional MIN aggregates, then
+    order predicates — one shuffle on user_id, one scalar roll-up. The
+    window-free formulation is the scalable one: no per-user event
+    sorting, just three conditional mins that fold map-side."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    cnt = lambda c: F.count(F.when(c, True))  # noqa: E731
+    return stages.agg(
+        cnt(viewed).alias("n_viewed"),
+        cnt(clicked).alias("n_clicked_after_view"),
+        cnt(purchased).alias("n_purchased_after_click"),
+        F.round(cnt(purchased) * 1.0 / cnt(viewed), 6).alias(
+            "view_to_purchase_rate"
+        ),
+    )
+
+
+RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day, day_offset, COUNT(*) AS n_users
+FROM activity
+WHERE day_offset <= 7 AND cohort_day <= DATE '2024-01-07'
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
+@register("events_retention_cohorts", RETENTION_ORACLE)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen day,
+    counted on each later day they return (first week, first 7
+    cohorts). Two shuffles: the per-user MIN, then the distinct
+    (user, offset) count — the cohort join broadcasts the firsts side
+    when small and AQE handles it when not."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, on="user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(
+            (F.col("day_offset") <= 7)
+            & (F.col("cohort_day") <= F.lit("2024-01-07").cast("date"))
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
