@@ -1,0 +1,199 @@
+"""Spark 4 Python DataSource for ManagedTable: ``spark.read.format(
+"managed_table")`` and ``spark.readStream.format("managed_table")``.
+
+This is the idiomatic Spark integration layer Delta ships as a JVM
+connector, re-expressed through the (public) Python DataSource API
+added in Spark 4 (SPARK-44076): the table becomes a first-class
+``format(...)`` — usable from any Spark session with zero library
+imports at the call site, composable with the whole reader/stream API.
+
+- **Batch**: one input partition per data file (so parallelism tracks
+  the file layout exactly); deletion-vector positions are grouped per
+  file on the driver and each executor drops its own file's dead rows
+  from the Arrow table before yielding RecordBatches — merge-on-read
+  pushed into the scan itself.
+- **Streaming**: an append-only log tail (Delta streaming-source
+  semantics): offsets are commit versions; each micro-batch serves
+  exactly the files added by APPEND/COPY INTO commits in (start, end].
+  A non-append commit poisons the tail and raises, unless
+  ``ignoreChanges`` is set — the same contract Delta enforces, because
+  silently replaying rewritten rows would double-count.
+
+Scope note (documented, not silent): hive-partitioned tables are not
+servable through this source — a bare file read cannot recover the
+partition directory columns; use ``ManagedTable.read()`` for those.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from .managed_table import ManagedTable
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_path: str, deleted_rows: tuple[int, ...] = ()):
+        self.file_path = file_path
+        self.deleted_rows = deleted_rows
+
+
+def _read_file_batches(part: _FilePartition) -> Iterator:
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(part.file_path)
+    if part.deleted_rows:
+        import pyarrow as pa
+
+        dead = set(part.deleted_rows)
+        keep = [i for i in range(table.num_rows) if i not in dead]
+        table = table.take(pa.array(keep, type=pa.int64()))
+    yield from table.to_batches()
+
+
+def _table_from_options(options) -> ManagedTable:
+    path = options.get("path")
+    if not path:
+        raise ValueError("managed_table source requires a 'path' option")
+    # The executor-side readers never touch the SparkSession, so a
+    # driver-only handle (spark=None) is fine for log/file resolution.
+    return ManagedTable(None, path)
+
+
+def _snapshot_partitions(table: ManagedTable, version: int) -> list[_FilePartition]:
+    from .managed_table import _parquet_files
+
+    entry = table._entry(version) or {}
+    dv: dict[str, list[int]] = {}
+    if "deletionVector" in entry:
+        import pyarrow.parquet as pq
+        from urllib.parse import urlparse
+
+        dv_tbl = pq.read_table(entry["deletionVector"]).to_pydict()
+        for f, pos in zip(dv_tbl["__dv_file"], dv_tbl["__dv_pos"]):
+            # Spark records positions under "file:///abs/..." URIs;
+            # the local file lister produces plain paths.
+            key = urlparse(f).path if ":" in f.split("/", 1)[0] else f
+            dv.setdefault(key, []).append(pos)
+    parts = []
+    for d in table._data_dirs(version):
+        for f in _parquet_files(d):
+            parts.append(_FilePartition(f, tuple(dv.get(f, ()))))
+    return parts
+
+
+class _SnapshotReader(DataSourceReader):
+    def __init__(self, options):
+        self.table = _table_from_options(options)
+        v = options.get("version")
+        self.version = int(v) if v is not None else self.table.latest_version()
+
+    def partitions(self):
+        return _snapshot_partitions(self.table, self.version)
+
+    def read(self, partition: _FilePartition):
+        return _read_file_batches(partition)
+
+
+class _TailReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.table = _table_from_options(options)
+        self.ignore_changes = str(
+            options.get("ignorechanges", "false")
+        ).lower() in ("true", "1")
+
+    def initialOffset(self):
+        # First batch serves the current snapshot (startingVersion=0
+        # semantics); the tail then follows appends.
+        return {"version": -1}
+
+    def latestOffset(self):
+        return {"version": self.table.latest_version()}
+
+    def partitions(self, start, end):
+        s, e = start["version"], end["version"]
+        if s < 0:
+            return _snapshot_partitions(self.table, e)
+        from .managed_table import _parquet_files
+
+        seen = {
+            f
+            for d in self.table._data_dirs(s)
+            for f in _parquet_files(d)
+        }
+        parts: list[_FilePartition] = []
+        for v in range(s + 1, e + 1):
+            entry = self.table._entry(v) or {}
+            op = entry.get("operation", "")
+            appended = [
+                f
+                for d in self.table._data_dirs(v)
+                for f in _parquet_files(d)
+                if f not in seen
+            ]
+            if op not in ("APPEND", "COPY INTO"):
+                if not self.ignore_changes:
+                    raise RuntimeError(
+                        f"managed_table tail: version {v} is {op!r}, not an "
+                        "append — rewritten/deleted rows cannot be streamed "
+                        "exactly-once (set ignoreChanges to skip such commits)"
+                    )
+                seen.update(appended)
+                continue
+            parts.extend(_FilePartition(f) for f in appended)
+            seen.update(appended)
+        return parts
+
+    def read(self, partition: _FilePartition):
+        return _read_file_batches(partition)
+
+    def commit(self, end):
+        pass
+
+
+class ManagedTableDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "managed_table"
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+        import pyarrow.parquet as pq
+
+        from .managed_table import _parquet_files
+
+        table = _table_from_options(self.options)
+        if table.partition_spec():
+            raise ValueError(
+                "managed_table source cannot serve hive-partitioned tables "
+                "(bare file reads lose partition columns); use "
+                "ManagedTable.read()"
+            )
+        v = self.options.get("version")
+        version = int(v) if v is not None else table.latest_version()
+        for d in table._data_dirs(version):
+            files = _parquet_files(d)
+            if files:
+                return from_arrow_schema(pq.read_schema(files[0]))
+        raise ValueError(f"no data files in {table.path}")
+
+    def reader(self, schema):
+        return _SnapshotReader(self.options)
+
+    def streamReader(self, schema):
+        return _TailReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the format with a session:
+    ``datasource.register(spark)`` then
+    ``spark.read.format("managed_table").option("path", p).load()``."""
+    spark.dataSource.register(ManagedTableDataSource)
