@@ -79,5 +79,13 @@ def has_whole_stage_codegen(df: DataFrame, execute: bool = True) -> bool:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges (each is a full network reshuffle —
-    the unit of cost to minimize at 100 TB)."""
-    return len(re.findall(r"\bExchange (?:hash|range|Single)", explain_str(df)))
+    the unit of cost to minimize at 100 TB). BroadcastExchange is
+    deliberately excluded — a dim-table ship, not a fact reshuffle.
+
+    Counts the formatted plan's numbered operator entries
+    ("(7) Exchange"); Spark's formatted mode stopped inlining the
+    partitioning into the node name, so matching "Exchange hash..."
+    silently counted zero."""
+    return len(
+        re.findall(r"^\(\d+\) Exchange\s*$", explain_str(df), flags=re.M)
+    )
