@@ -34,7 +34,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from .managed_table import ManagedTable
@@ -159,6 +161,130 @@ class _TailReader(DataSourceStreamReader):
         pass
 
 
+class _WriteMessage(WriterCommitMessage):
+    def __init__(self, file_path: str | None, n_rows: int):
+        self.file_path = file_path
+        self.n_rows = n_rows
+
+
+class _BatchWriter(DataSourceWriter):
+    """``df.write.format("managed_table")``: the Delta write protocol in
+    miniature — executors write their partition's parquet file into a
+    staging dir (no coordination), the driver's ``commit`` atomically
+    renames staging into the next version and writes the log entry
+    (O_EXCL; a concurrent-commit loser re-renames and retries), and
+    ``abort`` removes staging so failed jobs leave no trace. Append
+    commits are incremental (``dataPaths`` manifest); overwrite commits
+    own the full snapshot."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        import uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("managed_table sink requires a 'path' option")
+        self.schema = schema
+        self.overwrite = overwrite
+        self.staging = os.path.join(
+            self.path, "_staging", uuid.uuid4().hex
+        )
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import uuid
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        rows = list(iterator)
+        if not rows:
+            return _WriteMessage(None, 0)
+        names = [f.name for f in self.schema.fields]
+        cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+        table = pa.Table.from_pydict(cols, schema=to_arrow_schema(self.schema))
+        os.makedirs(self.staging, exist_ok=True)
+        fpath = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, fpath)
+        return _WriteMessage(fpath, len(rows))
+
+    def commit(self, messages):
+        import time as _time
+
+        from .managed_table import (
+            ConcurrentWriteError,
+            _scan_parquet_footers,
+        )
+
+        table = ManagedTable(None, self.path)
+        if table.exists() and table.partition_spec():
+            raise ValueError(
+                "managed_table sink cannot write hive-partitioned tables; "
+                "use ManagedTable.append()"
+            )
+        if table.constraints():
+            raise ValueError(
+                "managed_table sink bypasses Spark-side CHECK validation; "
+                "use ManagedTable.append() on constrained tables"
+            )
+        os.makedirs(self.staging, exist_ok=True)  # all-empty partitions
+        n_rows = sum(m.n_rows for m in messages if m is not None)
+        while True:
+            version = (table.latest_version() + 1) if table.exists() else 0
+            final = table._local_data_dir(version)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            try:
+                os.rename(self.staging, final)
+            except OSError:
+                # Target taken by a concurrent writer: retry at next v.
+                continue
+            _n, stats = _scan_parquet_footers(final)
+            if self.overwrite or version == 0:
+                entry = {
+                    "version": version,
+                    "timestamp": _time.time(),
+                    "operation": "CREATE OR OVERWRITE",
+                    "operationMetrics": {"numOutputRows": n_rows},
+                    "fileStats": stats,
+                }
+            else:
+                prev = table._entry(version - 1) or {}
+                prev_rows = (prev.get("operationMetrics") or {}).get(
+                    "numOutputRows"
+                )
+                merged = dict(prev.get("fileStats") or {})
+                merged.update(stats)
+                entry = {
+                    "version": version,
+                    "timestamp": _time.time(),
+                    "operation": "APPEND",
+                    "operationMetrics": {
+                        "numAppendedRows": n_rows,
+                        "numOutputRows": (
+                            prev_rows + n_rows
+                            if isinstance(prev_rows, int)
+                            else None
+                        ),
+                    },
+                    "fileStats": merged,
+                    "dataPaths": table._data_dirs(version - 1) + [final],
+                    **(
+                        {"deletionVector": prev["deletionVector"]}
+                        if "deletionVector" in prev
+                        else {}
+                    ),
+                }
+            try:
+                table._write_entry(version, entry)
+                return
+            except ConcurrentWriteError:
+                os.rename(final, self.staging)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class ManagedTableDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -190,6 +316,9 @@ class ManagedTableDataSource(DataSource):
 
     def streamReader(self, schema):
         return _TailReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return _BatchWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

@@ -113,3 +113,57 @@ def test_stream_tail_rejects_non_append_commits(table, spark):
     # the current snapshot (post-delete, incl. append) flows.
     run("b", ignore_changes=True)
     assert spark.read.parquet(f"{d}/b").count() == table.read().count()
+
+
+def test_batch_writer_create_append_overwrite(table, spark):
+    d = tempfile.mkdtemp(prefix="ds_write_")
+    path = f"{d}/w"
+    df = spark.range(0, 100).select("id", (F.col("id") % 3).alias("k"))
+
+    # Create (first write), then append, then overwrite.
+    df.write.format("managed_table").option("path", path).mode("overwrite").save()
+    t = ManagedTable(spark, path)
+    assert t.read().count() == 100
+    assert t.history(1)[0]["operation"] == "CREATE OR OVERWRITE"
+
+    spark.range(100, 120).select("id", (F.col("id") % 3).alias("k")) \
+        .write.format("managed_table").option("path", path).mode("append").save()
+    assert t.read().count() == 120
+    h = t.history(1)[0]
+    assert h["operation"] == "APPEND"
+    assert h["operationMetrics"]["numAppendedRows"] == 20
+    # Incremental: the append referenced the prior dir.
+    assert len(t._data_dirs(t.latest_version())) == 2
+
+    spark.range(0, 7).select("id", (F.col("id") % 3).alias("k")) \
+        .write.format("managed_table").option("path", path).mode("overwrite").save()
+    assert t.read().count() == 7
+    # Time travel across writer commits.
+    assert t.read(0).count() == 100
+    assert t.read(1).count() == 120
+
+
+def test_batch_writer_roundtrips_through_reader(table, spark):
+    d = tempfile.mkdtemp(prefix="ds_write2_")
+    path = f"{d}/w"
+    src = table.read()
+    src.write.format("managed_table").option("path", path).mode("overwrite").save()
+    back = spark.read.format("managed_table").option("path", path).load()
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+
+def test_batch_writer_append_preserves_deletion_vector(table, spark):
+    d = tempfile.mkdtemp(prefix="ds_write3_")
+    path = f"{d}/w"
+    table.read().write.format("managed_table").option("path", path).mode("overwrite").save()
+    t = ManagedTable(spark, path)
+    t.delete("k = 1", rewrite=False)
+    spark.range(5000, 5010).select(
+        "id", F.lit(1).alias("k"), F.lit(0).alias("v")
+    ).write.format("managed_table").option("path", path).mode("append").save()
+    got = t.read()
+    # Old k=1 rows stay masked; the appended k=1 rows are visible.
+    assert got.filter("k = 1").count() == 10
+    assert got.count() == 170
