@@ -216,6 +216,33 @@ class ManagedTable:
         with os.fdopen(fd, "w") as f:
             json.dump(entry, f)
 
+    # -- table properties ----------------------------------------------------
+
+    def _properties_path(self) -> str:
+        return os.path.join(self.path, "_properties.json")
+
+    def properties(self) -> dict[str, str]:
+        if not os.path.isfile(self._properties_path()):
+            return {}
+        with open(self._properties_path()) as f:
+            return json.load(f)
+
+    def set_property(self, key: str, value: str) -> None:
+        """ALTER TABLE SET TBLPROPERTIES analogue. The one behavioral
+        property is ``enableDeletionVectors``: when 'true', DML
+        (DELETE/UPDATE/MERGE/replaceWhere) defaults to merge-on-read —
+        exactly Delta's ``delta.enableDeletionVectors`` switch."""
+        props = self.properties()
+        props[key] = value
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._properties_path(), "w") as f:
+            json.dump(props, f)
+
+    def _resolve_rewrite(self, rewrite: bool | None) -> bool:
+        if rewrite is not None:
+            return rewrite
+        return self.properties().get("enableDeletionVectors") != "true"
+
     # -- partitioning (hive layout) -----------------------------------------
 
     def _partitioning_path(self) -> str:
@@ -501,7 +528,7 @@ class ManagedTable:
         source: DataFrame,
         clauses: MergeClauses,
         auto_schema_evolution: bool = False,
-        rewrite: bool = True,
+        rewrite: bool | None = None,
     ) -> int:
         """Delta-style MERGE: one shuffle join, one snapshot commit.
 
@@ -522,6 +549,7 @@ class ManagedTable:
         the shape a dimension merge must have when the dimension is
         billions of rows and the batch is thousands. Incompatible with
         ``auto_schema_evolution`` (widening needs a rewrite)."""
+        rewrite = self._resolve_rewrite(rewrite)
         if not rewrite and auto_schema_evolution:
             raise MergeError(
                 "merge(rewrite=False) cannot widen the schema; "
@@ -714,7 +742,7 @@ class ManagedTable:
         self,
         set_exprs: dict[str, str],
         condition: str | None = None,
-        rewrite: bool = True,
+        rewrite: bool | None = None,
     ) -> int:
         """Delta UPDATE: rewrite rows matching ``condition`` with
         ``set_exprs`` (SQL expressions over the row's own columns).
@@ -724,6 +752,7 @@ class ManagedTable:
         (b) fast-appends the rewritten rows as a new batch dir — cost is
         O(matched rows), not O(table). This is exactly how Delta updates
         a table with DVs enabled: mark old copies dead, add new copies."""
+        rewrite = self._resolve_rewrite(rewrite)
         if rewrite:
             target = self.read()
             cond = F.expr(condition) if condition else F.lit(True)
@@ -801,7 +830,7 @@ class ManagedTable:
         )
         return new_version
 
-    def delete(self, condition: str, rewrite: bool = True) -> int:
+    def delete(self, condition: str, rewrite: bool | None = None) -> int:
         """Delta DELETE. With ``rewrite`` (copy-on-write), matching rows
         are dropped by writing a new snapshot. With ``rewrite=False``
         (merge-on-read deletion vectors, Delta's DV feature): no data
@@ -812,6 +841,7 @@ class ManagedTable:
         1 GB rewrite — the point of DVs at 100 TB. Any later full
         rewrite (compact/OPTIMIZE/UPDATE/...) reads through the DV and
         materializes the survivors, clearing the debt."""
+        rewrite = self._resolve_rewrite(rewrite)
         if rewrite:
             target = self.read().localCheckpoint(eager=False)
             cond = F.coalesce(F.expr(condition), F.lit(False))
@@ -875,7 +905,7 @@ class ManagedTable:
         df: DataFrame,
         condition: str,
         validate: bool = True,
-        rewrite: bool = True,
+        rewrite: bool | None = None,
     ) -> int:
         """Delta ``replaceWhere``: atomically replace exactly the rows
         matching ``condition`` with ``df``. With ``validate`` (Delta's
@@ -888,6 +918,7 @@ class ManagedTable:
         deletion vector and the replacement lands as one new batch dir
         — the whole partition reload costs O(slice), the canonical
         daily-reload shape for a date-partitioned 100 TB fact table."""
+        rewrite = self._resolve_rewrite(rewrite)
         cond = F.expr(condition)
         if validate and not df.filter(~F.coalesce(cond, F.lit(False))).isEmpty():
             raise ValueError(

@@ -210,6 +210,15 @@ class PlatformSQL:
             v = table.append(df)
             met = table.history(1)[0]["operationMetrics"]
             return self._df([{"version": v, **{k: v2 for k, v2 in met.items() if v2 is not None}}])
+        m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*"
+            r"\(\s*'?([^'=,\s]+)'?\s*=\s*'?([^'),\s]+)'?\s*\)$",
+            t,
+        )
+        if m:
+            name, key, value = m.groups()
+            self.tables[name].set_property(key, value)
+            return self._df([{"key": key, "value": value}])
         m = re.match(rf"(?is)^SHOW\s+PARTITIONS\s+({_IDENT})$", t)
         if m:
             table = self.tables[m.group(1)]

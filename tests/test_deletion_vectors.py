@@ -291,3 +291,15 @@ def test_maybe_compact_bounds_read_amplification(table, spark):
     table.delete("bucket = 1", rewrite=False)
     assert table.maybe_compact(max_data_dirs=16, max_dv_rows=50) is not None
     assert "deletionVector" not in table._entry(table.latest_version())
+
+
+def test_enable_deletion_vectors_property_switches_dml_default(table):
+    table.set_property("enableDeletionVectors", "true")
+    v = table.delete("bucket = 6")           # no rewrite arg
+    assert table._entry(v)["operation"] == "DELETE (DV)"
+    v = table.update({"val": "val + 1"}, "bucket = 0")
+    assert table._entry(v)["operation"] == "UPDATE (MOR)"
+    # Explicit rewrite overrides the property.
+    v = table.delete("bucket = 7", rewrite=True)
+    assert table._entry(v)["operation"] == "DELETE"
+    assert table.read().count() == 800

@@ -155,3 +155,14 @@ def test_create_table_as_insert_into_show_partitions(psql, spark):
 
     parts = psql.sql("SHOW PARTITIONS rich").collect()
     assert [r.name for r in parts] == ["alice", "bob", "carol", "zed"]
+
+
+def test_tblproperties_enable_dv_via_sql(psql):
+    psql.sql(
+        "ALTER TABLE accounts SET TBLPROPERTIES "
+        "('enableDeletionVectors' = 'true')"
+    )
+    psql.sql("DELETE FROM accounts WHERE id = 2")
+    h = psql.sql("DESCRIBE HISTORY accounts").first()
+    assert h.operation == "DELETE (DV)"
+    assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 2
