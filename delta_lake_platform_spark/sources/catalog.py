@@ -44,16 +44,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DuckDB oracle regardless of the caller's session/JVM default.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet INT64 TIMESTAMP(NANOS): Spark 4 rejects it
-        # unless read as a raw long. Truncate ns -> us with integer
-        # division (exact; `div`, not `/`, which would go through double
-        # and lose precision on epoch-nanos magnitudes). DuckDB reads the
-        # same column as a us-truncated TIMESTAMP, so oracles agree.
+        # events.ts varies by fixture generation: parquet INT64
+        # TIMESTAMP(NANOS) (Spark 4 reads it only as a raw long under
+        # nanosAsLong) or plain timestamp[us] (read natively as
+        # TIMESTAMP_NTZ). Branch on the dtype Spark actually produced
+        # rather than assuming one encoding; a wrong assumption here
+        # poisons every events query AND register_views.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Epoch-nanos as long: truncate ns -> us with integer
+            # division (`div`, not `/`, which would round-trip through
+            # double and lose precision at epoch-nanos magnitudes).
+            # DuckDB reads the same column us-truncated, so oracles agree.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Naive wall-clock micros; session TZ is pinned UTC above, so
+            # this cast preserves the wall-clock and matches the
+            # (timezone-naive) DuckDB oracle.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # already "timestamp": leave as-is
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
