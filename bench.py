@@ -30,29 +30,41 @@ def main() -> None:
     spark = get_spark("dlp-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: JVM JIT + parquet footers.
-    QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+    # Warm-up: JVM JIT + parquet footers. Never let warm-up kill the run.
+    try:
+        QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+    except Exception as exc:  # noqa: BLE001
+        print(f"warmup failed: {exc}", file=sys.stderr)
 
+    # Per-query fault isolation: one broken query must not cost the
+    # timings of the other 99 (round-1 postmortem: a loader bug on the
+    # first alphabetical query left the whole round with no bench number).
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(QUERIES.items()):
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).collect()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"query {name} failed: {errors[name]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
-    spark.stop()
+    out = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001
+        pass
 
 
 if __name__ == "__main__":
