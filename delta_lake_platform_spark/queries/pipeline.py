@@ -494,6 +494,77 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ANN recall@k vs brute force (deterministic, hash-oracled) --------------
+#
+# Random embeddings have no cluster structure, so natural IVF/PQ recall
+# is data-dependent (<1). To make recall a *provable* constant at every
+# SF we plant 5 exact copies of each query vector at known ids: the true
+# top-5 of each query is then its copies (cosine 1.0 vs natural max
+# ~0.51). IVF finds them because an exact copy assigns to the query's
+# own argmax centroid — the first probe; PQ finds them because an exact
+# copy's codes minimize every per-subspace distance, i.e. the global-min
+# ADC. The Spark side REALLY computes recall(approx, brute force); the
+# oracle is the provable expected value, so any regression in centroid
+# assignment, probe join, PQ encoding, ADC lookup, or shortlist re-rank
+# hash-mismatches.
+
+_ANN_RECALL_ORACLE = """
+SELECT vec_id AS query_id, 5::BIGINT AS n_hits, 1.0 AS recall
+FROM embeddings WHERE vec_id < 10
+ORDER BY query_id
+"""
+
+
+def _planted_ann_corpus(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    copies = [
+        queries.withColumn("vec_id", F.col("vec_id") * 100 + F.lit(2000000 + j))
+        for j in range(5)
+    ]
+    corpus = emb
+    for c in copies:
+        corpus = corpus.unionByName(c)
+    return queries, corpus
+
+
+def _recall_vs_bruteforce(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    hits = approx.select("query_id", "neighbor_id").intersect(
+        exact.select("query_id", "neighbor_id")
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("__k"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.col("__k"), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register("ann_ivf_recall", _ANN_RECALL_ORACLE)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries, corpus = _planted_ann_corpus(spark, sf_dir)
+    ivf = similarity.ivf_topk(queries, corpus, k=5, nprobe=2)
+    bf = similarity.cosine_topk_bruteforce(queries, corpus, k=5)
+    return _recall_vs_bruteforce(ivf, bf)
+
+
+@register("ann_pq_recall", _ANN_RECALL_ORACLE)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries, corpus = _planted_ann_corpus(spark, sf_dir)
+    pq = similarity.pq_topk(queries, corpus, k=5, rerank_factor=4)
+    bf = similarity.cosine_topk_bruteforce(queries, corpus, k=5)
+    return _recall_vs_bruteforce(pq, bf)
+
+
 # --- tf-idf keyword extraction ----------------------------------------------
 
 TFIDF_ORACLE = """
