@@ -182,13 +182,66 @@ def _split_current(target: DataFrame, cfg: ScdConfig) -> tuple[DataFrame, DataFr
     return current, historic
 
 
+def _sql_literal(v) -> str:
+    """Render a partition value as a SQL literal for replaceWhere."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+# Above this many touched partitions the replaceWhere predicate string
+# stops being "a handful of reloaded partitions" and the full-snapshot
+# commit is the better plan anyway.
+_MAX_TOUCHED_PARTITIONS = 256
+
+
+def _touched_partition_predicate(
+    incoming: DataFrame, spec: Sequence[str]
+) -> str | None:
+    """OR-of-conjunctions predicate covering exactly the partitions the
+    batch touches, or None when the batch is empty or touches too many
+    partitions for a predicate commit to make sense."""
+    touched = incoming.select(*spec).distinct().limit(
+        _MAX_TOUCHED_PARTITIONS + 1
+    ).collect()
+    if not touched or len(touched) > _MAX_TOUCHED_PARTITIONS:
+        return None
+    terms = []
+    for row in touched:
+        conj = " AND ".join(
+            f"{c} IS NULL" if row[c] is None else f"{c} = {_sql_literal(row[c])}"
+            for c in spec
+        )
+        terms.append(f"({conj})")
+    return " OR ".join(terms)
+
+
 def apply_scd(
     batch: DataFrame,
     table: ManagedTable,
     cfg: ScdConfig,
     mode: str = "single_commit",
 ) -> int:
-    """Apply one incremental batch; returns the committed version."""
+    """Apply one incremental batch; returns the committed version.
+
+    Scale path: when the table is hive-partitioned on a subset of the
+    PK (so an entity's entire version history lives in exactly one
+    partition), the batch is applied partition-locally — the target
+    read is partition-pruned to the partitions the batch touches and
+    the commit is a ``replaceWhere`` over just those partitions
+    (merge-on-read: O(touched slice) I/O, not O(table)). The full-table
+    copy-on-write overwrite remains the default for unpartitioned
+    tables, where it is the right plan at toy scale and the only exact
+    one without a partition contract.
+    """
     if mode == "two_merge":
         if cfg.surrogate_col:
             raise ValueError(
@@ -227,6 +280,17 @@ def apply_scd(
                 id_col=cfg.surrogate_col,
             ).select(*out_cols)
         return table.overwrite(first_load, operation="SCD_APPLY")
+
+    # Partition-local scope: exact iff partition cols are PK-derived
+    # (a PK can never move partitions across versions, so every row —
+    # current or historic — of a touched entity is inside the slice).
+    full_target = target
+    spec = table.partition_spec()
+    part_pred: str | None = None
+    if spec and set(spec) <= set(cfg.pk_cols):
+        part_pred = _touched_partition_predicate(incoming, spec)
+        if part_pred is not None:
+            target = target.filter(F.expr(part_pred))
 
     current, historic = _split_current(target, cfg)
 
@@ -318,13 +382,23 @@ def apply_scd(
     if cfg.surrogate_col:
         # Inserted rows (new entities + new SCD2 versions) carry null
         # keys at this point; fill them from the high-water mark,
-        # ordered by (pk, effective_from) for reproducibility.
+        # ordered by (pk, effective_from) for reproducibility. The HWM
+        # fallback scans the FULL table, never the partition slice —
+        # a slice max would under-read the mark and reissue ids.
         new_state = fill_identity(
             new_state,
             cfg.surrogate_col,
             list(cfg.pk_cols) + ["effective_from"],
-            next_value=_surrogate_hwm(table, target, cfg) + 1,
+            next_value=_surrogate_hwm(table, full_target, cfg) + 1,
         ).select(*out_cols)
+    if part_pred is not None:
+        # O(touched slice) commit: DV-delete the old slice positions,
+        # append the recomputed slice. validate=False is safe by
+        # construction — every new_state row comes from the slice or
+        # from batch rows whose partition values defined the predicate.
+        return table.overwrite_where(
+            new_state, part_pred, validate=False, rewrite=False
+        )
     return table.overwrite(new_state, operation="SCD_APPLY")
 
 
@@ -411,11 +485,22 @@ def _apply_scd_two_merge(batch: DataFrame, table: ManagedTable, cfg: ScdConfig) 
 
 
 def create_scd_target(
-    table: ManagedTable, batch_schema_df: DataFrame, cfg: ScdConfig
+    table: ManagedTable,
+    batch_schema_df: DataFrame,
+    cfg: ScdConfig,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Create an empty SCD target with the contract columns derived from
     a batch's schema (the reference declares DDL by hand,
-    test_scd_handler.py:40-57)."""
+    test_scd_handler.py:40-57). ``partition_by`` must be a subset of the
+    PK to unlock the partition-local apply path (see ``apply_scd``)."""
+    if partition_by and not set(partition_by) <= set(cfg.pk_cols):
+        raise ValueError(
+            "partition_by must be a subset of pk_cols: an SCD2 column "
+            "can change across versions, which would scatter one "
+            "entity's history across partitions and break "
+            "partition-local applies"
+        )
     if cfg.surrogate_col:
         batch_schema_df = batch_schema_df.drop(cfg.surrogate_col)
     empty = _stamp_incoming(batch_schema_df.limit(0), cfg, cfg.clock()).drop(
@@ -425,4 +510,4 @@ def create_scd_target(
         empty = empty.select(
             F.lit(None).cast("long").alias(cfg.surrogate_col), "*"
         )
-    return table.create(empty)
+    return table.create(empty, partition_by=partition_by)

@@ -254,10 +254,23 @@ class ManagedTable:
         with open(self._partitioning_path()) as f:
             return json.load(f)["partitionBy"]
 
-    def _set_partition_spec(self, cols: list[str]) -> None:
+    def _column_order(self) -> list[str]:
+        """Logical column order declared at create time. Hive-layout
+        reads surface partition columns last; scans restore this order
+        so partitioning stays a physical detail, invisible to readers."""
+        if not os.path.isfile(self._partitioning_path()):
+            return []
+        with open(self._partitioning_path()) as f:
+            return json.load(f).get("columnOrder", [])
+
+    def _set_partition_spec(
+        self, cols: list[str], column_order: list[str] | None = None
+    ) -> None:
         os.makedirs(self.path, exist_ok=True)
         with open(self._partitioning_path(), "w") as f:
-            json.dump({"partitionBy": cols}, f)
+            json.dump(
+                {"partitionBy": cols, "columnOrder": column_order or []}, f
+            )
 
     def _write_data(self, df: DataFrame, data_dir: str) -> None:
         w = df.write.mode("overwrite")
@@ -265,6 +278,13 @@ class ManagedTable:
         if spec:
             w = w.partitionBy(*spec)
         w.parquet(data_dir)
+        if spec and not _parquet_files(data_dir):
+            # An empty partitioned write emits no parquet files at all,
+            # which would leave the snapshot schema-less (scans fail with
+            # UNABLE_TO_INFER_SCHEMA). Rewrite the empty frame flat so
+            # one zero-row file anchors the schema, partition columns
+            # included as ordinary data columns.
+            df.write.mode("overwrite").parquet(data_dir)
 
     def _scan(self, dirs: list[str], with_positions: bool = False) -> DataFrame:
         """One DataFrame over a version's data dirs. Non-partitioned
@@ -285,20 +305,42 @@ class ManagedTable:
                 *df.columns,
             )
 
-        if not self.partition_spec() or len(dirs) == 1:
-            return tag(self.spark.read.parquet(*dirs))
+        spec = self.partition_spec()
+
+        def reorder(df: DataFrame) -> DataFrame:
+            # Restore the declared logical order (hive reads put
+            # partition cols last). Graceful on schema evolution: known
+            # cols in declared order, then any newer ones.
+            order = self._column_order()
+            if not spec or not order:
+                return df
+            meta = [c for c in ("__dv_file", "__dv_pos") if c in df.columns]
+            known = [c for c in order if c in df.columns]
+            rest = [c for c in df.columns if c not in known and c not in meta]
+            return df.select(*meta, *known, *rest)
+
+        if not spec or len(dirs) == 1:
+            return reorder(tag(self.spark.read.parquet(*dirs)))
         nonempty = [d for d in dirs if _parquet_files(d)] or dirs[:1]
         out = None
         for d in nonempty:
             df = tag(self.spark.read.parquet(d))
             out = df if out is None else out.unionByName(df)
-        return out
+        return reorder(out)
 
     def _commit(
         self, df: DataFrame, operation: str, metrics: dict, extra: dict | None = None
     ) -> int:
         self.verify_constraints(df)
         version = (self._versions()[-1] + 1) if self.exists() else 0
+        spec = self.partition_spec()
+        if spec and self._column_order() and set(self._column_order()) != set(
+            df.columns
+        ):
+            # Schema evolution (ADD/RENAME/DROP COLUMN): refresh the
+            # declared logical order so partitioned reads keep matching
+            # what the writer produced.
+            self._set_partition_spec(spec, column_order=list(df.columns))
         self._write_data(df, self._data_dir(version))
         # One footer pass gives the row count (no Spark job, no plan
         # recompute) AND the per-file min/max stats for data skipping.
@@ -379,7 +421,7 @@ class ManagedTable:
             if mode == "ignore":
                 return self.latest_version()
         if partition_by is not None:
-            self._set_partition_spec(partition_by)
+            self._set_partition_spec(partition_by, column_order=list(df.columns))
         return self._commit(df, "CREATE OR OVERWRITE", {"numOutputRows": None})
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -401,6 +443,27 @@ class ManagedTable:
 
     def _dv_dir(self, version: int) -> str:
         return os.path.join(self.path, "dv", f"v={version}")
+
+    def _write_dv(self, full_dv: DataFrame, dv_dir: str, old_dv_dir: str | None) -> None:
+        """Write the deletion-vector sidecar. Sharded by __dv_file hash
+        once the DV is large, so a single task never serializes an
+        unbounded position list: the shard count comes free from the
+        prior sidecar's parquet footers (~4M positions per shard, ≈64 MB
+        at 16 B/row). The very first large delete on a table still
+        lands in one task — positions are 2 longs/row, so even 50M
+        deleted rows is ~800 MB, within one task's budget — and every
+        subsequent commit shards; ``maybe_compact(max_dv_rows=...)``
+        retires oversized DVs entirely."""
+        shards = 1
+        if old_dv_dir:
+            prior_rows, _ = _scan_parquet_footers(old_dv_dir)
+            shards = min(64, prior_rows // 4_000_000 + 1)
+        out = (
+            full_dv.repartition(shards, "__dv_file")
+            if shards > 1
+            else full_dv.coalesce(1)
+        )
+        out.write.mode("overwrite").parquet(dv_dir)
 
     def _apply_dv(self, df: DataFrame, dv_dir: str) -> DataFrame:
         """Merge-on-read: drop positions listed in the deletion vector.
@@ -710,7 +773,7 @@ class ManagedTable:
             full_dv = dv_parts[0]
             for p in dv_parts[1:]:
                 full_dv = full_dv.unionByName(p)
-            full_dv.coalesce(1).write.mode("overwrite").parquet(dv_dir)
+            self._write_dv(full_dv, dv_dir, old_dv_dir)
             total_dv, _ = _scan_parquet_footers(dv_dir)
         else:
             dv_dir, total_dv = None, 0
@@ -804,7 +867,7 @@ class ManagedTable:
             if not old_dv_dir
             else self.spark.read.parquet(old_dv_dir).unionByName(new_pos)
         )
-        full_dv.coalesce(1).write.mode("overwrite").parquet(dv_dir)
+        self._write_dv(full_dv, dv_dir, old_dv_dir)
         total_dv, _ = _scan_parquet_footers(dv_dir)
 
         prev_rows = (entry.get("operationMetrics") or {}).get("numOutputRows")
@@ -870,7 +933,7 @@ class ManagedTable:
             if not old_dv_dir
             else self.spark.read.parquet(old_dv_dir).unionByName(new_pos)
         )
-        full_dv.coalesce(1).write.mode("overwrite").parquet(dv_dir)
+        self._write_dv(full_dv, dv_dir, old_dv_dir)
         total_dv, _ = _scan_parquet_footers(dv_dir)
         n_data = sum(_scan_parquet_footers(d)[0] for d in data_dirs)
         prior_dv = 0
@@ -961,7 +1024,7 @@ class ManagedTable:
             if not old_dv_dir
             else self.spark.read.parquet(old_dv_dir).unionByName(replaced_pos)
         )
-        full_dv.coalesce(1).write.mode("overwrite").parquet(dv_dir)
+        self._write_dv(full_dv, dv_dir, old_dv_dir)
         total_dv, _ = _scan_parquet_footers(dv_dir)
         merged_stats = dict(entry.get("fileStats") or {})
         merged_stats.update(batch_stats)
