@@ -80,6 +80,89 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- bucketed candidate generation with a hot-bucket guard ------------------
+
+def _bucketed_candidate_pairs(
+    banded: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    payload_cols: list[str],
+    hot_bucket_cap: int,
+) -> DataFrame:
+    """Within-bucket candidate pairs, quadratic-proof.
+
+    Cold buckets (<= hot_bucket_cap members) emit every ordered pair —
+    the exact LSH contract. A hot bucket of B members would emit B^2/2
+    pairs (a corpus with thousands of identical documents goes
+    quadratic inside one bucket), so hot buckets switch to a star:
+    only (leader = min id, member) candidates, O(B) per bucket. For
+    identical/near-identical content — the only realistic way a bucket
+    goes hot — the star loses nothing downstream: verification still
+    scores every emitted pair, and connected components reaches the
+    same clusters through the leader. The documented trade: two
+    non-leader members of a hot bucket are never compared directly, so
+    a *sub*-threshold-diverse mega-bucket can under-report pairs.
+
+    Output columns: id_a, id_b, <payload>_a, <payload>_b.
+    """
+    from functools import reduce as _reduce
+
+    # Pin the banded frame: its lineage (shingling + signature hashing
+    # for MinHash) is the expensive part and feeds several consumers.
+    banded = banded.localCheckpoint(eager=False)
+
+    # Hot-bucket detection is a NARROW aggregation (bucket key + id
+    # only, no payload arrays through the shuffle). The hot set is tiny
+    # by construction — at most n/cap buckets, usually zero — so both
+    # joins against it broadcast and the cold path costs nothing extra.
+    hot_keys = (
+        banded.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__bsize"),
+            F.min(id_col).alias("__leader"),
+        )
+        .filter(F.col("__bsize") > hot_bucket_cap)
+    )
+
+    def within_bucket(extra):
+        return _reduce(
+            lambda x, y: x & y,
+            [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key_cols] + [extra],
+        )
+
+    pair_cols = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[F.col(f"a.{p}").alias(f"{p}_a") for p in payload_cols],
+        *[F.col(f"b.{p}").alias(f"{p}_b") for p in payload_cols],
+    ]
+
+    cold = banded.join(
+        F.broadcast(hot_keys.select(*key_cols)), on=key_cols, how="left_anti"
+    )
+    cold_pairs = (
+        cold.alias("a")
+        .join(
+            cold.alias("b"),
+            within_bucket(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(*pair_cols)
+    )
+
+    hot = banded.join(F.broadcast(hot_keys), on=key_cols, how="inner")
+    leaders = hot.filter(F.col(id_col) == F.col("__leader"))
+    members = hot.filter(F.col(id_col) != F.col("__leader"))
+    hot_pairs = (
+        leaders.alias("a")
+        .join(
+            members.alias("b"),
+            within_bucket(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(*pair_cols)
+    )
+    return cold_pairs.unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
@@ -102,13 +185,17 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    hot_bucket_cap: int = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs with exact-verified Jaccard >= threshold.
 
     Candidate generation: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows, hash each band, explode, and equi-join on
     (band index, band hash). Only bucket-mates are verified with exact
-    shingle Jaccard — the O(n^2) never happens globally.
+    shingle Jaccard — the O(n^2) never happens globally. Buckets larger
+    than ``hot_bucket_cap`` (identical-document spam) fall back to
+    star-shaped candidates so no single degenerate bucket goes
+    quadratic either (see ``_bucketed_candidate_pairs``).
 
     At threshold 0.8 with 16 bands x 4 rows the miss probability for a
     true 0.9-Jaccard pair is ~(1-0.9^4)^16 ~= 0.3%; for exact copies 0.
@@ -141,25 +228,13 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(id_col, "shingles", "bb.band", "bb.bucket")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    candidates = _bucketed_candidate_pairs(
+        banded, ["band", "bucket"], id_col, ["shingles"], hot_bucket_cap
     )
     return (
-        candidates.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        candidates.withColumn(
+            "jaccard", jaccard(F.col("shingles_a"), F.col("shingles_b"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -203,6 +278,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 0,
     verify_multiset: bool = False,
+    hot_bucket_cap: int = 1024,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance. Candidates come from
     band-bucketing the 64-bit signature into 4 x 16-bit chunks (a pair
@@ -247,35 +323,17 @@ def simhash_pairs(
         "cc.val",
         *(["__toks"] if verify_multiset else []),
     )
-    a, b = chunked.alias("a"), chunked.alias("b")
-    join_cond = (
-        (F.col("a.chunk") == F.col("b.chunk"))
-        & (F.col("a.val") == F.col("b.val"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    payload = ["simhash"] + (["__toks"] if verify_multiset else [])
+    cand = _bucketed_candidate_pairs(
+        chunked, ["chunk", "val"], id_col, payload, hot_bucket_cap
     )
-    extra = (
-        [F.col("a.__toks").alias("toks_a"), F.col("b.__toks").alias("toks_b")]
-        if verify_multiset
-        else []
-    )
-    cand = (
-        a.join(b, join_cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-            *extra,
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     out = cand.select(
         "id_a",
         "id_b",
         hamming.cast("long").alias("hamming"),
         *(
-            [(F.col("toks_a") == F.col("toks_b")).alias("__same")]
+            [(F.col("__toks_a") == F.col("__toks_b")).alias("__same")]
             if verify_multiset
             else []
         ),
@@ -395,6 +453,8 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     planes: int = 16,
+    dim: int | None = None,
+    hot_bucket_cap: int = 4096,
 ) -> DataFrame:
     """Near-identical-vector pairs via random-hyperplane LSH + exact
     cosine verification.
@@ -403,7 +463,12 @@ def embedding_neardup_pairs(
     hyperplanes (hash-derived coefficients, no RNG state needed on
     executors). Near-identical vectors agree on every sign bit with
     overwhelming probability, so candidates reduce to an equi-join on
-    the 16-bit bucket; exact cosine then filters.
+    the 16-bit bucket; exact cosine then filters. Buckets above
+    ``hot_bucket_cap`` (identical-vector spam) switch to star-shaped
+    candidates — see ``_bucketed_candidate_pairs``.
+
+    Pass ``dim`` when known (it usually is — it's part of the embedding
+    contract); otherwise one tiny probe job reads it from the data.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -413,7 +478,8 @@ def embedding_neardup_pairs(
     # Hyperplane coefficients are row-independent: computed once on the
     # driver. The sign-bit bucket is an Arrow-batched matmul (a pure
     # expression tree fell out of codegen and dominated bench time).
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     plane_mat = deterministic_planes(planes, dim, seed=42)
 
     @pandas_udf("long")
@@ -429,19 +495,13 @@ def embedding_neardup_pairs(
     bucketed = df.select(
         F.col(id_col), F.col(vec_col), bucket_of(F.col(vec_col)).alias("bucket")
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
-                cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    cand = _bucketed_candidate_pairs(
+        bucketed, ["bucket"], id_col, [vec_col], hot_bucket_cap
     )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(
+            cosine_similarity(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b")), 6
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

@@ -308,7 +308,9 @@ def embeddings_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 1000000
     )
     corpus = emb.unionByName(planted)
-    return dedup.embedding_neardup_pairs(corpus, threshold=0.9).orderBy("id_a", "id_b")
+    return dedup.embedding_neardup_pairs(corpus, threshold=0.9, dim=64).orderBy(
+        "id_a", "id_b"
+    )
 
 
 # --- ANN: brute-force cosine top-k ------------------------------------------
