@@ -34,10 +34,28 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# DataFrame handles are cheap to hold and expensive to rebuild
+# (spark.read.parquet runs a file-listing + schema-inference pass, ~100ms
+# per table): cache per (session, sf_dir, table). A DataFrame is just a
+# plan — caching one changes no execution semantics, and the underlying
+# fixtures are immutable for a session's lifetime.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Which sf_dir's views are currently registered per session (temp views
+# are name-global, so switching sf_dir must re-register).
+_VIEWS_FOR: dict[str, str] = {}
+
+
+def _app_id(spark: SparkSession) -> str:
+    return spark.sparkContext.applicationId
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (_app_id(spark), sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     # The fixtures store naive wall-clock timestamps; date-part
     # functions (year/dayofmonth/date_trunc) convert through the session
     # timezone. Pin UTC here so results match the (timezone-naive)
@@ -65,8 +83,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # (timezone-naive) DuckDB oracle.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         # already "timestamp": leave as-is
+        _DF_CACHE[key] = df
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _DF_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -74,6 +95,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view so spark.sql() can use it."""
+    """Register every table as a temp view so spark.sql() can use it.
+    Idempotent per (session, sf_dir): repeated SQL-path queries skip the
+    10-table re-registration."""
+    app = _app_id(spark)
+    if _VIEWS_FOR.get(app) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_FOR[app] = sf_dir
