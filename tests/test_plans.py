@@ -140,6 +140,54 @@ def test_full_outer_joins_pre_aggregated_sides(spark, sf_dir):
     assert count_exchanges(df) <= 5, count_exchanges(df)
 
 
+def test_latest_event_single_window_shuffle(spark, sf_dir):
+    """Arg-max per user: one hash exchange for the window partition
+    (plus the presentation sort); a WindowGroupLimit should pre-prune
+    rank==1 before the full sort-within-partition."""
+    df = QUERIES["latest_event_per_user"](spark, sf_dir)
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+    assert has_window_group_limit(df), "rank==1 not rewritten to group limit"
+
+
+def test_running_window_pushes_user_filter(spark, sf_dir):
+    """The user_id<=10 predicate must reach the scan (row-group skip via
+    min/max at scale), and the two window functions (running sum + lag)
+    must share one partitioning exchange."""
+    df = QUERIES["running_value_per_user"](spark, sf_dir)
+    assert "user_id" in " ".join(pushed_filters(df))
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+
+
+def test_asof_join_single_shuffle_no_explosion(spark, sf_dir):
+    """The as-of join is a union + window, NOT a range join: one hash
+    exchange on user_id, no BroadcastNestedLoopJoin / cartesian stage."""
+    from delta_lake_platform_spark.plans import explain_str
+
+    df = QUERIES["asof_prior_purchase"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, "as-of join exploded to a cross join"
+    assert "BroadcastNestedLoopJoin" not in plan, "as-of join is a range scan"
+    assert count_exchanges(df) <= 3, count_exchanges(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "event_type" in pushed, "event_type filters not pushed to the scan"
+
+
+def test_streaming_analogue_hourly_single_shuffle(spark, sf_dir):
+    """Tumbling-window aggregation: partial agg -> one exchange -> final
+    agg (+ sort). The hour bucketing must not add a shuffle."""
+    df = QUERIES["events_hourly_by_type"](spark, sf_dir)
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+    assert has_whole_stage_codegen(df)
+
+
+def test_sessionize_single_partitioning(spark, sf_dir):
+    """Sessionization = gap detection (lag) + running session id (sum
+    over the same window partitioning) + per-session agg: everything
+    after the scan must reuse ONE user_id hash partitioning."""
+    df = QUERIES["events_sessionize"](spark, sf_dir)
+    assert count_exchanges(df) <= 3, count_exchanges(df)
+
+
 def test_partitioned_events_scan_prunes_partitions(spark, sf_dir):
     """The type predicate must land as a PartitionFilter (directory-
     level pruning), not a post-scan filter over all partitions."""
