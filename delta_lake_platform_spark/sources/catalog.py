@@ -52,15 +52,17 @@ def _app_id(spark: SparkSession) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # The fixtures store naive wall-clock timestamps; date-part
+    # functions (year/dayofmonth/date_trunc) convert through the session
+    # timezone. Pin UTC on EVERY call — including cache hits — because
+    # the pinning must cover the caller's downstream expressions
+    # (date_trunc over a cached frame analyzes under whatever tz the
+    # session has NOW), not just the load itself.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (_app_id(spark), sf_dir, name)
     cached = _DF_CACHE.get(key)
     if cached is not None:
         return cached
-    # The fixtures store naive wall-clock timestamps; date-part
-    # functions (year/dayofmonth/date_trunc) convert through the session
-    # timezone. Pin UTC here so results match the (timezone-naive)
-    # DuckDB oracle regardless of the caller's session/JVM default.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts varies by fixture generation: parquet INT64
         # TIMESTAMP(NANOS) (Spark 4 reads it only as a raw long under
