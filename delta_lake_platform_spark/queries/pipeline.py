@@ -516,9 +516,19 @@ FROM embeddings WHERE vec_id < 10
 ORDER BY query_id
 """
 
+# The recall=1.0 proof is corpus-size-independent (it rests on the
+# planted copies, not on corpus statistics), so the recall queries run
+# on a bounded slice; the FULL-corpus IVF/PQ scale paths are benched
+# separately by ann_ivf_topk / ann_pq_topk.
+_ANN_RECALL_CORPUS_CAP = 20_000
+
 
 def _planted_ann_corpus(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < _ANN_RECALL_CORPUS_CAP)
+    )
     queries = emb.filter(F.col("vec_id") < 10)
     copies = [
         queries.withColumn("vec_id", F.col("vec_id") * 100 + F.lit(2000000 + j))
