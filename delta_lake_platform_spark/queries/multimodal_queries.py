@@ -81,11 +81,57 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.orderBy("media_id", "frame_idx")
 
 
-@register("media_decode_features")
+# The fake codec's feature i is the i-th little-endian uint16 of
+# sha256(payload), scaled to [0,1] as float32. DuckDB has no hex->int
+# builtin, so the oracle parses hex digits via strpos over the digit
+# alphabet and rebuilds each uint16; the comparison happens on the raw
+# uint16 lattice (exactly recoverable from the float32 by
+# round(f*65535) — float32's 6e-8 relative error is far below the 0.5
+# integer threshold), which sidesteps float32-vs-double ROUND edges.
+_HEXD = "strpos('0123456789abcdef', substr(sha, {pos}, 1)) - 1"
+
+DECODE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         sha256(text) AS sha
+  FROM documents
+),
+i AS (SELECT unnest(range(0, 16)) AS feat_idx)
+SELECT media_id, n_bytes, feat_idx,
+  (
+      ({_HEXD.format(pos='4*feat_idx+1')}) * 16
+    + ({_HEXD.format(pos='4*feat_idx+2')})
+    + 256 * (
+        ({_HEXD.format(pos='4*feat_idx+3')}) * 16
+      + ({_HEXD.format(pos='4*feat_idx+4')})
+    )
+  )::BIGINT AS feat_u16
+FROM h CROSS JOIN i
+ORDER BY media_id, feat_idx
+"""
+
+
+@register("media_decode_features", DECODE_ORACLE)
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode->features (deterministic fake
-    codec; see operators/multimodal.py). No SQL oracle: the feature
-    vector derivation is not expressible in DuckDB — rows-only check;
-    determinism + shape are asserted in tests/test_multimodal.py."""
+    codec; see operators/multimodal.py), value-oracled end to end: the
+    16-wide float32 feature vector is exploded and mapped back to its
+    exact uint16 lattice, which the DuckDB oracle reconstructs from
+    sha256 hex — every decoded value is hash-compared, not just row
+    counts."""
     feats = multimodal.decode_features(_payloads(spark, sf_dir), fake=True)
-    return feats.orderBy("media_id")
+    return (
+        feats.select(
+            "media_id",
+            "n_bytes",
+            F.posexplode("features").alias("feat_idx", "__f"),
+        )
+        .select(
+            "media_id",
+            "n_bytes",
+            F.col("feat_idx").cast("long").alias("feat_idx"),
+            F.round(F.col("__f") * 65535).cast("long").alias("feat_u16"),
+        )
+        .orderBy("media_id", "feat_idx")
+    )
