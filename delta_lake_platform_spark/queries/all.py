@@ -58,7 +58,7 @@ PRIORITY = [
     "sql_dml_pipeline",
     "mv_incremental_orders_by_status",
     "events_hourly_by_type",
-    "events_sliding_by_type",
+    "events_hourly_streamed",
     "events_sessionize",
     "asof_prior_purchase",
     "range_clicks_before_error",

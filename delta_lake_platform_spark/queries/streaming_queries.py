@@ -33,6 +33,50 @@ def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts(ev, window="1 hour").orderBy("window_start", "event_type")
 
 
+@register("events_hourly_streamed", HOURLY_ORACLE)
+def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME windowed aggregation executed as an ACTUAL Structured
+    Streaming job — readStream file source over the events fixture,
+    event-time watermark, complete-mode memory sink, availableNow
+    trigger — then the sink table is returned for the oracle compare.
+    This is the driver-verifiable proof that the streaming plan (not
+    just its batch analogue) produces oracle-identical results; the
+    analogue above shares the oracle, so any stream/batch divergence
+    hash-mismatches one of the two."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    load_table(spark, sf_dir, "events")  # pins the UTC session timezone
+    # File-stream sources need a directory; glob-filter down to the
+    # events fixture inside the sf dir.
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sink = f"hourly_streamed_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_counts(stream, window="1 hour")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("window_start", "event_type")
+
+
 SLIDING_ORACLE = """
 WITH slid AS (
   SELECT e.*, time_bucket(INTERVAL '30 minutes', e.ts) - (o.k * INTERVAL '30 minutes') AS window_start
