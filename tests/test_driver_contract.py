@@ -1,0 +1,61 @@
+"""Driver-contract invariants that must never silently regress.
+
+The driver verifies exactly the FIRST 50 registered queries, so the
+curated order in queries/all.py::PRIORITY is a load-bearing artifact:
+every operator family's correctness signal rides on it.
+"""
+
+from __future__ import annotations
+
+import delta_lake_platform_spark.queries.all as A
+from delta_lake_platform_spark.queries.registry import ORACLE_SQL, QUERIES
+
+
+def test_priority_is_the_first_50():
+    assert len(A.PRIORITY) == 50
+    assert list(QUERIES)[:50] == A.PRIORITY
+
+
+def test_first_50_all_sql_oracled():
+    missing = [n for n in list(QUERIES)[:50] if n not in ORACLE_SQL]
+    assert not missing, f"first-50 without oracle: {missing}"
+
+
+def test_family_representation_in_first_50():
+    first = set(list(QUERIES)[:50])
+    required = {
+        "scd": "scd_hybrid_two_batches",
+        "identity": "scd_surrogate_keys",
+        "sql-dml": "sql_dml_pipeline",
+        "mv": "mv_incremental_orders_by_status",
+        "streaming-analogue": "events_hourly_by_type",
+        "streaming-real": "events_hourly_streamed",
+        "temporal-asof": "asof_prior_purchase",
+        "deletion-vectors": "dv_delete_orders",
+        "partitioned": "events_partitioned_by_type",
+        "sketches": "events_heavy_hitter_users",
+        "grouped-udf": "events_value_mad_grouped_udf",
+        "text": "docs_token_stats",
+        "curation": "docs_pack_sequences",
+        "contamination": "docs_benchmark_contamination",
+        "dedup-exact": "docs_exact_dedup",
+        "dedup-minhash": "docs_minhash_neardup",
+        "dedup-clusters": "docs_dedup_clusters",
+        "ann-bruteforce": "ann_cosine_topk",
+        "ann-ivf": "ann_ivf_recall",
+        "ann-pq": "ann_pq_recall",
+        "multimodal": "media_metadata",
+    }
+    absent = {fam: q for fam, q in required.items() if q not in first}
+    assert not absent, f"families missing from the driver's first 50: {absent}"
+
+
+def test_entry_module_exposes_full_registry():
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    osql = E.oracle_sql()
+    assert list(qs)[:50] == A.PRIORITY
+    assert set(osql) <= set(qs)
+    # every oracle references a registered query and is non-empty SQL
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
