@@ -212,3 +212,45 @@ def normalized_fingerprint(text_col: str = "text") -> Column:
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", normalized_fingerprint(text_col))
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """Step 1 of BPE tokenizer training: corpus-wide adjacent
+    character-pair frequencies, weighted by word frequency.
+
+    The classical recipe (Sennrich et al. 2016) counts symbol pairs
+    over the word-frequency table, then merges the argmax pair —
+    this operator produces that argmax table. Two shuffles, both with
+    map-side partial aggregation: words -> frequencies (the vocabulary
+    is tiny relative to the corpus, so the second stage's input is
+    |vocab|, not |corpus|), then exploded pairs -> weighted counts.
+    All JVM expressions; at 100 TB the word-frequency table is the
+    standard first reduction (billions of tokens -> millions of words).
+    """
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("w")
+    )
+    wf = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(top_k)
+    )

@@ -261,3 +261,37 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- BPE pair statistics (tokenizer-training step 1) -------------------------
+
+BPE_PAIR_ORACLE = """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+wf AS (
+  SELECT w, COUNT(*) AS wc FROM words WHERE LENGTH(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, LENGTH(w)), i -> substring(w, i, 2))) AS pair,
+         wc
+  FROM wf
+)
+SELECT pair, SUM(wc)::BIGINT AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 20
+"""
+
+
+@register("docs_bpe_pair_stats", BPE_PAIR_ORACLE)
+def docs_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent character pairs over the word-frequency table — the
+    argmax table BPE tokenizer training merges from (operators/text.py
+    ::bpe_pair_counts)."""
+    from ..operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bpe_pair_counts(docs, top_k=20)

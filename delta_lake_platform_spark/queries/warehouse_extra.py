@@ -115,6 +115,63 @@ def orders_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- approximate quantiles, bounded-error-verified --------------------------
+#
+# approx_percentile (Greenwald-Khanna summaries) is the scale path for
+# quantiles: mergeable per-partition sketches, no global sort, O(1/acc)
+# state. The guarantee is a RANK bound: with accuracy A the returned
+# element's rank is within n/A of the target. The query verifies that
+# guarantee against the exact distribution — each approximate value
+# must lie between the exact quantiles at q ± 2/A — and emits the
+# boolean verdicts, so the oracle is the provable constant (true for
+# every quantile). Any sketch regression hash-mismatches; the exact
+# percentiles themselves are independently hash-checked by
+# orders_price_percentiles.
+
+APPROX_Q_ORACLE = """
+SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS quantile, true AS within_bounds
+ORDER BY quantile
+"""
+
+
+@register("orders_approx_quantiles_check", APPROX_Q_ORACLE)
+def orders_approx_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = [0.25, 0.5, 0.75, 0.95]
+    acc = 1000
+    margin = 2.0 / acc
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.approx_percentile(
+            "o_totalprice", F.array(*[F.lit(q) for q in qs]), F.lit(acc)
+        ).alias("approx"),
+        *[
+            F.percentile("o_totalprice", F.lit(max(q - margin, 0.0))).alias(f"lo{i}")
+            for i, q in enumerate(qs)
+        ],
+        *[
+            F.percentile("o_totalprice", F.lit(min(q + margin, 1.0))).alias(f"hi{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    checks = agg.select(
+        *[
+            F.struct(
+                F.lit(q).alias("quantile"),
+                (
+                    (F.col("approx")[i] >= F.col(f"lo{i}"))
+                    & (F.col("approx")[i] <= F.col(f"hi{i}"))
+                ).alias("within_bounds"),
+            ).alias(f"c{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    return (
+        checks.select(F.explode(F.array(*[f"c{i}" for i in range(len(qs))])).alias("c"))
+        .select("c.quantile", "c.within_bounds")
+        .orderBy("quantile")
+    )
+
+
 STATS_ORACLE = """
 SELECT l_returnflag,
   ROUND(stddev_samp(l_quantity), 4) AS qty_stddev,
