@@ -158,3 +158,66 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     of session-window semantics."""
     ev = load_table(spark, sf_dir, "events")
     return sessionize(ev, gap="30 minutes").orderBy("user_id", "session_start")
+
+
+STREAM_STREAM_ORACLE = """
+SELECT s.user_id,
+       s.ts AS signup_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events s
+JOIN events p
+  ON s.user_id = p.user_id
+ AND s.event_type = 'signup'
+ AND p.event_type = 'purchase'
+ AND p.ts > s.ts
+ AND p.ts <= s.ts + INTERVAL '2 hours'
+ORDER BY s.user_id, signup_ts, purchase_ts
+"""
+
+
+@register("events_stream_stream_join", STREAM_STREAM_ORACLE)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL stream-stream interval join (streaming/joins.py): two
+    watermarked file-source streams (signups, purchases) joined on
+    user + a 2-hour event-time bound, append-mode memory sink,
+    availableNow trigger. The fixture arrives as one micro-batch, so
+    the watermark drops nothing and the result provably equals the
+    batch join the oracle computes — while the executed plan is the
+    real state-bounded streaming join, not the batch analogue."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.joins import purchases_after_signup
+
+    load_table(spark, sf_dir, "events")  # pins the UTC session timezone
+
+    def stream():
+        s = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ts_type = dict(s.dtypes).get("ts")
+        if ts_type == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s
+
+    signups = stream().filter(F.col("event_type") == "signup")
+    purchases = stream().filter(F.col("event_type") == "purchase")
+    joined = purchases_after_signup(signups, purchases, within="2 hours")
+    sink = f"ss_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("user_id", "signup_ts", "purchase_ts")
