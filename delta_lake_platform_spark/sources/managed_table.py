@@ -1141,6 +1141,17 @@ class ManagedTable:
                 if c not in df.columns:
                     df = df.withColumn(c, F.lit(None).cast(t))
         elif fast:
+            extra_cols = [c for c in df.columns if c not in current.columns]
+            missing = [c for c in current.columns if c not in df.columns]
+            if extra_cols or missing:
+                # Delta semantics: an append must match the table schema
+                # unless mergeSchema is requested. Silently projecting
+                # extras away would lose data without a trace.
+                raise ValueError(
+                    "append: batch schema does not match table schema "
+                    f"(extra columns {extra_cols}, missing {missing}); "
+                    "pass merge_schema=True to widen the table"
+                )
             return self._commit_incremental(
                 df.select(*current.columns), "APPEND", {}, extra=txn_extra
             )

@@ -122,3 +122,34 @@ def test_copy_into_is_incremental(spark):
     # Second ingest did not rewrite the first batch's files.
     assert files_v1 == set(glob.glob(os.path.join(t._local_data_dir(1), "*.parquet")))
     assert {r.id for r in t.read().collect()} == {1, 2}
+
+
+def test_fast_append_rejects_schema_drift(spark):
+    """An append whose batch schema diverges from the table must error
+    at write time (Delta semantics), never silently drop the extra
+    column or corrupt the snapshot with a missing one."""
+    import tempfile
+
+    import pytest
+
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="fa_drift_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.range(3).selectExpr("id", "id * 2 as v"))
+    with pytest.raises(ValueError, match="extra columns \\['w'\\]"):
+        t.append(
+            spark.createDataFrame([(10, 20, "x")], "id long, v long, w string"),
+            fast=True,
+        )
+    with pytest.raises(ValueError, match="missing \\['v'\\]"):
+        t.append(spark.range(2).selectExpr("id"), fast=True)
+    # table untouched by the rejected writes
+    assert t.read().count() == 3 and t.latest_version() == 0
+    # merge_schema is the sanctioned widening path
+    t.append(
+        spark.createDataFrame([(10, 20, "x")], "id long, v long, w string"),
+        merge_schema=True,
+        fast=False,
+    )
+    assert t.read().columns == ["id", "v", "w"] and t.read().count() == 4
