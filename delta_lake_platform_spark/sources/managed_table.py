@@ -1202,6 +1202,15 @@ class ManagedTable:
             reader = reader.option(k, v)
         batch = reader.format(format).load(new_files)
         current = self.read()
+        extra_cols = [c for c in batch.columns if c not in current.columns]
+        missing = [c for c in current.columns if c not in batch.columns]
+        if extra_cols or missing:
+            # Same contract as append(fast=True): never silently drop a
+            # source column or commit a half-schema batch.
+            raise ValueError(
+                "COPY INTO: source schema does not match table schema "
+                f"(extra columns {extra_cols}, missing {missing})"
+            )
         # Incremental commit: ingest cost tracks the new files, not the
         # table — the property that makes scheduled COPY INTO viable on
         # a table thousands of batches deep.

@@ -59,3 +59,26 @@ def test_copy_into_csv_with_schema(spark, tdir):
     t.create(spark.createDataFrame([], "id long, v string"))
     t.copy_into(src, format="csv", pattern="*.csv", schema="id long, v string")
     assert {(r.id, r.v) for r in t.read().collect()} == {(10, "x"), (11, "y")}
+
+
+def test_copy_into_rejects_schema_drift(spark):
+    """A source file whose schema diverges from the table errors at
+    ingest time; no silent column drop, no partial commit."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="ci_drift_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.range(2).selectExpr("id", "id * 2 as v"))
+    spark.createDataFrame([(5, 6, "x")], "id long, v long, w string").write.parquet(
+        os.path.join(src, "batch1.parquet")
+    )
+    with pytest.raises(ValueError, match="extra columns \\['w'\\]"):
+        t.copy_into(src)
+    assert t.read().count() == 2 and t.latest_version() == 0
