@@ -960,7 +960,24 @@ class ManagedTable:
         )
         return new_version
 
-    def overwrite(self, df: DataFrame, operation: str = "WRITE") -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        operation: str = "WRITE",
+        overwrite_schema: bool = False,
+    ) -> int:
+        """Replace the table contents. Delta semantics: an overwrite
+        that would CHANGE the column set requires explicit opt-in
+        (``overwriteSchema``) — otherwise a typo'd projection silently
+        rewrites the table shape for every downstream reader."""
+        if self.exists() and not overwrite_schema:
+            cur, new = set(self.read().columns), set(df.columns)
+            if cur != new:
+                raise ValueError(
+                    "overwrite would change the table schema "
+                    f"(only in table: {sorted(cur - new)}, only in batch: "
+                    f"{sorted(new - cur)}); pass overwrite_schema=True"
+                )
         return self._commit(df, operation, {"numOutputRows": None})
 
     def overwrite_where(

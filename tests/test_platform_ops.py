@@ -326,3 +326,22 @@ def test_shallow_clone(spark, tmp_table, tmp_path):
     removed = clone.vacuum(keep_last=1, older_than_s=0)
     assert 0 not in removed
     assert tmp_table.read().count() == 10
+
+
+def test_overwrite_schema_change_requires_opt_in(spark):
+    import tempfile
+
+    import pytest
+
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="ow_schema_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.range(2).selectExpr("id", "id * 2 as v"))
+    with pytest.raises(ValueError, match="overwrite_schema=True"):
+        t.overwrite(spark.range(2).selectExpr("id", "id as renamed"))
+    assert t.read().columns == ["id", "v"]
+    t.overwrite(
+        spark.range(2).selectExpr("id", "id as renamed"), overwrite_schema=True
+    )
+    assert t.read().columns == ["id", "renamed"]
