@@ -999,6 +999,14 @@ class ManagedTable:
         — the whole partition reload costs O(slice), the canonical
         daily-reload shape for a date-partitioned 100 TB fact table."""
         rewrite = self._resolve_rewrite(rewrite)
+        table_cols = self.read().columns
+        extra_cols = [c for c in df.columns if c not in table_cols]
+        missing = [c for c in table_cols if c not in df.columns]
+        if extra_cols or missing:
+            raise ValueError(
+                "overwrite_where: replacement schema does not match the "
+                f"table (extra columns {extra_cols}, missing {missing})"
+            )
         cond = F.expr(condition)
         if validate and not df.filter(~F.coalesce(cond, F.lit(False))).isEmpty():
             raise ValueError(
