@@ -219,6 +219,46 @@ class PlatformSQL:
             name, key, value = m.groups()
             self.tables[name].set_property(key, value)
             return self._df([{"key": key, "value": value}])
+        m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMN\s*\(?\s*"
+            rf"({_IDENT})\s+([A-Za-z0-9_]+(?:\([0-9, ]*\))?)\s*\)?$",
+            t,
+        )
+        if m:
+            name, col, dtype = m.groups()
+            v = self.tables[name].alter_add_column(col, dtype)
+            return self._df([{"version": v, "column": col, "type": dtype}])
+        m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+"
+            rf"({_IDENT})\s+TO\s+({_IDENT})$",
+            t,
+        )
+        if m:
+            name, old, new = m.groups()
+            v = self.tables[name].alter_rename_column(old, new)
+            return self._df([{"version": v, "from": old, "to": new}])
+        m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})$",
+            t,
+        )
+        if m:
+            name, col = m.groups()
+            v = self.tables[name].alter_drop_column(col)
+            return self._df([{"version": v, "dropped": col}])
+        m = re.match(
+            rf"(?is)^COPY\s+INTO\s+({_IDENT})\s+FROM\s+'([^']+)'"
+            r"(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+PATTERN\s*=\s*'([^']+)')?$",
+            t,
+        )
+        if m:
+            name, src, fmt, pattern = m.groups()
+            table = self.tables[name]
+            before = table.latest_version()
+            v = table.copy_into(src, format=(fmt or "parquet").lower(), pattern=pattern)
+            loaded = (
+                table.history(1)[0].get("copyIntoFiles", []) if v != before else []
+            )
+            return self._df([{"version": v, "numFiles": len(loaded)}])
         m = re.match(rf"(?is)^SHOW\s+PARTITIONS\s+({_IDENT})$", t)
         if m:
             table = self.tables[m.group(1)]

@@ -166,3 +166,35 @@ def test_tblproperties_enable_dv_via_sql(psql):
     h = psql.sql("DESCRIBE HISTORY accounts").first()
     assert h.operation == "DELETE (DV)"
     assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 2
+
+
+def test_sql_alter_column_and_copy_into(spark):
+    import os
+    import tempfile
+
+    from delta_lake_platform_spark.sql import PlatformSQL
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="sql_ddl_")
+    psql = PlatformSQL(spark)
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.range(3).selectExpr("id", "id * 2 as v"))
+    psql.register("t", t)
+
+    psql.sql("ALTER TABLE t ADD COLUMN (w string)")
+    assert t.read().columns == ["id", "v", "w"]
+    psql.sql("ALTER TABLE t RENAME COLUMN w TO label")
+    assert "label" in t.read().columns
+    psql.sql("ALTER TABLE t DROP COLUMN label")
+    assert t.read().columns == ["id", "v"]
+
+    src = os.path.join(d, "incoming")
+    os.makedirs(src)
+    spark.range(2).selectExpr("id + 100 as id", "id as v").write.parquet(
+        os.path.join(src, "b1.parquet")
+    )
+    out = psql.sql(f"COPY INTO t FROM '{src}'").collect()[0]
+    assert t.read().count() == 5
+    # idempotent: second run loads nothing
+    psql.sql(f"COPY INTO t FROM '{src}'")
+    assert t.read().count() == 5
