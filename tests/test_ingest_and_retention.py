@@ -21,7 +21,9 @@ def test_vacuum_age_retention(spark):
         t = ManagedTable(spark, f"{d}/t")
         df = spark.range(10)
         t.create(df)
-        t.overwrite(df.withColumn("x", F.lit(1)))
+        # v1 widens the schema — explicit opt-in required since the
+        # overwriteSchema guard landed.
+        t.overwrite(df.withColumn("x", F.lit(1)), overwrite_schema=True)
         t.overwrite(df.withColumn("x", F.lit(2)))
         # Everything is seconds old: a 1-hour retention removes nothing.
         assert t.vacuum(keep_last=1, older_than_s=3600) == []
