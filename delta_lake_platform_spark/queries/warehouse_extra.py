@@ -140,26 +140,25 @@ def orders_approx_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame
     acc = 1000
     margin = 2.0 / acc
     o = load_table(spark, sf_dir, "orders")
+    # One array-typed percentile evaluates all exact bounds in a single
+    # aggregation buffer (one sort-based state instead of 8).
+    bounds = [max(q - margin, 0.0) for q in qs] + [min(q + margin, 1.0) for q in qs]
     agg = o.agg(
         F.approx_percentile(
             "o_totalprice", F.array(*[F.lit(q) for q in qs]), F.lit(acc)
         ).alias("approx"),
-        *[
-            F.percentile("o_totalprice", F.lit(max(q - margin, 0.0))).alias(f"lo{i}")
-            for i, q in enumerate(qs)
-        ],
-        *[
-            F.percentile("o_totalprice", F.lit(min(q + margin, 1.0))).alias(f"hi{i}")
-            for i, q in enumerate(qs)
-        ],
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(b) for b in bounds])
+        ).alias("exact"),
     )
+    n = len(qs)
     checks = agg.select(
         *[
             F.struct(
                 F.lit(q).alias("quantile"),
                 (
-                    (F.col("approx")[i] >= F.col(f"lo{i}"))
-                    & (F.col("approx")[i] <= F.col(f"hi{i}"))
+                    (F.col("approx")[i] >= F.col("exact")[i])
+                    & (F.col("approx")[i] <= F.col("exact")[i + n])
                 ).alias("within_bounds"),
             ).alias(f"c{i}")
             for i, q in enumerate(qs)
