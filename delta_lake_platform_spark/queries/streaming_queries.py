@@ -208,8 +208,11 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = s.withColumn("ts", F.col("ts").cast("timestamp"))
         return s
 
-    signups = stream().filter(F.col("event_type") == "signup")
-    purchases = stream().filter(F.col("event_type") == "purchase")
+    # Stream self-join: both sides filter the SAME source, so the file
+    # is scanned once per micro-batch instead of once per side.
+    events = stream()
+    signups = events.filter(F.col("event_type") == "signup")
+    purchases = events.filter(F.col("event_type") == "purchase")
     joined = purchases_after_signup(signups, purchases, within="2 hours")
     sink = f"ss_join_{uuid.uuid4().hex[:8]}"
     q = (
