@@ -81,6 +81,13 @@ class ScdConfig:
     # batch supplies for this column are ignored (GENERATED ALWAYS).
     surrogate_col: str | None = None
     surrogate_start: int = 1  # reference: START WITH 10
+    # Auto-compaction after partition-local (merge-on-read) applies:
+    # each MoR commit adds one batch dir + DV growth, so a long run of
+    # incremental batches accumulates read amplification. When the
+    # table crosses maybe_compact's thresholds the snapshot is rewritten
+    # once — amortized O(table/threshold) per batch, the Delta
+    # auto-compaction trade. Disable for externally-scheduled OPTIMIZE.
+    auto_compact: bool = True
 
 
 def _validate_target_schema(df: DataFrame, cfg: ScdConfig) -> None:
@@ -396,9 +403,14 @@ def apply_scd(
         # append the recomputed slice. validate=False is safe by
         # construction — every new_state row comes from the slice or
         # from batch rows whose partition values defined the predicate.
-        return table.overwrite_where(
+        v = table.overwrite_where(
             new_state, part_pred, validate=False, rewrite=False
         )
+        if cfg.auto_compact:
+            compacted = table.maybe_compact()
+            if compacted is not None:
+                v = compacted
+        return v
     return table.overwrite(new_state, operation="SCD_APPLY")
 
 

@@ -148,3 +148,46 @@ def test_partitioned_time_travel_and_surrogates(spark, tmpdir):
     # 4 day-1 entities + day-2 (1 SCD2 row) + day-3 (1 new + 1 SCD2)
     assert len(keys) == 7
     assert max(keys) == 16
+
+
+def test_long_run_read_amplification_bounded(spark, tmpdir):
+    """Many partition-local applies must not accumulate unbounded MoR
+    debt: auto-compaction keeps the referenced-dir count bounded while
+    the state stays correct."""
+    from datetime import timedelta
+
+    t = ManagedTable(spark, f"{tmpdir}/longrun")
+    df1 = spark.createDataFrame(DAY1, SCHEMA)
+    create_scd_target(t, df1, _cfg(1), partition_by=["id"])
+    apply_scd(df1, t, _cfg(1))
+    # 20 further batches, each touching one entity (SCD2 churn on id=1).
+    for i in range(20):
+        cfg = ScdConfig(
+            pk_cols=["id", "stock_name"],
+            scd_cols=["units"],
+            select_cols=["id", "stock_name", "units", "platform"],
+            effective_from_col="last_modify_ts",
+            initial_eff_date_col="reg_ts",
+            clock=lambda i=i: CLOCKS[2] + timedelta(hours=i + 1),
+        )
+        batch = [
+            (
+                1,
+                "Google",
+                1000 + i,
+                "Kite",
+                "2015-12-25 10:05:30",
+                str(CLOCKS[2] + timedelta(hours=i)),
+            )
+        ]
+        apply_scd(spark.createDataFrame(batch, SCHEMA), t, cfg)
+    n_dirs = len(t._data_dirs(t.latest_version()))
+    assert n_dirs <= 17, f"MoR debt unbounded: {n_dirs} data dirs"
+    rows = t.read().filter("id = 1 AND stock_name = 'Google'").collect()
+    # 1 initial version + 20 SCD2 versions, exactly one active
+    assert len(rows) == 21
+    assert sum(r.record_status == "A" for r in rows) == 1
+    active = [r for r in rows if r.record_status == "A"][0]
+    assert active.units == 1019
+    # untouched entities intact
+    assert t.read().filter("id = 7").count() == 1
