@@ -554,6 +554,140 @@ class ManagedTable:
             df = df.filter(c <= F.lit(hi))
         return df
 
+    # -- bloom-filter file index (point-lookup skipping) ---------------------
+    #
+    # Min/max stats cannot prune an equality predicate on a
+    # high-cardinality column whose values interleave across files (every
+    # file's [min,max] spans the probe). Delta solves this with optional
+    # per-file bloom filter indexes; same here: a sidecar holding one
+    # bloom per (file, column), consulted by the eq-pruning API. Blooms
+    # never produce false negatives, so pruning stays a superset bound.
+
+    def _bloom_path(self, version: int) -> str:
+        return os.path.join(self.path, "_bloom", f"{version}.json")
+
+    @staticmethod
+    def _bloom_hashes(value, m: int, k: int) -> list[int]:
+        import hashlib
+
+        h = int.from_bytes(
+            hashlib.blake2b(str(value).encode(), digest_size=16).digest(),
+            "little",
+        )
+        h1, h2 = h & ((1 << 64) - 1), h >> 64
+        return [(h1 + i * h2) % m for i in range(k)]
+
+    def build_bloom_index(
+        self, cols: list[str], fpp: float = 0.01, version: int | None = None
+    ) -> dict:
+        """Build per-(file, col) bloom filters for the given version
+        (default latest). One pyarrow pass per file here (files are
+        local); at scale the blooms come from the writing tasks at
+        commit time, exactly like Delta's bloom filter index — the
+        sidecar format and the read path would not change."""
+        import base64
+        import math
+
+        import pyarrow.parquet as pq
+
+        v = self.latest_version() if version is None else version
+        files_index: dict[str, dict] = {}
+        ln2 = math.log(2)
+        for d in self._data_dirs(v):
+            for fpath in _parquet_files(d):
+                rel = os.path.relpath(fpath, d)
+                schema_names = pq.read_schema(fpath).names
+                want = [c for c in cols if c in schema_names]
+                if not want:
+                    continue
+                tbl = pq.read_table(fpath, columns=want)
+                per_col = {}
+                for c in want:
+                    vals = {
+                        val
+                        for val in tbl.column(c).to_pylist()
+                        if val is not None
+                    }
+                    n = max(len(vals), 1)
+                    m = max(8, int(math.ceil(-n * math.log(fpp) / (ln2 * ln2))))
+                    k = max(1, round(m / n * ln2))
+                    bits = bytearray((m + 7) // 8)
+                    for val in vals:
+                        for pos in self._bloom_hashes(val, m, k):
+                            bits[pos >> 3] |= 1 << (pos & 7)
+                    per_col[c] = {
+                        "m": m,
+                        "k": k,
+                        "bits": base64.b64encode(bytes(bits)).decode(),
+                    }
+                files_index[rel] = per_col
+        os.makedirs(os.path.dirname(self._bloom_path(v)), exist_ok=True)
+        payload = {"version": v, "fpp": fpp, "cols": cols, "files": files_index}
+        with open(self._bloom_path(v), "w") as f:
+            json.dump(payload, f)
+        return {"version": v, "numFiles": len(files_index), "cols": cols}
+
+    def _bloom_index(self, version: int) -> dict | None:
+        p = self._bloom_path(version)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def prune_files_eq(
+        self, col: str, value, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Equality skipping: min/max range pruning (lo=hi=value) PLUS
+        bloom membership when an index exists for this version. A file
+        survives only if its range can contain the value AND its bloom
+        (if present) does not rule the value out. Falls back to pure
+        range pruning when no index was built — always a superset of
+        the matching files, never a false negative."""
+        import base64
+
+        v = self.latest_version() if version is None else version
+        kept, total = self.prune_files(col, value, value, version=v)
+        idx = self._bloom_index(v)
+        if idx is None:
+            return kept, total
+        out = []
+        for fpath in kept:
+            rel = None
+            for d in self._data_dirs(v):
+                try_rel = os.path.relpath(fpath, d)
+                if try_rel in idx["files"]:
+                    rel = try_rel
+                    break
+            bloom = (idx["files"].get(rel) or {}).get(col) if rel else None
+            if bloom is None:
+                out.append(fpath)  # unindexed file: conservatively kept
+                continue
+            bits = base64.b64decode(bloom["bits"])
+            hit = all(
+                bits[pos >> 3] & (1 << (pos & 7))
+                for pos in self._bloom_hashes(value, bloom["m"], bloom["k"])
+            )
+            if hit:
+                out.append(fpath)
+        return out, total
+
+    def read_pruned_eq(
+        self, col: str, value, version: int | None = None
+    ) -> DataFrame:
+        """Point lookup backed by bloom + range skipping; the exact
+        equality filter still applies on the surviving files."""
+        if self.partition_spec():
+            return self.read(version).filter(F.col(col) == F.lit(value))
+        kept, _total = self.prune_files_eq(col, value, version)
+        if not kept:
+            return self.read(version).filter(F.lit(False))
+        df = self.spark.read.parquet(*kept)
+        v = self.latest_version() if version is None else version
+        entry = self._entry(v)
+        if entry is not None and "deletionVector" in entry:
+            df = self._apply_dv(df, entry["deletionVector"])
+        return df.filter(F.col(col) == F.lit(value))
+
     def column_max(self, col: str, version: int | None = None):
         """Snapshot-wide max of ``col`` from the commit's footer stats —
         no Spark job, no data read. Returns None when any file lacks

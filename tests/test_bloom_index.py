@@ -1,0 +1,82 @@
+"""Bloom-filter file index: point-lookup skipping where min/max can't.
+
+Two files whose high-cardinality string ids fully interleave (every
+file's [min,max] spans every probe) — range stats keep both files for
+any equality probe; the bloom index prunes to the one file that can
+contain the value, with zero false negatives.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+
+@pytest.fixture
+def table(spark):
+    d = tempfile.mkdtemp(prefix="bloom_")
+    t = ManagedTable(spark, f"{d}/t")
+    # File 1: even ids; file 2: odd ids — [min,max] of the uid column
+    # overlaps completely between the files.
+    evens = spark.range(0, 2000, 2).select(
+        F.format_string("user_%06d", F.col("id")).alias("uid"),
+        (F.col("id") * 10).alias("score"),
+    ).coalesce(1)
+    odds = spark.range(1, 2000, 2).select(
+        F.format_string("user_%06d", F.col("id")).alias("uid"),
+        (F.col("id") * 10).alias("score"),
+    ).coalesce(1)
+    t.create(evens)
+    t.append(odds, fast=True)
+    yield t
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_minmax_alone_cannot_prune_interleaved_ids(table):
+    kept, total = table.prune_files("uid", "user_000401", "user_000401")
+    assert total == 2 and len(kept) == 2  # ranges overlap: nothing pruned
+
+
+def test_bloom_prunes_to_one_file(table):
+    table.build_bloom_index(["uid"])
+    kept, total = table.prune_files_eq("uid", "user_000401")  # odd -> file 2
+    assert total == 2
+    assert len(kept) == 1, "bloom should rule out the even-ids file"
+    rows = table.read_pruned_eq("uid", "user_000401").collect()
+    assert len(rows) == 1 and rows[0].score == 4010
+
+
+def test_bloom_never_false_negative(table):
+    table.build_bloom_index(["uid"])
+    for i in (0, 1, 500, 999, 1998, 1999):
+        uid = f"user_{i:06d}"
+        got = table.read_pruned_eq("uid", uid).collect()
+        want = table.read().filter(F.col("uid") == uid).collect()
+        assert len(got) == len(want) == 1, uid
+        assert got[0].score == want[0].score
+
+
+def test_absent_value_prunes_everything_or_reads_empty(table):
+    table.build_bloom_index(["uid"])
+    assert table.read_pruned_eq("uid", "user_999999").count() == 0
+
+
+def test_unindexed_version_falls_back_conservatively(table):
+    # A new commit has no sidecar for its version: the stale bloom must
+    # NOT be consulted, so the two interleaved files are both kept
+    # (range pruning still excludes the new file, whose min=max range
+    # provably misses the probe).
+    table.append(
+        table.spark.createDataFrame([("user_777777", 1)], "uid string, score long"),
+        fast=True,
+    )
+    kept, total = table.prune_files_eq("uid", "user_000400")
+    range_kept, _ = table.prune_files("uid", "user_000400", "user_000400")
+    assert sorted(kept) == sorted(range_kept), "stale bloom used for new version"
+    assert len(kept) >= 2  # both interleaved files survive range pruning
+    assert table.read_pruned_eq("uid", "user_000400").count() == 1
