@@ -1,12 +1,21 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE compact JSON line to stdout:
+  {"metric": "...", "value": N, "unit": "sec", "sf": ..., "queries": {...}, ...}
+
+Round-2 postmortem: inlining the full 106-query timing dict made the
+line so long that the harness capture clipped its head and recorded
+"parsed": null. The stdout line now carries only a bounded top-slowest
+slice of the per-query map plus methodology fields; the FULL per-query
+map is written to bench_details.json next to this script (and echoed to
+stderr), so the machine line stays well under any capture window while
+humans still get every number.
 
 The per-query time is wall-clock for plan + execute + collect (the
-driver-visible latency). Each query runs once after a warm-up of the
-flagship (JVM + parquet footer caches warm, as a long-lived cluster
-would be).
+driver-visible latency), min-of-2 runs after a warm-up pass (JVM +
+parquet footer caches warm, as a long-lived cluster would be) —
+methodology is recorded in the JSON (runs/policy) so cross-round
+comparisons use the same harness.
 """
 
 from __future__ import annotations
@@ -103,15 +112,45 @@ def main() -> None:
             errors.pop(name, None)
 
     total = round(sum(times.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    details = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "runs": 2,
+        "policy": "min",
+        "n_queries": len(times),
+        "queries": times,
+    }
+    if errors:
+        details["errors"] = errors
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
+    )
+    try:
+        with open(details_path, "w") as fh:
+            json.dump(details, fh, indent=1, sort_keys=True)
+    except OSError as exc:  # noqa: BLE001
+        print(f"could not write {details_path}: {exc}", file=sys.stderr)
+    print(f"full per-query timings: {details_path}", file=sys.stderr)
+
+    # Keep the machine line compact: only the slowest queries inline.
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: -kv[1])[:10]
+    )
     out = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
-        "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "runs": 2,
+        "policy": "min",
+        "n_queries": len(times),
+        "n_errors": len(errors),
+        "queries": slowest,
+        "details": "bench_details.json",
     }
-    if errors:
-        out["errors"] = errors
     print(json.dumps(out))
     try:
         spark.stop()

@@ -27,6 +27,7 @@ exactly like a catalog-qualified Delta table name.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -148,6 +149,14 @@ class DeltaTable:
     # -- surface the reference exercises ------------------------------------
 
     def alias(self, alias: str) -> "DeltaTable":
+        if alias == "updates":
+            # MergeClauses reserves "updates." for the source side; a
+            # target aliased the same way would make every qualified
+            # reference ambiguous after rewriting.
+            raise ValueError(
+                "target alias 'updates' collides with the reserved source "
+                "alias; pick any other alias"
+            )
         out = DeltaTable(self._spark, self._managed)
         out._alias = alias
         return out
@@ -155,9 +164,17 @@ class DeltaTable:
     def _rewrite_alias(self, condition: str) -> str:
         """MergeClauses speaks ``target.`` / ``updates.``; rewrite a
         custom target alias to ``target.`` (the source side must already
-        use ``updates.``, which is what the reference does)."""
+        use ``updates.``, which is what the reference does).
+
+        Word-boundary anchored: a bare ``condition.replace("s.", ...)``
+        would also corrupt identifiers that merely *end* in the alias
+        (``updates.id`` contains ``s.`` for alias ``s``)."""
         if self._alias and self._alias != "target":
-            return condition.replace(f"{self._alias}.", "target.")
+            return re.sub(
+                rf"(?<![A-Za-z0-9_]){re.escape(self._alias)}\.",
+                "target.",
+                condition,
+            )
         return condition
 
     def merge(self, source: DataFrame, condition: str) -> DeltaMergeBuilder:

@@ -595,7 +595,13 @@ class ManagedTable:
         ln2 = math.log(2)
         for d in self._data_dirs(v):
             for fpath in _parquet_files(d):
-                rel = os.path.relpath(fpath, d)
+                # Keyed by path relative to the TABLE ROOT (data-dir
+                # component included), so two data dirs holding files
+                # with the same dir-relative name can never alias each
+                # other's blooms — a false-negative prune would silently
+                # drop rows. Clone dataPaths outside the root still get
+                # unique "../..." keys.
+                rel = os.path.relpath(fpath, self.path)
                 schema_names = pq.read_schema(fpath).names
                 want = [c for c in cols if c in schema_names]
                 if not want:
@@ -652,13 +658,10 @@ class ManagedTable:
             return kept, total
         out = []
         for fpath in kept:
-            rel = None
-            for d in self._data_dirs(v):
-                try_rel = os.path.relpath(fpath, d)
-                if try_rel in idx["files"]:
-                    rel = try_rel
-                    break
-            bloom = (idx["files"].get(rel) or {}).get(col) if rel else None
+            # Same table-root-relative key the builder writes; no
+            # cross-dir ambiguity possible.
+            rel = os.path.relpath(fpath, self.path)
+            bloom = (idx["files"].get(rel) or {}).get(col)
             if bloom is None:
                 out.append(fpath)  # unindexed file: conservatively kept
                 continue
@@ -1105,12 +1108,20 @@ class ManagedTable:
         (``overwriteSchema``) — otherwise a typo'd projection silently
         rewrites the table shape for every downstream reader."""
         if self.exists() and not overwrite_schema:
-            cur, new = set(self.read().columns), set(df.columns)
+            # Compare names AND types: Delta's overwriteSchema gate also
+            # blocks type changes, and a rename+add that keeps the name
+            # set size must not slip through a set comparison.
+            cur, new = dict(self.read().dtypes), dict(df.dtypes)
             if cur != new:
+                only_cur = sorted(set(cur) - set(new))
+                only_new = sorted(set(new) - set(cur))
+                retyped = sorted(
+                    c for c in set(cur) & set(new) if cur[c] != new[c]
+                )
                 raise ValueError(
                     "overwrite would change the table schema "
-                    f"(only in table: {sorted(cur - new)}, only in batch: "
-                    f"{sorted(new - cur)}); pass overwrite_schema=True"
+                    f"(only in table: {only_cur}, only in batch: {only_new}, "
+                    f"type changed: {retyped}); pass overwrite_schema=True"
                 )
         return self._commit(df, operation, {"numOutputRows": None})
 

@@ -66,6 +66,27 @@ def test_absent_value_prunes_everything_or_reads_empty(table):
     assert table.read_pruned_eq("uid", "user_999999").count() == 0
 
 
+def test_bloom_keys_are_table_root_relative(table):
+    """Sidecar keys must include the data-dir component: two data dirs
+    holding files with the same dir-relative basename would otherwise
+    alias each other's blooms and produce false-negative prunes."""
+    import json
+    import os
+
+    table.build_bloom_index(["uid"])
+    v = table.latest_version()
+    with open(table._bloom_path(v)) as f:
+        idx = json.load(f)
+    assert idx["files"], "index is empty"
+    for key in idx["files"]:
+        # Every key carries its data dir (data/v=N/...), so same-named
+        # files in different dirs get distinct keys.
+        assert key.startswith(os.path.join("data", "v=")), key
+    # And the reader resolves those keys: pruning still works.
+    kept, total = table.prune_files_eq("uid", "user_000400")
+    assert total == 2 and len(kept) == 1
+
+
 def test_unindexed_version_falls_back_conservatively(table):
     # A new commit has no sidecar for its version: the stale bloom must
     # NOT be consulted, so the two interleaved files are both kept

@@ -184,3 +184,27 @@ def test_forname_warehouse_fallback(spark, tmpdir):
 def test_forname_missing_raises(spark):
     with pytest.raises(ValueError, match="not found"):
         DeltaTable.forName(spark, "no.such.table")
+
+
+def test_alias_suffix_of_updates_rewrites_cleanly(spark, tmpdir):
+    # Regression: alias 's' is a dotted suffix of 'updates.'; a naive
+    # substring replace turned 'updates.id' into 'updatetarget.id'. The
+    # word-boundary rewrite must leave the source side intact.
+    t = ManagedTable(spark, f"{tmpdir}/t")
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    dt = DeltaTable.forPath(spark, f"{tmpdir}/t").alias("s")
+    src = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    dt.merge(src.alias("updates"), "s.id = updates.id").whenMatchedUpdate(
+        set={"v": "updates.v"}
+    ).whenNotMatchedInsert(
+        values={"id": "updates.id", "v": "updates.v"}
+    ).execute()
+    got = sorted((r.id, r.v) for r in dt.toDF().collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_alias_updates_rejected(spark, tmpdir):
+    t = ManagedTable(spark, f"{tmpdir}/t2")
+    t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(ValueError, match="updates"):
+        DeltaTable.forPath(spark, f"{tmpdir}/t2").alias("updates")

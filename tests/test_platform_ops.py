@@ -345,3 +345,27 @@ def test_overwrite_schema_change_requires_opt_in(spark):
         spark.range(2).selectExpr("id", "id as renamed"), overwrite_schema=True
     )
     assert t.read().columns == ["id", "renamed"]
+
+
+def test_overwrite_type_change_requires_opt_in(spark):
+    """Same column NAMES but a changed type must also hit the gate
+    (Delta's overwriteSchema blocks type changes, not just renames)."""
+    import tempfile
+
+    import pytest
+
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="ow_type_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.range(2).selectExpr("id", "id * 2 as v"))
+    with pytest.raises(ValueError, match="type changed"):
+        t.overwrite(
+            spark.range(2).selectExpr("id", "cast(id as string) as v")
+        )
+    assert dict(t.read().dtypes)["v"] == "bigint"
+    t.overwrite(
+        spark.range(2).selectExpr("id", "cast(id as string) as v"),
+        overwrite_schema=True,
+    )
+    assert dict(t.read().dtypes)["v"] == "string"
