@@ -71,8 +71,6 @@ def _table_from_options(options) -> ManagedTable:
 
 
 def _snapshot_partitions(table: ManagedTable, version: int) -> list[_FilePartition]:
-    from .managed_table import _parquet_files
-
     entry = table._entry(version) or {}
     dv: dict[str, list[int]] = {}
     if "deletionVector" in entry:
@@ -86,9 +84,8 @@ def _snapshot_partitions(table: ManagedTable, version: int) -> list[_FilePartiti
             key = urlparse(f).path if ":" in f.split("/", 1)[0] else f
             dv.setdefault(key, []).append(pos)
     parts = []
-    for d in table._data_dirs(version):
-        for f in _parquet_files(d):
-            parts.append(_FilePartition(f, tuple(dv.get(f, ()))))
+    for f in table._all_data_files(version):
+        parts.append(_FilePartition(f, tuple(dv.get(f, ()))))
     return parts
 
 
@@ -124,21 +121,15 @@ class _TailReader(DataSourceStreamReader):
         s, e = start["version"], end["version"]
         if s < 0:
             return _snapshot_partitions(self.table, e)
-        from .managed_table import _parquet_files
 
-        seen = {
-            f
-            for d in self.table._data_dirs(s)
-            for f in _parquet_files(d)
-        }
+        seen = set(self.table._all_data_files(s))
         parts: list[_FilePartition] = []
         for v in range(s + 1, e + 1):
             entry = self.table._entry(v) or {}
             op = entry.get("operation", "")
             appended = [
                 f
-                for d in self.table._data_dirs(v)
-                for f in _parquet_files(d)
+                for f in self.table._all_data_files(v)
                 if f not in seen
             ]
             if op not in ("APPEND", "COPY INTO"):
@@ -237,7 +228,7 @@ class _BatchWriter(DataSourceWriter):
             except OSError:
                 # Target taken by a concurrent writer: retry at next v.
                 continue
-            _n, stats = _scan_parquet_footers(final)
+            _n, stats = _scan_parquet_footers(final, rel_root=self.path)
             if self.overwrite or version == 0:
                 entry = {
                     "version": version,
@@ -267,6 +258,7 @@ class _BatchWriter(DataSourceWriter):
                     },
                     "fileStats": merged,
                     "dataPaths": table._data_dirs(version - 1) + [final],
+                    **table._carry_files(version - 1),
                     **(
                         {"deletionVector": prev["deletionVector"]}
                         if "deletionVector" in prev
@@ -294,8 +286,6 @@ class ManagedTableDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
         import pyarrow.parquet as pq
 
-        from .managed_table import _parquet_files
-
         table = _table_from_options(self.options)
         if table.partition_spec():
             raise ValueError(
@@ -305,10 +295,9 @@ class ManagedTableDataSource(DataSource):
             )
         v = self.options.get("version")
         version = int(v) if v is not None else table.latest_version()
-        for d in table._data_dirs(version):
-            files = _parquet_files(d)
-            if files:
-                return from_arrow_schema(pq.read_schema(files[0]))
+        files = table._all_data_files(version)
+        if files:
+            return from_arrow_schema(pq.read_schema(files[0]))
         raise ValueError(f"no data files in {table.path}")
 
     def reader(self, schema):

@@ -48,18 +48,26 @@ def _json_stat(v):
 
 def _parquet_files(data_dir: str) -> list[str]:
     """All parquet files of a snapshot dir, including hive-partitioned
-    subdirectories (``p=.../part-*.parquet``)."""
+    subdirectories (``p=.../part-*.parquet``). A path that is itself a
+    parquet file is returned as-is (file-level manifest entries)."""
+    if os.path.isfile(data_dir):
+        return [data_dir]
     return sorted(
         glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
     )
 
 
-def _scan_parquet_footers(data_dir: str) -> tuple[int, dict]:
+def _scan_parquet_footers(data_dir: str, rel_root: str | None = None) -> tuple[int, dict]:
     """One driver-side pass over the parquet footers of a snapshot:
     total row count + per-file min/max column stats. Replaces a Spark
     count job per commit, and is the same metadata Delta/Iceberg keep
     in their logs for data skipping — at 100 TB these stats come from
-    the commit's own writers; here the footers are the source of truth."""
+    the commit's own writers; here the footers are the source of truth.
+
+    Stats are keyed by path relative to ``rel_root`` (the TABLE root
+    when recording into a commit log) so that entries from different
+    data dirs can be merged into one map without any aliasing risk;
+    ``rel_root=None`` keys relative to ``data_dir`` (count-only uses)."""
     import pyarrow.parquet as pq
 
     total_rows = 0
@@ -95,11 +103,17 @@ def _scan_parquet_footers(data_dir: str) -> tuple[int, dict]:
                 if v != "__HIVE_DEFAULT_PARTITION__":
                     pv = _parse_partition_value(v)
                     cols[k] = [pv, pv]
-        # Stats are keyed by dir-relative path: partitioned writes reuse
-        # the same task-file basename in every partition dir, so a bare
-        # basename key would collide and clobber stats.
-        file_stats[rel] = cols
+        file_stats[os.path.relpath(fpath, rel_root or data_dir)] = cols
     return total_rows, file_stats
+
+
+def _uri_to_path(uri: str) -> str:
+    """``_metadata.file_path`` URI ('file:///x/y.parquet') -> OS path."""
+    if uri.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(uri).path
+    return uri
 
 
 def _parse_partition_value(v: str):
@@ -190,6 +204,35 @@ class ManagedTable:
         if entry is not None and "dataPaths" in entry:
             return list(entry["dataPaths"])
         return [self._data_dir(version)]
+
+    def _referenced_files(self, version: int) -> list[str]:
+        """Individual parquet files a file-level COW commit carries over
+        unchanged from prior versions (``dataFiles`` in the log entry) —
+        the Delta add-file model at file granularity: a MERGE that
+        touches 3 of 30 000 files records the other 29 997 here instead
+        of rewriting them."""
+        entry = self._entry(version)
+        if entry is not None:
+            return list(entry.get("dataFiles", []))
+        return []
+
+    def _data_paths(self, version: int) -> list[str]:
+        """Everything a scan of this version must read: data dirs plus
+        individually referenced files."""
+        return self._data_dirs(version) + self._referenced_files(version)
+
+    def _all_data_files(self, version: int) -> list[str]:
+        """Every parquet file of the snapshot (dirs expanded)."""
+        return sorted(
+            {f for d in self._data_dirs(version) for f in _parquet_files(d)}
+            | set(self._referenced_files(version))
+        )
+
+    def _carry_files(self, version: int) -> dict:
+        """Log-entry fragment that carries a prior version's referenced
+        files forward into an incremental commit."""
+        files = self._referenced_files(version)
+        return {"dataFiles": files} if files else {}
 
     def _entry(self, version: int) -> dict | None:
         entry_path = os.path.join(self._log_dir, f"{version}.json")
@@ -344,7 +387,9 @@ class ManagedTable:
         self._write_data(df, self._data_dir(version))
         # One footer pass gives the row count (no Spark job, no plan
         # recompute) AND the per-file min/max stats for data skipping.
-        n_rows, file_stats = _scan_parquet_footers(self._data_dir(version))
+        n_rows, file_stats = _scan_parquet_footers(
+            self._data_dir(version), rel_root=self.path
+        )
         if "numOutputRows" in metrics and metrics["numOutputRows"] is None:
             metrics["numOutputRows"] = n_rows
         os.makedirs(self._log_dir, exist_ok=True)
@@ -375,7 +420,7 @@ class ManagedTable:
         version = v_prev + 1
         local = self._local_data_dir(version)
         self._write_data(batch, local)
-        n_new, new_stats = _scan_parquet_footers(local)
+        n_new, new_stats = _scan_parquet_footers(local, rel_root=self.path)
         prev_rows = (prev_entry.get("operationMetrics") or {}).get("numOutputRows")
         merged_stats = dict(prev_entry.get("fileStats") or {})
         merged_stats.update(new_stats)
@@ -393,6 +438,7 @@ class ManagedTable:
             "operationMetrics": metrics,
             "fileStats": merged_stats,
             "dataPaths": self._data_dirs(v_prev) + [local],
+            **self._carry_files(v_prev),
             **(
                 {"deletionVector": prev_entry["deletionVector"]}
                 if "deletionVector" in prev_entry
@@ -429,8 +475,8 @@ class ManagedTable:
         entry = self._entry(v)
         dv_dir = entry.get("deletionVector") if entry else None
         if dv_dir is None:
-            return self._scan(self._data_dirs(v))
-        tagged = self._scan(self._data_dirs(v), with_positions=True)
+            return self._scan(self._data_paths(v))
+        tagged = self._scan(self._data_paths(v), with_positions=True)
         cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
         return (
             tagged.join(
@@ -498,20 +544,14 @@ class ManagedTable:
         v = self.latest_version() if version is None else version
         with open(os.path.join(self._log_dir, f"{v}.json")) as f:
             entry = json.load(f)
-        all_files = sorted(
-            (f, os.path.relpath(f, d))
-            for d in self._data_dirs(v)
-            for f in _parquet_files(d)
-        )
+        all_files = self._all_data_files(v)
         stats = entry.get("fileStats")
         if stats is None:  # pre-stats commit (e.g. shallow clone v0)
-            return [f for f, _ in all_files], len(all_files)
+            return list(all_files), len(all_files)
         kept = []
-        for fpath, rel in all_files:
-            # Dir-relative key; bare basename for pre-partitioning logs.
-            s = (
-                stats.get(rel, stats.get(os.path.basename(fpath), {}))
-            ).get(col)
+        for fpath in all_files:
+            # Table-root-relative key (matches how commits record stats).
+            s = stats.get(os.path.relpath(fpath, self.path), {}).get(col)
             if s is None:
                 kept.append(fpath)
                 continue
@@ -723,6 +763,49 @@ class ManagedTable:
                 break
         return out
 
+    def _merge_candidate_files(
+        self, source: DataFrame, condition: str, version: int
+    ) -> tuple[list[str], list[str]]:
+        """Stats-pruned candidate file set for a MERGE (Delta
+        MergeIntoCommand's findTouchedFiles pre-filter): only files
+        whose footer [min,max] for a join-key column can intersect the
+        SOURCE's key range can hold a match. One small agg job on the
+        source side (the batch), zero reads of the target data. Sound
+        because pruning only drops files the stats PROVE disjoint; any
+        unparseable condition shape keeps every file."""
+        import re as _re
+
+        all_files = self._all_data_files(version)
+        if _re.search(r"\bor\b", condition, _re.IGNORECASE):
+            return all_files, all_files
+        pairs = []
+        for conj in _re.split(r"\bAND\b", condition, flags=_re.IGNORECASE):
+            m = _re.fullmatch(r"\s*target\.(\w+)\s*=\s*updates\.(\w+)\s*", conj)
+            if m:
+                pairs.append((m.group(1), m.group(2)))
+                continue
+            m = _re.fullmatch(r"\s*updates\.(\w+)\s*=\s*target\.(\w+)\s*", conj)
+            if m:
+                pairs.append((m.group(2), m.group(1)))
+        pairs = [(tc, sc) for tc, sc in pairs if sc in source.columns][:4]
+        if not pairs:
+            return all_files, all_files
+        aggs = []
+        for i, (_tc, sc) in enumerate(pairs):
+            aggs += [F.min(sc).alias(f"lo{i}"), F.max(sc).alias(f"hi{i}")]
+        row = source.agg(*aggs).first()
+        cand = set(all_files)
+        for i, (tc, _sc) in enumerate(pairs):
+            lo, hi = _json_stat(row[f"lo{i}"]), _json_stat(row[f"hi{i}"])
+            if lo is None or hi is None:
+                continue
+            try:
+                kept, _ = self.prune_files(tc, lo, hi, version=version)
+            except TypeError:
+                continue  # incomparable stats encoding: no pruning
+            cand &= set(kept)
+        return sorted(cand), all_files
+
     def merge(
         self,
         source: DataFrame,
@@ -730,7 +813,7 @@ class ManagedTable:
         auto_schema_evolution: bool = False,
         rewrite: bool | None = None,
     ) -> int:
-        """Delta-style MERGE: one shuffle join, one snapshot commit.
+        """Delta-style MERGE: one shuffle join, one commit.
 
         ``clauses.condition`` references ``target.<col>`` /
         ``updates.<col>`` exactly like the reference's merge condition
@@ -742,12 +825,21 @@ class ManagedTable:
         target widen the target schema before matching (existing rows
         get NULLs), so update/insert clauses may assign them.
 
+        ``rewrite=True`` (copy-on-write) is FILE-LEVEL, Delta
+        MergeIntoCommand's model: stats-prune the target to candidate
+        files that can contain source keys, join only those, rewrite
+        only the files where a row actually changed, and reference the
+        rest untouched via the log's file manifest. An N-row merge into
+        an M-file table writes O(files-with-matches) + inserts, never
+        O(table) — the property that keeps a dimension merge viable at
+        100 TB. Falls back to a full-snapshot rewrite when the table is
+        hive-partitioned (dirs, not files, are the COW unit there),
+        single-file, or the schema is being widened.
+
         ``rewrite=False`` is the merge-on-read MERGE: matched-updated
         and matched-deleted target rows become deletion-vector entries,
         their replacements plus the inserts land in one new batch dir —
-        the commit costs O(touched + inserted), never O(table). This is
-        the shape a dimension merge must have when the dimension is
-        billions of rows and the batch is thousands. Incompatible with
+        the commit costs O(touched + inserted). Incompatible with
         ``auto_schema_evolution`` (widening needs a rewrite)."""
         rewrite = self._resolve_rewrite(rewrite)
         if not rewrite and auto_schema_evolution:
@@ -755,11 +847,42 @@ class ManagedTable:
                 "merge(rewrite=False) cannot widen the schema; "
                 "use rewrite=True with auto_schema_evolution"
             )
+        file_cow = (
+            rewrite
+            and not auto_schema_evolution
+            and not self.partition_spec()
+            and self.exists()
+        )
+        candidates: list[str] = []
+        all_files: list[str] = []
+        if file_cow:
+            v_prev = self.latest_version()
+            prev_entry = self._entry(v_prev) or {}
+            candidates, all_files = self._merge_candidate_files(
+                source, clauses.condition, v_prev
+            )
+            if len(all_files) <= 1:
+                file_cow = False  # nothing to keep: full snapshot is simpler
         if not rewrite:
             v_prev = self.latest_version()
             prev_entry = self._entry(v_prev) or {}
-            target = self._scan(self._data_dirs(v_prev), with_positions=True)
+            target = self._scan(self._data_paths(v_prev), with_positions=True)
             old_dv_dir = prev_entry.get("deletionVector")
+            if old_dv_dir:
+                target = target.join(
+                    F.broadcast(self.spark.read.parquet(old_dv_dir)),
+                    on=["__dv_file", "__dv_pos"],
+                    how="left_anti",
+                )
+        elif file_cow:
+            old_dv_dir = prev_entry.get("deletionVector")
+            if candidates:
+                target = self._scan(candidates, with_positions=True)
+            else:
+                # No file can match: schema-only scan, zero rows.
+                target = self._scan(
+                    self._data_paths(v_prev), with_positions=True
+                ).filter(F.lit(False))
             if old_dv_dir:
                 target = target.join(
                     F.broadcast(self.spark.read.parquet(old_dv_dir)),
@@ -836,7 +959,7 @@ class ManagedTable:
             ]
             pos_sel = (
                 []
-                if rewrite
+                if (rewrite and not file_cow)
                 else [F.col("target.__dv_file"), F.col("target.__dv_pos")]
             )
             flagged = joined.select(
@@ -872,6 +995,24 @@ class ManagedTable:
             "numTargetRowsInserted": n_inserted,
             "numTargetRowsDeleted": n_deleted,
         }
+        if rewrite and file_cow:
+            flagged_df = (
+                flagged
+                if (
+                    clauses.matched_update is not None
+                    or clauses.matched_delete_condition
+                )
+                else None
+            )
+            return self._commit_merge_filelevel(
+                v_prev,
+                prev_entry,
+                all_files,
+                tcols,
+                flagged_df,
+                inserts,
+                metrics,
+            )
         if rewrite:
             if inserts is not None:
                 new_target = new_target.unionByName(inserts)
@@ -893,7 +1034,7 @@ class ManagedTable:
             batch = batch.unionByName(p)
         self.verify_constraints(batch)
         self._write_data(batch, batch_dir)
-        _n_batch, batch_stats = _scan_parquet_footers(batch_dir)
+        _n_batch, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
         dv_dir = self._dv_dir(new_version)
         old_dv_dir = prev_entry.get("deletionVector")
@@ -933,7 +1074,199 @@ class ManagedTable:
                 "operationMetrics": metrics,
                 "fileStats": merged_stats,
                 "dataPaths": self._data_dirs(v_prev) + [batch_dir],
+                **self._carry_files(v_prev),
                 **({"deletionVector": dv_dir} if dv_dir else {}),
+            },
+        )
+        return new_version
+
+    def _commit_merge_filelevel(
+        self,
+        v_prev: int,
+        prev_entry: dict,
+        all_files: list[str],
+        tcols: list[str],
+        flagged: DataFrame | None,
+        inserts: DataFrame | None,
+        metrics: dict,
+    ) -> int:
+        """File-level COW commit for MERGE: rewrite ONLY files where a
+        row was updated or deleted; every other file is referenced
+        as-is through the ``dataFiles`` manifest. The rewritten rows +
+        inserts land in one new batch dir, prior footer stats for kept
+        files are reused verbatim (no re-scan), and a prior deletion
+        vector stays attached — its positions for rewritten files point
+        at dropped paths and simply never match again."""
+        if flagged is not None:
+            changed_uris = [
+                r[0]
+                for r in flagged.filter(F.col("__upd") | F.col("__del"))
+                .select("__dv_file")
+                .distinct()
+                .collect()  # O(#files with changes), driver-bounded
+            ]
+        else:
+            changed_uris = []
+        changed = {os.path.abspath(_uri_to_path(u)) for u in changed_uris}
+        kept_files = [f for f in all_files if os.path.abspath(f) not in changed]
+
+        new_version = v_prev + 1
+        batch_dir = self._local_data_dir(new_version)
+        parts = []
+        if changed_uris:
+            parts.append(
+                flagged.filter(
+                    F.col("__dv_file").isin(changed_uris) & ~F.col("__del")
+                ).select(*tcols)
+            )
+        if inserts is not None:
+            parts.append(inserts)
+        if not parts:
+            # No matched clause and no insert clause: empty batch keeps
+            # the commit shape uniform (one zero-row file anchors schema).
+            parts = [
+                self._scan(self._data_paths(v_prev))
+                .select(*tcols)
+                .filter(F.lit(False))
+            ]
+        batch = parts[0]
+        for p in parts[1:]:
+            batch = batch.unionByName(p)
+        self.verify_constraints(batch)
+        self._write_data(batch, batch_dir)
+        _n_batch, batch_stats = _scan_parquet_footers(
+            batch_dir, rel_root=self.path
+        )
+
+        stats = dict(prev_entry.get("fileStats") or {})
+        for f in changed:
+            stats.pop(os.path.relpath(f, self.path), None)
+        stats.update(batch_stats)
+        prev_rows = (prev_entry.get("operationMetrics") or {}).get(
+            "numOutputRows"
+        )
+        metrics = {
+            **metrics,
+            "numRewrittenFiles": len(changed),
+            "numKeptFiles": len(kept_files),
+            "numOutputRows": (
+                prev_rows
+                + metrics.get("numTargetRowsInserted", 0)
+                - metrics.get("numTargetRowsDeleted", 0)
+                if isinstance(prev_rows, int)
+                else None
+            ),
+        }
+        old_dv_dir = prev_entry.get("deletionVector")
+        self._write_entry(
+            new_version,
+            {
+                "version": new_version,
+                "timestamp": time.time(),
+                "operation": "MERGE",
+                "operationMetrics": metrics,
+                "fileStats": stats,
+                "dataPaths": [batch_dir],
+                "dataFiles": kept_files,
+                **({"deletionVector": old_dv_dir} if old_dv_dir else {}),
+            },
+        )
+        return new_version
+
+    def _dml_filelevel(
+        self,
+        op: str,
+        condition: str | None,
+        set_exprs: dict[str, str] | None = None,
+    ) -> int:
+        """File-level copy-on-write UPDATE/DELETE: rewrite only the
+        files that contain a row matching ``condition``; reference the
+        rest through the ``dataFiles`` manifest, reusing their footer
+        stats from the prior log entry (no re-scan). The read side still
+        scans every file once to FIND matches (Catalyst pushes the
+        predicate into the parquet scan, so row groups the footers rule
+        out are never decoded) — the saving is on the WRITE side, which
+        at 100 TB is the difference between rewriting 3 files and
+        30 000."""
+        v = self.latest_version()
+        entry = self._entry(v) or {}
+        all_files = self._all_data_files(v)
+        cond = F.coalesce(
+            F.expr(condition) if condition else F.lit(True), F.lit(False)
+        )
+        tagged = self._scan(self._data_paths(v), with_positions=True)
+        cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
+        old_dv_dir = entry.get("deletionVector")
+        if old_dv_dir:
+            tagged = tagged.join(
+                F.broadcast(self.spark.read.parquet(old_dv_dir)),
+                on=["__dv_file", "__dv_pos"],
+                how="left_anti",
+            )
+        tagged = tagged.withColumn("__match", cond).localCheckpoint(eager=False)
+        n_matched = tagged.filter(F.col("__match")).count()
+        changed_uris = [
+            r[0]
+            for r in tagged.filter(F.col("__match"))
+            .select("__dv_file")
+            .distinct()
+            .collect()  # O(#files with matches)
+        ]
+        changed = {os.path.abspath(_uri_to_path(u)) for u in changed_uris}
+        kept_files = [f for f in all_files if os.path.abspath(f) not in changed]
+
+        touched = tagged.filter(F.col("__dv_file").isin(changed_uris))
+        if op == "DELETE":
+            batch = touched.filter(~F.col("__match")).select(*cols)
+            metrics = {"numDeletedRows": n_matched}
+            delta_rows = -n_matched
+        else:
+            se = set_exprs or {}
+            batch = touched.select(
+                *[
+                    F.when(F.col("__match"), F.expr(se[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in se
+                    else F.col(c)
+                    for c in cols
+                ]
+            )
+            metrics = {"numUpdatedRows": n_matched}
+            delta_rows = 0
+        self.verify_constraints(batch)
+        new_version = v + 1
+        batch_dir = self._local_data_dir(new_version)
+        self._write_data(batch, batch_dir)
+        _n, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
+
+        stats = dict(entry.get("fileStats") or {})
+        for f in changed:
+            stats.pop(os.path.relpath(f, self.path), None)
+        stats.update(batch_stats)
+        prev_rows = (entry.get("operationMetrics") or {}).get("numOutputRows")
+        metrics.update(
+            {
+                "numRewrittenFiles": len(changed),
+                "numKeptFiles": len(kept_files),
+                "numOutputRows": (
+                    prev_rows + delta_rows
+                    if isinstance(prev_rows, int)
+                    else None
+                ),
+            }
+        )
+        self._write_entry(
+            new_version,
+            {
+                "version": new_version,
+                "timestamp": time.time(),
+                "operation": op,
+                "operationMetrics": metrics,
+                "fileStats": stats,
+                "dataPaths": [batch_dir],
+                "dataFiles": kept_files,
+                **({"deletionVector": old_dv_dir} if old_dv_dir else {}),
             },
         )
         return new_version
@@ -954,6 +1287,12 @@ class ManagedTable:
         a table with DVs enabled: mark old copies dead, add new copies."""
         rewrite = self._resolve_rewrite(rewrite)
         if rewrite:
+            if not self.partition_spec() and self.exists() and len(
+                self._all_data_files(self.latest_version())
+            ) > 1:
+                return self._dml_filelevel(
+                    "UPDATE", condition, set_exprs=set_exprs
+                )
             target = self.read()
             cond = F.expr(condition) if condition else F.lit(True)
             cond = F.coalesce(cond, F.lit(False))
@@ -971,10 +1310,11 @@ class ManagedTable:
         v = self.latest_version()
         entry = self._entry(v) or {}
         data_dirs = self._data_dirs(v)
+        data_files = self._referenced_files(v)
         cond = F.coalesce(
             F.expr(condition) if condition else F.lit(True), F.lit(False)
         )
-        tagged = self._scan(data_dirs, with_positions=True)
+        tagged = self._scan(data_dirs + data_files, with_positions=True)
         cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
         old_dv_dir = entry.get("deletionVector")
         if old_dv_dir:
@@ -995,7 +1335,7 @@ class ManagedTable:
         new_version = v + 1
         batch_dir = self._local_data_dir(new_version)
         self._write_data(rewritten, batch_dir)
-        n_upd, batch_stats = _scan_parquet_footers(batch_dir)
+        n_upd, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
         dv_dir = self._dv_dir(new_version)
         new_pos = matched.select("__dv_file", "__dv_pos")
@@ -1025,6 +1365,7 @@ class ManagedTable:
                 },
                 "fileStats": merged_stats,
                 "dataPaths": data_dirs + [batch_dir],
+                **({"dataFiles": data_files} if data_files else {}),
                 "deletionVector": dv_dir,
             },
         )
@@ -1043,6 +1384,10 @@ class ManagedTable:
         materializes the survivors, clearing the debt."""
         rewrite = self._resolve_rewrite(rewrite)
         if rewrite:
+            if not self.partition_spec() and self.exists() and len(
+                self._all_data_files(self.latest_version())
+            ) > 1:
+                return self._dml_filelevel("DELETE", condition)
             target = self.read().localCheckpoint(eager=False)
             cond = F.coalesce(F.expr(condition), F.lit(False))
             n = target.filter(cond).count()
@@ -1052,8 +1397,9 @@ class ManagedTable:
         v = self.latest_version()
         entry = self._entry(v)
         data_dirs = self._data_dirs(v)
+        data_files = self._referenced_files(v)
         cond = F.coalesce(F.expr(condition), F.lit(False))
-        tagged = self._scan(data_dirs, with_positions=True)
+        tagged = self._scan(data_dirs + data_files, with_positions=True)
         old_dv_dir = entry.get("deletionVector") if entry else None
         if old_dv_dir:
             old_dv = self.spark.read.parquet(old_dv_dir)
@@ -1072,7 +1418,9 @@ class ManagedTable:
         )
         self._write_dv(full_dv, dv_dir, old_dv_dir)
         total_dv, _ = _scan_parquet_footers(dv_dir)
-        n_data = sum(_scan_parquet_footers(d)[0] for d in data_dirs)
+        n_data = sum(
+            _scan_parquet_footers(d)[0] for d in data_dirs + data_files
+        )
         prior_dv = 0
         if old_dv_dir:
             prior_dv, _ = _scan_parquet_footers(old_dv_dir)
@@ -1092,6 +1440,7 @@ class ManagedTable:
                 # prune_files/column_max conservative and therefore safe.
                 "fileStats": (entry or {}).get("fileStats"),
                 "dataPaths": data_dirs,
+                **({"dataFiles": data_files} if data_files else {}),
                 "deletionVector": dv_dir,
             },
         )
@@ -1169,7 +1518,8 @@ class ManagedTable:
         v = self.latest_version()
         entry = self._entry(v) or {}
         data_dirs = self._data_dirs(v)
-        tagged = self._scan(data_dirs, with_positions=True)
+        data_files = self._referenced_files(v)
+        tagged = self._scan(data_dirs + data_files, with_positions=True)
         cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
         old_dv_dir = entry.get("deletionVector")
         if old_dv_dir:
@@ -1186,7 +1536,7 @@ class ManagedTable:
         new_version = v + 1
         batch_dir = self._local_data_dir(new_version)
         self._write_data(batch, batch_dir)
-        n_new, batch_stats = _scan_parquet_footers(batch_dir)
+        n_new, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
         dv_dir = self._dv_dir(new_version)
         full_dv = (
@@ -1212,6 +1562,7 @@ class ManagedTable:
                 },
                 "fileStats": merged_stats,
                 "dataPaths": data_dirs + [batch_dir],
+                **({"dataFiles": data_files} if data_files else {}),
                 "deletionVector": dv_dir,
             },
         )
@@ -1228,7 +1579,11 @@ class ManagedTable:
         up O(batch) ingest."""
         v = self.latest_version()
         entry = self._entry(v) or {}
-        over_dirs = len(self._data_dirs(v)) > max_data_dirs
+        n_sources = len(
+            set(self._data_dirs(v))
+            | {os.path.dirname(f) for f in self._referenced_files(v)}
+        )
+        over_dirs = n_sources > max_data_dirs
         dv_rows = (entry.get("operationMetrics") or {}).get(
             "numDeletionVectorRows", 0
         )
@@ -1243,7 +1598,7 @@ class ManagedTable:
         """DESCRIBE DETAIL analogue: table-level metadata from the
         commit log + current data files (no data scan)."""
         v = self.latest_version()
-        files = [f for d in self._data_dirs(v) for f in _parquet_files(d)]
+        files = self._all_data_files(v)
         entry = self.history(1)[0]
         return {
             "location": self.path,
@@ -1472,6 +1827,11 @@ class ManagedTable:
         # and DV versions point at files they do not own.
         retained = [v for v in versions if v not in to_remove]
         referenced = {d for v in retained for d in self._data_dirs(v)}
+        referenced |= {
+            os.path.dirname(f)
+            for v in retained
+            for f in self._referenced_files(v)
+        }
         removed = []
         for v in to_remove:
             # A version's DV sidecar is referenced only by that version.
@@ -1505,6 +1865,7 @@ class ManagedTable:
                 "sourceVersion": src_version,
             },
             "dataPaths": self._data_dirs(src_version),
+            **self._carry_files(src_version),
         }
         src_entry = self._entry(src_version)
         if src_entry is not None and "deletionVector" in src_entry:

@@ -1,0 +1,215 @@
+"""File-level copy-on-write MERGE/UPDATE/DELETE: an N-row change into
+an M-file table must rewrite only the files containing matched rows and
+reference the rest untouched — Delta MergeIntoCommand's model
+(reference scd_handler.py:48-53 runs on exactly that substrate).
+
+The table fixture is range-laid-out on the key so key-local changes
+provably live in few files; commit metrics (numRewrittenFiles /
+numKeptFiles) pin the write amplification, and state equality against
+an identical table driven through the full-snapshot path pins
+correctness.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.sources.managed_table import (
+    ManagedTable,
+    MergeClauses,
+)
+
+N_FILES = 16
+N_ROWS = 1600
+
+
+def _base(spark):
+    return (
+        spark.range(N_ROWS)
+        .select(
+            "id",
+            (F.col("id") % 7).alias("k"),
+            (F.col("id") * 10).alias("v"),
+        )
+        .repartitionByRange(N_FILES, "id")
+    )
+
+
+@pytest.fixture
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="fcow_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _table(spark, tmpdir, name) -> ManagedTable:
+    t = ManagedTable(spark, f"{tmpdir}/{name}")
+    t.create(_base(spark))
+    return t
+
+
+def _state(t: ManagedTable):
+    return sorted(map(tuple, t.read().select("id", "k", "v").collect()))
+
+
+def _narrow_merge(table, spark, rewrite=True):
+    # 5 updates + 2 inserts, all keys in [100, 104] ∪ {99990, 99991}:
+    # the update keys live in ONE of the 16 range files.
+    src = spark.createDataFrame(
+        [(i, -1) for i in range(100, 105)] + [(99990, -2), (99991, -2)],
+        "id long, nv long",
+    )
+    return table.merge(
+        src,
+        MergeClauses(
+            condition="target.id = updates.id",
+            matched_update={"v": "updates.nv"},
+            not_matched_insert={
+                "id": "updates.id",
+                "k": "updates.id % 7",
+                "v": "updates.nv",
+            },
+        ),
+        rewrite=rewrite,
+    )
+
+
+def test_merge_rewrites_only_touched_files(spark, tmpdir):
+    t = _table(spark, tmpdir, "t")
+    assert len(t._all_data_files(0)) == N_FILES
+    v = _narrow_merge(t, spark)
+    m = t.history(1)[0]["operationMetrics"]
+    assert m["numTargetRowsUpdated"] == 5
+    assert m["numTargetRowsInserted"] == 2
+    assert m["numRewrittenFiles"] <= 2, m
+    assert m["numKeptFiles"] >= N_FILES - 2, m
+    assert m["numOutputRows"] == N_ROWS + 2
+
+    # State equality vs the full-snapshot path on a twin table.
+    full = ManagedTable(spark, f"{tmpdir}/full")
+    full.create(_base(spark).coalesce(1))  # single file -> full path
+    _narrow_merge(full, spark)
+    assert _state(t) == _state(full)
+
+    # Time travel: the pre-merge snapshot is intact.
+    assert t.read(0).count() == N_ROWS
+    assert t.read(v).count() == N_ROWS + 2
+
+
+def test_merge_candidate_pruning_limits_the_join(spark, tmpdir):
+    t = _table(spark, tmpdir, "t")
+    src = spark.createDataFrame([(i, -1) for i in range(100, 105)], "id long, nv long")
+    cand, all_files = t._merge_candidate_files(src, "target.id = updates.id", 0)
+    assert len(all_files) == N_FILES
+    assert len(cand) <= 2, "stats should prune the join to the key-range files"
+
+    # An OR condition must disable pruning (soundness first).
+    cand2, _ = t._merge_candidate_files(
+        src, "target.id = updates.id OR target.k = updates.nv", 0
+    )
+    assert len(cand2) == N_FILES
+
+
+def test_insert_only_merge_keeps_every_file(spark, tmpdir):
+    t = _table(spark, tmpdir, "t")
+    src = spark.createDataFrame([(99990, 1), (99991, 2)], "id long, nv long")
+    t.merge(
+        src,
+        MergeClauses(
+            condition="target.id = updates.id",
+            not_matched_insert={
+                "id": "updates.id",
+                "k": "updates.nv",
+                "v": "updates.nv",
+            },
+        ),
+        rewrite=True,
+    )
+    m = t.history(1)[0]["operationMetrics"]
+    assert m["numRewrittenFiles"] == 0
+    assert m["numKeptFiles"] == N_FILES
+    assert t.read().count() == N_ROWS + 2
+
+
+def test_update_rewrites_only_matching_files(spark, tmpdir):
+    t = _table(spark, tmpdir, "t")
+    t.update({"v": "v + 1"}, "id between 200 and 205", rewrite=True)
+    m = t.history(1)[0]["operationMetrics"]
+    assert m["numUpdatedRows"] == 6
+    assert m["numRewrittenFiles"] <= 2
+    assert m["numKeptFiles"] >= N_FILES - 2
+    got = {r.id: r.v for r in t.read().filter("id between 199 and 206").collect()}
+    assert got == {199: 1990, **{i: i * 10 + 1 for i in range(200, 206)}, 206: 2060}
+    assert t.read().count() == N_ROWS
+
+
+def test_delete_rewrites_only_matching_files(spark, tmpdir):
+    t = _table(spark, tmpdir, "t")
+    t.delete("id between 300 and 309", rewrite=True)
+    m = t.history(1)[0]["operationMetrics"]
+    assert m["numDeletedRows"] == 10
+    assert m["numRewrittenFiles"] <= 2
+    assert m["numKeptFiles"] >= N_FILES - 2
+    assert t.read().count() == N_ROWS - 10
+    assert t.read().filter("id = 305").count() == 0
+    assert t.read(0).count() == N_ROWS  # time travel intact
+
+
+def test_filelevel_after_dv_commit_respects_deletions(spark, tmpdir):
+    """A file-level COW op on a table with a live deletion vector must
+    not resurrect DV-deleted rows — neither in rewritten files nor in
+    kept ones."""
+    t = _table(spark, tmpdir, "t")
+    t.delete("id between 100 and 109", rewrite=False)  # DV commit
+    assert t.read().count() == N_ROWS - 10
+    t.update({"v": "0 - v"}, "id between 105 and 115", rewrite=True)
+    m = t.history(1)[0]["operationMetrics"]
+    assert m["numUpdatedRows"] == 6  # 110..115 (100..109 are DV-deleted)
+    assert t.read().count() == N_ROWS - 10
+    got = {r.id: r.v for r in t.read().filter("id between 100 and 116").collect()}
+    assert set(got) == set(range(110, 117))
+    assert got[110] == -1100 and got[115] == -1150 and got[116] == 1160
+
+
+def test_chained_filelevel_ops_and_vacuum(spark, tmpdir):
+    """Several file-level commits in sequence, then VACUUM: files still
+    referenced by the retained head (including individually referenced
+    ones from older dirs) must survive; the table must stay readable."""
+    t = _table(spark, tmpdir, "t")
+    _narrow_merge(t, spark)
+    t.update({"v": "v + 5"}, "id between 500 and 503", rewrite=True)
+    t.delete("id between 700 and 701", rewrite=True)
+    expect = _state(t)
+    removed = t.vacuum(keep_last=1, older_than_s=0)
+    assert _state(t) == expect
+    assert t.detail()["numFiles"] >= N_FILES - 3
+    # The original v=0 dir still holds referenced (kept) files, so it
+    # must not have been removed wholesale.
+    assert 0 not in removed
+
+
+def test_partitioned_table_falls_back_to_full_rewrite(spark, tmpdir):
+    t = ManagedTable(spark, f"{tmpdir}/pt")
+    t.create(
+        spark.range(100).select(
+            "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("v")
+        ),
+        partition_by=["p"],
+    )
+    src = spark.createDataFrame([(3, -1)], "id long, nv long")
+    t.merge(
+        src,
+        MergeClauses(
+            condition="target.id = updates.id",
+            matched_update={"v": "updates.nv"},
+        ),
+        rewrite=True,
+    )
+    m = t.history(1)[0]["operationMetrics"]
+    assert "numRewrittenFiles" not in m  # full-snapshot path
+    assert t.read().filter("id = 3").first().v == -1
+    assert t.read().count() == 100
