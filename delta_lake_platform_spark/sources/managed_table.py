@@ -57,53 +57,78 @@ def _parquet_files(data_dir: str) -> list[str]:
     )
 
 
-def _scan_parquet_footers(data_dir: str, rel_root: str | None = None) -> tuple[int, dict]:
-    """One driver-side pass over the parquet footers of a snapshot:
-    total row count + per-file min/max column stats. Replaces a Spark
-    count job per commit, and is the same metadata Delta/Iceberg keep
-    in their logs for data skipping — at 100 TB these stats come from
-    the commit's own writers; here the footers are the source of truth.
+def _footer_stats_one(fpath: str, data_dir: str) -> tuple[int, dict]:
+    """Footer stats for ONE parquet file: (row count, {col: [min,max]}).
+    Self-contained so it can run on an executor."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fpath).metadata
+    cols: dict[str, list] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if "." in name:  # nested (list/struct) — not skippable
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = _json_stat(st.min), _json_stat(st.max)
+            if mn is None or mx is None:
+                continue
+            if name in cols:
+                cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
+            else:
+                cols[name] = [mn, mx]
+    # A hive partition dir (k=v) is an exact min=max stat for k:
+    # the value is not stored inside the files, but the commit log
+    # can still prune on it through the one data-skipping API.
+    rel = os.path.relpath(fpath, data_dir)
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            if v != "__HIVE_DEFAULT_PARTITION__":
+                pv = _parse_partition_value(v)
+                cols[k] = [pv, pv]
+    return md.num_rows, cols
+
+
+# Snapshot size above which the footer pass fans out to executors
+# instead of running sequentially on the driver.
+_DISTRIBUTED_FOOTERS_AT = 64
+
+
+def _scan_parquet_footers(
+    data_dir: str, rel_root: str | None = None, spark=None
+) -> tuple[int, dict]:
+    """Footer stats for a snapshot dir: total row count + per-file
+    min/max column stats — the same metadata Delta/Iceberg keep in
+    their logs for data skipping. Incremental commits only ever pass
+    their own batch dir here (O(batch) footers); full-snapshot commits
+    with many files fan the per-file reads out over ``spark`` so the
+    driver never does a long sequential I/O loop (the moral equivalent
+    of writers emitting their own stats at write time).
 
     Stats are keyed by path relative to ``rel_root`` (the TABLE root
     when recording into a commit log) so that entries from different
     data dirs can be merged into one map without any aliasing risk;
     ``rel_root=None`` keys relative to ``data_dir`` (count-only uses)."""
-    import pyarrow.parquet as pq
-
+    files = _parquet_files(data_dir)
+    root = rel_root or data_dir
+    if spark is not None and len(files) > _DISTRIBUTED_FOOTERS_AT:
+        sc = spark.sparkContext
+        slices = min(len(files), sc.defaultParallelism)
+        per_file = sc.parallelize(files, slices).map(
+            lambda f, d=data_dir: (f, _footer_stats_one(f, d))
+        ).collect()  # O(#files) tiny stat dicts, computed in parallel
+    else:
+        per_file = [(f, _footer_stats_one(f, data_dir)) for f in files]
     total_rows = 0
     file_stats: dict[str, dict] = {}
-    for fpath in _parquet_files(data_dir):
-        md = pq.ParquetFile(fpath).metadata
-        total_rows += md.num_rows
-        cols: dict[str, list] = {}
-        for rg_i in range(md.num_row_groups):
-            rg = md.row_group(rg_i)
-            for c_i in range(rg.num_columns):
-                col = rg.column(c_i)
-                name = col.path_in_schema
-                if "." in name:  # nested (list/struct) — not skippable
-                    continue
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    continue
-                mn, mx = _json_stat(st.min), _json_stat(st.max)
-                if mn is None or mx is None:
-                    continue
-                if name in cols:
-                    cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
-                else:
-                    cols[name] = [mn, mx]
-        # A hive partition dir (k=v) is an exact min=max stat for k:
-        # the value is not stored inside the files, but the commit log
-        # can still prune on it through the one data-skipping API.
-        rel = os.path.relpath(fpath, data_dir)
-        for seg in rel.split(os.sep)[:-1]:
-            if "=" in seg:
-                k, v = seg.split("=", 1)
-                if v != "__HIVE_DEFAULT_PARTITION__":
-                    pv = _parse_partition_value(v)
-                    cols[k] = [pv, pv]
-        file_stats[os.path.relpath(fpath, rel_root or data_dir)] = cols
+    for fpath, (n, cols) in per_file:
+        total_rows += n
+        file_stats[os.path.relpath(fpath, root)] = cols
     return total_rows, file_stats
 
 
@@ -388,7 +413,7 @@ class ManagedTable:
         # One footer pass gives the row count (no Spark job, no plan
         # recompute) AND the per-file min/max stats for data skipping.
         n_rows, file_stats = _scan_parquet_footers(
-            self._data_dir(version), rel_root=self.path
+            self._data_dir(version), rel_root=self.path, spark=self.spark
         )
         if "numOutputRows" in metrics and metrics["numOutputRows"] is None:
             metrics["numOutputRows"] = n_rows
@@ -1418,12 +1443,23 @@ class ManagedTable:
         )
         self._write_dv(full_dv, dv_dir, old_dv_dir)
         total_dv, _ = _scan_parquet_footers(dv_dir)
-        n_data = sum(
-            _scan_parquet_footers(d)[0] for d in data_dirs + data_files
-        )
-        prior_dv = 0
-        if old_dv_dir:
-            prior_dv, _ = _scan_parquet_footers(old_dv_dir)
+        # Row arithmetic from the prior log entry, not a footer re-scan
+        # of every data file (O(#files) driver I/O per DV delete at
+        # scale). prev numOutputRows is logical (post-DV), so physical
+        # rows = prev logical + prior DV size.
+        prev_metrics = (entry or {}).get("operationMetrics") or {}
+        prior_dv = prev_metrics.get("numDeletionVectorRows")
+        if prior_dv is None:
+            prior_dv = (
+                _scan_parquet_footers(old_dv_dir)[0] if old_dv_dir else 0
+            )
+        prev_rows = prev_metrics.get("numOutputRows")
+        if isinstance(prev_rows, int):
+            n_data = prev_rows + prior_dv
+        else:
+            n_data = sum(
+                _scan_parquet_footers(d)[0] for d in data_dirs + data_files
+            )
         self._write_entry(
             new_version,
             {
