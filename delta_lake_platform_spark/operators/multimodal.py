@@ -2,12 +2,19 @@
 
 Media are opaque ``binary`` columns with typed metadata. The Spark-side
 plumbing — schema contracts, Arrow-batched mapInPandas, partitioning —
-is real and tested; the actual codec step is STUBBED (image/audio
-libraries are not available in this environment): ``decode_features``
-raises NotImplementedError unless ``fake=True``, which substitutes a
-deterministic hash-derived feature vector with the exact shape a real
-decoder would produce. Swapping in a real decoder changes only the
-body of the pandas function, not the plan, schema, or batch shape.
+is real and tested. The codec step has three tiers:
+
+- ``fake=True``: a deterministic hash-derived stand-in with the exact
+  shape a real decoder would produce (what the oracle queries use).
+- real image decode: when Pillow is importable on the executors,
+  ``decode_features`` / ``resize_media`` decode actual PNG/JPEG bytes
+  (import-guarded; this environment does not ship Pillow, so the tests
+  for it skip cleanly).
+- video frame sampling has no real backend here (no ffmpeg); it raises
+  NotImplementedError unless ``fake=True``.
+
+Swapping decoder tiers changes only the body of the pandas function,
+never the plan, schema, or batch shape.
 """
 
 from __future__ import annotations
@@ -68,6 +75,21 @@ def with_media_metadata(
     )
 
 
+def _pil_image_features(payload: bytes) -> list[float]:
+    """Real image decode -> FEATURE_DIM grayscale patch means in [0,1].
+    Requires Pillow (ImportError propagates to the caller's guard)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    side = int(FEATURE_DIM**0.5)  # 16 -> 4x4 patch grid
+    with Image.open(io.BytesIO(payload)) as img:
+        small = img.convert("L").resize((side, side), Image.BILINEAR)
+        arr = np.asarray(small, dtype=np.float32) / 255.0
+    return arr.reshape(-1).tolist()
+
+
 def decode_features(
     df: DataFrame,
     id_col: str = "media_id",
@@ -76,10 +98,12 @@ def decode_features(
 ) -> DataFrame:
     """Arrow-batched decode -> feature-extract over mapInPandas.
 
-    Real decoders (PIL/librosa/ffmpeg) are not installed here; with
-    ``fake=True`` a deterministic per-byte-content vector stands in so
-    the distributed plumbing (batch iteration, schema, partition
-    parallelism) is fully exercised and testable.
+    ``fake=True``: deterministic per-byte-content vector (the oracle
+    path). Otherwise a REAL image decode via Pillow when it is
+    importable on the executor (grayscale 4x4 patch means — the minimal
+    honest visual feature); NotImplementedError when no codec exists,
+    so a misconfigured cluster fails loudly instead of silently
+    fabricating features.
     """
 
     def decode(batches: Iterator) -> Iterator:
@@ -88,21 +112,27 @@ def decode_features(
         import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            if not fake:
+        if not fake:
+            try:
+                import PIL  # noqa: F401
+            except ImportError as exc:
                 raise NotImplementedError(
-                    "media codecs not available in this environment; "
+                    "no image codec available (Pillow not installed); "
                     "pass fake=True for the deterministic stand-in"
-                )
+                ) from exc
+        for pdf in batches:
             feats = []
             for payload in pdf[bin_col]:
-                h = hashlib.sha256(bytes(payload)).digest()
-                vec = (
-                    np.frombuffer(h[:FEATURE_DIM * 2], dtype=np.uint16)
-                    .astype(np.float32)
-                    / 65535.0
-                )
-                feats.append(vec.tolist())
+                if fake:
+                    h = hashlib.sha256(bytes(payload)).digest()
+                    vec = (
+                        np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16)
+                        .astype(np.float32)
+                        / 65535.0
+                    )
+                    feats.append(vec.tolist())
+                else:
+                    feats.append(_pil_image_features(bytes(payload)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
@@ -142,26 +172,43 @@ def resize_media(
     fake: bool = False,
 ) -> DataFrame:
     """Image resize over mapInPandas: one output row per input, fixed
-    ``width*height``-byte pixel buffer. The real body would be
-    PIL.Image.resize; the stand-in tiles the payload bytes to the target
-    size, preserving the contract a real decoder obeys (deterministic,
-    shape-exact, 1:1)."""
+    ``width*height``-byte grayscale pixel buffer. With Pillow available
+    (and ``fake=False``) this is a REAL ``Image.resize``; the stand-in
+    tiles the payload bytes to the target size, preserving the contract
+    a real decoder obeys (deterministic, shape-exact, 1:1)."""
 
     def resize(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
+        if not fake:
+            try:
+                import PIL  # noqa: F401
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "no image codec available (Pillow not installed); "
+                    "pass fake=True for the stand-in"
+                ) from exc
         size = width * height
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codecs not available; pass fake=True for the stand-in"
-                )
             out = []
             for payload in pdf[bin_col]:
-                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
-                reps = -(-size // max(len(raw), 1))  # ceil
-                out.append(np.tile(raw, reps)[:size].tobytes())
+                if fake:
+                    raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                    reps = -(-size // max(len(raw), 1))  # ceil
+                    out.append(np.tile(raw, reps)[:size].tobytes())
+                else:
+                    import io
+
+                    from PIL import Image
+
+                    with Image.open(io.BytesIO(bytes(payload))) as img:
+                        small = img.convert("L").resize(
+                            (width, height), Image.BILINEAR
+                        )
+                        out.append(
+                            np.asarray(small, dtype=np.uint8).tobytes()
+                        )
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),

@@ -94,9 +94,12 @@ def ivf_assign(
     vec_col: str = "embedding",
     dim: int = 64,
     n_centroids: int = 16,
+    centroids=None,
 ) -> DataFrame:
     """Assign each vector to its nearest (max-cosine) centroid. At scale
     the output is partitioned/bucketed by centroid_id at write time.
+    ``centroids``: a fitted (n_centroids, dim) matrix from
+    ``train_ivf_centroids``; defaults to the deterministic hash planes.
 
     The assignment is an Arrow-batched pandas_udf doing one BLAS matmul
     per batch: a pure-expression formulation (16x64 literal tree) falls
@@ -104,7 +107,7 @@ def ivf_assign(
     """
     from pyspark.sql.functions import pandas_udf
 
-    cn = _centroid_matrix(dim, n_centroids)
+    cn = centroids if centroids is not None else _centroid_matrix(dim, n_centroids)
 
     @pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
@@ -146,11 +149,60 @@ def train_pq_codebooks(
 
 
 def _normalized_sample(corpus: DataFrame, vec_col: str, limit: int = 2048):
+    """Deterministic training sample: rows ordered by a hash of the
+    vector itself, so the SAME corpus yields the SAME sample regardless
+    of file layout or partitioning (a bare ``limit()`` returns whatever
+    partitions answer first — codebooks would then depend on layout).
+    ``orderBy + limit`` plans as TakeOrderedAndProject: one scan, no
+    global sort materialization."""
     import numpy as np
 
-    rows = corpus.select(vec_col).limit(limit).collect()
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)), F.col(vec_col).cast("string"))
+        .limit(limit)
+        .collect()
+    )
     m = np.stack([np.asarray(r[0], dtype="float64") for r in rows])
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 8,
+    seed: int = 7,
+    sample_limit: int = 4096,
+):
+    """Fit IVF centroids with sampled spherical k-means (Lloyd over a
+    deterministic hash-ordered sample, means re-normalized each round)
+    — the same train-on-a-sample recipe as ``train_pq_codebooks``.
+    Fitted centroids track the corpus's actual cluster structure, which
+    hash-derived planes cannot (SCALE.md's known IVF gap): on clustered
+    real-world embeddings the probe list then covers the true neighbor
+    cells at much smaller nprobe. Deterministic across file layouts and
+    cluster sizes. Returns an (n_centroids, dim) normalized matrix."""
+    import numpy as np
+
+    sample = _normalized_sample(corpus, vec_col, limit=sample_limit)
+    n, dim = sample.shape
+    k = min(n_centroids, n)
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                v = sample[mask].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    if k < n_centroids:
+        # Degenerate corpus smaller than n_centroids: pad with the
+        # deterministic hash planes so the shape contract holds.
+        pad = _centroid_matrix(dim, n_centroids)[k:]
+        cents = np.vstack([cents, pad])
+    return cents
 
 
 def pq_encode(
@@ -289,17 +341,25 @@ def ivf_topk(
     c_id: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    fit_centroids: bool = False,
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe nearest centroid cells.
 
     Join is an equi-join on centroid_id (queries exploded to their probe
     list, broadcast), so the corpus is filtered to ~nprobe/C of its rows
-    before any distance math."""
+    before any distance math. ``fit_centroids`` trains the centroids on
+    a corpus sample (``train_ivf_centroids``) instead of the
+    deterministic hash planes — the recall-preserving choice when the
+    corpus is clustered (real-world embeddings); at scale training
+    happens once at index-build time, not per query."""
     from pyspark.sql.functions import pandas_udf
 
-    corpus_assigned = ivf_assign(corpus, vec_col, dim, n_centroids)
-
-    cn = _centroid_matrix(dim, n_centroids)
+    cn = (
+        train_ivf_centroids(corpus, vec_col, n_centroids)
+        if fit_centroids
+        else _centroid_matrix(dim, n_centroids)
+    )
+    corpus_assigned = ivf_assign(corpus, vec_col, dim, n_centroids, centroids=cn)
 
     @pandas_udf("array<int>")
     def probe_list(vecs: pd.Series) -> pd.Series:

@@ -57,7 +57,11 @@ def mv_incremental_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFra
         group_cols=["o_orderstatus"], sum_cols=["price_cents"],
     )
     mv.create()
-    base.delete("o_orderkey % 17 = 0")
+    # A delete scattered across every file is exactly what deletion
+    # vectors are for: no data file rewritten, and the change feed's
+    # manifest pruning then reads only the DV delta + the appended
+    # batch instead of two full snapshots.
+    base.delete("o_orderkey % 17 = 0", rewrite=False)
     base.append(
         base.read()
         .filter(F.col("o_orderkey") % 13 == 0)

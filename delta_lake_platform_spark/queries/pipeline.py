@@ -564,7 +564,11 @@ def _recall_vs_bruteforce(approx: DataFrame, exact: DataFrame) -> DataFrame:
 @register("ann_ivf_recall", _ANN_RECALL_ORACLE)
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, corpus = _planted_ann_corpus(spark, sf_dir)
-    ivf = similarity.ivf_topk(queries, corpus, k=5, nprobe=2)
+    # fit_centroids: sampled-k-means centroids (train_ivf_centroids).
+    # The recall-1.0 proof is centroid-agnostic — an exact copy shares
+    # the query's argmax centroid under ANY centroid set — so the
+    # fitted path is driver-verified here without weakening the oracle.
+    ivf = similarity.ivf_topk(queries, corpus, k=5, nprobe=2, fit_centroids=True)
     bf = similarity.cosine_topk_bruteforce(queries, corpus, k=5)
     return _recall_vs_bruteforce(ivf, bf)
 

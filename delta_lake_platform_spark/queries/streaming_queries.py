@@ -8,11 +8,30 @@ streams with watermarks and asserts stream==batch.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.catalog import load_table
 from ..streaming.events import sessionize, windowed_counts
 from .registry import register
+
+
+@contextmanager
+def _stateful_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Stateful streaming operators create one state store PER shuffle
+    partition PER stateful operator; a stream-stream join keeps four.
+    The right count tracks the stateful key cardinality and cluster
+    size, not the batch-side default — at this fixture's scale 32
+    partitions is 32x state-store open/commit overhead for sub-MB
+    state. Scoped to the query: batch queries keep the session default,
+    and a 1000-executor deployment would raise it with the cluster."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 HOURLY_ORACLE = """
 SELECT
@@ -65,15 +84,16 @@ def events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     elif ts_type == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     sink = f"hourly_streamed_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed_counts(stream, window="1 hour")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stateful_shuffle_partitions(spark):
+        q = (
+            windowed_counts(stream, window="1 hour")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("window_start", "event_type")
 
 
@@ -215,12 +235,13 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = events.filter(F.col("event_type") == "purchase")
     joined = purchases_after_signup(signups, purchases, within="2 hours")
     sink = f"ss_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stateful_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("user_id", "signup_ts", "purchase_ts")

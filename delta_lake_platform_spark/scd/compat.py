@@ -41,6 +41,25 @@ def register_table(name: str, path: str) -> None:
     _CATALOG[name] = path
 
 
+def _real_delta_table():
+    """The real delta-spark DeltaTable class when the library is
+    installed, else None. Reference users with actual ``_delta_log``
+    tables get the real implementation through this facade — its fluent
+    API (alias/merge/whenMatchedUpdate/.../execute, history, toDF) is
+    what this module mirrors, so delegation is just returning the real
+    object."""
+    try:
+        from delta.tables import DeltaTable as _Real
+
+        return _Real
+    except ImportError:
+        return None
+
+
+def _is_real_delta_path(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, "_delta_log"))
+
+
 def _warehouse_path(spark: SparkSession, name: str) -> str:
     root = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     if root.startswith("file:"):
@@ -129,15 +148,30 @@ class DeltaTable:
     # -- constructors --------------------------------------------------------
 
     @classmethod
-    def forPath(cls, spark: SparkSession, path: str) -> "DeltaTable":
+    def forPath(cls, spark: SparkSession, path: str):
+        real = _real_delta_table()
+        if real is not None and _is_real_delta_path(path):
+            # An actual Delta table and the actual library: reference
+            # users' tables work untranslated.
+            return real.forPath(spark, path)
         t = ManagedTable(spark, path)
         if not t.exists():
             raise ValueError(f"no table at path {path!r}")
         return cls(spark, t)
 
     @classmethod
-    def forName(cls, spark: SparkSession, name: str) -> "DeltaTable":
-        path = _CATALOG.get(name) or _warehouse_path(spark, name)
+    def forName(cls, spark: SparkSession, name: str):
+        path = _CATALOG.get(name)
+        if path is None:
+            real = _real_delta_table()
+            if real is not None:
+                try:
+                    return real.forName(spark, name)
+                except Exception:  # noqa: BLE001 — not a catalog Delta table
+                    pass
+            path = _warehouse_path(spark, name)
+            if _real_delta_table() is not None and _is_real_delta_path(path):
+                return _real_delta_table().forPath(spark, path)
         t = ManagedTable(spark, path)
         if not t.exists():
             raise ValueError(

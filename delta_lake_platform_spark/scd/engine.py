@@ -275,7 +275,10 @@ def apply_scd(
     # Initial-load fast path: an empty target means every batch row is a
     # brand-new entity (effective_from = initial date). Skips the window
     # collapse and the full-outer join — the common bulk-load case.
-    if target.isEmpty():
+    # Emptiness comes from the commit log's recorded row count when
+    # available (no Spark job); isEmpty() only as the fallback.
+    n_known = table.known_row_count()
+    if (n_known == 0) if n_known is not None else target.isEmpty():
         first_load = incoming.withColumn(
             "effective_from", F.col("initial_effective_from")
         ).select(*out_cols)
@@ -286,7 +289,12 @@ def apply_scd(
                 start=cfg.surrogate_start,
                 id_col=cfg.surrogate_col,
             ).select(*out_cols)
-        return table.overwrite(first_load, operation="SCD_APPLY")
+        # overwrite_schema=True skips the guard's table scan: the
+        # frame is built from the target's own column list, so the
+        # schema is equal by construction.
+        return table.overwrite(
+            first_load, operation="SCD_APPLY", overwrite_schema=True
+        )
 
     # Partition-local scope: exact iff partition cols are PK-derived
     # (a PK can never move partitions across versions, so every row —
@@ -411,7 +419,9 @@ def apply_scd(
             if compacted is not None:
                 v = compacted
         return v
-    return table.overwrite(new_state, operation="SCD_APPLY")
+    return table.overwrite(
+        new_state, operation="SCD_APPLY", overwrite_schema=True
+    )
 
 
 def _apply_scd_two_merge(batch: DataFrame, table: ManagedTable, cfg: ScdConfig) -> int:

@@ -777,6 +777,15 @@ class ManagedTable:
             maxes.append(cols[col][1])
         return max(maxes) if maxes else None
 
+    def known_row_count(self, version: int | None = None) -> int | None:
+        """Logical row count from the commit's recorded metrics — no
+        Spark job, no file I/O beyond one log entry. None when the
+        commit didn't record it (callers fall back to a count job)."""
+        v = self.latest_version() if version is None else version
+        entry = self._entry(v) or {}
+        n = (entry.get("operationMetrics") or {}).get("numOutputRows")
+        return n if isinstance(n, int) else None
+
     def history(self, limit: int | None = None) -> list[dict]:
         """Newest-first commit log (reference: delta_table.history(1),
         scd_handler.py:54)."""
@@ -1974,6 +1983,83 @@ class ManagedTable:
                 f"CHECK constraint violation in {self.path}: {list(cons)}"
             )
 
+    def _feed_sides(
+        self, from_version: int, to_version: int
+    ) -> tuple[DataFrame, DataFrame]:
+        """(before, after) row sets for the change feed, pruned to the
+        files that actually differ between the two manifests when the
+        log allows it.
+
+        Data files are immutable, so any file present in BOTH versions
+        contributes identical rows to both sides of the diff — unless a
+        deletion vector grew over it. The pruned feed therefore reads:
+        rows of files only-in-``from`` (DV(from)-filtered), rows of
+        files only-in-``to`` (DV(to)-filtered), and rows of shared
+        files whose positions joined DV(to)\\DV(from) (pure deletes).
+        That is O(changed files + DV delta), the Delta CDF cost model —
+        a fast-append + DV-delete + file-level-merge history never
+        rescans the table to compute its feed. Falls back to the two
+        full snapshots when the invariant doesn't hold (partitioned
+        layout, shrunk DV, schema drift)."""
+        full = (self.read(from_version), self.read(to_version))
+        if self.partition_spec():
+            return full  # bare-file scans would lose hive columns
+        before_files = set(self._all_data_files(from_version))
+        after_files = set(self._all_data_files(to_version))
+        shared = sorted(before_files & after_files)
+        b_only = sorted(before_files - after_files)
+        a_only = sorted(after_files - before_files)
+        if full[0].columns != full[1].columns:
+            return full
+        e_from = self._entry(from_version) or {}
+        e_to = self._entry(to_version) or {}
+        dv_from_dir = e_from.get("deletionVector")
+        dv_to_dir = e_to.get("deletionVector")
+
+        def side(files: list[str], dv_dir: str | None, cols) -> DataFrame:
+            if not files:
+                return full[0].select(*cols).filter(F.lit(False))
+            df = self._scan(files, with_positions=True)
+            if dv_dir:
+                df = df.join(
+                    F.broadcast(self.spark.read.parquet(dv_dir)),
+                    on=["__dv_file", "__dv_pos"],
+                    how="left_anti",
+                )
+            return df.select(*cols)
+
+        cols = full[0].columns
+        before = side(b_only, dv_from_dir, cols)
+        after = side(a_only, dv_to_dir, cols)
+        if dv_to_dir and shared:
+            dv_to = self.spark.read.parquet(dv_to_dir)
+            if dv_from_dir:
+                dv_from = self.spark.read.parquet(dv_from_dir)
+                # DVs only ever grow over an immutable file; a shrunk DV
+                # means something unusual happened — full diff is exact.
+                if not dv_from.join(
+                    dv_to, on=["__dv_file", "__dv_pos"], how="left_anti"
+                ).isEmpty():
+                    return full
+                dv_delta = dv_to.join(
+                    dv_from, on=["__dv_file", "__dv_pos"], how="left_anti"
+                )
+            else:
+                dv_delta = dv_to
+            newly_dead = (
+                self._scan(shared, with_positions=True)
+                .join(
+                    F.broadcast(dv_delta),
+                    on=["__dv_file", "__dv_pos"],
+                    how="left_semi",
+                )
+                .select(*cols)
+            )
+            before = before.unionByName(newly_dead)
+        elif dv_from_dir and shared:
+            return full  # DV vanished between versions: full diff
+        return before, after
+
     def change_feed(
         self, from_version: int, to_version: int | None = None,
         key_cols: list[str] | None = None,
@@ -1984,20 +2070,17 @@ class ManagedTable:
         keys present on both sides of the diff become
         'update_preimage'/'update_postimage' pairs, like Delta's CDF.
 
-        Physical shape: ONE bag-difference aggregation (both snapshots
+        Physical shape: ONE bag-difference aggregation (both sides
         union-tagged ±1, grouped on every column — what two exceptAll
         calls would each shuffle for, fused into a single exchange),
         then at most one window shuffle on ``key_cols`` to classify
-        update pairs. Two exchanges total; the previous form (2×
-        exceptAll + key dedup + inner + 2 semi + 2 anti joins) was ~9.
-        At 100 TB the diff is the dominated term — cost is one shuffle
-        of the two snapshots, and unchanged rows cancel in the partial
-        (map-side) aggregation, so the exchange carries ~only the delta.
-        """
+        update pairs. The sides themselves are manifest-pruned to the
+        files that differ (``_feed_sides``), so an incremental commit
+        history pays O(delta), not O(table)."""
         from pyspark.sql.window import Window
 
-        before = self.read(from_version)
-        after = self.read(self.latest_version() if to_version is None else to_version)
+        to_v = self.latest_version() if to_version is None else to_version
+        before, after = self._feed_sides(from_version, to_v)
         cols = before.columns
         bag = (
             before.withColumn("__w", F.lit(1))

@@ -208,3 +208,27 @@ def test_alias_updates_rejected(spark, tmpdir):
     t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
     with pytest.raises(ValueError, match="updates"):
         DeltaTable.forPath(spark, f"{tmpdir}/t2").alias("updates")
+
+
+def test_real_delta_delegation(spark, tmpdir):
+    """Skips unless delta-spark is installed (it is not in this
+    sandbox). With it, forPath on a real _delta_log table must return
+    the REAL DeltaTable so reference users' tables work untranslated."""
+    pytest.importorskip("delta")
+    from delta.tables import DeltaTable as RealDeltaTable
+
+    path = f"{tmpdir}/real_delta"
+    spark.range(3).write.format("delta").save(path)
+    dt = DeltaTable.forPath(spark, path)
+    assert isinstance(dt, RealDeltaTable)
+    assert dt.toDF().count() == 3
+
+
+def test_managed_table_still_served_when_no_delta_log(spark, tmpdir):
+    """A ManagedTable path (no _delta_log) goes through the facade even
+    if delta-spark happens to be installed."""
+    t = ManagedTable(spark, f"{tmpdir}/mt")
+    t.create(spark.range(4).selectExpr("id", "id * 2 as v"))
+    dt = DeltaTable.forPath(spark, f"{tmpdir}/mt")
+    assert isinstance(dt, DeltaTable)
+    assert dt.toDF().count() == 4

@@ -44,9 +44,20 @@ def test_decode_features_deterministic_shape(spark, sf_dir):
     assert [r.features for r in rows] == [r.features for r in again]
 
 
+def _pil_installed() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def test_decode_without_codec_raises(spark, sf_dir):
+    if _pil_installed():
+        pytest.skip("Pillow installed: the real decode path applies")
     feats = multimodal.decode_features(_payloads(spark, sf_dir), fake=False)
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
         feats.limit(1).collect()
 
 
@@ -66,7 +77,9 @@ def test_resize_media_shape_and_determinism(spark, sf_dir):
 
 
 def test_resize_media_real_codec_gated(spark, sf_dir):
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+    if _pil_installed():
+        pytest.skip("Pillow installed: the real resize path applies")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.resize_media(
             _payloads(spark, sf_dir).limit(1), width=2, height=2
         ).collect()
@@ -92,3 +105,51 @@ def test_sample_frames_explosion(spark, sf_dir):
             chunk = raw[r.frame_idx * 100 : (r.frame_idx + 1) * 100]
             assert r.frame_len == len(chunk)
             assert r.frame_sha == hashlib.sha256(chunk).hexdigest()
+
+
+def _tiny_png(pixels) -> bytes:
+    """Hand-rolled valid grayscale PNG (stdlib zlib only) so the real
+    Pillow decode path can be tested without an image library to WRITE
+    files. ``pixels``: list of rows of 0-255 ints."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + bytes(row) for row in pixels)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decode_with_pillow(spark):
+    """Skips unless Pillow is installed (it is not in this sandbox);
+    with it, decode_features must return real 4x4 patch means in [0,1]
+    — a solid white PNG decodes to all-ones, solid black to all-zeros."""
+    pytest.importorskip("PIL")
+    white = _tiny_png([[255] * 8 for _ in range(8)])
+    black = _tiny_png([[0] * 8 for _ in range(8)])
+    df = spark.createDataFrame(
+        [(1, white), (2, black)], "media_id long, payload binary"
+    )
+    got = {
+        r.media_id: r.features
+        for r in multimodal.decode_features(df, fake=False).collect()
+    }
+    assert len(got[1]) == multimodal.FEATURE_DIM
+    assert all(abs(v - 1.0) < 1e-6 for v in got[1])
+    assert all(abs(v) < 1e-6 for v in got[2])
+    resized = multimodal.resize_media(df, width=3, height=2, fake=False).collect()
+    assert all(len(bytes(r.pixels)) == 6 for r in resized)
