@@ -37,7 +37,10 @@ from .registry import ORACLE_SQL, QUERIES
 PRIORITY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    # §2.4 A1 count(distinct composite) — q5 rotated out (its multi-way
+    # join + agg family stays covered by q3/q9/q21); q5 remains
+    # locally oracle-swept like every tail query.
+    "distinct_order_status_priority",
     "q9_nation_profit",
     "q18_large_volume_orders",
     "q21_waiting_suppliers",
