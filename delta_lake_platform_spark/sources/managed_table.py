@@ -658,14 +658,15 @@ class ManagedTable:
         v = self.latest_version() if version is None else version
         files_index: dict[str, dict] = {}
         ln2 = math.log(2)
-        for d in self._data_dirs(v):
-            for fpath in _parquet_files(d):
+        for fpath in self._all_data_files(v):
                 # Keyed by path relative to the TABLE ROOT (data-dir
                 # component included), so two data dirs holding files
                 # with the same dir-relative name can never alias each
                 # other's blooms — a false-negative prune would silently
                 # drop rows. Clone dataPaths outside the root still get
-                # unique "../..." keys.
+                # unique "../..." keys. _all_data_files covers both dir
+                # contents and individually referenced (file-level COW)
+                # files.
                 rel = os.path.relpath(fpath, self.path)
                 schema_names = pq.read_schema(fpath).names
                 want = [c for c in cols if c in schema_names]
@@ -1212,6 +1213,7 @@ class ManagedTable:
         op: str,
         condition: str | None,
         set_exprs: dict[str, str] | None = None,
+        coalesce: int | None = None,
     ) -> int:
         """File-level copy-on-write UPDATE/DELETE: rewrite only the
         files that contain a row matching ``condition``; reference the
@@ -1254,7 +1256,7 @@ class ManagedTable:
             batch = touched.filter(~F.col("__match")).select(*cols)
             metrics = {"numDeletedRows": n_matched}
             delta_rows = -n_matched
-        else:
+        elif op == "UPDATE":
             se = set_exprs or {}
             batch = touched.select(
                 *[
@@ -1267,6 +1269,12 @@ class ManagedTable:
                 ]
             )
             metrics = {"numUpdatedRows": n_matched}
+            delta_rows = 0
+        else:  # OPTIMIZE WHERE: same rows, compacted layout
+            batch = touched.select(*cols)
+            if coalesce is not None:
+                batch = batch.coalesce(coalesce)
+            metrics = {"numCompactedRows": n_matched}
             delta_rows = 0
         self.verify_constraints(batch)
         new_version = v + 1
@@ -1825,11 +1833,32 @@ class ManagedTable:
 
     def compact(self, target_partitions: int = 1) -> int:
         """OPTIMIZE analogue: rewrite the current snapshot into
-        ``target_partitions`` files (small-file compaction). At scale
-        this is per-partition ``OPTIMIZE WHERE``; here the snapshot is
-        the unit."""
+        ``target_partitions`` files (small-file compaction). For a
+        predicate-scoped rewrite use ``compact_where``."""
         df = self.read().coalesce(target_partitions)
         return self._commit(df, "OPTIMIZE", {"numOutputRows": None})
+
+    def compact_where(
+        self, condition: str, target_partitions: int = 1
+    ) -> int:
+        """``OPTIMIZE WHERE`` analogue: rewrite ONLY the files holding
+        rows matching ``condition`` into ``target_partitions`` files;
+        every other file is referenced untouched through the file-level
+        manifest. Same rows, new commit — the shape a 100 TB table's
+        maintenance job needs (compact yesterday's small ingest files
+        without touching years of cold data). Rewritten files also
+        materialize any deletion-vector debt they carried. Falls back
+        to whole-snapshot OPTIMIZE for hive-partitioned or single-file
+        tables."""
+        if (
+            self.partition_spec()
+            or not self.exists()
+            or len(self._all_data_files(self.latest_version())) <= 1
+        ):
+            return self.compact(target_partitions)
+        return self._dml_filelevel(
+            "OPTIMIZE WHERE", condition, coalesce=target_partitions
+        )
 
     def optimize_zorder(self, zorder_cols: list[str], n_files: int = 8) -> int:
         """``OPTIMIZE ZORDER BY`` analogue: rewrite the snapshot

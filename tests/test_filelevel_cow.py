@@ -213,3 +213,37 @@ def test_partitioned_table_falls_back_to_full_rewrite(spark, tmpdir):
     assert "numRewrittenFiles" not in m  # full-snapshot path
     assert t.read().filter("id = 3").first().v == -1
     assert t.read().count() == 100
+
+
+def test_compact_where_rewrites_only_matching_files(spark, tmpdir):
+    """OPTIMIZE WHERE: the predicate's files are rewritten (into fewer
+    files, DV debt materialized); everything else is referenced
+    untouched. Same rows before and after."""
+    t = _table(spark, tmpdir, "t")
+    t.delete("id between 100 and 104", rewrite=False)  # DV debt in one file
+    before = _state(t)
+    t.compact_where("id < 200", target_partitions=1)
+    m = t.history(1)[0]["operationMetrics"]
+    assert m["numRewrittenFiles"] <= 2
+    assert m["numKeptFiles"] >= N_FILES - 2
+    assert _state(t) == before
+    assert t.read().filter("id = 102").count() == 0  # DV still honored
+
+
+def test_bloom_index_covers_kept_files_after_filelevel_merge(spark, tmpdir):
+    """build_bloom_index on a file-level-commit version must index the
+    individually referenced (kept) files too, not just the batch dir."""
+    import json
+
+    t = _table(spark, tmpdir, "t")
+    _narrow_merge(t, spark)
+    v = t.latest_version()
+    info = t.build_bloom_index(["id"], version=v)
+    assert info["numFiles"] >= N_FILES  # kept files + new batch file(s)
+    with open(t._bloom_path(v)) as f:
+        idx = json.load(f)
+    kept = set(t._referenced_files(v))
+    import os
+
+    rels = {os.path.relpath(p, t.path) for p in kept}
+    assert rels <= set(idx["files"]), "kept files missing from bloom index"
