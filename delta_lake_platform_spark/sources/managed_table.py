@@ -354,6 +354,32 @@ class ManagedTable:
             # included as ordinary data columns.
             df.write.mode("overwrite").parquet(data_dir)
 
+    def _write_data_staged(self, df: DataFrame, final_dir: str) -> None:
+        """Write through a staging dir + atomic rename: a writer that
+        LOSES the optimistic-concurrency race fails the rename and
+        never clobbers data a winner already published at the same
+        versioned path (previously the loser's direct overwrite-write
+        could corrupt the winner's committed snapshot before the log
+        O_EXCL check fired). Local-FS commit protocol; an object-store
+        deployment swaps this for uniquely-named files + manifest,
+        exactly Delta's model. A writer that crashes between rename and
+        log commit leaves an unclaimed dir that blocks that version
+        number — surfaced as ConcurrentWriteError, cleaned by removing
+        the dir (no log entry references it)."""
+        import shutil as _shutil
+        import uuid as _uuid
+
+        staged = f"{final_dir}.staged-{_uuid.uuid4().hex[:12]}"
+        self._write_data(df, staged)
+        os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+        try:
+            os.rename(staged, final_dir)
+        except OSError as e:
+            _shutil.rmtree(staged, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"data path {final_dir} was claimed by a concurrent writer"
+            ) from e
+
     def _scan(self, dirs: list[str], with_positions: bool = False) -> DataFrame:
         """One DataFrame over a version's data dirs. Non-partitioned
         tables scan all dirs as a single relation. Hive-partitioned
@@ -409,7 +435,7 @@ class ManagedTable:
             # declared logical order so partitioned reads keep matching
             # what the writer produced.
             self._set_partition_spec(spec, column_order=list(df.columns))
-        self._write_data(df, self._data_dir(version))
+        self._write_data_staged(df, self._data_dir(version))
         # One footer pass gives the row count (no Spark job, no plan
         # recompute) AND the per-file min/max stats for data skipping.
         n_rows, file_stats = _scan_parquet_footers(
@@ -444,7 +470,7 @@ class ManagedTable:
         prev_entry = self._entry(v_prev) or {}
         version = v_prev + 1
         local = self._local_data_dir(version)
-        self._write_data(batch, local)
+        self._write_data_staged(batch, local)
         n_new, new_stats = _scan_parquet_footers(local, rel_root=self.path)
         prev_rows = (prev_entry.get("operationMetrics") or {}).get("numOutputRows")
         merged_stats = dict(prev_entry.get("fileStats") or {})
@@ -534,7 +560,20 @@ class ManagedTable:
             if shards > 1
             else full_dv.coalesce(1)
         )
-        out.write.mode("overwrite").parquet(dv_dir)
+        import shutil as _shutil
+        import uuid as _uuid
+
+        staged = f"{dv_dir}.staged-{_uuid.uuid4().hex[:12]}"
+        out.write.mode("overwrite").parquet(staged)
+        os.makedirs(os.path.dirname(dv_dir), exist_ok=True)
+        try:
+            os.rename(staged, dv_dir)
+        except OSError as e:
+            _shutil.rmtree(staged, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"deletion-vector path {dv_dir} was claimed by a "
+                "concurrent writer"
+            ) from e
 
     def _apply_dv(self, df: DataFrame, dv_dir: str) -> DataFrame:
         """Merge-on-read: drop positions listed in the deletion vector.
@@ -1068,7 +1107,7 @@ class ManagedTable:
         for p in parts[1:]:
             batch = batch.unionByName(p)
         self.verify_constraints(batch)
-        self._write_data(batch, batch_dir)
+        self._write_data_staged(batch, batch_dir)
         _n_batch, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
         dv_dir = self._dv_dir(new_version)
@@ -1168,7 +1207,7 @@ class ManagedTable:
         for p in parts[1:]:
             batch = batch.unionByName(p)
         self.verify_constraints(batch)
-        self._write_data(batch, batch_dir)
+        self._write_data_staged(batch, batch_dir)
         _n_batch, batch_stats = _scan_parquet_footers(
             batch_dir, rel_root=self.path
         )
@@ -1279,7 +1318,7 @@ class ManagedTable:
         self.verify_constraints(batch)
         new_version = v + 1
         batch_dir = self._local_data_dir(new_version)
-        self._write_data(batch, batch_dir)
+        self._write_data_staged(batch, batch_dir)
         _n, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
         stats = dict(entry.get("fileStats") or {})
@@ -1376,7 +1415,7 @@ class ManagedTable:
         self.verify_constraints(rewritten)
         new_version = v + 1
         batch_dir = self._local_data_dir(new_version)
-        self._write_data(rewritten, batch_dir)
+        self._write_data_staged(rewritten, batch_dir)
         n_upd, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
         dv_dir = self._dv_dir(new_version)
@@ -1588,7 +1627,7 @@ class ManagedTable:
         self.verify_constraints(batch)
         new_version = v + 1
         batch_dir = self._local_data_dir(new_version)
-        self._write_data(batch, batch_dir)
+        self._write_data_staged(batch, batch_dir)
         n_new, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
         dv_dir = self._dv_dir(new_version)

@@ -23,23 +23,69 @@ from delta_lake_platform_spark.streaming.joins import purchases_after_signup
 
 def test_concurrent_commit_detected(spark):
     """Writer A reads the table, writer B commits, writer A tries to
-    claim the same version -> optimistic-concurrency error (the log
-    entry O_EXCL create is the atomic commit point)."""
+    claim the same version -> optimistic-concurrency error — and the
+    loser must NOT clobber the winner's already-published data files
+    (the staged-rename publish makes the data path itself the first
+    collision point)."""
     from unittest.mock import patch
 
     d = tempfile.mkdtemp(prefix="ccw_")
     try:
         t = ManagedTable(spark, f"{d}/t")
-        df = spark.createDataFrame([(1,)], "id long")
-        t.create(df)  # version 0
+        t.create(spark.createDataFrame([(1,)], "id long"))  # version 0
         other = ManagedTable(spark, f"{d}/t")
-        other.overwrite(df)  # version 1 lands first
-        # Writer A still believes latest is 0 (stale read) and claims 1:
+        winner = spark.createDataFrame([(100,)], "id long")
+        other.overwrite(winner)  # version 1 lands first
+        # Writer A still believes latest is 0 (stale read) and claims 1
+        # with DIFFERENT contents:
         with patch.object(t, "_versions", return_value=[0]):
             with pytest.raises(ConcurrentWriteError):
-                t.overwrite(df)
+                t.overwrite(spark.createDataFrame([(-1,)], "id long"))
+        # The winner's committed snapshot is intact, byte for byte.
+        assert [r.id for r in other.read(1).collect()] == [100]
         # After a fresh read, the retry succeeds on version 2.
-        assert t.overwrite(df) == 2
+        assert t.overwrite(winner) == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_concurrent_filelevel_merge_detected(spark):
+    """Same race through the file-level MERGE path: the loser's batch
+    dir rename collides, the winner's files survive."""
+    from unittest.mock import patch
+
+    from delta_lake_platform_spark.sources.managed_table import MergeClauses
+
+    d = tempfile.mkdtemp(prefix="ccwm_")
+    try:
+        t = ManagedTable(spark, f"{d}/t")
+        t.create(
+            spark.range(100)
+            .selectExpr("id", "id * 2 as v")
+            .repartitionByRange(4, "id")
+        )
+        other = ManagedTable(spark, f"{d}/t")
+
+        def merge(handle, val):
+            return handle.merge(
+                spark.createDataFrame([(5, val)], "id long, nv long"),
+                MergeClauses(
+                    condition="target.id = updates.id",
+                    matched_update={"v": "updates.nv"},
+                ),
+                rewrite=True,
+            )
+
+        merge(other, -100)  # version 1 lands first
+        stale = {0: t._entry(0)}
+        with patch.object(t, "_versions", return_value=[0]), patch.object(
+            t, "_entry", side_effect=lambda v: stale.get(v)
+        ):
+            with pytest.raises(ConcurrentWriteError):
+                merge(t, -999)
+        assert other.read(1).filter("id = 5").first().v == -100
+        assert merge(t, -7) == 2  # fresh retry wins
+        assert t.read().filter("id = 5").first().v == -7
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
