@@ -119,3 +119,50 @@ def sql_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c_mktsegment, COUNT(*) AS n, SUM(cents) AS total_cents "
         "FROM ct GROUP BY c_mktsegment ORDER BY c_mktsegment"
     )
+
+
+OPTIMIZE_WHERE_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+FROM customer
+WHERE c_custkey % 11 <> 0
+ORDER BY c_custkey
+"""
+
+
+@register("sql_optimize_where_roundtrip", OPTIMIZE_WHERE_ORACLE)
+def sql_optimize_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance DML through the SQL dialect: DV-DELETE a scattered
+    slice, then ``OPTIMIZE <t> WHERE`` compacts only the files holding
+    low keys (file-level manifest keeps the rest). Rows must round-trip
+    exactly — the predicate-scoped rewrite materializes DV debt without
+    changing the table's contents."""
+    d = tempfile.mkdtemp(prefix="dlp_ow_q_")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+        .repartitionByRange(8, "c_custkey")
+    )
+    t = ManagedTable(spark, f"{d}/cust")
+    t.create(cust)
+    # DV mode: the scattered delete becomes a merge-on-read sidecar
+    # (no file rewritten), which the scoped OPTIMIZE then materializes
+    # for the half of the files it touches.
+    t.set_property("enableDeletionVectors", "true")
+    psql = PlatformSQL(spark)
+    psql.register("cust", t)
+    psql.sql("DELETE FROM cust WHERE c_custkey % 11 = 0")
+    half = cust.agg(F.expr("percentile(c_custkey, 0.5)")).first()[0]
+    psql.sql(f"OPTIMIZE cust WHERE c_custkey <= {int(half)}")
+    out = (
+        t.read()
+        .select("c_custkey", "c_mktsegment", "cents")
+        .orderBy("c_custkey")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -287,13 +287,23 @@ class PlatformSQL:
             )
             return self._df([{"removedVersions": json.dumps(removed)}])
         m = re.match(
-            rf"(?is)^OPTIMIZE\s+({_IDENT})(?:\s+ZORDER\s+BY\s*\((.*?)\))?$", t
+            rf"(?is)^OPTIMIZE\s+({_IDENT})(?:\s+WHERE\s+(.*?))?"
+            r"(?:\s+ZORDER\s+BY\s*\((.*?)\))?$",
+            t,
         )
         if m:
-            name, zcols = m.groups()
+            name, where, zcols = m.groups()
             table = self.tables[name]
+            if where and zcols:
+                raise ValueError(
+                    "OPTIMIZE ... WHERE and ZORDER BY cannot be combined"
+                )
             if zcols:
                 v = table.optimize_zorder([c.strip() for c in zcols.split(",")])
+            elif where:
+                # Predicate-scoped compaction: only files holding
+                # matching rows are rewritten (file-level manifest).
+                v = table.compact_where(where)
             else:
                 v = table.compact()
             return self._df([{"version": v, "operation": table.history(1)[0]["operation"]}])

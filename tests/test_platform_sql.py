@@ -124,6 +124,23 @@ def test_zorder_via_sql(psql, spark):
     assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 512
 
 
+def test_optimize_where_via_sql(psql, spark):
+    big = spark.range(0, 512).select(
+        "id",
+        F.col("id").cast("string").alias("name"),
+        (F.col("id") % 7).alias("balance"),
+    ).repartitionByRange(8, "id")
+    psql.tables["accounts"].overwrite(big, overwrite_schema=True)
+    before = psql.sql("SELECT count(*) AS n FROM accounts").first().n
+    out = psql.sql("OPTIMIZE accounts WHERE id < 64").first()
+    assert out.operation == "OPTIMIZE WHERE"
+    t = psql.tables["accounts"]
+    m = t.history(1)[0]["operationMetrics"]
+    assert m["numRewrittenFiles"] <= 2
+    assert m["numKeptFiles"] >= 6
+    assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == before
+
+
 def test_plain_sql_passthrough(psql, spark):
     spark.createDataFrame([(1, "x")], "id long, tag string").createOrReplaceTempView(
         "tags"
