@@ -1957,6 +1957,24 @@ class ManagedTable:
             if os.path.isdir(d):
                 shutil.rmtree(d)
                 removed.append(v)
+        # Abandoned staging dirs: a writer that crashed mid-publish (or
+        # lost the rename race) leaves `<dir>.staged-<uuid>` garbage no
+        # log entry references. Reclaim the stale ones — an AGE guard
+        # keeps a live concurrent writer's in-flight staging safe
+        # (Delta's VACUUM applies the same uncommitted-file retention).
+        cutoff = time.time() - (older_than_s if older_than_s is not None else 3600)
+        for parent in (os.path.join(self.path, "data"), os.path.join(self.path, "dv")):
+            if not os.path.isdir(parent):
+                continue
+            for name in os.listdir(parent):
+                if ".staged-" not in name:
+                    continue
+                p = os.path.join(parent, name)
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
         return removed
 
     def clone(self, target_path: str) -> "ManagedTable":

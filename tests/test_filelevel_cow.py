@@ -247,3 +247,24 @@ def test_bloom_index_covers_kept_files_after_filelevel_merge(spark, tmpdir):
 
     rels = {os.path.relpath(p, t.path) for p in kept}
     assert rels <= set(idx["files"]), "kept files missing from bloom index"
+
+
+def test_vacuum_reclaims_stale_staging_dirs(spark, tmpdir):
+    """A crashed writer's `.staged-*` dir (no log entry references it)
+    is reclaimed by VACUUM once old; a fresh one (possibly a live
+    writer mid-publish) is kept."""
+    import os
+    import time
+
+    t = _table(spark, tmpdir, "t")
+    data_parent = os.path.join(t.path, "data")
+    stale = os.path.join(data_parent, "v=99.staged-deadbeef")
+    fresh = os.path.join(data_parent, "v=98.staged-cafecafe")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    t.vacuum(keep_last=1, older_than_s=3600)
+    assert not os.path.isdir(stale)
+    assert os.path.isdir(fresh)
+    assert t.read().count() == N_ROWS  # table untouched
