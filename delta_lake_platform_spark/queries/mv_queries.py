@@ -76,3 +76,80 @@ def mv_incremental_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFra
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+MV_JOIN_ORACLE = """
+WITH o AS (
+  SELECT o_custkey AS custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+         o_orderkey
+  FROM orders
+),
+o_after AS (
+  SELECT custkey, price_cents FROM o WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT custkey, price_cents + 1 FROM o
+  WHERE o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
+),
+c_after AS (
+  SELECT c_custkey AS custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END
+           AS segment
+  FROM customer
+)
+SELECT segment,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(price_cents)::BIGINT AS sum_price_cents
+FROM o_after JOIN c_after USING (custkey)
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("mv_join_orders_customers", MV_JOIN_ORACLE)
+def mv_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view (sources/materialized_view.py
+    ::MaterializedJoinAggView): revenue per customer segment over
+    orders ⋈ customer. Both bases mutate after the view is created —
+    orders: DV-delete every 17th key + append perturbed copies of every
+    13th; customer: UPDATE moves every 10th customer's segment — and the
+    refresh folds ONLY the two delta joins (dO ⋈ C_old, O_new ⋈ dC)
+    into the state, never re-joining the full bases. Final state must
+    equal the from-scratch recompute the oracle expresses."""
+    from ..sources.materialized_view import MaterializedJoinAggView
+
+    d = tempfile.mkdtemp(prefix="dlp_mvj_q_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        "o_orderkey",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    o_t = ManagedTable(spark, f"{d}/orders")
+    o_t.create(orders)
+    c_t = ManagedTable(spark, f"{d}/cust")
+    c_t.create(cust)
+    mv = MaterializedJoinAggView(
+        o_t, c_t, f"{d}/mv",
+        on=["custkey"], group_cols=["segment"], sum_cols=["price_cents"],
+    )
+    mv.create()
+    o_t.delete("o_orderkey % 17 = 0", rewrite=False)
+    o_t.append(
+        o_t.read()
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("price_cents", F.col("price_cents") + 1)
+    )
+    c_t.update({"segment": "'MOVED'"}, "custkey % 10 = 0")
+    mv.refresh()
+    out = (
+        mv.state.read()
+        .select("segment", "n_rows", "sum_price_cents")
+        .orderBy("segment")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -118,3 +118,133 @@ class MaterializedAggView:
 
     def is_stale(self) -> bool:
         return self.base.latest_version() != self._base_version()
+
+
+class MaterializedJoinAggView:
+    """Incrementally-maintained aggregate over an equi-JOIN of two
+    ManagedTables — the two-relation tier of incremental view
+    maintenance (Materialize/DBSP delta-join rule):
+
+        L1 ⋈ R1  =  L0 ⋈ R0  +  dL ⋈ R0  +  L1 ⋈ dR
+
+    so a refresh computes only ``dL ⋈ R_old`` and ``L_new ⋈ dR`` with
+    sign-weighted deltas (inserts +1, deletes -1) and folds them into
+    the |groups|-sized state — never re-joining the two full bases.
+    Both delta sides are broadcast (a refresh delta is small by
+    definition; a huge delta means you wanted a full recompute anyway),
+    so the base-side scans stay shuffle-free, and with manifest-pruned
+    change feeds the deltas themselves cost O(changed files).
+
+    Supported aggregates are the same abelian ones as
+    ``MaterializedAggView`` (count + sums; avg derived at read);
+    updates arrive as delete+insert pairs from the feed and net out
+    exactly. Correctness is pinned against full recomputes in
+    tests/test_materialized_view.py and the
+    ``mv_join_orders_customers`` DuckDB-oracle query.
+    """
+
+    def __init__(
+        self,
+        left: ManagedTable,
+        right: ManagedTable,
+        path: str,
+        on: list[str],
+        group_cols: list[str],
+        sum_cols: list[str],
+    ):
+        self.left = left
+        self.right = right
+        self.state = ManagedTable(left.spark, path)
+        self.on = list(on)
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+
+    def _aggregate(self, df: DataFrame, sign_col: str | None = None) -> DataFrame:
+        sign = F.col(sign_col) if sign_col else F.lit(1)
+        return df.groupBy(*self.group_cols).agg(
+            F.sum(sign).cast("long").alias("n_rows"),
+            *[F.sum(F.col(c) * sign).alias(f"sum_{c}") for c in self.sum_cols],
+        )
+
+    def _versions_at_create(self) -> tuple[int, int]:
+        m = self.state.history(1)[0]["operationMetrics"]
+        return m["leftVersion"], m["rightVersion"]
+
+    def create(self) -> int:
+        lv, rv = self.left.latest_version(), self.right.latest_version()
+        snap = self._aggregate(self.left.read(lv).join(self.right.read(rv), on=self.on))
+        return self.state._commit(
+            snap, "MV_CREATE", {"leftVersion": lv, "rightVersion": rv}
+        )
+
+    def _signed_feed(self, base: ManagedTable, v0: int, v1: int) -> DataFrame:
+        return base.change_feed(v0, v1).withColumn(
+            "__sign",
+            F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
+    def refresh(self) -> int:
+        l0, r0 = self._versions_at_create()
+        l1, r1 = self.left.latest_version(), self.right.latest_version()
+        if (l0, r0) == (l1, r1):
+            return self.state.latest_version()
+
+        parts = []
+        if l1 != l0:
+            d_l = self._signed_feed(self.left, l0, l1)
+            # dL ⋈ R_old: R rows carry weight +1, so the pair's sign is dL's.
+            parts.append(
+                F.broadcast(d_l).join(self.right.read(r0), on=self.on)
+            )
+        if r1 != r0:
+            d_r = self._signed_feed(self.right, r0, r1)
+            # L_new ⋈ dR
+            parts.append(
+                self.left.read(l1).join(
+                    F.broadcast(d_r), on=self.on
+                )
+            )
+        delta_rows = parts[0]
+        for p in parts[1:]:
+            delta_rows = delta_rows.unionByName(
+                p, allowMissingColumns=True
+            )
+        delta = self._aggregate(delta_rows, "__sign")
+
+        old = self.state.read().alias("o")
+        d = delta.alias("d")
+        merged = (
+            old.join(d, on=self.group_cols, how="full_outer")
+            .select(
+                *self.group_cols,
+                (
+                    F.coalesce(F.col("o.n_rows"), F.lit(0))
+                    + F.coalesce(F.col("d.n_rows"), F.lit(0))
+                ).alias("n_rows"),
+                *[
+                    (
+                        F.coalesce(F.col(f"o.sum_{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"d.sum_{c}"), F.lit(0))
+                    ).alias(f"sum_{c}")
+                    for c in self.sum_cols
+                ],
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        return self.state._commit(
+            merged, "MV_REFRESH", {"leftVersion": l1, "rightVersion": r1}
+        )
+
+    def read(self) -> DataFrame:
+        df = self.state.read()
+        for c in self.sum_cols:
+            df = df.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("n_rows"))
+        return df
+
+    def is_stale(self) -> bool:
+        return (
+            self.left.latest_version(),
+            self.right.latest_version(),
+        ) != self._versions_at_create()

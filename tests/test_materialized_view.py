@@ -100,3 +100,91 @@ def test_avg_derivation(base_and_view):
     assert row["avg_price_cents"] == pytest.approx(
         row["sum_price_cents"] / row["n_rows"]
     )
+
+
+# --- incrementally-maintained JOIN view --------------------------------------
+
+
+@pytest.fixture()
+def join_view(spark, sf_dir):
+    from delta_lake_platform_spark.sources.materialized_view import (
+        MaterializedJoinAggView,
+    )
+
+    d = tempfile.mkdtemp(prefix="dlp_mvj_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    left = ManagedTable(spark, f"{d}/orders")
+    left.create(orders)
+    right = ManagedTable(spark, f"{d}/cust")
+    right.create(cust)
+    mv = MaterializedJoinAggView(
+        left, right, f"{d}/mv",
+        on=["custkey"], group_cols=["segment"], sum_cols=["price_cents"],
+    )
+    mv.create()
+    return left, right, mv
+
+
+def _join_recompute(mv):
+    return mv._aggregate(
+        mv.left.read().join(mv.right.read(), on=mv.on)
+    )
+
+
+def _assert_join_view_exact(mv):
+    got = mv.read().drop("avg_price_cents")
+    want = _join_recompute(mv)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_join_view_left_dml(join_view):
+    left, right, mv = join_view
+    left.delete("o_orderkey % 7 = 0", rewrite=False)
+    left.append(
+        left.read().filter(F.col("o_orderkey") % 11 == 0)
+        .withColumn("price_cents", F.col("price_cents") + 5)
+    )
+    mv.refresh()
+    _assert_join_view_exact(mv)
+
+
+def test_join_view_right_dml(join_view):
+    left, right, mv = join_view
+    right.update({"segment": "'MOVED'"}, "custkey % 5 = 0")
+    mv.refresh()
+    _assert_join_view_exact(mv)
+
+
+def test_join_view_both_sides_dml(join_view):
+    """The dL ⋈ R_old + L_new ⋈ dR decomposition must stay exact when
+    BOTH bases changed between refreshes (the cross term dL ⋈ dR rides
+    inside L_new ⋈ dR)."""
+    left, right, mv = join_view
+    left.delete("o_orderkey % 17 = 0", rewrite=False)
+    right.update({"segment": "'MOVED'"}, "custkey % 10 = 0")
+    left.append(
+        left.read().filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("price_cents", F.col("price_cents") + 1)
+    )
+    mv.refresh()
+    _assert_join_view_exact(mv)
+    # second wave on top of the refreshed state
+    right.delete("custkey % 21 = 0", rewrite=False)
+    left.update({"price_cents": "price_cents + 3"}, "o_orderkey % 19 = 0")
+    mv.refresh()
+    _assert_join_view_exact(mv)
+
+
+def test_join_view_refresh_is_noop_when_current(join_view):
+    left, right, mv = join_view
+    v = mv.state.latest_version()
+    assert mv.refresh() == v
+    assert not mv.is_stale()
