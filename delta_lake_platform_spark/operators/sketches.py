@@ -61,3 +61,38 @@ def frequent_items_approx(
     verify with ``heavy_hitters_exact`` over the candidate set."""
     row = df.freqItems([key_col], support=support).first()
     return sorted(row[f"{key_col}_freqItems"])
+
+
+def distinct_sketch_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count SKETCHES (Apache
+    DataSketches HllSketch via Spark's ``hll_sketch_agg``) — the
+    mergeable form of count-distinct. Unlike an exact
+    ``count(DISTINCT)``, whose shuffle carries every distinct value,
+    the sketch is a fixed ~``2^lg_config_k``-byte register bank that
+    partial-aggregates map-side and MERGES: per-partition, per-day, or
+    per-table sketches combine losslessly with ``hll_union_agg``, which
+    is what makes incremental / distributed distinct counting viable at
+    100 TB (store a sketch per ingest batch; the corpus-wide distinct
+    is a union, not a rescan)."""
+    return df.groupBy(group_col).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_config_k)).alias("hll"),
+        F.count_distinct(value_col).alias("exact_distinct"),
+    )
+
+
+def distinct_union_estimate(
+    sketches: DataFrame, hll_col: str = "hll"
+) -> DataFrame:
+    """Union pre-built group sketches into one corpus-wide estimate —
+    no re-touching of the underlying rows (the merge property exact
+    count-distinct fundamentally lacks)."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(hll_col)).alias(
+            "union_estimate"
+        )
+    )

@@ -453,3 +453,52 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+HLL_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id)::BIGINT AS exact_distinct,
+       TRUE AS hll_within_5pct,
+       TRUE AS union_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_distinct_users_hll", HLL_DISTINCT_ORACLE)
+def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (operators/sketches.py::
+    distinct_sketch_by_group — DataSketches HLL via hll_sketch_agg):
+    per-event-type sketch + exact count(DISTINCT) side by side, plus a
+    union of the per-group SKETCHES re-estimating the global distinct
+    without re-touching any row. The oracle pins the exact counts and
+    that both the per-group estimates and the sketch-union estimate
+    land within 5% — a wrong register merge or estimator regression
+    flips a boolean and hash-mismatches."""
+    from ..operators.sketches import (
+        distinct_sketch_by_group,
+        distinct_union_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = distinct_sketch_by_group(ev, "event_type", "user_id").localCheckpoint()
+    union_est = distinct_union_estimate(sk).first()["union_estimate"]
+    global_exact = ev.agg(
+        F.count_distinct("user_id").alias("n")
+    ).first()["n"]
+    union_ok = abs(union_est - global_exact) <= 0.05 * global_exact
+    return (
+        sk.select(
+            "event_type",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (
+                F.abs(
+                    F.hll_sketch_estimate("hll") - F.col("exact_distinct")
+                )
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("hll_within_5pct"),
+            F.lit(bool(union_ok)).alias("union_within_5pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -109,3 +109,32 @@ def test_int8_quantization_roundtrip(spark, sf_dir):
     for r in rows:
         assert r.max_q <= 127
         assert r.max_err <= r.scale / 254 + 1e-12, (r.vec_id, r.max_err, r.scale)
+
+
+def test_hll_partial_sketches_merge_losslessly(spark, sf_dir):
+    """The property that makes HLL the scale path: sketching two halves
+    and UNIONING the sketches estimates the same cardinality as
+    sketching everything at once — so per-batch sketches stored at
+    ingest time answer corpus-wide distinct queries without a rescan."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_platform_spark.operators.sketches import (
+        distinct_sketch_by_group,
+        distinct_union_estimate,
+    )
+    from delta_lake_platform_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.filter(F.col("event_id") % 2 == 0)
+    hi = ev.filter(F.col("event_id") % 2 == 1)
+    sk_parts = distinct_sketch_by_group(lo, "event_type", "user_id").unionByName(
+        distinct_sketch_by_group(hi, "event_type", "user_id")
+    )
+    merged_est = distinct_union_estimate(sk_parts).first()["union_estimate"]
+    whole_est = distinct_union_estimate(
+        distinct_sketch_by_group(ev, "event_type", "user_id")
+    ).first()["union_estimate"]
+    exact = ev.agg(F.count_distinct("user_id")).first()[0]
+    assert abs(merged_est - exact) <= 0.05 * exact
+    # merging partials == sketching the whole (same registers)
+    assert abs(merged_est - whole_est) <= 1e-9 * max(whole_est, 1)
