@@ -96,3 +96,40 @@ def distinct_union_estimate(
             "union_estimate"
         )
     )
+
+
+def set_overlap_theta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Distinct-SET algebra from mergeable Theta sketches (Apache
+    DataSketches via ``theta_sketch_agg``): one row estimating
+    |A ∩ B| and |A \\ B| over the distinct ``value_col`` sets of two
+    groups. HLL can only union; Theta's retained-hash-sample form also
+    intersects and differences — the tool for audience-overlap /
+    contamination-overlap questions at 100 TB, answered from per-group
+    (or per-batch) sketches instead of a distinct-join over the raw
+    rows. Sketches partial-aggregate map-side and merge, so the
+    exchange carries two fixed-size sketches, not the value sets."""
+    sk = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(group_col)
+        .agg(F.theta_sketch_agg(value_col).alias("theta"))
+    )
+    wide = sk.groupBy().pivot(group_col, [group_a, group_b]).agg(
+        F.first("theta")
+    )
+    a, b = f"`{group_a}`", f"`{group_b}`"
+    return wide.select(
+        F.theta_sketch_estimate(F.col(a)).alias("est_a"),
+        F.theta_sketch_estimate(F.col(b)).alias("est_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col(a), F.col(b))
+        ).alias("est_intersection"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col(a), F.col(b))
+        ).alias("est_a_minus_b"),
+    )

@@ -502,3 +502,53 @@ def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+THETA_OVERLAP_ORACLE = """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT (SELECT COUNT(*) FROM a)::BIGINT AS n_click_users,
+       (SELECT COUNT(*) FROM b)::BIGINT AS n_purchase_users,
+       (SELECT COUNT(*) FROM a JOIN b USING (user_id))::BIGINT
+         AS n_overlap_exact,
+       TRUE AS overlap_within_5pct,
+       TRUE AS difference_within_5pct
+"""
+
+
+@register("events_user_overlap_theta", THETA_OVERLAP_ORACLE)
+def events_user_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set ALGEBRA from Theta sketches (operators/sketches.py::
+    set_overlap_theta): |click-users ∩ purchase-users| and the set
+    difference estimated from two mergeable sketches — no distinct-join
+    over raw rows. The oracle pins the exact cardinalities plus
+    5%-tolerance booleans on the sketch estimates (intersection AND
+    difference), so an estimator or set-algebra regression
+    hash-mismatches."""
+    from ..operators.sketches import set_overlap_theta
+
+    ev = load_table(spark, sf_dir, "events")
+    est = set_overlap_theta(
+        ev, "event_type", "user_id", "click", "purchase"
+    ).first()
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    n_a = clicks.agg(F.count_distinct("user_id")).first()[0]
+    n_b = buys.agg(F.count_distinct("user_id")).first()[0]
+    n_inter = (
+        clicks.select("user_id")
+        .distinct()
+        .join(buys.select("user_id").distinct(), on="user_id")
+        .count()
+    )
+    ok_inter = abs(est["est_intersection"] - n_inter) <= max(
+        0.05 * n_inter, 1.0
+    )
+    ok_diff = abs(est["est_a_minus_b"] - (n_a - n_inter)) <= max(
+        0.05 * (n_a - n_inter), 1.0
+    )
+    return spark.createDataFrame(
+        [(int(n_a), int(n_b), int(n_inter), bool(ok_inter), bool(ok_diff))],
+        "n_click_users long, n_purchase_users long, n_overlap_exact long, "
+        "overlap_within_5pct boolean, difference_within_5pct boolean",
+    )

@@ -138,3 +138,20 @@ def test_hll_partial_sketches_merge_losslessly(spark, sf_dir):
     assert abs(merged_est - exact) <= 0.05 * exact
     # merging partials == sketching the whole (same registers)
     assert abs(merged_est - whole_est) <= 1e-9 * max(whole_est, 1)
+
+
+def test_theta_set_algebra_accuracy(spark, sf_dir):
+    """Theta intersection/difference estimates from two group sketches
+    track the exact distinct-set algebra."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_platform_spark.operators.sketches import set_overlap_theta
+    from delta_lake_platform_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    est = set_overlap_theta(ev, "event_type", "user_id", "click", "error").first()
+    a = {r.user_id for r in ev.filter("event_type = 'click'").select("user_id").distinct().collect()}
+    b = {r.user_id for r in ev.filter("event_type = 'error'").select("user_id").distinct().collect()}
+    assert abs(est["est_a"] - len(a)) <= max(0.05 * len(a), 1)
+    assert abs(est["est_intersection"] - len(a & b)) <= max(0.05 * len(a & b), 1)
+    assert abs(est["est_a_minus_b"] - len(a - b)) <= max(0.05 * len(a - b), 1)
