@@ -118,3 +118,42 @@ def test_incremental_history_feed_prunes_shared_files(spark, tmpdir):
 def test_same_version_feed_is_empty(spark, tmpdir):
     t = _mk(spark, tmpdir)
     assert t.change_feed(0, 0).count() == 0
+
+
+# --- property: pruned feed == full diff under ARBITRARY op sequences --------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OP_NAMES = sorted(OPS) + ["compact_where"]
+_SEQS = st.lists(st.sampled_from(_OP_NAMES), min_size=1, max_size=4)
+
+
+def _apply(t, spark, op):
+    if op == "compact_where":
+        t.compact_where("id < 150", target_partitions=1)
+    else:
+        OPS[op](t, spark)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seq=_SEQS)
+def test_feed_matches_full_diff_under_any_sequence(spark, seq):
+    """For ANY sequence of commit shapes (appends, DV deletes, file-
+    level COW merge/update/delete, predicate compaction, full rewrite),
+    the manifest-pruned change feed over any (0, head) window must
+    equal the brute-force two-snapshot diff."""
+    d = tempfile.mkdtemp(prefix="cfp_h_")
+    try:
+        t = _mk(spark, d)
+        for op in seq:
+            _apply(t, spark, op)
+        head = t.latest_version()
+        assert _feed_diff(t, 0, head) == _full_diff(t, 0, head), seq
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

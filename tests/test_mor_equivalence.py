@@ -29,6 +29,7 @@ _OPS = st.lists(
         st.tuples(st.just("append"), st.sampled_from(range(3))),
         st.tuples(st.just("merge"), st.sampled_from(range(2))),
         st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("compact_where"), st.just(0)),
     ),
     min_size=1,
     max_size=4,
@@ -78,6 +79,8 @@ def _apply(spark, table: ManagedTable, op: tuple, mor: bool) -> None:
         )
     elif kind == "compact":
         table.compact(target_partitions=2)
+    elif kind == "compact_where":
+        table.compact_where("id < 20", target_partitions=1)
 
 
 @pytest.mark.usefixtures("spark")
