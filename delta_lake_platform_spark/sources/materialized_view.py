@@ -185,12 +185,13 @@ class MaterializedJoinAggView:
             ),
         )
 
-    def refresh(self) -> int:
-        l0, r0 = self._versions_at_create()
-        l1, r1 = self.left.latest_version(), self.right.latest_version()
-        if (l0, r0) == (l1, r1):
-            return self.state.latest_version()
-
+    def _delta_frame(
+        self, l0: int, r0: int, l1: int, r1: int
+    ) -> DataFrame:
+        """The refresh's sign-weighted delta rows: dL ⋈ R_old plus
+        L_new ⋈ dR, with the DELTA side of each join broadcast —
+        exposed separately so the plan gate can pin that neither join
+        shuffles a base table."""
         parts = []
         if l1 != l0:
             d_l = self._signed_feed(self.left, l0, l1)
@@ -202,16 +203,19 @@ class MaterializedJoinAggView:
             d_r = self._signed_feed(self.right, r0, r1)
             # L_new ⋈ dR
             parts.append(
-                self.left.read(l1).join(
-                    F.broadcast(d_r), on=self.on
-                )
+                self.left.read(l1).join(F.broadcast(d_r), on=self.on)
             )
         delta_rows = parts[0]
         for p in parts[1:]:
-            delta_rows = delta_rows.unionByName(
-                p, allowMissingColumns=True
-            )
-        delta = self._aggregate(delta_rows, "__sign")
+            delta_rows = delta_rows.unionByName(p, allowMissingColumns=True)
+        return delta_rows
+
+    def refresh(self) -> int:
+        l0, r0 = self._versions_at_create()
+        l1, r1 = self.left.latest_version(), self.right.latest_version()
+        if (l0, r0) == (l1, r1):
+            return self.state.latest_version()
+        delta = self._aggregate(self._delta_frame(l0, r0, l1, r1), "__sign")
 
         old = self.state.read().alias("o")
         d = delta.alias("d")

@@ -198,3 +198,50 @@ def test_partitioned_events_scan_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters" in plan and "event_type" in plan.split(
         "PartitionFilters", 1
     )[1].split("]", 1)[0], "type predicate not pushed to partition pruning"
+
+
+def test_join_mv_delta_broadcasts_never_shuffles_bases(spark, sf_dir):
+    """The join-view refresh's delta joins must BROADCAST the (small)
+    delta side; a SortMergeJoin here would mean both full bases get
+    shuffled on every refresh — the exact cost IVM exists to avoid."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_platform_spark.plans.introspect import (
+        has_broadcast_hash_join,
+        has_sort_merge_join,
+    )
+    from delta_lake_platform_spark.sources.catalog import load_table
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+    from delta_lake_platform_spark.sources.materialized_view import (
+        MaterializedJoinAggView,
+    )
+
+    d = tempfile.mkdtemp(prefix="dlp_mvj_plan_")
+    left = ManagedTable(spark, f"{d}/o")
+    left.create(
+        load_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("custkey"), "o_orderkey",
+            F.round(F.col("o_totalprice")).cast("long").alias("cents"),
+        )
+    )
+    right = ManagedTable(spark, f"{d}/c")
+    right.create(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    mv = MaterializedJoinAggView(
+        left, right, f"{d}/mv",
+        on=["custkey"], group_cols=["segment"], sum_cols=["cents"],
+    )
+    mv.create()
+    left.delete("o_orderkey % 7 = 0", rewrite=False)
+    right.update({"segment": "'X'"}, "custkey % 9 = 0")
+    delta = mv._delta_frame(
+        0, 0, left.latest_version(), right.latest_version()
+    )
+    assert has_broadcast_hash_join(delta)
+    assert not has_sort_merge_join(delta), "a base table is being shuffled"
