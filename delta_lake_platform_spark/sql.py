@@ -49,9 +49,52 @@ class PlatformSQL:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.tables: dict[str, ManagedTable] = {}
+        self._views: dict = {}  # name -> MaterializedAggView
 
     def register(self, name: str, table: ManagedTable) -> None:
         self.tables[name] = table
+
+    def _create_materialized_view(
+        self, name: str, path: str, select_list: str, base_name: str,
+        group_by: str,
+    ) -> DataFrame:
+        """``CREATE MATERIALIZED VIEW v LOCATION '<p>' AS SELECT
+        <groups>, COUNT(*) AS n_rows, SUM(c) AS sum_c... FROM t GROUP
+        BY <groups>`` — restricted to the incrementally-maintainable
+        aggregate shape (count + sums; see materialized_view.py for why
+        min/max are excluded). ``REFRESH MATERIALIZED VIEW v`` then
+        folds the base's change feed; ``SELECT ... FROM v`` reads the
+        maintained state."""
+        from .sources.materialized_view import MaterializedAggView
+
+        base = self.tables[base_name]
+        group_cols = [c.strip() for c in group_by.split(",")]
+        sum_cols = []
+        for item in _split_top_level(select_list):
+            if item.strip() in group_cols:
+                continue
+            mm = re.fullmatch(
+                r"(?is)\s*COUNT\s*\(\s*\*\s*\)\s+AS\s+n_rows\s*", item
+            )
+            if mm:
+                continue
+            mm = re.fullmatch(
+                rf"(?is)\s*SUM\s*\(\s*({_IDENT})\s*\)\s+AS\s+sum_\1\s*",
+                item,
+            )
+            if mm:
+                sum_cols.append(mm.group(1))
+                continue
+            raise ValueError(
+                f"materialized view supports group cols, COUNT(*) AS "
+                f"n_rows, and SUM(c) AS sum_c only; got {item!r}"
+            )
+        mv = MaterializedAggView(
+            base, path, group_cols=group_cols, sum_cols=sum_cols
+        )
+        v = mv.create()
+        self._views[name] = mv
+        return self._df([{"version": v, "location": path}])
 
     # -- statement handlers --------------------------------------------------
 
@@ -338,9 +381,30 @@ class PlatformSQL:
             return self._df([{"version": v, **met}])
         if re.match(r"(?is)^MERGE\s+INTO\s", t):
             return self._merge(t)
+        m = re.match(
+            rf"(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+"
+            rf"LOCATION\s+'([^']+)'\s+AS\s+SELECT\s+(.*?)\s+FROM\s+"
+            rf"({_IDENT})\s+GROUP\s+BY\s+(.*)$",
+            t,
+        )
+        if m:
+            return self._create_materialized_view(*m.groups())
+        m = re.match(
+            rf"(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})$", t
+        )
+        if m:
+            name = m.group(1)
+            mv = self._views[name]
+            v = mv.refresh()
+            return self._df(
+                [{"version": v, "stale": mv.is_stale()}]
+            )
 
         # Plain SQL: resolve time travel, expose current snapshots as
         # temp views, delegate to Spark's parser/optimizer.
+        for name, mv in getattr(self, "_views", {}).items():
+            if re.search(rf"\b{re.escape(name)}\b", t):
+                mv.read().createOrReplaceTempView(name)
         for name, table in self.tables.items():
             def tt(m2, table=table, name=name):
                 if m2.group(1) is not None:

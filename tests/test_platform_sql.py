@@ -215,3 +215,41 @@ def test_sql_alter_column_and_copy_into(spark):
     # idempotent: second run loads nothing
     psql.sql(f"COPY INTO t FROM '{src}'")
     assert t.read().count() == 5
+
+
+def test_materialized_view_via_sql(psql, spark):
+    big = spark.range(0, 400).select(
+        "id",
+        F.col("id").cast("string").alias("name"),
+        (F.col("id") % 5).alias("balance"),
+    )
+    psql.tables["accounts"].overwrite(big, overwrite_schema=True)
+    out = psql.sql(
+        "CREATE MATERIALIZED VIEW acct_mv LOCATION "
+        f"'{psql.tables['accounts'].path}_mv' AS "
+        "SELECT balance, COUNT(*) AS n_rows, SUM(id) AS sum_id "
+        "FROM accounts GROUP BY balance"
+    ).first()
+    assert out.version == 0
+    psql.sql("DELETE FROM accounts WHERE id % 7 = 0")
+    psql.sql("REFRESH MATERIALIZED VIEW acct_mv")
+    got = {
+        r.balance: (r.n_rows, r.sum_id)
+        for r in psql.sql(
+            "SELECT balance, n_rows, sum_id FROM acct_mv ORDER BY balance"
+        ).collect()
+    }
+    want = {
+        r.balance: (r.n, r.s)
+        for r in psql.sql(
+            "SELECT balance, count(*) AS n, sum(id) AS s "
+            "FROM accounts GROUP BY balance ORDER BY balance"
+        ).collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="supports group cols"):
+        psql.sql(
+            "CREATE MATERIALIZED VIEW bad LOCATION '/tmp/x' AS "
+            "SELECT balance, MAX(id) AS m FROM accounts GROUP BY balance"
+        )
