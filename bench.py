@@ -130,6 +130,25 @@ def main() -> None:
             ))
             wmv.refresh()
             wmv.state.read().collect()
+
+            from delta_lake_platform_spark.sources.materialized_view import (
+                MaterializedJoinAggView,
+            )
+
+            dim = ManagedTable(spark, f"{wd}/dim2")
+            dim.create(
+                spark.range(40).selectExpr("id % 8 as k", "'s' || id as seg")
+                .dropDuplicates(["k"])
+            )
+            wjv = MaterializedJoinAggView(
+                base, dim, f"{wd}/jmv",
+                on=["k"], group_cols=["seg"], sum_cols=["v"],
+            )
+            wjv.create()
+            base.delete("id % 23 = 0", rewrite=False)
+            dim.update({"seg": "'m'"}, "k = 1")
+            wjv.refresh()
+            wjv.state.read().collect()
         finally:
             shutil.rmtree(wd, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
