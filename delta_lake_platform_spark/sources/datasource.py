@@ -71,13 +71,13 @@ def _table_from_options(options) -> ManagedTable:
 
 
 def _snapshot_partitions(table: ManagedTable, version: int) -> list[_FilePartition]:
-    entry = table._entry(version) or {}
+    dv_dir = table._state(version)["dv"]
     dv: dict[str, list[int]] = {}
-    if "deletionVector" in entry:
+    if dv_dir is not None:
         import pyarrow.parquet as pq
         from urllib.parse import urlparse
 
-        dv_tbl = pq.read_table(entry["deletionVector"]).to_pydict()
+        dv_tbl = pq.read_table(dv_dir).to_pydict()
         for f, pos in zip(dv_tbl["__dv_file"], dv_tbl["__dv_pos"]):
             # Spark records positions under "file:///abs/..." URIs;
             # the local file lister produces plain paths.
@@ -242,8 +242,9 @@ class _BatchWriter(DataSourceWriter):
                 prev_rows = (prev.get("operationMetrics") or {}).get(
                     "numOutputRows"
                 )
-                merged = dict(prev.get("fileStats") or {})
-                merged.update(stats)
+                # Delta-action entry: only this batch's files + stats
+                # (O(batch) metadata); prior files and the DV pointer
+                # carry through log replay.
                 entry = {
                     "version": version,
                     "timestamp": _time.time(),
@@ -256,14 +257,10 @@ class _BatchWriter(DataSourceWriter):
                             else None
                         ),
                     },
-                    "fileStats": merged,
-                    "dataPaths": table._data_dirs(version - 1) + [final],
-                    **table._carry_files(version - 1),
-                    **(
-                        {"deletionVector": prev["deletionVector"]}
-                        if "deletionVector" in prev
-                        else {}
-                    ),
+                    "logMode": "delta",
+                    "add": stats,
+                    "remove": [],
+                    "addPaths": [final],
                 }
             try:
                 table._write_entry(version, entry)

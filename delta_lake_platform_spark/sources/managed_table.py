@@ -177,17 +177,55 @@ class MergeClauses:
     check_multi_match: bool = True
 
 
-class ManagedTable:
-    """Versioned parquet table rooted at ``path``."""
+# Consolidated-state checkpoint cadence (Delta writes a parquet
+# checkpoint every 10 commits by default; same interval here).
+_CKPT_INTERVAL = 10
 
-    def __init__(self, spark: SparkSession, path: str):
+
+class ManagedTable:
+    """Versioned parquet table rooted at ``path``.
+
+    Commit-log model (Delta's transaction-log design, which the
+    reference's engine commits through — scd_handler.py:48-55):
+
+    - Full-snapshot commits write a self-contained entry (complete
+      ``fileStats`` map) — they replace the table, so the entry IS the
+      state.
+    - Incremental commits (fast append, MOR DML, file-level COW) write
+      a DELTA entry: only the files added (with their stats) and the
+      files removed — O(changed files) metadata per commit regardless
+      of table size, exactly Delta's add/remove actions.
+    - Every ``_CKPT_INTERVAL`` commits a consolidated checkpoint of the
+      replayed state lands in ``_log/_checkpoints/``, and
+      ``_log/_last_checkpoint`` points at it, so snapshot resolution
+      replays at most the interval's entries and ``latest_version()``
+      probes forward from the pointer instead of listing the directory
+      (Delta's ``_last_checkpoint`` protocol).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, protocol=None):
+        from .commit_protocol import RenameCommitProtocol
+
         self.spark = spark
         self.path = path
         self._log_dir = os.path.join(path, "_log")
+        self._ckpt_dir = os.path.join(self._log_dir, "_checkpoints")
+        # How data dirs are published and log entries claimed — a
+        # storage-system property (POSIX rename vs object-store
+        # conditional put), factored behind commit_protocol.py.
+        self._protocol = protocol or RenameCommitProtocol()
+        # Replayed-state cache; log entries are immutable once written
+        # (exclusive create), so entries can only be appended — the
+        # cache is invalidated on every commit through this handle.
+        self._state_cache: dict[int, dict] = {}
 
     # -- log helpers --------------------------------------------------------
 
     def _versions(self) -> list[int]:
+        """Full version list (directory listing). Used by full-log
+        operations — history(), vacuum() — which are O(#versions) by
+        nature; the per-query hot path goes through
+        ``latest_version()``'s checkpoint-pointer probe instead."""
         if not os.path.isdir(self._log_dir):
             return []
         return sorted(
@@ -196,71 +234,308 @@ class ManagedTable:
             if f.endswith(".json")
         )
 
+    def _entry_path(self, version: int) -> str:
+        return os.path.join(self._log_dir, f"{version}.json")
+
+    def _last_checkpoint_version(self) -> int | None:
+        p = os.path.join(self._log_dir, "_last_checkpoint")
+        try:
+            with open(p) as f:
+                return int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError):
+            return None
+
     def latest_version(self) -> int:
-        vs = self._versions()
-        if not vs:
-            raise FileNotFoundError(f"no table at {self.path}")
-        return vs[-1]
+        """Current version WITHOUT listing the log directory when a
+        checkpoint pointer exists: start at the pointer and probe
+        forward — O(commits since last checkpoint) stat calls, the
+        Delta ``_last_checkpoint`` read path. Falls back to a listing
+        for young tables (no checkpoint yet)."""
+        v = self._last_checkpoint_version()
+        if v is None or not os.path.isfile(self._entry_path(v)):
+            vs = self._versions()
+            if not vs:
+                raise FileNotFoundError(f"no table at {self.path}")
+            return vs[-1]
+        while os.path.isfile(self._entry_path(v + 1)):
+            v += 1
+        return v
 
     def exists(self) -> bool:
-        return bool(self._versions())
+        # Version 0 always exists for a live table (VACUUM removes
+        # data, never log entries) — one stat call, no listing.
+        return os.path.isfile(self._entry_path(0)) or bool(self._versions())
 
     def _local_data_dir(self, version: int) -> str:
         return os.path.join(self.path, "data", f"v={version}")
 
+    # -- snapshot state (log replay + checkpoints) ---------------------------
+
+    def _abs(self, rel: str) -> str:
+        return os.path.normpath(os.path.join(self.path, rel))
+
+    def _base_state_from_entry(self, entry: dict) -> dict:
+        """State of a SELF-CONTAINED entry: a full-snapshot commit (or
+        legacy incremental entry) whose ``fileStats`` map — or, for a
+        stats-less CLONE, its manifest — describes the complete live
+        file set."""
+        version = entry["version"]
+        if "dataPaths" in entry:
+            dirs = list(entry["dataPaths"])
+        elif "dataPath" in entry:
+            dirs = [entry["dataPath"]]
+        else:
+            dirs = [self._local_data_dir(version)]
+        stats = entry.get("fileStats")
+        if stats is not None:
+            files: dict[str, dict | None] = dict(stats)
+        elif entry.get("fileLevel"):
+            # File-level clone: the manifest IS the live file set; the
+            # dirs are basePath roots only and must NOT be re-expanded
+            # (that would resurrect files the source had rewritten).
+            files = {
+                os.path.relpath(f, self.path): None
+                for f in entry.get("dataFiles", [])
+            }
+        else:
+            # Stats-less entry (shallow clone): materialize the file
+            # set from the manifest; stats unknown (pruning keeps all).
+            files = {
+                os.path.relpath(f, self.path): None
+                for d in dirs
+                for f in _parquet_files(d)
+            }
+            for f in entry.get("dataFiles", []):
+                files[os.path.relpath(f, self.path)] = None
+        return {
+            "files": files,
+            "dirs": dirs,
+            "dv": entry.get("deletionVector"),
+            "fileLevel": bool(entry.get("dataFiles")) or bool(entry.get("fileLevel")),
+        }
+
+    def _read_checkpoint(self, version: int) -> dict | None:
+        p = os.path.join(self._ckpt_dir, f"{version}.json")
+        if not os.path.isfile(p):
+            return None
+        try:
+            with open(p) as f:
+                ck = json.load(f)
+        except (OSError, ValueError):
+            return None
+        return {
+            "files": ck["files"],
+            "dirs": ck["dirs"],
+            "dv": ck.get("dv"),
+            "fileLevel": ck.get("fileLevel", False),
+        }
+
+    def _state(self, version: int) -> dict:
+        """Consolidated snapshot state at ``version``: the live file set
+        with per-file stats, the data dirs, and the deletion-vector
+        pointer. Resolved by replaying delta entries on top of the
+        nearest base at or below ``version`` — a checkpoint, a
+        self-contained entry, or a cached state — so resolution cost is
+        O(commits since base), never O(#versions) or O(#table files
+        beyond the map itself)."""
+        if version in self._state_cache:
+            return self._state_cache[version]
+        chain: list[dict] = []
+        cur = version
+        while True:
+            if cur in self._state_cache:
+                state = self._state_cache[cur]
+                break
+            ck = self._read_checkpoint(cur)
+            if ck is not None:
+                state = ck
+                break
+            entry = self._entry(cur)
+            if entry is None:
+                raise FileNotFoundError(
+                    f"no log entry for version {cur} of {self.path}"
+                )
+            if entry.get("logMode") != "delta":
+                state = self._base_state_from_entry(entry)
+                break
+            chain.append(entry)
+            cur -= 1
+        for entry in reversed(chain):
+            files = dict(state["files"])
+            files.update(entry.get("add") or {})
+            for rel in entry.get("remove") or []:
+                files.pop(rel, None)
+            state = {
+                "files": files,
+                "dirs": state["dirs"] + list(entry.get("addPaths") or []),
+                "dv": entry.get("deletionVector", state["dv"]),
+                "fileLevel": state["fileLevel"]
+                or bool(entry.get("remove"))
+                or bool(entry.get("fileLevel")),
+            }
+            self._state_cache[entry["version"]] = state
+        self._state_cache[version] = state
+        return state
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Write the consolidated state checkpoint + advance the
+        ``_last_checkpoint`` pointer (never backwards — a slow writer
+        finishing an old commit must not regress the pointer). Both
+        writes are temp+rename (atomic on POSIX); checkpoints are
+        derived data, so any failure here is non-fatal to the commit."""
+        state = self._state(version)
+        os.makedirs(self._ckpt_dir, exist_ok=True)
+        payload = {
+            "version": version,
+            "files": state["files"],
+            "dirs": state["dirs"],
+            "dv": state["dv"],
+            "fileLevel": state["fileLevel"],
+        }
+        ck_path = os.path.join(self._ckpt_dir, f"{version}.json")
+        tmp = f"{ck_path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, ck_path)
+        ptr = os.path.join(self._log_dir, "_last_checkpoint")
+        cur = self._last_checkpoint_version()
+        if cur is None or cur < version:
+            tmp = f"{ptr}.tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"version": version}, f)
+            os.replace(tmp, ptr)
+
     def _data_dir(self, version: int) -> str:
-        """Resolve a version's data location. Normally local; a SHALLOW
-        CLONE or deletion-vector commit references existing files via a
-        ``dataPath`` pointer in its log entry (zero data copied)."""
-        entry = self._entry(version)
-        if entry is not None and "dataPath" in entry:
-            return entry["dataPath"]
-        if entry is not None and "dataPaths" in entry:
-            return entry["dataPaths"][0]
-        return self._local_data_dir(version)
+        """First data dir root of a version (the version's own local
+        dir for not-yet-committed versions — concurrent writers stage
+        there before their entry exists)."""
+        if not os.path.isfile(self._entry_path(version)):
+            return self._local_data_dir(version)
+        dirs = self._state(version)["dirs"]
+        return dirs[0] if dirs else self._local_data_dir(version)
 
     def _data_dirs(self, version: int) -> list[str]:
-        """All data locations of a version. A fast-append (incremental)
+        """All data dir roots of a version. A fast-append (incremental)
         commit references every prior data dir plus the dir holding just
         its own batch — the Iceberg/Delta add-files model, where a
         commit's manifest is 'previous files + these new ones' and an
         append never rewrites a byte of existing data."""
-        entry = self._entry(version)
-        if entry is not None and "dataPaths" in entry:
-            return list(entry["dataPaths"])
-        return [self._data_dir(version)]
+        return list(self._state(version)["dirs"])
 
     def _referenced_files(self, version: int) -> list[str]:
-        """Individual parquet files a file-level COW commit carries over
-        unchanged from prior versions (``dataFiles`` in the log entry) —
-        the Delta add-file model at file granularity: a MERGE that
-        touches 3 of 30 000 files records the other 29 997 here instead
-        of rewriting them."""
-        entry = self._entry(version)
-        if entry is not None:
-            return list(entry.get("dataFiles", []))
-        return []
-
-    def _data_paths(self, version: int) -> list[str]:
-        """Everything a scan of this version must read: data dirs plus
-        individually referenced files."""
-        return self._data_dirs(version) + self._referenced_files(version)
-
-    def _all_data_files(self, version: int) -> list[str]:
-        """Every parquet file of the snapshot (dirs expanded)."""
+        """Live parquet files a file-level COW history carries over
+        unchanged from prior versions (everything outside the version's
+        own local batch dir) — the Delta add-file model at file
+        granularity: a MERGE that touches 3 of 30 000 files rewrites 3
+        and keeps referencing the other 29 997."""
+        own = self._local_data_dir(version) + os.sep
         return sorted(
-            {f for d in self._data_dirs(version) for f in _parquet_files(d)}
-            | set(self._referenced_files(version))
+            f
+            for f in (self._abs(rel) for rel in self._state(version)["files"])
+            if not f.startswith(own)
         )
 
-    def _carry_files(self, version: int) -> dict:
-        """Log-entry fragment that carries a prior version's referenced
-        files forward into an incremental commit."""
-        files = self._referenced_files(version)
-        return {"dataFiles": files} if files else {}
+    def _all_data_files(self, version: int) -> list[str]:
+        """Every live parquet file of the snapshot."""
+        return sorted(self._abs(rel) for rel in self._state(version)["files"])
+
+    def _scan_version(
+        self, version: int, with_positions: bool = False
+    ) -> DataFrame:
+        """One DataFrame over a version's live files (DV not applied).
+        Partitioned snapshots without file-level history scan their dir
+        roots (Spark's own PartitionFilters prune); file-level
+        histories scan the exact live file list, grouped by version
+        root with ``basePath`` when hive columns must survive."""
+        state = self._state(version)
+        spec = self.partition_spec()
+        if spec and not state["fileLevel"]:
+            return self._scan(state["dirs"], with_positions=with_positions)
+        files = self._all_data_files(version)
+        if not files:  # degenerate: fall back to the dirs (schema anchor)
+            return self._scan(state["dirs"], with_positions=with_positions)
+        if not spec:
+            return self._scan(files, with_positions=with_positions)
+        return self._scan_files_partitioned(
+            files, state["dirs"], with_positions=with_positions
+        )
+
+    def _scan_files_partitioned(
+        self, files: list[str], dirs: list[str], with_positions: bool = False
+    ) -> DataFrame:
+        """Scan an explicit file list of a hive-partitioned snapshot:
+        group files by their owning version root and read each group
+        with ``basePath`` so partition columns are still derived from
+        the path — the piece that lets file-level COW compose with
+        partitioning."""
+        roots: dict[str, list[str]] = {}
+        for f in files:
+            roots.setdefault(self._version_root(f, dirs), []).append(f)
+        out = None
+        for root, group in sorted(roots.items()):
+            df = self.spark.read.option("basePath", root).parquet(*group)
+            if with_positions:
+                df = df.select(
+                    F.col("_metadata.file_path").alias("__dv_file"),
+                    F.col("_metadata.row_index").alias("__dv_pos"),
+                    *df.columns,
+                )
+            out = df if out is None else out.unionByName(df)
+        order = self._column_order()
+        if order:
+            meta = [c for c in ("__dv_file", "__dv_pos") if c in out.columns]
+            known = [c for c in order if c in out.columns]
+            rest = [c for c in out.columns if c not in known and c not in meta]
+            out = out.select(*meta, *known, *rest)
+        return out
+
+    def _filelevel_ok(self, version: int) -> bool:
+        """Whether file-level COW can run on this snapshot. For
+        hive-partitioned tables every live file needs a resolvable
+        partition root (its own ``data/v=N`` dir, or a known referenced
+        dir for clone files) so the ``basePath`` scan can re-derive the
+        partition columns; anything else falls back to the
+        full-snapshot rewrite."""
+        if not self.partition_spec():
+            return True
+        state = self._state(version)
+        local = os.path.join(self.path, "data") + os.sep
+        dirs = [d.rstrip(os.sep) + os.sep for d in state["dirs"]]
+        for rel in state["files"]:
+            f = self._abs(rel)
+            if f.startswith(local):
+                continue
+            if not any(f.startswith(d) for d in dirs):
+                return False
+        return True
+
+    def _scan_candidates(
+        self, version: int, files: list[str], with_positions: bool = False
+    ) -> DataFrame:
+        """Scan a stats-pruned subset of a version's live files,
+        preserving hive partition columns when the table has them."""
+        if not self.partition_spec():
+            return self._scan(files, with_positions=with_positions)
+        return self._scan_files_partitioned(
+            files, self._state(version)["dirs"], with_positions=with_positions
+        )
+
+    def _version_root(self, fpath: str, dirs: list[str]) -> str:
+        """Owning snapshot root of a data file: the ``data/v=N`` dir for
+        table-local files, else the longest known data dir that contains
+        it (clone references), else its own dirname."""
+        local_root = os.path.join(self.path, "data") + os.sep
+        if fpath.startswith(local_root):
+            rest = fpath[len(local_root):]
+            return os.path.join(self.path, "data", rest.split(os.sep, 1)[0])
+        best = ""
+        for d in dirs:
+            if fpath.startswith(d.rstrip(os.sep) + os.sep) and len(d) > len(best):
+                best = d
+        return best or os.path.dirname(fpath)
 
     def _entry(self, version: int) -> dict | None:
-        entry_path = os.path.join(self._log_dir, f"{version}.json")
+        entry_path = self._entry_path(version)
         if not os.path.isfile(entry_path):
             return None
         with open(entry_path) as f:
@@ -270,19 +545,55 @@ class ManagedTable:
         """Atomic commit point: O_EXCL create of the log entry. If a
         concurrent writer already committed this version, fail rather
         than overwrite its commit (Delta-style optimistic concurrency;
-        the loser retries on a fresh read of the table)."""
-        os.makedirs(self._log_dir, exist_ok=True)
+        the loser retries on a fresh read of the table). Every
+        ``_CKPT_INTERVAL``-th commit also writes a consolidated state
+        checkpoint and advances the ``_last_checkpoint`` pointer."""
+        from .commit_protocol import CommitError
+
         try:
-            fd = os.open(
-                os.path.join(self._log_dir, f"{version}.json"),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            self._protocol.create_entry(
+                self._entry_path(version), json.dumps(entry)
             )
-        except FileExistsError as e:
+        except CommitError as e:
             raise ConcurrentWriteError(
                 f"version {version} of {self.path} was committed concurrently"
             ) from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(entry, f)
+        self._state_cache.clear()
+        if version > 0 and version % _CKPT_INTERVAL == 0:
+            try:
+                self._write_checkpoint(version)
+            except OSError:
+                pass  # checkpoint is derived data; the commit stands
+
+    def _commit_delta(
+        self,
+        version: int,
+        operation: str,
+        metrics: dict,
+        add: dict | None = None,
+        remove: list[str] | None = None,
+        add_paths: list[str] | None = None,
+        dv: str | None = None,
+        extra: dict | None = None,
+    ) -> int:
+        """Write an incremental (delta-action) log entry: only the files
+        this commit added (with their stats) and removed — O(changed
+        files) metadata regardless of table size. The deletion-vector
+        pointer carries forward implicitly unless ``dv`` replaces it."""
+        entry = {
+            "version": version,
+            "timestamp": time.time(),
+            "operation": operation,
+            "operationMetrics": metrics,
+            "logMode": "delta",
+            "add": add or {},
+            "remove": remove or [],
+            "addPaths": add_paths or [],
+            **({"deletionVector": dv} if dv is not None else {}),
+            **(extra or {}),
+        }
+        self._write_entry(version, entry)
+        return version
 
     # -- table properties ----------------------------------------------------
 
@@ -354,31 +665,23 @@ class ManagedTable:
             # included as ordinary data columns.
             df.write.mode("overwrite").parquet(data_dir)
 
-    def _write_data_staged(self, df: DataFrame, final_dir: str) -> None:
-        """Write through a staging dir + atomic rename: a writer that
-        LOSES the optimistic-concurrency race fails the rename and
-        never clobbers data a winner already published at the same
-        versioned path (previously the loser's direct overwrite-write
-        could corrupt the winner's committed snapshot before the log
-        O_EXCL check fired). Local-FS commit protocol; an object-store
-        deployment swaps this for uniquely-named files + manifest,
-        exactly Delta's model. A writer that crashes between rename and
-        log commit leaves an unclaimed dir that blocks that version
-        number — surfaced as ConcurrentWriteError, cleaned by removing
-        the dir (no log entry references it)."""
-        import shutil as _shutil
-        import uuid as _uuid
+    def _write_data_staged(self, df: DataFrame, final_dir: str) -> str:
+        """Publish a snapshot/batch dir through the table's commit
+        protocol; returns the ACTUAL published path (the requested one
+        under the rename protocol; a writer-unique sibling under the
+        put-if-absent protocol — callers record the returned path in
+        the log entry). A writer that loses the concurrency race can
+        never clobber data a winner already published. A writer that
+        crashes after publication but before log commit leaves an
+        unreferenced dir, reclaimed by VACUUM."""
+        from .commit_protocol import CommitError
 
-        staged = f"{final_dir}.staged-{_uuid.uuid4().hex[:12]}"
-        self._write_data(df, staged)
-        os.makedirs(os.path.dirname(final_dir), exist_ok=True)
         try:
-            os.rename(staged, final_dir)
-        except OSError as e:
-            _shutil.rmtree(staged, ignore_errors=True)
-            raise ConcurrentWriteError(
-                f"data path {final_dir} was claimed by a concurrent writer"
-            ) from e
+            return self._protocol.publish_data(
+                lambda d: self._write_data(df, d), final_dir
+            )
+        except CommitError as e:
+            raise ConcurrentWriteError(str(e)) from e
 
     def _scan(self, dirs: list[str], with_positions: bool = False) -> DataFrame:
         """One DataFrame over a version's data dirs. Non-partitioned
@@ -426,7 +729,7 @@ class ManagedTable:
         self, df: DataFrame, operation: str, metrics: dict, extra: dict | None = None
     ) -> int:
         self.verify_constraints(df)
-        version = (self._versions()[-1] + 1) if self.exists() else 0
+        version = (self.latest_version() + 1) if self.exists() else 0
         spec = self.partition_spec()
         if spec and self._column_order() and set(self._column_order()) != set(
             df.columns
@@ -435,21 +738,27 @@ class ManagedTable:
             # declared logical order so partitioned reads keep matching
             # what the writer produced.
             self._set_partition_spec(spec, column_order=list(df.columns))
-        self._write_data_staged(df, self._data_dir(version))
+        actual_dir = self._write_data_staged(df, self._local_data_dir(version))
         # One footer pass gives the row count (no Spark job, no plan
         # recompute) AND the per-file min/max stats for data skipping.
         n_rows, file_stats = _scan_parquet_footers(
-            self._data_dir(version), rel_root=self.path, spark=self.spark
+            actual_dir, rel_root=self.path, spark=self.spark
         )
         if "numOutputRows" in metrics and metrics["numOutputRows"] is None:
             metrics["numOutputRows"] = n_rows
-        os.makedirs(self._log_dir, exist_ok=True)
         entry = {
             "version": version,
             "timestamp": time.time(),
             "operation": operation,
             "operationMetrics": metrics,
             "fileStats": file_stats,
+            # A protocol may publish under a writer-unique path; the
+            # entry must reference where the data actually landed.
+            **(
+                {"dataPaths": [actual_dir]}
+                if actual_dir != self._local_data_dir(version)
+                else {}
+            ),
             **(extra or {}),
         }
         self._write_entry(version, entry)
@@ -469,12 +778,9 @@ class ManagedTable:
         v_prev = self.latest_version()
         prev_entry = self._entry(v_prev) or {}
         version = v_prev + 1
-        local = self._local_data_dir(version)
-        self._write_data_staged(batch, local)
+        local = self._write_data_staged(batch, self._local_data_dir(version))
         n_new, new_stats = _scan_parquet_footers(local, rel_root=self.path)
         prev_rows = (prev_entry.get("operationMetrics") or {}).get("numOutputRows")
-        merged_stats = dict(prev_entry.get("fileStats") or {})
-        merged_stats.update(new_stats)
         metrics = {
             **metrics,
             "numAppendedRows": n_new,
@@ -482,23 +788,17 @@ class ManagedTable:
                 prev_rows + n_new if isinstance(prev_rows, int) else None
             ),
         }
-        entry = {
-            "version": version,
-            "timestamp": time.time(),
-            "operation": operation,
-            "operationMetrics": metrics,
-            "fileStats": merged_stats,
-            "dataPaths": self._data_dirs(v_prev) + [local],
-            **self._carry_files(v_prev),
-            **(
-                {"deletionVector": prev_entry["deletionVector"]}
-                if "deletionVector" in prev_entry
-                else {}
-            ),
-            **(extra or {}),
-        }
-        self._write_entry(version, entry)
-        return version
+        # Delta-action entry: the batch's own stats + its dir; prior
+        # files and the deletion-vector pointer carry through replay —
+        # commit metadata is O(batch), not O(table).
+        return self._commit_delta(
+            version,
+            operation,
+            metrics,
+            add=new_stats,
+            add_paths=[local],
+            extra=extra,
+        )
 
     # -- public API ---------------------------------------------------------
 
@@ -523,11 +823,10 @@ class ManagedTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version
-        entry = self._entry(v)
-        dv_dir = entry.get("deletionVector") if entry else None
+        dv_dir = self._state(v)["dv"]
         if dv_dir is None:
-            return self._scan(self._data_paths(v))
-        tagged = self._scan(self._data_paths(v), with_positions=True)
+            return self._scan_version(v)
+        tagged = self._scan_version(v, with_positions=True)
         cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
         return (
             tagged.join(
@@ -541,7 +840,7 @@ class ManagedTable:
     def _dv_dir(self, version: int) -> str:
         return os.path.join(self.path, "dv", f"v={version}")
 
-    def _write_dv(self, full_dv: DataFrame, dv_dir: str, old_dv_dir: str | None) -> None:
+    def _write_dv(self, full_dv: DataFrame, dv_dir: str, old_dv_dir: str | None) -> str:
         """Write the deletion-vector sidecar. Sharded by __dv_file hash
         once the DV is large, so a single task never serializes an
         unbounded position list: the shard count comes free from the
@@ -560,20 +859,14 @@ class ManagedTable:
             if shards > 1
             else full_dv.coalesce(1)
         )
-        import shutil as _shutil
-        import uuid as _uuid
+        from .commit_protocol import CommitError
 
-        staged = f"{dv_dir}.staged-{_uuid.uuid4().hex[:12]}"
-        out.write.mode("overwrite").parquet(staged)
-        os.makedirs(os.path.dirname(dv_dir), exist_ok=True)
         try:
-            os.rename(staged, dv_dir)
-        except OSError as e:
-            _shutil.rmtree(staged, ignore_errors=True)
-            raise ConcurrentWriteError(
-                f"deletion-vector path {dv_dir} was claimed by a "
-                "concurrent writer"
-            ) from e
+            return self._protocol.publish_data(
+                lambda d: out.write.mode("overwrite").parquet(d), dv_dir
+            )
+        except CommitError as e:
+            raise ConcurrentWriteError(str(e)) from e
 
     def _apply_dv(self, df: DataFrame, dv_dir: str) -> DataFrame:
         """Merge-on-read: drop positions listed in the deletion vector.
@@ -606,24 +899,20 @@ class ManagedTable:
         reads — files the predicate provably excludes, which at 100 TB
         is the difference between touching 3 files and 30 000."""
         v = self.latest_version() if version is None else version
-        with open(os.path.join(self._log_dir, f"{v}.json")) as f:
-            entry = json.load(f)
-        all_files = self._all_data_files(v)
-        stats = entry.get("fileStats")
-        if stats is None:  # pre-stats commit (e.g. shallow clone v0)
-            return list(all_files), len(all_files)
+        files = self._state(v)["files"]
         kept = []
-        for fpath in all_files:
+        for rel in sorted(files):
             # Table-root-relative key (matches how commits record stats).
-            s = stats.get(os.path.relpath(fpath, self.path), {}).get(col)
-            if s is None:
+            s = (files[rel] or {}).get(col)
+            fpath = self._abs(rel)
+            if s is None:  # no stats for this file/col: conservatively kept
                 kept.append(fpath)
                 continue
             mn, mx = s
             if (hi is not None and mn > hi) or (lo is not None and mx < lo):
                 continue
             kept.append(fpath)
-        return kept, len(all_files)
+        return kept, len(files)
 
     def read_pruned(
         self, col: str, lo=None, hi=None, version: int | None = None
@@ -647,10 +936,10 @@ class ManagedTable:
             return self.read(version).filter(F.lit(False))
         df = self.spark.read.parquet(*kept)
         v = self.latest_version() if version is None else version
-        entry = self._entry(v)
-        if entry is not None and "deletionVector" in entry:
+        dv_dir = self._state(v)["dv"]
+        if dv_dir is not None:
             # DV rows for skipped files simply find no match.
-            df = self._apply_dv(df, entry["deletionVector"])
+            df = self._apply_dv(df, dv_dir)
         c = F.col(col)
         if lo is not None:
             df = df.filter(c >= F.lit(lo))
@@ -791,9 +1080,9 @@ class ManagedTable:
             return self.read(version).filter(F.lit(False))
         df = self.spark.read.parquet(*kept)
         v = self.latest_version() if version is None else version
-        entry = self._entry(v)
-        if entry is not None and "deletionVector" in entry:
-            df = self._apply_dv(df, entry["deletionVector"])
+        dv_dir = self._state(v)["dv"]
+        if dv_dir is not None:
+            df = self._apply_dv(df, dv_dir)
         return df.filter(F.col(col) == F.lit(value))
 
     def column_max(self, col: str, version: int | None = None):
@@ -803,13 +1092,10 @@ class ManagedTable:
         This is how an identity column's high-water mark should be
         found at 100 TB: the log already knows it."""
         v = self.latest_version() if version is None else version
-        with open(os.path.join(self._log_dir, f"{v}.json")) as f:
-            entry = json.load(f)
-        stats = entry.get("fileStats")
-        if stats is None:
-            return None
         maxes = []
-        for fname, cols in stats.items():
+        for fname, cols in self._state(v)["files"].items():
+            if cols is None:
+                return None  # stats-less file (clone) could hide the max
             if not cols:
                 continue  # zero-row file (no row groups -> no stats)
             if col not in cols:
@@ -906,9 +1192,11 @@ class ManagedTable:
         rest untouched via the log's file manifest. An N-row merge into
         an M-file table writes O(files-with-matches) + inserts, never
         O(table) — the property that keeps a dimension merge viable at
-        100 TB. Falls back to a full-snapshot rewrite when the table is
-        hive-partitioned (dirs, not files, are the COW unit there),
-        single-file, or the schema is being widened.
+        100 TB. Hive-partitioned tables take the same path (partition
+        values are exact file stats, so candidate pruning skips whole
+        partitions; ``basePath`` grouping keeps partition columns
+        intact) — only single-file tables, schema widening, or
+        unresolvable clone roots fall back to a full-snapshot rewrite.
 
         ``rewrite=False`` is the merge-on-read MERGE: matched-updated
         and matched-deleted target rows become deletion-vector entries,
@@ -921,12 +1209,9 @@ class ManagedTable:
                 "merge(rewrite=False) cannot widen the schema; "
                 "use rewrite=True with auto_schema_evolution"
             )
-        file_cow = (
-            rewrite
-            and not auto_schema_evolution
-            and not self.partition_spec()
-            and self.exists()
-        )
+        file_cow = rewrite and not auto_schema_evolution and self.exists()
+        if file_cow:
+            file_cow = self._filelevel_ok(self.latest_version())
         candidates: list[str] = []
         all_files: list[str] = []
         if file_cow:
@@ -940,8 +1225,8 @@ class ManagedTable:
         if not rewrite:
             v_prev = self.latest_version()
             prev_entry = self._entry(v_prev) or {}
-            target = self._scan(self._data_paths(v_prev), with_positions=True)
-            old_dv_dir = prev_entry.get("deletionVector")
+            target = self._scan_version(v_prev, with_positions=True)
+            old_dv_dir = self._state(v_prev)["dv"]
             if old_dv_dir:
                 target = target.join(
                     F.broadcast(self.spark.read.parquet(old_dv_dir)),
@@ -949,13 +1234,13 @@ class ManagedTable:
                     how="left_anti",
                 )
         elif file_cow:
-            old_dv_dir = prev_entry.get("deletionVector")
+            old_dv_dir = self._state(v_prev)["dv"]
             if candidates:
-                target = self._scan(candidates, with_positions=True)
+                target = self._scan_candidates(v_prev, candidates, with_positions=True)
             else:
                 # No file can match: schema-only scan, zero rows.
-                target = self._scan(
-                    self._data_paths(v_prev), with_positions=True
+                target = self._scan_version(
+                    v_prev, with_positions=True
                 ).filter(F.lit(False))
             if old_dv_dir:
                 target = target.join(
@@ -1095,7 +1380,6 @@ class ManagedTable:
         # Merge-on-read commit: touched target rows -> DV entries; their
         # replacements + the inserts -> one new batch dir.
         new_version = v_prev + 1
-        batch_dir = self._local_data_dir(new_version)
         parts = []
         if clauses.matched_update is not None or clauses.matched_delete_condition:
             parts.append(flagged.filter(F.col("__upd")).select(*tcols))
@@ -1107,11 +1391,13 @@ class ManagedTable:
         for p in parts[1:]:
             batch = batch.unionByName(p)
         self.verify_constraints(batch)
-        self._write_data_staged(batch, batch_dir)
+        batch_dir = self._write_data_staged(
+            batch, self._local_data_dir(new_version)
+        )
         _n_batch, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
         dv_dir = self._dv_dir(new_version)
-        old_dv_dir = prev_entry.get("deletionVector")
+        old_dv_dir = self._state(v_prev)["dv"]
         dv_parts = []
         if old_dv_dir:
             dv_parts.append(self.spark.read.parquet(old_dv_dir))
@@ -1125,34 +1411,43 @@ class ManagedTable:
             full_dv = dv_parts[0]
             for p in dv_parts[1:]:
                 full_dv = full_dv.unionByName(p)
-            self._write_dv(full_dv, dv_dir, old_dv_dir)
+            dv_dir = self._write_dv(full_dv, dv_dir, old_dv_dir)
             total_dv, _ = _scan_parquet_footers(dv_dir)
         else:
             dv_dir, total_dv = None, 0
 
         prev_rows = (prev_entry.get("operationMetrics") or {}).get("numOutputRows")
-        merged_stats = dict(prev_entry.get("fileStats") or {})
-        merged_stats.update(batch_stats)
         metrics["numDeletionVectorRows"] = total_dv
         metrics["numOutputRows"] = (
             prev_rows + n_inserted - n_deleted
             if isinstance(prev_rows, int)
             else None
         )
-        self._write_entry(
+        return self._commit_delta(
             new_version,
-            {
-                "version": new_version,
-                "timestamp": time.time(),
-                "operation": "MERGE (MOR)",
-                "operationMetrics": metrics,
-                "fileStats": merged_stats,
-                "dataPaths": self._data_dirs(v_prev) + [batch_dir],
-                **self._carry_files(v_prev),
-                **({"deletionVector": dv_dir} if dv_dir else {}),
-            },
+            "MERGE (MOR)",
+            metrics,
+            add=batch_stats,
+            add_paths=[batch_dir],
+            dv=dv_dir,
         )
-        return new_version
+
+    # Changed-file row selection: below this count the plan embeds an
+    # IN list of file paths; above it a broadcast semi-join keeps the
+    # plan small (a wide merge can touch thousands of files).
+    _ISIN_FILES_MAX = 64
+
+    def _restrict_to_files(self, df: DataFrame, uris: list[str]) -> DataFrame:
+        """Rows of ``df`` (position-tagged) belonging to the given
+        files. Short lists become an IN literal; longer ones a
+        broadcast semi-join on ``__dv_file``, so the plan never embeds
+        thousands of path literals."""
+        if len(uris) <= self._ISIN_FILES_MAX:
+            return df.filter(F.col("__dv_file").isin(uris))
+        uri_df = self.spark.createDataFrame(
+            [(u,) for u in uris], "__dv_file string"
+        )
+        return df.join(F.broadcast(uri_df), on="__dv_file", how="left_semi")
 
     def _commit_merge_filelevel(
         self,
@@ -1165,12 +1460,13 @@ class ManagedTable:
         metrics: dict,
     ) -> int:
         """File-level COW commit for MERGE: rewrite ONLY files where a
-        row was updated or deleted; every other file is referenced
-        as-is through the ``dataFiles`` manifest. The rewritten rows +
-        inserts land in one new batch dir, prior footer stats for kept
-        files are reused verbatim (no re-scan), and a prior deletion
-        vector stays attached — its positions for rewritten files point
-        at dropped paths and simply never match again."""
+        row was updated or deleted; every other file stays live through
+        log replay untouched. The rewritten rows + inserts land in one
+        new batch dir, the log entry records just the added files'
+        stats and the removed files' paths (O(changed files) metadata),
+        and a prior deletion vector stays attached — its positions for
+        rewritten files point at dropped paths and simply never match
+        again."""
         if flagged is not None:
             changed_uris = [
                 r[0]
@@ -1182,16 +1478,16 @@ class ManagedTable:
         else:
             changed_uris = []
         changed = {os.path.abspath(_uri_to_path(u)) for u in changed_uris}
-        kept_files = [f for f in all_files if os.path.abspath(f) not in changed]
+        n_kept = len([f for f in all_files if os.path.abspath(f) not in changed])
 
         new_version = v_prev + 1
         batch_dir = self._local_data_dir(new_version)
         parts = []
         if changed_uris:
             parts.append(
-                flagged.filter(
-                    F.col("__dv_file").isin(changed_uris) & ~F.col("__del")
-                ).select(*tcols)
+                self._restrict_to_files(flagged, changed_uris)
+                .filter(~F.col("__del"))
+                .select(*tcols)
             )
         if inserts is not None:
             parts.append(inserts)
@@ -1199,30 +1495,24 @@ class ManagedTable:
             # No matched clause and no insert clause: empty batch keeps
             # the commit shape uniform (one zero-row file anchors schema).
             parts = [
-                self._scan(self._data_paths(v_prev))
-                .select(*tcols)
-                .filter(F.lit(False))
+                self._scan_version(v_prev).select(*tcols).filter(F.lit(False))
             ]
         batch = parts[0]
         for p in parts[1:]:
             batch = batch.unionByName(p)
         self.verify_constraints(batch)
-        self._write_data_staged(batch, batch_dir)
+        batch_dir = self._write_data_staged(batch, batch_dir)
         _n_batch, batch_stats = _scan_parquet_footers(
             batch_dir, rel_root=self.path
         )
 
-        stats = dict(prev_entry.get("fileStats") or {})
-        for f in changed:
-            stats.pop(os.path.relpath(f, self.path), None)
-        stats.update(batch_stats)
         prev_rows = (prev_entry.get("operationMetrics") or {}).get(
             "numOutputRows"
         )
         metrics = {
             **metrics,
             "numRewrittenFiles": len(changed),
-            "numKeptFiles": len(kept_files),
+            "numKeptFiles": n_kept,
             "numOutputRows": (
                 prev_rows
                 + metrics.get("numTargetRowsInserted", 0)
@@ -1231,21 +1521,14 @@ class ManagedTable:
                 else None
             ),
         }
-        old_dv_dir = prev_entry.get("deletionVector")
-        self._write_entry(
+        return self._commit_delta(
             new_version,
-            {
-                "version": new_version,
-                "timestamp": time.time(),
-                "operation": "MERGE",
-                "operationMetrics": metrics,
-                "fileStats": stats,
-                "dataPaths": [batch_dir],
-                "dataFiles": kept_files,
-                **({"deletionVector": old_dv_dir} if old_dv_dir else {}),
-            },
+            "MERGE",
+            metrics,
+            add=batch_stats,
+            remove=[os.path.relpath(f, self.path) for f in sorted(changed)],
+            add_paths=[batch_dir],
         )
-        return new_version
 
     def _dml_filelevel(
         self,
@@ -1269,9 +1552,9 @@ class ManagedTable:
         cond = F.coalesce(
             F.expr(condition) if condition else F.lit(True), F.lit(False)
         )
-        tagged = self._scan(self._data_paths(v), with_positions=True)
+        tagged = self._scan_version(v, with_positions=True)
         cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
-        old_dv_dir = entry.get("deletionVector")
+        old_dv_dir = self._state(v)["dv"]
         if old_dv_dir:
             tagged = tagged.join(
                 F.broadcast(self.spark.read.parquet(old_dv_dir)),
@@ -1290,7 +1573,7 @@ class ManagedTable:
         changed = {os.path.abspath(_uri_to_path(u)) for u in changed_uris}
         kept_files = [f for f in all_files if os.path.abspath(f) not in changed]
 
-        touched = tagged.filter(F.col("__dv_file").isin(changed_uris))
+        touched = self._restrict_to_files(tagged, changed_uris)
         if op == "DELETE":
             batch = touched.filter(~F.col("__match")).select(*cols)
             metrics = {"numDeletedRows": n_matched}
@@ -1317,14 +1600,11 @@ class ManagedTable:
             delta_rows = 0
         self.verify_constraints(batch)
         new_version = v + 1
-        batch_dir = self._local_data_dir(new_version)
-        self._write_data_staged(batch, batch_dir)
+        batch_dir = self._write_data_staged(
+            batch, self._local_data_dir(new_version)
+        )
         _n, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
-        stats = dict(entry.get("fileStats") or {})
-        for f in changed:
-            stats.pop(os.path.relpath(f, self.path), None)
-        stats.update(batch_stats)
         prev_rows = (entry.get("operationMetrics") or {}).get("numOutputRows")
         metrics.update(
             {
@@ -1337,20 +1617,14 @@ class ManagedTable:
                 ),
             }
         )
-        self._write_entry(
+        return self._commit_delta(
             new_version,
-            {
-                "version": new_version,
-                "timestamp": time.time(),
-                "operation": op,
-                "operationMetrics": metrics,
-                "fileStats": stats,
-                "dataPaths": [batch_dir],
-                "dataFiles": kept_files,
-                **({"deletionVector": old_dv_dir} if old_dv_dir else {}),
-            },
+            op,
+            metrics,
+            add=batch_stats,
+            remove=[os.path.relpath(f, self.path) for f in sorted(changed)],
+            add_paths=[batch_dir],
         )
-        return new_version
 
     def update(
         self,
@@ -1368,9 +1642,11 @@ class ManagedTable:
         a table with DVs enabled: mark old copies dead, add new copies."""
         rewrite = self._resolve_rewrite(rewrite)
         if rewrite:
-            if not self.partition_spec() and self.exists() and len(
-                self._all_data_files(self.latest_version())
-            ) > 1:
+            if (
+                self.exists()
+                and len(self._all_data_files(self.latest_version())) > 1
+                and self._filelevel_ok(self.latest_version())
+            ):
                 return self._dml_filelevel(
                     "UPDATE", condition, set_exprs=set_exprs
                 )
@@ -1390,14 +1666,12 @@ class ManagedTable:
 
         v = self.latest_version()
         entry = self._entry(v) or {}
-        data_dirs = self._data_dirs(v)
-        data_files = self._referenced_files(v)
         cond = F.coalesce(
             F.expr(condition) if condition else F.lit(True), F.lit(False)
         )
-        tagged = self._scan(data_dirs + data_files, with_positions=True)
+        tagged = self._scan_version(v, with_positions=True)
         cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
-        old_dv_dir = entry.get("deletionVector")
+        old_dv_dir = self._state(v)["dv"]
         if old_dv_dir:
             tagged = tagged.join(
                 F.broadcast(self.spark.read.parquet(old_dv_dir)),
@@ -1414,8 +1688,9 @@ class ManagedTable:
         )
         self.verify_constraints(rewritten)
         new_version = v + 1
-        batch_dir = self._local_data_dir(new_version)
-        self._write_data_staged(rewritten, batch_dir)
+        batch_dir = self._write_data_staged(
+            rewritten, self._local_data_dir(new_version)
+        )
         n_upd, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
         dv_dir = self._dv_dir(new_version)
@@ -1425,32 +1700,24 @@ class ManagedTable:
             if not old_dv_dir
             else self.spark.read.parquet(old_dv_dir).unionByName(new_pos)
         )
-        self._write_dv(full_dv, dv_dir, old_dv_dir)
+        dv_dir = self._write_dv(full_dv, dv_dir, old_dv_dir)
         total_dv, _ = _scan_parquet_footers(dv_dir)
 
         prev_rows = (entry.get("operationMetrics") or {}).get("numOutputRows")
-        merged_stats = dict(entry.get("fileStats") or {})
-        merged_stats.update(batch_stats)
-        self._write_entry(
+        return self._commit_delta(
             new_version,
+            "UPDATE (MOR)",
             {
-                "version": new_version,
-                "timestamp": time.time(),
-                "operation": "UPDATE (MOR)",
-                "operationMetrics": {
-                    "numUpdatedRows": n_upd,
-                    "numDeletionVectorRows": total_dv,
-                    "numOutputRows": prev_rows
-                    if isinstance(prev_rows, int)
-                    else None,
-                },
-                "fileStats": merged_stats,
-                "dataPaths": data_dirs + [batch_dir],
-                **({"dataFiles": data_files} if data_files else {}),
-                "deletionVector": dv_dir,
+                "numUpdatedRows": n_upd,
+                "numDeletionVectorRows": total_dv,
+                "numOutputRows": prev_rows
+                if isinstance(prev_rows, int)
+                else None,
             },
+            add=batch_stats,
+            add_paths=[batch_dir],
+            dv=dv_dir,
         )
-        return new_version
 
     def delete(self, condition: str, rewrite: bool | None = None) -> int:
         """Delta DELETE. With ``rewrite`` (copy-on-write), matching rows
@@ -1465,9 +1732,11 @@ class ManagedTable:
         materializes the survivors, clearing the debt."""
         rewrite = self._resolve_rewrite(rewrite)
         if rewrite:
-            if not self.partition_spec() and self.exists() and len(
-                self._all_data_files(self.latest_version())
-            ) > 1:
+            if (
+                self.exists()
+                and len(self._all_data_files(self.latest_version())) > 1
+                and self._filelevel_ok(self.latest_version())
+            ):
                 return self._dml_filelevel("DELETE", condition)
             target = self.read().localCheckpoint(eager=False)
             cond = F.coalesce(F.expr(condition), F.lit(False))
@@ -1477,11 +1746,9 @@ class ManagedTable:
             )
         v = self.latest_version()
         entry = self._entry(v)
-        data_dirs = self._data_dirs(v)
-        data_files = self._referenced_files(v)
         cond = F.coalesce(F.expr(condition), F.lit(False))
-        tagged = self._scan(data_dirs + data_files, with_positions=True)
-        old_dv_dir = entry.get("deletionVector") if entry else None
+        tagged = self._scan_version(v, with_positions=True)
+        old_dv_dir = self._state(v)["dv"]
         if old_dv_dir:
             old_dv = self.spark.read.parquet(old_dv_dir)
             tagged = tagged.join(
@@ -1497,7 +1764,7 @@ class ManagedTable:
             if not old_dv_dir
             else self.spark.read.parquet(old_dv_dir).unionByName(new_pos)
         )
-        self._write_dv(full_dv, dv_dir, old_dv_dir)
+        dv_dir = self._write_dv(full_dv, dv_dir, old_dv_dir)
         total_dv, _ = _scan_parquet_footers(dv_dir)
         # Row arithmetic from the prior log entry, not a footer re-scan
         # of every data file (O(#files) driver I/O per DV delete at
@@ -1514,29 +1781,24 @@ class ManagedTable:
             n_data = prev_rows + prior_dv
         else:
             n_data = sum(
-                _scan_parquet_footers(d)[0] for d in data_dirs + data_files
+                _scan_parquet_footers(f)[0]
+                for f in self._all_data_files(v)
             )
-        self._write_entry(
+        # Pure-metadata delta commit: no files added or removed, only
+        # the deletion-vector pointer advances. Prior footer stats stay
+        # live through replay — a superset bound once rows are
+        # DV-deleted, which keeps prune_files/column_max conservative
+        # and therefore safe.
+        return self._commit_delta(
             new_version,
+            "DELETE (DV)",
             {
-                "version": new_version,
-                "timestamp": time.time(),
-                "operation": "DELETE (DV)",
-                "operationMetrics": {
-                    "numDeletedRows": total_dv - prior_dv,
-                    "numDeletionVectorRows": total_dv,
-                    "numOutputRows": n_data - total_dv,
-                },
-                # Footer stats describe the (unchanged) data files — a
-                # superset bound once rows are DV-deleted, which keeps
-                # prune_files/column_max conservative and therefore safe.
-                "fileStats": (entry or {}).get("fileStats"),
-                "dataPaths": data_dirs,
-                **({"dataFiles": data_files} if data_files else {}),
-                "deletionVector": dv_dir,
+                "numDeletedRows": total_dv - prior_dv,
+                "numDeletionVectorRows": total_dv,
+                "numOutputRows": n_data - total_dv,
             },
+            dv=dv_dir,
         )
-        return new_version
 
     def overwrite(
         self,
@@ -1608,12 +1870,9 @@ class ManagedTable:
             )
 
         v = self.latest_version()
-        entry = self._entry(v) or {}
-        data_dirs = self._data_dirs(v)
-        data_files = self._referenced_files(v)
-        tagged = self._scan(data_dirs + data_files, with_positions=True)
+        tagged = self._scan_version(v, with_positions=True)
         cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
-        old_dv_dir = entry.get("deletionVector")
+        old_dv_dir = self._state(v)["dv"]
         if old_dv_dir:
             tagged = tagged.join(
                 F.broadcast(self.spark.read.parquet(old_dv_dir)),
@@ -1626,8 +1885,9 @@ class ManagedTable:
         batch = df.select(*cols)
         self.verify_constraints(batch)
         new_version = v + 1
-        batch_dir = self._local_data_dir(new_version)
-        self._write_data_staged(batch, batch_dir)
+        batch_dir = self._write_data_staged(
+            batch, self._local_data_dir(new_version)
+        )
         n_new, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
         dv_dir = self._dv_dir(new_version)
@@ -1636,29 +1896,21 @@ class ManagedTable:
             if not old_dv_dir
             else self.spark.read.parquet(old_dv_dir).unionByName(replaced_pos)
         )
-        self._write_dv(full_dv, dv_dir, old_dv_dir)
+        dv_dir = self._write_dv(full_dv, dv_dir, old_dv_dir)
         total_dv, _ = _scan_parquet_footers(dv_dir)
-        merged_stats = dict(entry.get("fileStats") or {})
-        merged_stats.update(batch_stats)
-        self._write_entry(
+        return self._commit_delta(
             new_version,
+            "REPLACE WHERE (MOR)",
             {
-                "version": new_version,
-                "timestamp": time.time(),
-                "operation": "REPLACE WHERE (MOR)",
-                "operationMetrics": {
-                    "predicate": condition,
-                    "numAddedRows": n_new,
-                    "numDeletionVectorRows": total_dv,
-                    "numOutputRows": None,
-                },
-                "fileStats": merged_stats,
-                "dataPaths": data_dirs + [batch_dir],
-                **({"dataFiles": data_files} if data_files else {}),
-                "deletionVector": dv_dir,
+                "predicate": condition,
+                "numAddedRows": n_new,
+                "numDeletionVectorRows": total_dv,
+                "numOutputRows": None,
             },
+            add=batch_stats,
+            add_paths=[batch_dir],
+            dv=dv_dir,
         )
-        return new_version
 
     def maybe_compact(self, max_data_dirs: int = 16, max_dv_rows: int | None = None) -> int | None:
         """Auto-compaction trigger (Delta's autoCompaction analogue):
@@ -1887,12 +2139,12 @@ class ManagedTable:
         maintenance job needs (compact yesterday's small ingest files
         without touching years of cold data). Rewritten files also
         materialize any deletion-vector debt they carried. Falls back
-        to whole-snapshot OPTIMIZE for hive-partitioned or single-file
-        tables."""
+        to whole-snapshot OPTIMIZE for single-file tables (and clones
+        without resolvable partition roots)."""
         if (
-            self.partition_spec()
-            or not self.exists()
+            not self.exists()
             or len(self._all_data_files(self.latest_version())) <= 1
+            or not self._filelevel_ok(self.latest_version())
         ):
             return self.compact(target_partitions)
         return self._dml_filelevel(
@@ -1934,42 +2186,82 @@ class ManagedTable:
             to_remove = [v for v in to_remove if commit_ts[v] <= cutoff]
         # Data dirs still referenced by a RETAINED version (a deletion-
         # vector commit reads its predecessor's files; a fast-append
-        # commit references every prior batch dir) must survive even
-        # when their own version is vacuumed — same live-file rule as
-        # Delta's VACUUM. A version only ever OWNS its local dir; clone
-        # and DV versions point at files they do not own.
+        # commit references every prior batch dir; a file-level COW
+        # commit keeps individual files in older dirs live) must
+        # survive even when their own version is vacuumed — same
+        # live-file rule as Delta's VACUUM. A version only ever OWNS
+        # its local dir; clone and DV versions point at files they do
+        # not own. The SAME protection applies to deletion-vector
+        # sidecars: file-level and fast-append commits carry the
+        # predecessor's DV pointer forward, so a retained head can
+        # reference dv/v=N of a vacuumed version.
         retained = [v for v in versions if v not in to_remove]
-        referenced = {d for v in retained for d in self._data_dirs(v)}
-        referenced |= {
-            os.path.dirname(f)
-            for v in retained
-            for f in self._referenced_files(v)
-        }
+        referenced: set[str] = set()
+        referenced_dvs: set[str] = set()
+        live_files: set[str] = set()
+        for v in retained:
+            state = self._state(v)
+            referenced |= set(state["dirs"])
+            if state["dv"]:
+                referenced_dvs.add(os.path.normpath(state["dv"]))
+            live_files.update(self._abs(rel) for rel in state["files"])
+
+        def _holds_live_file(d: str) -> bool:
+            prefix = d.rstrip(os.sep) + os.sep
+            return any(f.startswith(prefix) for f in live_files)
+
         removed = []
         for v in to_remove:
-            # A version's DV sidecar is referenced only by that version.
-            dvd = self._dv_dir(v)
-            if os.path.isdir(dvd):
-                shutil.rmtree(dvd)
-            d = self._local_data_dir(v)
-            if d in referenced:
-                continue
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+            # DV sidecars (the version's own, plus writer-unique `.w-`
+            # siblings under the put-if-absent protocol): delete ONLY
+            # when no retained log entry still points at them.
+            for dvd in [self._dv_dir(v)] + glob.glob(
+                f"{self._dv_dir(v)}.w-*"
+            ):
+                if os.path.isdir(dvd) and os.path.normpath(dvd) not in referenced_dvs:
+                    shutil.rmtree(dvd)
+            data_removed = False
+            for d in [self._local_data_dir(v)] + glob.glob(
+                f"{self._local_data_dir(v)}.w-*"
+            ):
+                if d in referenced or _holds_live_file(d):
+                    continue
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+                    data_removed = True
+            if data_removed:
                 removed.append(v)
         # Abandoned staging dirs: a writer that crashed mid-publish (or
         # lost the rename race) leaves `<dir>.staged-<uuid>` garbage no
         # log entry references. Reclaim the stale ones — an AGE guard
         # keeps a live concurrent writer's in-flight staging safe
         # (Delta's VACUUM applies the same uncommitted-file retention).
-        cutoff = time.time() - (older_than_s if older_than_s is not None else 3600)
+        # The staging retention floor is INDEPENDENT of version
+        # retention: vacuum(older_than_s=0) shortens snapshot retention
+        # but must never reap a live writer's seconds-old staging dir.
+        cutoff = time.time() - max(
+            older_than_s if older_than_s is not None else 3600.0, 3600.0
+        )
+        # `.w-` dirs (put-if-absent protocol) are live data once a log
+        # entry references them — an orphan is one referenced by NO
+        # version at all (crashed or race-losing writer).
+        referenced_any = {
+            os.path.normpath(d)
+            for v in versions
+            for d in self._state(v)["dirs"]
+        } | {os.path.normpath(self._state(v)["dv"] or "") for v in versions}
         for parent in (os.path.join(self.path, "data"), os.path.join(self.path, "dv")):
             if not os.path.isdir(parent):
                 continue
             for name in os.listdir(parent):
-                if ".staged-" not in name:
-                    continue
                 p = os.path.join(parent, name)
+                if ".staged-" in name:
+                    pass  # always reclamation-eligible (never referenced)
+                elif ".w-" in name:
+                    if os.path.normpath(p) in referenced_any:
+                        continue
+                else:
+                    continue
                 try:
                     if os.path.getmtime(p) <= cutoff:
                         shutil.rmtree(p, ignore_errors=True)
@@ -1987,6 +2279,8 @@ class ManagedTable:
         target = ManagedTable(self.spark, target_path)
         if target.exists():
             raise FileExistsError(target_path)
+        state = self._state(src_version)
+        spec = self.partition_spec()
         entry = {
             "version": 0,
             "timestamp": time.time(),
@@ -1995,17 +2289,25 @@ class ManagedTable:
                 "sourcePath": self.path,
                 "sourceVersion": src_version,
             },
-            "dataPaths": self._data_dirs(src_version),
-            **self._carry_files(src_version),
         }
-        src_entry = self._entry(src_version)
-        if src_entry is not None and "deletionVector" in src_entry:
+        if not state["fileLevel"]:
+            # Dir-granularity source: reference the dirs wholesale.
+            entry["dataPaths"] = list(state["dirs"])
+        else:
+            # File-level source history: reference exactly the LIVE
+            # files — re-expanding the dirs would resurrect rewritten
+            # ones. The source's dir roots are kept (``fileLevel``
+            # marks them as basePath roots only, never re-expanded) so
+            # a partitioned clone can still derive partition columns.
+            entry["fileLevel"] = True
+            entry["dataPaths"] = list(state["dirs"])
+            entry["dataFiles"] = self._all_data_files(src_version)
+        if state["dv"]:
             # The clone must see the source's merge-on-read deletes too,
             # or vanished rows would resurrect in the clone.
-            entry["deletionVector"] = src_entry["deletionVector"]
-        spec = self.partition_spec()
+            entry["deletionVector"] = state["dv"]
         if spec:
-            target._set_partition_spec(spec)
+            target._set_partition_spec(spec, column_order=self._column_order())
         target._write_entry(0, entry)
         return target
 
@@ -2097,10 +2399,8 @@ class ManagedTable:
         a_only = sorted(after_files - before_files)
         if full[0].columns != full[1].columns:
             return full
-        e_from = self._entry(from_version) or {}
-        e_to = self._entry(to_version) or {}
-        dv_from_dir = e_from.get("deletionVector")
-        dv_to_dir = e_to.get("deletionVector")
+        dv_from_dir = self._state(from_version)["dv"]
+        dv_to_dir = self._state(to_version)["dv"]
 
         def side(files: list[str], dv_dir: str | None, cols) -> DataFrame:
             if not files:

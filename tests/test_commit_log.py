@@ -1,0 +1,187 @@
+"""Commit-log scale properties: delta-action entries, checkpoints, and
+the ``_last_checkpoint`` pointer (Delta's transaction-log model — the
+substrate the reference's engine commits through, scd_handler.py:48-55).
+
+Pinned here (VERDICT r3 #1 'done' criteria):
+- an incremental commit's log-entry size is O(changed files),
+  independent of how many files the table holds;
+- snapshot state replayed through a checkpoint equals the state
+  replayed from the full log;
+- once a checkpoint exists, ``latest_version()`` never lists the log
+  directory;
+- VACUUM never deletes a deletion-vector sidecar still referenced by a
+  retained version (ADVICE r3 high), and never reaps fresh staging
+  dirs even under shortened version retention (ADVICE r3 low).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import delta_lake_platform_spark.sources.managed_table as mt
+from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+
+@pytest.fixture
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="commitlog_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _table(spark, tmpdir, name="t", n_files=8, n_rows=800) -> ManagedTable:
+    t = ManagedTable(spark, f"{tmpdir}/{name}")
+    t.create(
+        spark.range(n_rows)
+        .select("id", (F.col("id") * 10).alias("v"))
+        .repartitionByRange(n_files, "id")
+    )
+    return t
+
+
+def _entry_bytes(t: ManagedTable, v: int) -> int:
+    return os.path.getsize(t._entry_path(v))
+
+
+def test_append_entry_size_independent_of_table_file_count(spark, tmpdir):
+    """A 1-row fast append into a 40-file table must not write more log
+    metadata than the same append into a 4-file table — per-commit
+    metadata is O(batch), never O(table)."""
+    small = _table(spark, tmpdir, "small", n_files=4)
+    big = _table(spark, tmpdir, "big", n_files=40, n_rows=4000)
+    batch = spark.createDataFrame([(99999, 1)], "id long, v long").coalesce(1)
+    small.append(batch, fast=True)
+    big.append(batch, fast=True)
+    assert _entry_bytes(big, 1) == pytest.approx(_entry_bytes(small, 1), abs=64)
+    e = big._entry(1)
+    assert e["logMode"] == "delta"
+    assert "fileStats" not in e and "dataFiles" not in e
+    assert len(e["add"]) == 1 and e["remove"] == []
+
+
+def test_filelevel_dml_entry_size_is_o_changed_files(spark, tmpdir):
+    """A file-level DELETE touching one file records one add + one
+    remove — not the other 39 files."""
+    t = _table(spark, tmpdir, n_files=40, n_rows=4000)
+    t.delete("id between 100 and 101", rewrite=True)
+    e = t._entry(1)
+    assert e["logMode"] == "delta"
+    assert len(e["remove"]) == 1
+    assert len(e["add"]) <= 2
+    assert _entry_bytes(t, 1) < 2048
+    assert t.read().count() == 3998
+
+
+def _commit_many(t: ManagedTable, spark, n: int):
+    for i in range(n):
+        t.append(
+            spark.createDataFrame(
+                [(1_000_000 + i, i)], "id long, v long"
+            ).coalesce(1),
+            fast=True,
+        )
+
+
+def test_checkpoint_written_at_interval_and_pointer_advances(spark, tmpdir):
+    t = _table(spark, tmpdir)
+    _commit_many(t, spark, mt._CKPT_INTERVAL + 2)
+    ck = os.path.join(t._ckpt_dir, f"{mt._CKPT_INTERVAL}.json")
+    assert os.path.isfile(ck)
+    assert t._last_checkpoint_version() == mt._CKPT_INTERVAL
+    assert t.latest_version() == mt._CKPT_INTERVAL + 2
+
+
+def test_checkpoint_replay_equals_full_log_replay(spark, tmpdir):
+    """State resolved through the checkpoint must equal the state
+    replayed from version 0 — including after file-level removals and
+    a DV commit inside the checkpointed range."""
+    t = _table(spark, tmpdir)
+    t.delete("id between 10 and 12", rewrite=True)       # file-level remove
+    t.delete("id = 500", rewrite=False)                  # DV commit
+    _commit_many(t, spark, mt._CKPT_INTERVAL)            # cross the interval
+    head = t.latest_version()
+    assert t._last_checkpoint_version() is not None
+
+    with_ckpt = t._state(head)
+
+    # Fresh handle with checkpoints hidden: full-log replay.
+    t2 = ManagedTable(spark, t.path)
+    shutil.rmtree(t2._ckpt_dir)
+    os.remove(os.path.join(t2._log_dir, "_last_checkpoint"))
+    no_ckpt = t2._state(head)
+
+    assert with_ckpt["files"] == no_ckpt["files"]
+    assert with_ckpt["dv"] == no_ckpt["dv"]
+    assert set(with_ckpt["dirs"]) == set(no_ckpt["dirs"])
+    # And the table is readable + correct either way.
+    assert t2.read().count() == 800 - 3 - 1 + mt._CKPT_INTERVAL
+
+
+def test_latest_version_never_lists_log_dir_once_checkpointed(
+    spark, tmpdir, monkeypatch
+):
+    t = _table(spark, tmpdir)
+    _commit_many(t, spark, mt._CKPT_INTERVAL + 3)
+    expected = mt._CKPT_INTERVAL + 3
+
+    real_listdir = os.listdir
+
+    def guarded(path="."):
+        if os.path.normpath(str(path)) == os.path.normpath(t._log_dir):
+            raise AssertionError("latest_version() listed the log dir")
+        return real_listdir(path)
+
+    monkeypatch.setattr(os, "listdir", guarded)
+    assert t.latest_version() == expected
+    # read() resolution also stays listing-free.
+    monkeypatch.undo()
+    assert t.read().count() == 800 + expected
+
+
+def test_vacuum_keeps_dv_sidecar_referenced_by_retained_versions(spark, tmpdir):
+    """ADVICE r3 (high): delete(rewrite=False) -> file-level UPDATE ->
+    another commit -> vacuum(keep_last=2). The retained head still
+    references dv/v=1; vacuum must not delete it — the table stays
+    readable and DV-deleted rows stay gone."""
+    t = _table(spark, tmpdir)
+    t.delete("id between 0 and 9", rewrite=False)          # v1: DV
+    t.update({"v": "v + 1"}, "id = 400", rewrite=True)     # v2: carries DV
+    t.append(
+        spark.createDataFrame([(9999, 0)], "id long, v long").coalesce(1),
+        fast=True,
+    )                                                       # v3: carries DV
+    dv_dir = t._state(t.latest_version())["dv"]
+    assert dv_dir is not None and os.path.isdir(dv_dir)
+    t.vacuum(keep_last=2)
+    assert os.path.isdir(dv_dir), "referenced DV sidecar was vacuumed"
+    got = t.read()
+    assert got.count() == 800 - 10 + 1
+    assert got.filter("id between 0 and 9").count() == 0  # no resurrection
+
+
+def test_vacuum_zero_retention_keeps_fresh_staging_dirs(spark, tmpdir):
+    """ADVICE r3 (low): vacuum(older_than_s=0) shortens version
+    retention but must NOT reap a fresh `.staged-` dir (a live writer
+    may be mid-publish) — the staging floor is independent."""
+    t = _table(spark, tmpdir)
+    t.overwrite(t.read())  # v1 so vacuum has something to chew on
+    fresh = os.path.join(t.path, "data", "v=50.staged-live")
+    os.makedirs(fresh)
+    t.vacuum(keep_last=1, older_than_s=0)
+    assert os.path.isdir(fresh)
+
+
+def test_clone_of_filelevel_table_references_only_live_files(spark, tmpdir):
+    """A shallow clone of a file-level history must not resurrect
+    rewritten files by re-expanding dirs."""
+    t = _table(spark, tmpdir)
+    t.delete("id between 100 and 105", rewrite=True)
+    expect = sorted(r.id for r in t.read().collect())
+    c = t.clone(f"{tmpdir}/c")
+    assert sorted(r.id for r in c.read().collect()) == expect

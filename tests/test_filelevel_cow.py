@@ -192,27 +192,86 @@ def test_chained_filelevel_ops_and_vacuum(spark, tmpdir):
     assert 0 not in removed
 
 
-def test_partitioned_table_falls_back_to_full_rewrite(spark, tmpdir):
-    t = ManagedTable(spark, f"{tmpdir}/pt")
+def _ptable(spark, tmpdir, name="pt") -> ManagedTable:
+    t = ManagedTable(spark, f"{tmpdir}/{name}")
     t.create(
         spark.range(100).select(
             "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("v")
         ),
         partition_by=["p"],
     )
+    return t
+
+
+def test_partitioned_merge_rewrites_only_touched_partition(spark, tmpdir):
+    """File-level COW composes with hive partitioning (VERDICT r3 #2):
+    a 1-key merge into a 4-partition table rewrites files in exactly
+    one partition; untouched partitions stay referenced; partition
+    columns survive the basePath scan."""
+    t = _ptable(spark, tmpdir)
+    n_files = len(t._all_data_files(0))
     src = spark.createDataFrame([(3, -1)], "id long, nv long")
-    t.merge(
-        src,
-        MergeClauses(
-            condition="target.id = updates.id",
-            matched_update={"v": "updates.nv"},
-        ),
-        rewrite=True,
+    clauses = MergeClauses(
+        condition="target.id = updates.id",
+        matched_update={"v": "updates.nv"},
     )
+    t.merge(src, clauses, rewrite=True)
     m = t.history(1)[0]["operationMetrics"]
-    assert "numRewrittenFiles" not in m  # full-snapshot path
-    assert t.read().filter("id = 3").first().v == -1
-    assert t.read().count() == 100
+    assert m["numRewrittenFiles"] == 1, m
+    assert m["numKeptFiles"] == n_files - 1, m
+    # Rewritten file landed under its hive partition in the batch dir.
+    import glob as _glob
+    import os as _os
+
+    assert _glob.glob(_os.path.join(t._local_data_dir(1), "p=3", "*.parquet"))
+    got = t.read()
+    assert got.columns == ["id", "p", "v"]  # declared order restored
+    assert got.filter("id = 3").first().v == -1
+    assert got.count() == 100
+    assert t.read(0).filter("id = 3").first().v == 6  # time travel intact
+
+    # State equality vs a full-rewrite twin (single-file -> full path).
+    full = ManagedTable(spark, f"{tmpdir}/full")
+    full.create(
+        spark.range(100)
+        .select("id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("v"))
+        .coalesce(1)
+    )
+    full.merge(src, clauses, rewrite=True)
+    assert sorted(map(tuple, t.read().collect())) == sorted(
+        map(tuple, full.read().select("id", "p", "v").collect())
+    )
+
+
+def test_partitioned_filelevel_delete_and_update(spark, tmpdir):
+    t = _ptable(spark, tmpdir)
+    n_files = len(t._all_data_files(0))
+    # Partition-column predicate: candidate files prune to p=2 only.
+    t.delete("p = 2 and id < 20", rewrite=True)
+    m = t.history(1)[0]["operationMetrics"]
+    assert m["numDeletedRows"] == 5  # ids 2,6,10,14,18
+    # Rewrites confined to partition p=2's files (maybe >1 file/dir).
+    assert 1 <= m["numRewrittenFiles"] <= 2
+    assert m["numRewrittenFiles"] + m["numKeptFiles"] == n_files
+    import glob as _glob
+    import os as _os
+
+    batch_parts = {
+        _os.path.basename(_os.path.dirname(f))
+        for f in _glob.glob(
+            _os.path.join(t._local_data_dir(1), "*", "*.parquet")
+        )
+    }
+    assert batch_parts <= {"p=2"}, batch_parts
+    t.update({"v": "v + 1000"}, "id = 97", rewrite=True)  # p=1
+    m = t.history(1)[0]["operationMetrics"]
+    assert m["numUpdatedRows"] == 1 and m["numRewrittenFiles"] == 1
+    got = t.read()
+    assert got.count() == 95
+    assert got.filter("id = 97").first().v == 97 * 2 + 1000
+    assert got.filter("p = 2 and id < 20").count() == 0
+    # SHOW PARTITIONS-style readback still sees all partitions.
+    assert got.select("p").distinct().count() == 4
 
 
 def test_compact_where_rewrites_only_matching_files(spark, tmpdir):
