@@ -188,3 +188,62 @@ def test_join_view_refresh_is_noop_when_current(join_view):
     v = mv.state.latest_version()
     assert mv.refresh() == v
     assert not mv.is_stale()
+
+
+def test_join_view_refresh_prunes_base_files_by_delta_keys(spark):
+    """A narrow delta must not scan the whole opposite base: the
+    refresh prunes base files by the delta's join-key [min, max]
+    (VERDICT r3 #3). Pinned by spying on read_pruned AND by checking
+    the prune actually skips files on a range-laid-out base; result
+    equality vs a full recompute pins correctness."""
+    from unittest import mock
+
+    from delta_lake_platform_spark.sources.materialized_view import (
+        MaterializedJoinAggView,
+    )
+
+    d = tempfile.mkdtemp(prefix="dlp_mvj_prune_")
+    left = ManagedTable(spark, f"{d}/fact")
+    left.create(
+        spark.range(2000).select(
+            (F.col("id") % 500).alias("k"),
+            (F.col("id") * 3).alias("val"),
+        )
+    )
+    right = ManagedTable(spark, f"{d}/dim")
+    right.create(
+        spark.range(500)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).alias("grp"),
+        )
+        .repartitionByRange(16, F.col("k"))  # range layout: stats prune
+    )
+    mv = MaterializedJoinAggView(
+        left, right, f"{d}/mv", on=["k"], group_cols=["grp"], sum_cols=["val"]
+    )
+    mv.create()
+
+    # Narrow delta: keys 100..104 live in ~1 of the dim's 16 files.
+    left.append(
+        spark.createDataFrame([(k, 7) for k in range(100, 105)], "k long, val long")
+    )
+    calls = []
+    orig = ManagedTable.read_pruned
+
+    def spy(self, col, lo=None, hi=None, version=None):
+        calls.append((self.path, col, lo, hi))
+        return orig(self, col, lo, hi, version=version)
+
+    with mock.patch.object(ManagedTable, "read_pruned", spy):
+        mv.refresh()
+    assert any(
+        p.endswith("/dim") and c == "k" and lo == 100 and hi == 104
+        for p, c, lo, hi in calls
+    ), calls
+    kept, total = right.prune_files("k", 100, 104)
+    assert total == 16 and len(kept) <= 2, "delta range did not prune dim files"
+
+    got = mv.read().drop("avg_val")
+    want = mv._aggregate(left.read().join(right.read(), on=["k"]))
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
