@@ -419,6 +419,23 @@ def apply_scd(
             if compacted is not None:
                 v = compacted
         return v
+    # overwrite_schema=True only skips the table's expensive own-read
+    # guard (we already hold the target frame); TYPE drift must still
+    # raise — a batch whose columns coerced to different types through
+    # the joins/unionByName above would otherwise silently rewrite the
+    # table schema for every downstream reader (ADVICE r3).
+    tgt_types = dict(full_target.dtypes)
+    drift = sorted(
+        c
+        for c, dt in new_state.dtypes
+        if c in tgt_types and tgt_types[c] != dt
+    )
+    if drift:
+        raise ValueError(
+            "SCD apply would change column types "
+            f"{[(c, tgt_types[c], dict(new_state.dtypes)[c]) for c in drift]}; "
+            "cast the incoming batch to the table schema first"
+        )
     return table.overwrite(
         new_state, operation="SCD_APPLY", overwrite_schema=True
     )

@@ -199,3 +199,25 @@ def test_time_travel_and_history(spark):
     h = t.history(1)
     assert len(h) == 1 and h[0]["operation"] == "SCD_APPLY"
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_apply_rejects_type_drifted_batch(spark):
+    """ADVICE r3: a batch whose column types drifted (e.g. units as
+    double) must raise, not silently widen the table schema through
+    the overwrite_schema escape hatch (Spark's join coercion would
+    otherwise rewrite units as double for every downstream reader)."""
+    d = tempfile.mkdtemp(prefix="scd_drift_")
+    t = ManagedTable(spark, f"{d}/t")
+    create_scd_target(t, spark.createDataFrame(DAY1, SCHEMA), _cfg(1))
+    _run_day(spark, t, 1, DAY1, "single_commit")
+    drifted = spark.createDataFrame(
+        [(1, "Google", 100.5, "Kite", "2015-12-25 10:05:30",
+          "2025-05-12 10:05:20")],
+        "id long, stock_name string, units double, platform string, "
+        "reg_ts string, last_modify_ts string",
+    )
+    with pytest.raises(ValueError, match="change column types"):
+        apply_scd(drifted, t, _cfg(2), mode="single_commit")
+    # Table untouched: schema and row count intact.
+    assert dict(t.read().dtypes)["units"] == "bigint"
+    shutil.rmtree(d, ignore_errors=True)
