@@ -94,7 +94,46 @@ class PlatformSQL:
         )
         v = mv.create()
         self._views[name] = mv
+        # Persist the view definition beside its state so a NEW session
+        # can re-attach it (ATTACH MATERIALIZED VIEW) — the registry is
+        # otherwise in-memory only (ADVICE r3).
+        import os
+
+        with open(os.path.join(path, "_mv.json"), "w") as f:
+            json.dump(
+                {
+                    "name": name,
+                    "base": base_name,
+                    "basePath": base.path,
+                    "groupCols": group_cols,
+                    "sumCols": sum_cols,
+                },
+                f,
+            )
         return self._df([{"version": v, "location": path}])
+
+    def attach_materialized_view(self, name: str, path: str) -> None:
+        """Re-attach a materialized view created by a previous session
+        from the ``_mv.json`` definition persisted beside its state
+        table."""
+        import os
+
+        from .sources.managed_table import ManagedTable
+        from .sources.materialized_view import MaterializedAggView
+
+        meta_path = os.path.join(path, "_mv.json")
+        if not os.path.isfile(meta_path):
+            raise ValueError(
+                f"no materialized-view definition at {meta_path}"
+            )
+        with open(meta_path) as f:
+            meta = json.load(f)
+        base = self.tables.get(meta["base"]) or ManagedTable(
+            self.spark, meta["basePath"]
+        )
+        self._views[name] = MaterializedAggView(
+            base, path, group_cols=meta["groupCols"], sum_cols=meta["sumCols"]
+        )
 
     # -- statement handlers --------------------------------------------------
 
@@ -390,10 +429,26 @@ class PlatformSQL:
         if m:
             return self._create_materialized_view(*m.groups())
         m = re.match(
+            rf"(?is)^ATTACH\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+"
+            r"LOCATION\s+'([^']+)'$",
+            t,
+        )
+        if m:
+            name, path = m.groups()
+            self.attach_materialized_view(name, path)
+            return self._df([{"view": name, "location": path}])
+        m = re.match(
             rf"(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})$", t
         )
         if m:
             name = m.group(1)
+            if name not in self._views:
+                raise ValueError(
+                    f"unknown materialized view {name!r} (known: "
+                    f"{sorted(self._views) or 'none'}); a view created "
+                    "by another session can be re-attached with ATTACH "
+                    "MATERIALIZED VIEW <name> LOCATION '<path>'"
+                )
             mv = self._views[name]
             v = mv.refresh()
             return self._df(

@@ -253,3 +253,44 @@ def test_materialized_view_via_sql(psql, spark):
             "CREATE MATERIALIZED VIEW bad LOCATION '/tmp/x' AS "
             "SELECT balance, MAX(id) AS m FROM accounts GROUP BY balance"
         )
+
+
+def test_refresh_unknown_view_and_reattach(psql, spark):
+    """ADVICE r3: REFRESH of an unknown view gives a descriptive error
+    (not a bare KeyError), and a view created by one session can be
+    re-attached by another from the `_mv.json` persisted beside its
+    state table."""
+    with pytest.raises(ValueError, match="unknown materialized view"):
+        psql.sql("REFRESH MATERIALIZED VIEW nope")
+
+    big = spark.range(0, 100).select(
+        "id",
+        F.col("id").cast("string").alias("name"),
+        (F.col("id") % 3).alias("balance"),
+    )
+    psql.tables["accounts"].overwrite(big, overwrite_schema=True)
+    loc = f"{psql.tables['accounts'].path}_mv2"
+    psql.sql(
+        f"CREATE MATERIALIZED VIEW mv2 LOCATION '{loc}' AS "
+        "SELECT balance, COUNT(*) AS n_rows, SUM(id) AS sum_id "
+        "FROM accounts GROUP BY balance"
+    )
+    psql.sql("DELETE FROM accounts WHERE id % 10 = 0")
+
+    # Fresh session: registry is empty; re-attach from disk + refresh.
+    p2 = PlatformSQL(spark)
+    p2.register("accounts", psql.tables["accounts"])
+    p2.sql(f"ATTACH MATERIALIZED VIEW mv2 LOCATION '{loc}'")
+    p2.sql("REFRESH MATERIALIZED VIEW mv2")
+    got = {
+        r.balance: (r.n_rows, r.sum_id)
+        for r in p2.sql("SELECT balance, n_rows, sum_id FROM mv2").collect()
+    }
+    want = {
+        r.balance: (r.n, r.s)
+        for r in p2.sql(
+            "SELECT balance, count(*) AS n, sum(id) AS s "
+            "FROM accounts GROUP BY balance"
+        ).collect()
+    }
+    assert got == want
