@@ -42,9 +42,14 @@ PRIORITY = [
     # locally oracle-swept like every tail query.
     "distinct_order_status_priority",
     "q9_nation_profit",
-    "q18_large_volume_orders",
+    # q18 / q22 rotated out in r4 (their families stay covered: join+
+    # group+having by q3/q9, anti-join + scalar agg by q21 and
+    # customers_without_big_orders) to give the r3 sketch family
+    # driver-visible verification (VERDICT r3 #7); both remain locally
+    # oracle-swept like every tail query.
     "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
+    "events_distinct_users_hll",
+    "events_user_overlap_theta",
     "topk_orders_per_customer",
     "latest_event_per_user",
     "running_value_per_user",
