@@ -33,6 +33,7 @@ from datetime import date, datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _json_stat(v):
@@ -274,6 +275,21 @@ class ManagedTable:
     def _abs(self, rel: str) -> str:
         return os.path.normpath(os.path.join(self.path, rel))
 
+    def _schema_of(self, state: dict):
+        """StructType recorded at commit time for this snapshot (Delta's
+        metadata-action model: the log, not the files, is the schema
+        authority). None for legacy entries → scans fall back to
+        inference. Skipping inference saves a footer-read job per
+        ``spark.read.parquet`` — at 100 TB it also removes a full file
+        listing+footer fetch from every snapshot read."""
+        sj = state.get("schema")
+        if sj is None:
+            return None
+        try:
+            return T.StructType.fromJson(sj)
+        except Exception:
+            return None
+
     def _base_state_from_entry(self, entry: dict) -> dict:
         """State of a SELF-CONTAINED entry: a full-snapshot commit (or
         legacy incremental entry) whose ``fileStats`` map — or, for a
@@ -312,6 +328,7 @@ class ManagedTable:
             "dirs": dirs,
             "dv": entry.get("deletionVector"),
             "fileLevel": bool(entry.get("dataFiles")) or bool(entry.get("fileLevel")),
+            "schema": entry.get("schema"),
         }
 
     def _read_checkpoint(self, version: int) -> dict | None:
@@ -328,6 +345,7 @@ class ManagedTable:
             "dirs": ck["dirs"],
             "dv": ck.get("dv"),
             "fileLevel": ck.get("fileLevel", False),
+            "schema": ck.get("schema"),
         }
 
     def _state(self, version: int) -> dict:
@@ -372,6 +390,7 @@ class ManagedTable:
                 "fileLevel": state["fileLevel"]
                 or bool(entry.get("remove"))
                 or bool(entry.get("fileLevel")),
+                "schema": entry.get("schema") or state.get("schema"),
             }
             self._state_cache[entry["version"]] = state
         self._state_cache[version] = state
@@ -391,6 +410,7 @@ class ManagedTable:
             "dirs": state["dirs"],
             "dv": state["dv"],
             "fileLevel": state["fileLevel"],
+            "schema": state.get("schema"),
         }
         ck_path = os.path.join(self._ckpt_dir, f"{version}.json")
         tmp = f"{ck_path}.tmp-{os.getpid()}"
@@ -448,20 +468,29 @@ class ManagedTable:
         histories scan the exact live file list, grouped by version
         root with ``basePath`` when hive columns must survive."""
         state = self._state(version)
+        schema = self._schema_of(state)
         spec = self.partition_spec()
         if spec and not state["fileLevel"]:
-            return self._scan(state["dirs"], with_positions=with_positions)
+            return self._scan(
+                state["dirs"], with_positions=with_positions, schema=schema
+            )
         files = self._all_data_files(version)
         if not files:  # degenerate: fall back to the dirs (schema anchor)
-            return self._scan(state["dirs"], with_positions=with_positions)
+            return self._scan(
+                state["dirs"], with_positions=with_positions, schema=schema
+            )
         if not spec:
-            return self._scan(files, with_positions=with_positions)
+            return self._scan(files, with_positions=with_positions, schema=schema)
         return self._scan_files_partitioned(
-            files, state["dirs"], with_positions=with_positions
+            files, state["dirs"], with_positions=with_positions, schema=schema
         )
 
     def _scan_files_partitioned(
-        self, files: list[str], dirs: list[str], with_positions: bool = False
+        self,
+        files: list[str],
+        dirs: list[str],
+        with_positions: bool = False,
+        schema: T.StructType | None = None,
     ) -> DataFrame:
         """Scan an explicit file list of a hive-partitioned snapshot:
         group files by their owning version root and read each group
@@ -473,7 +502,10 @@ class ManagedTable:
             roots.setdefault(self._version_root(f, dirs), []).append(f)
         out = None
         for root, group in sorted(roots.items()):
-            df = self.spark.read.option("basePath", root).parquet(*group)
+            reader = self.spark.read.option("basePath", root)
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(*group)
             if with_positions:
                 df = df.select(
                     F.col("_metadata.file_path").alias("__dv_file"),
@@ -514,10 +546,12 @@ class ManagedTable:
     ) -> DataFrame:
         """Scan a stats-pruned subset of a version's live files,
         preserving hive partition columns when the table has them."""
+        state = self._state(version)
+        schema = self._schema_of(state)
         if not self.partition_spec():
-            return self._scan(files, with_positions=with_positions)
+            return self._scan(files, with_positions=with_positions, schema=schema)
         return self._scan_files_partitioned(
-            files, self._state(version)["dirs"], with_positions=with_positions
+            files, state["dirs"], with_positions=with_positions, schema=schema
         )
 
     def _version_root(self, fpath: str, dirs: list[str]) -> str:
@@ -575,11 +609,15 @@ class ManagedTable:
         add_paths: list[str] | None = None,
         dv: str | None = None,
         extra: dict | None = None,
+        schema: dict | None = None,
     ) -> int:
         """Write an incremental (delta-action) log entry: only the files
         this commit added (with their stats) and removed — O(changed
         files) metadata regardless of table size. The deletion-vector
-        pointer carries forward implicitly unless ``dv`` replaces it."""
+        pointer carries forward implicitly unless ``dv`` replaces it;
+        same for the recorded snapshot schema (pass ``schema`` only when
+        the commit changes it, e.g. an append that anchors a legacy
+        table's schema)."""
         entry = {
             "version": version,
             "timestamp": time.time(),
@@ -590,6 +628,7 @@ class ManagedTable:
             "remove": remove or [],
             "addPaths": add_paths or [],
             **({"deletionVector": dv} if dv is not None else {}),
+            **({"schema": schema} if schema is not None else {}),
             **(extra or {}),
         }
         self._write_entry(version, entry)
@@ -683,7 +722,12 @@ class ManagedTable:
         except CommitError as e:
             raise ConcurrentWriteError(str(e)) from e
 
-    def _scan(self, dirs: list[str], with_positions: bool = False) -> DataFrame:
+    def _scan(
+        self,
+        dirs: list[str],
+        with_positions: bool = False,
+        schema: T.StructType | None = None,
+    ) -> DataFrame:
         """One DataFrame over a version's data dirs. Non-partitioned
         tables scan all dirs as a single relation. Hive-partitioned
         tables need one relation per root (Spark rejects multiple
@@ -716,12 +760,16 @@ class ManagedTable:
             rest = [c for c in df.columns if c not in known and c not in meta]
             return df.select(*meta, *known, *rest)
 
+        def reader():
+            r = self.spark.read
+            return r.schema(schema) if schema is not None else r
+
         if not spec or len(dirs) == 1:
-            return reorder(tag(self.spark.read.parquet(*dirs)))
+            return reorder(tag(reader().parquet(*dirs)))
         nonempty = [d for d in dirs if _parquet_files(d)] or dirs[:1]
         out = None
         for d in nonempty:
-            df = tag(self.spark.read.parquet(d))
+            df = tag(reader().parquet(d))
             out = df if out is None else out.unionByName(df)
         return reorder(out)
 
@@ -752,6 +800,9 @@ class ManagedTable:
             "operation": operation,
             "operationMetrics": metrics,
             "fileStats": file_stats,
+            # Snapshot schema (Delta metadata action): scans read it from
+            # the log instead of running a footer-inference job per read.
+            "schema": df.schema.jsonValue(),
             # A protocol may publish under a writer-unique path; the
             # entry must reference where the data actually landed.
             **(
@@ -791,6 +842,11 @@ class ManagedTable:
         # Delta-action entry: the batch's own stats + its dir; prior
         # files and the deletion-vector pointer carry through replay —
         # commit metadata is O(batch), not O(table).
+        # An append never changes the table schema — the snapshot schema
+        # carries through replay (recording the batch's would let a
+        # type-compatible batch, e.g. int appended into a long column,
+        # narrow the recorded schema and break reads of older INT64
+        # files). Histories that predate schema-in-log keep inferring.
         return self._commit_delta(
             version,
             operation,
@@ -830,7 +886,7 @@ class ManagedTable:
         cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
         return (
             tagged.join(
-                F.broadcast(self.spark.read.parquet(dv_dir)),
+                F.broadcast(self._read_dv(dv_dir)),
                 on=["__dv_file", "__dv_pos"],
                 how="left_anti",
             )
@@ -839,6 +895,19 @@ class ManagedTable:
 
     def _dv_dir(self, version: int) -> str:
         return os.path.join(self.path, "dv", f"v={version}")
+
+    _DV_SCHEMA = T.StructType(
+        [
+            T.StructField("__dv_file", T.StringType()),
+            T.StructField("__dv_pos", T.LongType()),
+        ]
+    )
+
+    def _read_dv(self, dv_dir: str) -> DataFrame:
+        """Deletion-vector sidecar scan. The DV schema is fixed by
+        construction (every writer selects exactly these two columns),
+        so the read never pays a schema-inference job."""
+        return self.spark.read.schema(self._DV_SCHEMA).parquet(dv_dir)
 
     def _write_dv(self, full_dv: DataFrame, dv_dir: str, old_dv_dir: str | None) -> str:
         """Write the deletion-vector sidecar. Sharded by __dv_file hash
@@ -876,7 +945,7 @@ class ManagedTable:
         escape hatch when it isn't), so AQE plans the anti-join as a
         broadcast: no shuffle of the data side."""
         cols = df.columns
-        dv = self.spark.read.parquet(dv_dir)
+        dv = self._read_dv(dv_dir)
         return (
             df.select(
                 F.col("_metadata.file_path").alias("__dv_file"),
@@ -934,8 +1003,8 @@ class ManagedTable:
         kept, _total = self.prune_files(col, lo, hi, version)
         if not kept:
             return self.read(version).filter(F.lit(False))
-        df = self.spark.read.parquet(*kept)
         v = self.latest_version() if version is None else version
+        df = self._scan(kept, schema=self._schema_of(self._state(v)))
         dv_dir = self._state(v)["dv"]
         if dv_dir is not None:
             # DV rows for skipped files simply find no match.
@@ -1078,8 +1147,8 @@ class ManagedTable:
         kept, _total = self.prune_files_eq(col, value, version)
         if not kept:
             return self.read(version).filter(F.lit(False))
-        df = self.spark.read.parquet(*kept)
         v = self.latest_version() if version is None else version
+        df = self._scan(kept, schema=self._schema_of(self._state(v)))
         dv_dir = self._state(v)["dv"]
         if dv_dir is not None:
             df = self._apply_dv(df, dv_dir)
@@ -1229,7 +1298,7 @@ class ManagedTable:
             old_dv_dir = self._state(v_prev)["dv"]
             if old_dv_dir:
                 target = target.join(
-                    F.broadcast(self.spark.read.parquet(old_dv_dir)),
+                    F.broadcast(self._read_dv(old_dv_dir)),
                     on=["__dv_file", "__dv_pos"],
                     how="left_anti",
                 )
@@ -1244,7 +1313,7 @@ class ManagedTable:
                 ).filter(F.lit(False))
             if old_dv_dir:
                 target = target.join(
-                    F.broadcast(self.spark.read.parquet(old_dv_dir)),
+                    F.broadcast(self._read_dv(old_dv_dir)),
                     on=["__dv_file", "__dv_pos"],
                     how="left_anti",
                 )
@@ -1400,7 +1469,7 @@ class ManagedTable:
         old_dv_dir = self._state(v_prev)["dv"]
         dv_parts = []
         if old_dv_dir:
-            dv_parts.append(self.spark.read.parquet(old_dv_dir))
+            dv_parts.append(self._read_dv(old_dv_dir))
         if clauses.matched_update is not None or clauses.matched_delete_condition:
             dv_parts.append(
                 flagged.filter(F.col("__upd") | F.col("__del")).select(
@@ -1557,7 +1626,7 @@ class ManagedTable:
         old_dv_dir = self._state(v)["dv"]
         if old_dv_dir:
             tagged = tagged.join(
-                F.broadcast(self.spark.read.parquet(old_dv_dir)),
+                F.broadcast(self._read_dv(old_dv_dir)),
                 on=["__dv_file", "__dv_pos"],
                 how="left_anti",
             )
@@ -1674,7 +1743,7 @@ class ManagedTable:
         old_dv_dir = self._state(v)["dv"]
         if old_dv_dir:
             tagged = tagged.join(
-                F.broadcast(self.spark.read.parquet(old_dv_dir)),
+                F.broadcast(self._read_dv(old_dv_dir)),
                 on=["__dv_file", "__dv_pos"],
                 how="left_anti",
             )
@@ -1698,7 +1767,7 @@ class ManagedTable:
         full_dv = (
             new_pos
             if not old_dv_dir
-            else self.spark.read.parquet(old_dv_dir).unionByName(new_pos)
+            else self._read_dv(old_dv_dir).unionByName(new_pos)
         )
         dv_dir = self._write_dv(full_dv, dv_dir, old_dv_dir)
         total_dv, _ = _scan_parquet_footers(dv_dir)
@@ -1750,7 +1819,7 @@ class ManagedTable:
         tagged = self._scan_version(v, with_positions=True)
         old_dv_dir = self._state(v)["dv"]
         if old_dv_dir:
-            old_dv = self.spark.read.parquet(old_dv_dir)
+            old_dv = self._read_dv(old_dv_dir)
             tagged = tagged.join(
                 F.broadcast(old_dv), on=["__dv_file", "__dv_pos"], how="left_anti"
             )
@@ -1762,7 +1831,7 @@ class ManagedTable:
         full_dv = (
             new_pos
             if not old_dv_dir
-            else self.spark.read.parquet(old_dv_dir).unionByName(new_pos)
+            else self._read_dv(old_dv_dir).unionByName(new_pos)
         )
         dv_dir = self._write_dv(full_dv, dv_dir, old_dv_dir)
         total_dv, _ = _scan_parquet_footers(dv_dir)
@@ -1875,7 +1944,7 @@ class ManagedTable:
         old_dv_dir = self._state(v)["dv"]
         if old_dv_dir:
             tagged = tagged.join(
-                F.broadcast(self.spark.read.parquet(old_dv_dir)),
+                F.broadcast(self._read_dv(old_dv_dir)),
                 on=["__dv_file", "__dv_pos"],
                 how="left_anti",
             )
@@ -1894,7 +1963,7 @@ class ManagedTable:
         full_dv = (
             replaced_pos
             if not old_dv_dir
-            else self.spark.read.parquet(old_dv_dir).unionByName(replaced_pos)
+            else self._read_dv(old_dv_dir).unionByName(replaced_pos)
         )
         dv_dir = self._write_dv(full_dv, dv_dir, old_dv_dir)
         total_dv, _ = _scan_parquet_footers(dv_dir)
@@ -2020,6 +2089,15 @@ class ManagedTable:
                     "append: batch schema does not match table schema "
                     f"(extra columns {extra_cols}, missing {missing}); "
                     "pass merge_schema=True to widen the table"
+                )
+            # Delta's store-assignment semantics: the batch is cast to
+            # the TABLE schema before write. Without this, a
+            # type-drifted batch (e.g. long into an int column) would
+            # write files the snapshot schema can't read back.
+            tgt = dict(current.dtypes)
+            if any(t != tgt[c] for c, t in df.dtypes):
+                df = df.select(
+                    *[F.col(c).cast(tgt[c]) for c in df.columns]
                 )
             return self._commit_incremental(
                 df.select(*current.columns), "APPEND", {}, extra=txn_extra
@@ -2405,10 +2483,14 @@ class ManagedTable:
         def side(files: list[str], dv_dir: str | None, cols) -> DataFrame:
             if not files:
                 return full[0].select(*cols).filter(F.lit(False))
-            df = self._scan(files, with_positions=True)
+            df = self._scan(
+                files,
+                with_positions=True,
+                schema=self._schema_of(self._state(to_version)),
+            )
             if dv_dir:
                 df = df.join(
-                    F.broadcast(self.spark.read.parquet(dv_dir)),
+                    F.broadcast(self._read_dv(dv_dir)),
                     on=["__dv_file", "__dv_pos"],
                     how="left_anti",
                 )
@@ -2418,9 +2500,9 @@ class ManagedTable:
         before = side(b_only, dv_from_dir, cols)
         after = side(a_only, dv_to_dir, cols)
         if dv_to_dir and shared:
-            dv_to = self.spark.read.parquet(dv_to_dir)
+            dv_to = self._read_dv(dv_to_dir)
             if dv_from_dir:
-                dv_from = self.spark.read.parquet(dv_from_dir)
+                dv_from = self._read_dv(dv_from_dir)
                 # DVs only ever grow over an immutable file; a shrunk DV
                 # means something unusual happened — full diff is exact.
                 if not dv_from.join(

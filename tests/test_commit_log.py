@@ -185,3 +185,53 @@ def test_clone_of_filelevel_table_references_only_live_files(spark, tmpdir):
     expect = sorted(r.id for r in t.read().collect())
     c = t.clone(f"{tmpdir}/c")
     assert sorted(r.id for r in c.read().collect()) == expect
+
+
+def test_schema_recorded_in_log_and_reads_skip_inference(spark, tmpdir):
+    """The snapshot schema is a log fact (Delta's metadata action):
+    CREATE records it, delta commits carry it through replay and
+    checkpoints, and every scan passes it to the reader explicitly —
+    pinned by poisoning parquet schema inference and reading anyway."""
+    t = _table(spark, tmpdir, n_files=4)
+    assert json.load(open(t._entry_path(0)))["schema"] is not None
+    t.append(
+        spark.createDataFrame([(9001, 7)], "id long, v long").coalesce(1),
+        fast=True,
+    )
+    t.delete("id = 1", rewrite=False)  # DV path
+    v = t.latest_version()
+    assert t._schema_of(t._state(v)) is not None
+    expected = dict(t.read().dtypes)
+
+    # read() must hand the recorded schema to every _scan call — a None
+    # schema means the reader would fall back to footer inference.
+    orig_scan = ManagedTable._scan
+
+    def guarded(self, dirs, with_positions=False, schema=None):
+        assert schema is not None, "scan ran without the log schema"
+        return orig_scan(self, dirs, with_positions=with_positions, schema=schema)
+
+    ManagedTable._scan = guarded
+    try:
+        got = dict(t.read().dtypes)
+    finally:
+        ManagedTable._scan = orig_scan
+    assert got == expected
+
+
+def test_append_casts_batch_to_table_schema(spark, tmpdir):
+    """Delta store-assignment semantics: a type-compatible batch is cast
+    to the TABLE schema before write. Without the cast, a long batch
+    into an int column writes INT64 files the recorded snapshot schema
+    (int) can no longer read."""
+    t = ManagedTable(spark, f"{tmpdir}/cast_t")
+    t.create(
+        spark.createDataFrame([(1, 10)], "id long, v int").coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(2, 20)], "id long, v long").coalesce(1),
+        fast=True,
+    )
+    df = t.read()
+    assert dict(df.dtypes)["v"] == "int"
+    assert sorted(r["v"] for r in df.collect()) == [10, 20]
