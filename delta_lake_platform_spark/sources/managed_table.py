@@ -28,6 +28,7 @@ import glob
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass
 from datetime import date, datetime
 
@@ -815,46 +816,91 @@ class ManagedTable:
         self._write_entry(version, entry)
         return version
 
+    # Blind-append conflict retries before giving up (Delta's
+    # ConflictChecker re-attempts an AppendOnly transaction against the
+    # winner's snapshot without re-running it).
+    _APPEND_RETRIES = 10
+
+    def _append_commutes_with(self, v_from: int, v_to: int) -> bool:
+        """Delta's blind-append conflict rule: an append reads nothing,
+        so it commutes with any commit that only adds/removes FILES —
+        other appends, DV deletes, file-level DML, compaction. It does
+        NOT commute with a commit that redefined the TABLE: a
+        full-snapshot rewrite (OVERWRITE/RESTORE — the winner's
+        ``fileStats`` map claims to be the complete live set) or a
+        schema change."""
+        for v in range(v_from, v_to + 1):
+            entry = self._entry(v)
+            if entry is None:
+                return False
+            if entry.get("logMode") != "delta" or "schema" in entry:
+                return False
+        return True
+
     def _commit_incremental(
         self, batch: DataFrame, operation: str, metrics: dict, extra: dict | None = None
     ) -> int:
-        """Fast-append commit: write ONLY the batch's files and reference
-        every prior data dir alongside them (``dataPaths``). Cost is
-        O(batch), not O(table) — the only viable append shape when the
-        table is 100 TB and the batch is 100 MB. Constraints are checked
-        on the batch alone (existing data was validated by its own
-        commits). A prior deletion vector keeps applying: its positions
-        name old files only."""
+        """Fast-append commit: write ONLY the batch's files — O(batch)
+        cost, the only viable append shape when the table is 100 TB and
+        the batch is 100 MB. Constraints are checked on the batch alone
+        (existing data was validated by its own commits). A prior
+        deletion vector keeps applying: its positions name old files
+        only.
+
+        The batch lands under a version-INDEPENDENT writer-unique dir
+        (Delta's model — data file names carry GUIDs, not versions), so
+        concurrent appends never contend on data paths. A version clash
+        at the log-entry create is then resolved by re-attempting the
+        ENTRY ALONE against the winner's snapshot — one metadata write,
+        no data rewrite — after checking the intervening commits under
+        the blind-append rule (``_append_commutes_with``). A loser that
+        ultimately gives up leaves an unreferenced batch dir, reclaimed
+        by VACUUM like any crashed writer's."""
         self.verify_constraints(batch)
-        v_prev = self.latest_version()
-        prev_entry = self._entry(v_prev) or {}
-        version = v_prev + 1
-        local = self._write_data_staged(batch, self._local_data_dir(version))
-        n_new, new_stats = _scan_parquet_footers(local, rel_root=self.path)
-        prev_rows = (prev_entry.get("operationMetrics") or {}).get("numOutputRows")
-        metrics = {
-            **metrics,
-            "numAppendedRows": n_new,
-            "numOutputRows": (
-                prev_rows + n_new if isinstance(prev_rows, int) else None
-            ),
-        }
-        # Delta-action entry: the batch's own stats + its dir; prior
-        # files and the deletion-vector pointer carry through replay —
-        # commit metadata is O(batch), not O(table).
-        # An append never changes the table schema — the snapshot schema
-        # carries through replay (recording the batch's would let a
-        # type-compatible batch, e.g. int appended into a long column,
-        # narrow the recorded schema and break reads of older INT64
-        # files). Histories that predate schema-in-log keep inferring.
-        return self._commit_delta(
-            version,
-            operation,
-            metrics,
-            add=new_stats,
-            add_paths=[local],
-            extra=extra,
+        batch_dir = os.path.join(
+            self.path, "data", f"batch-{uuid.uuid4().hex[:12]}"
         )
+        local = self._write_data_staged(batch, batch_dir)
+        n_new, new_stats = _scan_parquet_footers(local, rel_root=self.path)
+        attempt_from: int | None = None
+        for attempt in range(self._APPEND_RETRIES + 1):
+            v_prev = self.latest_version()
+            prev_entry = self._entry(v_prev) or {}
+            version = v_prev + 1
+            prev_rows = (prev_entry.get("operationMetrics") or {}).get(
+                "numOutputRows"
+            )
+            m = {
+                **metrics,
+                "numAppendedRows": n_new,
+                "numOutputRows": (
+                    prev_rows + n_new if isinstance(prev_rows, int) else None
+                ),
+            }
+            try:
+                # Delta-action entry: the batch's own stats + its dir;
+                # prior files and the DV pointer carry through replay —
+                # commit metadata is O(batch), not O(table). An append
+                # never changes the table schema — the snapshot schema
+                # carries through replay (recording the batch's would
+                # let a type-compatible batch, e.g. int appended into a
+                # long column, narrow the recorded schema and break
+                # reads of older INT64 files).
+                return self._commit_delta(
+                    version,
+                    operation,
+                    m,
+                    add=new_stats,
+                    add_paths=[local],
+                    extra=extra,
+                )
+            except ConcurrentWriteError:
+                self._state_cache.clear()
+                attempt_from = version if attempt_from is None else attempt_from
+                if attempt == self._APPEND_RETRIES or not self._append_commutes_with(
+                    attempt_from, self.latest_version()
+                ):
+                    raise
 
     # -- public API ---------------------------------------------------------
 
@@ -2274,12 +2320,12 @@ class ManagedTable:
         # predecessor's DV pointer forward, so a retained head can
         # reference dv/v=N of a vacuumed version.
         retained = [v for v in versions if v not in to_remove]
-        referenced: set[str] = set()
+        referenced: set[str] = set()  # normalized retained-version dirs
         referenced_dvs: set[str] = set()
         live_files: set[str] = set()
         for v in retained:
             state = self._state(v)
-            referenced |= set(state["dirs"])
+            referenced |= {os.path.normpath(d) for d in state["dirs"]}
             if state["dv"]:
                 referenced_dvs.add(os.path.normpath(state["dv"]))
             live_files.update(self._abs(rel) for rel in state["files"])
@@ -2299,9 +2345,16 @@ class ManagedTable:
                 if os.path.isdir(dvd) and os.path.normpath(dvd) not in referenced_dvs:
                     shutil.rmtree(dvd)
             data_removed = False
-            for d in [self._local_data_dir(v)] + glob.glob(
-                f"{self._local_data_dir(v)}.w-*"
-            ):
+            entry = self._entry(v) or {}
+            own_dirs = (
+                [self._local_data_dir(v)]
+                + glob.glob(f"{self._local_data_dir(v)}.w-*")
+                # Dirs this commit itself added: version-independent
+                # batch dirs (fast append) and protocol-chosen paths.
+                + list(entry.get("addPaths") or [])
+                + list(entry.get("dataPaths") or [])
+            )
+            for d in dict.fromkeys(os.path.normpath(x) for x in own_dirs):
                 if d in referenced or _holds_live_file(d):
                     continue
                 if os.path.isdir(d):
@@ -2335,7 +2388,11 @@ class ManagedTable:
                 p = os.path.join(parent, name)
                 if ".staged-" in name:
                     pass  # always reclamation-eligible (never referenced)
-                elif ".w-" in name:
+                elif ".w-" in name or name.startswith("batch-"):
+                    # Version-independent append batch dirs and
+                    # put-if-absent data dirs are live once a log entry
+                    # references them — an orphan (crashed or
+                    # race-losing appender) is referenced by NO version.
                     if os.path.normpath(p) in referenced_any:
                         continue
                 else:

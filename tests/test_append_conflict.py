@@ -1,0 +1,141 @@
+"""Optimistic-concurrency conflict resolution for blind appends.
+
+Delta's ConflictChecker lets an AppendOnly transaction that loses the
+version race re-commit against the winner's snapshot WITHOUT re-running:
+an append reads nothing, so it commutes with any commit that only
+adds/removes files (other appends, DV deletes, file-level DML). It does
+NOT commute with a commit that redefined the table (full-snapshot
+overwrite / restore / schema change). Pinned here:
+
+- a racing append retries the LOG ENTRY alone — its batch data is
+  written exactly once, under a version-independent ``batch-`` dir;
+- both appends' rows land; history shows both commits;
+- a concurrent full-snapshot overwrite is a real conflict → raise;
+- VACUUM reclaims a race-loser's orphaned batch dir once stale, but
+  never a batch dir a log entry references.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.sources.commit_protocol import (
+    RenameCommitProtocol,
+)
+from delta_lake_platform_spark.sources.managed_table import (
+    ConcurrentWriteError,
+    ManagedTable,
+)
+
+
+@pytest.fixture
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="appendrace_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+class _RacingProtocol(RenameCommitProtocol):
+    """Runs ``interleave()`` once, just before the first log-entry
+    create — deterministically simulating a writer that committed in
+    our read-commit window — and counts data publications."""
+
+    def __init__(self, interleave):
+        self.interleave = interleave
+        self.fired = False
+        self.publishes = 0
+
+    def publish_data(self, write, final_dir):
+        self.publishes += 1
+        return super().publish_data(write, final_dir)
+
+    def create_entry(self, entry_path, payload):
+        if not self.fired:
+            self.fired = True
+            self.interleave()
+        super().create_entry(entry_path, payload)
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select("id", (F.col("id") * 2).alias("v"))
+
+
+def test_racing_appends_both_commit_without_data_rewrite(spark, tmpdir):
+    path = f"{tmpdir}/t"
+    b = ManagedTable(spark, path)
+    b.create(_batch(spark, 0, 10).coalesce(1))
+
+    proto = _RacingProtocol(lambda: b.append(_batch(spark, 100, 110).coalesce(1)))
+    a = ManagedTable(spark, path, protocol=proto)
+    v = a.append(_batch(spark, 200, 210).coalesce(1))
+
+    assert v == 2  # lost version 1 to b, re-committed at 2
+    assert proto.publishes == 1  # the batch was written exactly once
+    assert sorted(r.id for r in b.read().collect()) == (
+        list(range(0, 10)) + list(range(100, 110)) + list(range(200, 210))
+    )
+    ops = [h["operation"] for h in b.history(2)]
+    assert ops == ["APPEND", "APPEND"]
+    # numOutputRows was recomputed against the WINNER's snapshot.
+    assert b.history(1)[0]["operationMetrics"]["numOutputRows"] == 30
+
+
+def test_append_racing_a_dv_delete_commits(spark, tmpdir):
+    """A DV delete only references pre-existing files — a blind append
+    commutes with it."""
+    path = f"{tmpdir}/t"
+    b = ManagedTable(spark, path)
+    b.create(_batch(spark, 0, 10).coalesce(1))
+
+    proto = _RacingProtocol(lambda: b.delete("id < 3", rewrite=False))
+    a = ManagedTable(spark, path, protocol=proto)
+    v = a.append(_batch(spark, 200, 210).coalesce(1))
+    assert v == 2
+    assert sorted(r.id for r in b.read().collect()) == (
+        list(range(3, 10)) + list(range(200, 210))
+    )
+
+
+def test_append_racing_an_overwrite_conflicts(spark, tmpdir):
+    """A full-snapshot overwrite claims to define the complete live file
+    set — appending blindly on top would silently resurrect rows the
+    overwrite semantics already replaced. Real conflict: raise."""
+    path = f"{tmpdir}/t"
+    b = ManagedTable(spark, path)
+    b.create(_batch(spark, 0, 10).coalesce(1))
+
+    proto = _RacingProtocol(
+        lambda: b.overwrite(_batch(spark, 500, 505).coalesce(1))
+    )
+    a = ManagedTable(spark, path, protocol=proto)
+    with pytest.raises(ConcurrentWriteError):
+        a.append(_batch(spark, 200, 210).coalesce(1))
+    # The loser's batch dir is unreferenced garbage; stale-aged, VACUUM
+    # reclaims it — referenced batch dirs survive.
+    b.append(_batch(spark, 600, 605).coalesce(1))
+    data = os.path.join(path, "data")
+    orphans = [
+        d for d in os.listdir(data)
+        if d.startswith("batch-")
+        and os.path.join(data, d) not in b._state(b.latest_version())["dirs"]
+    ]
+    assert orphans  # the race loser left its dir
+    for d in orphans:  # age it past the staging-retention floor
+        os.utime(os.path.join(data, d), (1, 1))
+    b.vacuum(keep_last=50)
+    left = {d for d in os.listdir(data) if d.startswith("batch-")}
+    assert not (left & set(orphans))
+    referenced = {
+        os.path.basename(d)
+        for d in b._state(b.latest_version())["dirs"]
+        if os.path.basename(d).startswith("batch-")
+    }
+    assert referenced <= left  # the committed append's dir survived
+    assert sorted(r.id for r in b.read().collect()) == (
+        list(range(500, 505)) + list(range(600, 605))
+    )

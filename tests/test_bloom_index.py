@@ -79,9 +79,10 @@ def test_bloom_keys_are_table_root_relative(table):
         idx = json.load(f)
     assert idx["files"], "index is empty"
     for key in idx["files"]:
-        # Every key carries its data dir (data/v=N/...), so same-named
-        # files in different dirs get distinct keys.
-        assert key.startswith(os.path.join("data", "v=")), key
+        # Every key carries its data dir (data/v=N/... or a
+        # version-independent append batch dir), so same-named files in
+        # different dirs get distinct keys.
+        assert key.startswith("data/v=") or key.startswith("data/batch-"), key
     # And the reader resolves those keys: pruning still works.
     kept, total = table.prune_files_eq("uid", "user_000400")
     assert total == 2 and len(kept) == 1

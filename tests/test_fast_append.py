@@ -38,12 +38,13 @@ def test_fast_append_writes_only_the_batch(table, spark):
     mtimes = {f: os.path.getmtime(f) for f in files_v0}
     v = table.append(_batch(spark, 100, 130))
     assert v == 1
-    # Old files untouched; new version references them plus its own dir.
+    # Old files untouched; new version references them plus its own
+    # version-independent batch dir (appends never contend on data
+    # paths, so a version clash retries the log entry alone).
     assert {f: os.path.getmtime(f) for f in files_v0} == mtimes
-    assert table._data_dirs(1) == [
-        table._local_data_dir(0),
-        table._local_data_dir(1),
-    ]
+    dirs = table._data_dirs(1)
+    assert dirs[0] == table._local_data_dir(0)
+    assert len(dirs) == 2 and os.path.basename(dirs[1]).startswith("batch-")
     assert table.read().count() == 130
     assert table.read(0).count() == 100
     m = table.history(1)[0]["operationMetrics"]
@@ -114,13 +115,15 @@ def test_copy_into_is_incremental(spark):
     t = ManagedTable(spark, f"{d}/t")
     t.create(spark.createDataFrame([], "id long, v string"))
     t.copy_into(src)
-    files_v1 = set(glob.glob(os.path.join(t._local_data_dir(1), "*.parquet")))
+    batch_dir_v1 = t._data_dirs(1)[-1]
+    files_v1 = set(glob.glob(os.path.join(batch_dir_v1, "*.parquet")))
+    assert files_v1
     spark.createDataFrame([(2, "b")], "id long, v string").toPandas().to_parquet(
         f"{src}/f2.parquet"
     )
     t.copy_into(src)
     # Second ingest did not rewrite the first batch's files.
-    assert files_v1 == set(glob.glob(os.path.join(t._local_data_dir(1), "*.parquet")))
+    assert files_v1 == set(glob.glob(os.path.join(batch_dir_v1, "*.parquet")))
     assert {r.id for r in t.read().collect()} == {1, 2}
 
 

@@ -58,7 +58,9 @@ def test_fast_append_keeps_partitioned_layout(table, spark):
         "id", (F.col("id") % 3).alias("region"), (F.col("id") * 2).alias("val")
     )
     v = table.append(batch)
-    assert glob.glob(os.path.join(table._local_data_dir(v), "region=*"))
+    batch_dir = table._data_dirs(v)[-1]
+    assert os.path.basename(batch_dir).startswith("batch-")
+    assert glob.glob(os.path.join(batch_dir, "region=*"))
     got = table.read()
     assert got.count() == 330
     assert got.filter("region = 0").count() == 110
