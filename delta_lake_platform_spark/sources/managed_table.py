@@ -2214,14 +2214,106 @@ class ManagedTable:
             extra={"copyIntoFiles": new_files},
         )
 
+    @staticmethod
+    def _parse_dtype(dtype: str) -> T.DataType:
+        try:
+            return T.DataType.fromDDL(dtype)
+        except AttributeError:  # pre-4.0 fallback
+            return T._parse_datatype_string(dtype)
+
+    def _commit_schema_only(
+        self, operation: str, metrics: dict, new_schema: T.StructType
+    ) -> int:
+        """Metadata-only schema commit (Delta's model): a delta-action
+        entry carrying ONLY the new schema — zero data files touched,
+        O(1) cost regardless of table size. Readers apply the recorded
+        schema; parquet fills absent columns with NULL and upcasts
+        widened primitives at scan time."""
+        version = self.latest_version() + 1
+        return self._commit_delta(
+            version,
+            operation,
+            {**metrics, "metadataOnly": True},
+            schema=new_schema.jsonValue(),
+        )
+
     def alter_add_column(self, name: str, dtype: str) -> int:
-        """ALTER TABLE ADD COLUMN: new column, all NULLs. Delta does
-        this as a metadata-only commit; here the snapshot rewrite is
-        one scan with no shuffle (the projection is narrow)."""
-        if name in self.read().columns:
+        """ALTER TABLE ADD COLUMN: new column, all NULLs. Metadata-only
+        when the snapshot schema is a log fact (every table committed
+        since schema-in-log): existing files simply lack the column and
+        the reader fills NULLs — no data rewritten, the Delta
+        semantics. Legacy histories without a recorded schema fall back
+        to the snapshot rewrite (one scan, no shuffle)."""
+        v = self.latest_version()
+        state = self._state(v)
+        schema = self._schema_of(state)
+        if schema is None:
+            if name in self.read().columns:
+                raise ValueError(f"column {name} already exists")
+            out = self.read().withColumn(name, F.lit(None).cast(dtype))
+            return self._commit(out, "ADD COLUMN", {"column": name})
+        if name in schema.fieldNames():
             raise ValueError(f"column {name} already exists")
-        out = self.read().withColumn(name, F.lit(None).cast(dtype))
-        return self._commit(out, "ADD COLUMN", {"column": name})
+        new_schema = T.StructType(
+            list(schema.fields) + [T.StructField(name, self._parse_dtype(dtype))]
+        )
+        spec = self.partition_spec()
+        if spec and self._column_order():
+            self._set_partition_spec(
+                spec, column_order=self._column_order() + [name]
+            )
+        return self._commit_schema_only("ADD COLUMN", {"column": name}, new_schema)
+
+    # Read-time-safe primitive widenings (verified against this Spark's
+    # vectorized parquet reader: old files upcast at scan, no rewrite).
+    _WIDENABLE = {
+        "tinyint": {"smallint", "int", "bigint"},
+        "smallint": {"int", "bigint"},
+        "int": {"bigint", "double"},
+        "float": {"double"},
+        "date": {"timestamp_ntz"},
+    }
+
+    def alter_widen_column(self, name: str, dtype: str) -> int:
+        """ALTER TABLE ALTER COLUMN TYPE — Delta's type widening,
+        metadata-only: the recorded snapshot schema changes; existing
+        files keep their narrow physical type and the parquet reader
+        upcasts at scan time. Only read-safe widenings are allowed
+        (``_WIDENABLE``); anything else — including every narrowing —
+        raises. Subsequent appends cast to the widened table schema, so
+        new files land wide."""
+        v = self.latest_version()
+        schema = self._schema_of(self._state(v))
+        if schema is None:
+            raise ValueError(
+                "type widening needs the snapshot schema in the log; "
+                "this table's history predates schema-in-log"
+            )
+        if name not in schema.fieldNames():
+            raise ValueError(f"no column {name}")
+        cur_t = schema[name].dataType
+        new_t = self._parse_dtype(dtype)
+        allowed = self._WIDENABLE.get(cur_t.simpleString(), set())
+        if new_t.simpleString() != cur_t.simpleString() and (
+            new_t.simpleString() not in allowed
+        ):
+            raise ValueError(
+                f"cannot change column {name} from {cur_t.simpleString()} "
+                f"to {new_t.simpleString()}: not a read-safe widening "
+                f"(allowed: {sorted(allowed) or 'none'})"
+            )
+        new_schema = T.StructType(
+            [
+                T.StructField(f.name, new_t if f.name == name else f.dataType,
+                              f.nullable, f.metadata)
+                for f in schema.fields
+            ]
+        )
+        return self._commit_schema_only(
+            "ALTER COLUMN TYPE",
+            {"column": name, "from": cur_t.simpleString(), "to": new_t.simpleString()},
+            new_schema,
+        )
 
     def alter_rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN. Delta needs column-mapping mode

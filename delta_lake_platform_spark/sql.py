@@ -311,6 +311,15 @@ class PlatformSQL:
             v = self.tables[name].alter_add_column(col, dtype)
             return self._df([{"version": v, "column": col, "type": dtype}])
         m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+"
+            rf"({_IDENT})\s+TYPE\s+([A-Za-z0-9_]+(?:\([0-9, ]*\))?)$",
+            t,
+        )
+        if m:
+            name, col, dtype = m.groups()
+            v = self.tables[name].alter_widen_column(col, dtype)
+            return self._df([{"version": v, "column": col, "type": dtype}])
+        m = re.match(
             rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+"
             rf"({_IDENT})\s+TO\s+({_IDENT})$",
             t,
