@@ -166,3 +166,78 @@ def sql_optimize_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+SCHEMA_EVOLUTION_ORACLE = """
+WITH base AS (
+  SELECT s_suppkey, CAST(ROUND(s_acctbal * 100) AS INT) AS cents
+  FROM supplier
+),
+ins AS (
+  SELECT s_suppkey + 1000000 AS s_suppkey,
+         CAST(cents AS BIGINT) + 1000000000000 AS cents,
+         'XL' AS tier
+  FROM base WHERE s_suppkey % 7 = 0
+),
+cur AS (
+  SELECT s_suppkey, CAST(cents AS BIGINT) AS cents,
+         CASE WHEN s_suppkey % 2 = 0 THEN 'STD' END AS tier
+  FROM base
+  UNION ALL
+  SELECT * FROM ins
+)
+SELECT COALESCE(tier, 'NONE') AS tier,
+       COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM cur GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("sql_schema_evolution", SCHEMA_EVOLUTION_ORACLE)
+def sql_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema evolution driven as SQL: widen an INT
+    column to BIGINT (old INT32 files upcast at scan — no rewrite),
+    ADD COLUMN (old files fill NULLs), then INSERT values that need
+    the widened range and UPDATE through the evolved schema. The two
+    ALTERs commit only a new schema; correctness of the final state is
+    what the oracle checks."""
+    d = tempfile.mkdtemp(prefix="dlp_evo_q_")
+    t = ManagedTable(spark, f"{d}/st")
+    t.create(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey",
+            F.round(F.col("s_acctbal") * 100).cast("int").alias("cents"),
+        )
+    )
+    p = PlatformSQL(spark)
+    p.register("st", t)
+    p.sql("ALTER TABLE st ALTER COLUMN cents TYPE BIGINT")
+    p.sql("ALTER TABLE st ADD COLUMN (tier STRING)")
+    load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 7 == 0
+    ).select(
+        (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+        (
+            F.round(F.col("s_acctbal") * 100).cast("long")
+            + F.lit(1_000_000_000_000)
+        ).alias("cents"),
+        F.lit("XL").alias("tier"),
+    ).createOrReplaceTempView("st_new")
+    p.sql("INSERT INTO st (s_suppkey, cents, tier) SELECT * FROM st_new")
+    p.sql("UPDATE st SET tier = 'STD' WHERE tier IS NULL AND s_suppkey % 2 = 0")
+    out = (
+        t.read()
+        .select(
+            F.coalesce(F.col("tier"), F.lit("NONE")).alias("tier"),
+            "cents",
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("tier")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

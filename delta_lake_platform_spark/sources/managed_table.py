@@ -2229,11 +2229,24 @@ class ManagedTable:
         O(1) cost regardless of table size. Readers apply the recorded
         schema; parquet fills absent columns with NULL and upcasts
         widened primitives at scan time."""
-        version = self.latest_version() + 1
+        v_prev = self.latest_version()
+        prev_rows = (
+            (self._entry(v_prev) or {}).get("operationMetrics") or {}
+        ).get("numOutputRows")
         return self._commit_delta(
-            version,
+            v_prev + 1,
             operation,
-            {**metrics, "metadataOnly": True},
+            {
+                **metrics,
+                "metadataOnly": True,
+                # Row count is unchanged by a schema-only commit; carry
+                # it so downstream DML row arithmetic stays O(0-scan).
+                **(
+                    {"numOutputRows": prev_rows}
+                    if isinstance(prev_rows, int)
+                    else {}
+                ),
+            },
             schema=new_schema.jsonValue(),
         )
 

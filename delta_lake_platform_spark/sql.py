@@ -426,7 +426,9 @@ class PlatformSQL:
                 set_exprs[lhs.strip()] = rhs.strip()
             v = self.tables[name].update(set_exprs, cond)
             met = self.tables[name].history(1)[0]["operationMetrics"]
-            return self._df([{"version": v, **met}])
+            return self._df(
+                [{"version": v, **{k: x for k, x in met.items() if x is not None}}]
+            )
         if re.match(r"(?is)^MERGE\s+INTO\s", t):
             return self._merge(t)
         m = re.match(
