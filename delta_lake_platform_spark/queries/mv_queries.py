@@ -153,3 +153,70 @@ def mv_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+MV_MINMAX_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+after AS (
+  SELECT o_orderkey, o_orderstatus, price_cents
+  FROM b WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, price_cents + 1
+  FROM b WHERE o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
+)
+SELECT o_orderstatus,
+  COUNT(*)::BIGINT AS n_rows,
+  CAST(MIN(price_cents) AS BIGINT) AS min_price_cents,
+  CAST(MAX(price_cents) AS BIGINT) AS max_price_cents
+FROM after
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("mv_minmax_orders_by_status", MV_MINMAX_ORACLE)
+def mv_minmax_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max MV maintained incrementally under delete + append churn
+    (sources/materialized_view.py dirty-group rule): the scattered
+    DELETE removes some groups' extrema — exactly those groups are
+    recomputed from the base through a broadcast semi-join; the append
+    folds in monotonically. The oracle is the from-scratch recompute."""
+    d = tempfile.mkdtemp(prefix="dlp_mvmm_q_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    base = ManagedTable(spark, f"{d}/orders_base")
+    base.create(orders)
+    mv = MaterializedAggView(
+        base, f"{d}/mv",
+        group_cols=["o_orderstatus"], sum_cols=[],
+        minmax_cols=["price_cents"],
+    )
+    mv.create()
+    base.delete("o_orderkey % 17 = 0", rewrite=False)
+    base.append(
+        base.read()
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_orderstatus",
+            (F.col("price_cents") + 1).alias("price_cents"),
+        )
+    )
+    mv.refresh()
+    out = (
+        mv.state.read()
+        .select(
+            "o_orderstatus", "n_rows", "min_price_cents", "max_price_cents"
+        )
+        .orderBy("o_orderstatus")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -6,11 +6,20 @@ per-group partial aggregates, and ``refresh()`` folds in only the rows
 that changed since the last refresh — read from the base table's
 change feed — instead of rescanning the base.
 
-Maintainable aggregates are the self-decomposable ones: ``sum`` and
-``count`` (and ``avg`` derived as sum/count at read time). They form an
-abelian group under row insert/delete, so an update (delete+insert in
-the feed) nets out exactly. min/max are deliberately NOT offered: they
-are not invertible under deletes without keeping per-group heaps.
+Maintainable aggregates come in two tiers:
+
+- ``sum`` / ``count`` (``avg`` derived at read time): an abelian group
+  under row insert/delete — an update (delete+insert in the feed) nets
+  out exactly, refresh is pure delta folding.
+- ``min`` / ``max`` (``minmax_cols``): NOT invertible under deletes,
+  handled with the standard IVM dirty-group rule (Materialize/DBSP
+  reduce-with-retractions, Snowflake partial recompute): inserts fold
+  in monotonically (``least``/``greatest``); a delete marks its group
+  DIRTY only when the deleted extremum ties-or-beats the stored one,
+  and exactly the dirty groups are recomputed from the base through a
+  broadcast semi-join — O(rows of dirty groups), never O(|base|). An
+  insert-only or extremum-missing refresh recomputes nothing
+  (``numDirtyGroups`` in the refresh metrics pins this).
 
 Scale: refresh cost is O(|delta|) + a merge against the view state,
 which is |groups|-sized — never O(|base|). At 100 TB the change feed
@@ -29,10 +38,14 @@ from .managed_table import ManagedTable
 
 
 class MaterializedAggView:
-    """``group_cols``-keyed sums/counts over a base ManagedTable.
+    """``group_cols``-keyed sums/counts (and optional min/max) over a
+    base ManagedTable.
 
     ``sum_cols``: input columns to maintain sums for (stored as
     ``sum_<col>``); a row count is always maintained as ``n_rows``.
+    ``minmax_cols``: input columns to maintain ``min_<col>`` /
+    ``max_<col>`` for, refreshed with the dirty-group rule (module
+    docstring).
     """
 
     def __init__(
@@ -41,25 +54,45 @@ class MaterializedAggView:
         path: str,
         group_cols: list[str],
         sum_cols: list[str],
+        minmax_cols: list[str] | None = None,
     ):
         self.base = base
         self.state = ManagedTable(base.spark, path)
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        self.minmax_cols = list(minmax_cols or [])
 
     # -- aggregation helpers ------------------------------------------------
 
     def _aggregate(self, df: DataFrame, sign_col: str | None = None) -> DataFrame:
         """Group ``df`` to the view grain. With ``sign_col`` (+1/-1),
-        produces signed deltas so deletes subtract."""
+        produces signed deltas so deletes subtract; min/max deltas are
+        split per side (insert extrema fold in, delete extrema drive
+        the dirty-group test)."""
         sign = F.col(sign_col) if sign_col else F.lit(1)
-        return df.groupBy(*self.group_cols).agg(
+        aggs = [
             F.sum(sign).cast("long").alias("n_rows"),
             *[
                 F.sum(F.col(c) * sign).alias(f"sum_{c}")
                 for c in self.sum_cols
             ],
-        )
+        ]
+        for c in self.minmax_cols:
+            if sign_col is None:
+                aggs += [
+                    F.min(c).alias(f"min_{c}"),
+                    F.max(c).alias(f"max_{c}"),
+                ]
+            else:
+                ins = F.when(sign == 1, F.col(c))
+                dele = F.when(sign == -1, F.col(c))
+                aggs += [
+                    F.min(ins).alias(f"__ins_min_{c}"),
+                    F.max(ins).alias(f"__ins_max_{c}"),
+                    F.min(dele).alias(f"__del_min_{c}"),
+                    F.max(dele).alias(f"__del_max_{c}"),
+                ]
+        return df.groupBy(*self.group_cols).agg(*aggs)
 
     def _base_version(self) -> int:
         return self.state.history(1)[0]["operationMetrics"]["baseVersion"]
@@ -89,6 +122,26 @@ class MaterializedAggView:
 
         old = self.state.read().alias("o")
         d = delta.alias("d")
+        minmax_cols = []
+        for c in self.minmax_cols:
+            # Insert extrema fold monotonically (least/greatest skip
+            # NULLs); a delete dirties the group only when it removed a
+            # value tying-or-beating the stored extremum.
+            minmax_cols += [
+                F.least(F.col(f"o.min_{c}"), F.col(f"d.__ins_min_{c}")).alias(
+                    f"min_{c}"
+                ),
+                F.greatest(
+                    F.col(f"o.max_{c}"), F.col(f"d.__ins_max_{c}")
+                ).alias(f"max_{c}"),
+            ]
+        dirty_cond = F.lit(False)
+        for c in self.minmax_cols:
+            dirty_cond = (
+                dirty_cond
+                | (F.col(f"d.__del_min_{c}") <= F.col(f"o.min_{c}"))
+                | (F.col(f"d.__del_max_{c}") >= F.col(f"o.max_{c}"))
+            )  # NULL comparisons are false: no deletes / new group => clean
         merged = (
             old.join(d, on=self.group_cols, how="full_outer")
             .select(
@@ -104,10 +157,65 @@ class MaterializedAggView:
                     ).alias(f"sum_{c}")
                     for c in self.sum_cols
                 ],
+                *minmax_cols,
+                F.coalesce(dirty_cond, F.lit(False)).alias("__dirty"),
             )
             .filter(F.col("n_rows") > 0)  # fully-deleted groups vanish
         )
-        return self.state._commit(merged, "MV_REFRESH", {"baseVersion": cur})
+        n_dirty = 0
+        if self.minmax_cols:
+            merged = merged.localCheckpoint(eager=False)  # reused 3×
+            dirty_keys = merged.filter(F.col("__dirty")).select(
+                *self.group_cols
+            )
+            n_dirty = dirty_keys.count()
+            if n_dirty:
+                # Exact recompute of ONLY the dirty groups: broadcast
+                # semi-join keeps the base scan shuffle-free and the
+                # aggregation O(rows of dirty groups).
+                recomputed = (
+                    self.base.read(cur)
+                    .join(F.broadcast(dirty_keys), on=self.group_cols)
+                    .groupBy(*self.group_cols)
+                    .agg(
+                        *[
+                            a
+                            for c in self.minmax_cols
+                            for a in (
+                                F.min(c).alias(f"__r_min_{c}"),
+                                F.max(c).alias(f"__r_max_{c}"),
+                            )
+                        ]
+                    )
+                )
+                m, r = merged.alias("m"), recomputed.alias("r")
+                merged = m.join(r, on=self.group_cols, how="left").select(
+                    *self.group_cols,
+                    "m.n_rows",
+                    *[F.col(f"m.sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
+                    *[
+                        col
+                        for c in self.minmax_cols
+                        for col in (
+                            F.when(
+                                F.col("m.__dirty"), F.col(f"r.__r_min_{c}")
+                            )
+                            .otherwise(F.col(f"m.min_{c}"))
+                            .alias(f"min_{c}"),
+                            F.when(
+                                F.col("m.__dirty"), F.col(f"r.__r_max_{c}")
+                            )
+                            .otherwise(F.col(f"m.max_{c}"))
+                            .alias(f"max_{c}"),
+                        )
+                    ],
+                )
+        merged = merged.drop("__dirty")
+        return self.state._commit(
+            merged,
+            "MV_REFRESH",
+            {"baseVersion": cur, "numDirtyGroups": n_dirty},
+        )
 
     def read(self) -> DataFrame:
         """View contents with derived ``avg_<col>`` columns."""

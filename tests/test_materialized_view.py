@@ -247,3 +247,110 @@ def test_join_view_refresh_prunes_base_files_by_delta_keys(spark):
     got = mv.read().drop("avg_val")
     want = mv._aggregate(left.read().join(right.read(), on=["k"]))
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+# --- min/max with dirty-group recompute -------------------------------------
+
+
+@pytest.fixture()
+def minmax_view(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="dlp_mvmm_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    base = ManagedTable(spark, f"{d}/orders_base")
+    base.create(orders)
+    mv = MaterializedAggView(
+        base, f"{d}/mv",
+        group_cols=["o_orderstatus"], sum_cols=["price_cents"],
+        minmax_cols=["price_cents"],
+    )
+    mv.create()
+    return base, mv
+
+
+def _dirty_groups(mv):
+    return mv.state.history(1)[0]["operationMetrics"].get("numDirtyGroups")
+
+
+def test_minmax_insert_only_refresh_recomputes_nothing(minmax_view):
+    """Insert extrema fold in monotonically: zero dirty groups even
+    when an insert BEATS the current min."""
+    base, mv = minmax_view
+    lo = base.read().agg(F.min("price_cents")).first()[0]
+    base.append(
+        base.read().limit(1).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_orderstatus",
+            F.lit(lo - 1).cast("long").alias("price_cents"),
+        )
+    )
+    mv.refresh()
+    assert _dirty_groups(mv) == 0
+    _assert_view_exact(mv)
+    assert (
+        mv.read().agg(F.min("min_price_cents")).first()[0] == lo - 1
+    )
+
+
+def test_minmax_delete_missing_extremum_recomputes_nothing(minmax_view):
+    """A delete strictly inside the (min, max) envelope cannot move
+    either extremum — the refresh must not touch the base."""
+    base, mv = minmax_view
+    st = mv.read().orderBy("o_orderstatus").first()
+    victim = (
+        base.read()
+        .filter(
+            (F.col("o_orderstatus") == st.o_orderstatus)
+            & (F.col("price_cents") > st.min_price_cents)
+            & (F.col("price_cents") < st.max_price_cents)
+        )
+        .first()
+    )
+    base.delete(f"o_orderkey = {victim.o_orderkey}", rewrite=False)
+    mv.refresh()
+    assert _dirty_groups(mv) == 0
+    _assert_view_exact(mv)
+
+
+def test_minmax_delete_of_extremum_dirties_only_that_group(minmax_view):
+    base, mv = minmax_view
+    st = mv.read().orderBy("o_orderstatus").first()
+    victim = (
+        base.read()
+        .filter(
+            (F.col("o_orderstatus") == st.o_orderstatus)
+            & (F.col("price_cents") == st.min_price_cents)
+        )
+        .first()
+    )
+    base.delete(f"o_orderkey = {victim.o_orderkey}", rewrite=False)
+    mv.refresh()
+    assert _dirty_groups(mv) == 1
+    _assert_view_exact(mv)
+    # The recomputed min is exact (a tie may keep it equal, never lower).
+    new_min = (
+        mv.read()
+        .filter(F.col("o_orderstatus") == st.o_orderstatus)
+        .first()
+        .min_price_cents
+    )
+    assert new_min >= st.min_price_cents
+
+
+def test_minmax_mixed_churn_matches_full_recompute(minmax_view):
+    base, mv = minmax_view
+    base.append(
+        base.read()
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    )
+    base.delete("o_orderkey % 7 = 0", rewrite=False)
+    mv.refresh()
+    _assert_view_exact(mv)
+    # And a second round on the refreshed state.
+    base.delete("o_orderkey % 5 = 1", rewrite=False)
+    mv.refresh()
+    _assert_view_exact(mv)
