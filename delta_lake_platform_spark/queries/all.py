@@ -52,7 +52,11 @@ PRIORITY = [
     "events_user_overlap_theta",
     "topk_orders_per_customer",
     "latest_event_per_user",
-    "running_value_per_user",
+    # running_value_per_user rotated out in r4 (window-agg family stays
+    # covered by topk_orders_per_customer / latest_event_per_user /
+    # events_sessionize) for driver-visible verification of the r4
+    # metadata-only schema evolution; still locally oracle-swept.
+    "sql_schema_evolution",
     "customers_without_big_orders",
     "rollup_lineitem_status",
     "union_nation_region_names",
@@ -65,7 +69,11 @@ PRIORITY = [
     "customer_dense_ids",
     "sql_dml_pipeline",
     "mv_incremental_orders_by_status",
-    "events_hourly_by_type",
+    # events_hourly_by_type rotated out in r4: its exact computation is
+    # driver-verified through its streamed twin events_hourly_streamed
+    # (same oracle); the slot gives the r4 min/max dirty-group MV
+    # driver-visible verification. Still locally oracle-swept.
+    "mv_minmax_orders_by_status",
     "events_hourly_streamed",
     "events_sessionize",
     "asof_prior_purchase",

@@ -28,7 +28,10 @@ def test_family_representation_in_first_50():
         "identity": "scd_surrogate_keys",
         "sql-dml": "sql_dml_pipeline",
         "mv": "mv_incremental_orders_by_status",
-        "streaming-analogue": "events_hourly_by_type",
+        "mv-minmax": "mv_minmax_orders_by_status",
+        "schema-evolution": "sql_schema_evolution",
+        # the hourly-agg computation's driver signal rides on its
+        # streamed twin (same oracle) since the r4 rotation
         "streaming-real": "events_hourly_streamed",
         "temporal-asof": "asof_prior_purchase",
         "deletion-vectors": "dv_delete_orders",
