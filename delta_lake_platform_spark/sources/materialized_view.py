@@ -97,6 +97,27 @@ class MaterializedAggView:
     def _base_version(self) -> int:
         return self.state.history(1)[0]["operationMetrics"]["baseVersion"]
 
+    def _recompute_dirty(self, cur: int, dirty_keys: DataFrame) -> DataFrame:
+        """Exact min/max recompute of ONLY the dirty groups: the
+        dirty-key set is BROADCAST, so the base scan stays shuffle-free
+        and the aggregation is O(rows of dirty groups). Plan-gated by
+        tests/test_plans.py."""
+        return (
+            self.base.read(cur)
+            .join(F.broadcast(dirty_keys), on=self.group_cols)
+            .groupBy(*self.group_cols)
+            .agg(
+                *[
+                    a
+                    for c in self.minmax_cols
+                    for a in (
+                        F.min(c).alias(f"__r_min_{c}"),
+                        F.max(c).alias(f"__r_max_{c}"),
+                    )
+                ]
+            )
+        )
+
     # -- lifecycle ----------------------------------------------------------
 
     def create(self) -> int:
@@ -170,24 +191,7 @@ class MaterializedAggView:
             )
             n_dirty = dirty_keys.count()
             if n_dirty:
-                # Exact recompute of ONLY the dirty groups: broadcast
-                # semi-join keeps the base scan shuffle-free and the
-                # aggregation O(rows of dirty groups).
-                recomputed = (
-                    self.base.read(cur)
-                    .join(F.broadcast(dirty_keys), on=self.group_cols)
-                    .groupBy(*self.group_cols)
-                    .agg(
-                        *[
-                            a
-                            for c in self.minmax_cols
-                            for a in (
-                                F.min(c).alias(f"__r_min_{c}"),
-                                F.max(c).alias(f"__r_max_{c}"),
-                            )
-                        ]
-                    )
-                )
+                recomputed = self._recompute_dirty(cur, dirty_keys)
                 m, r = merged.alias("m"), recomputed.alias("r")
                 merged = m.join(r, on=self.group_cols, how="left").select(
                     *self.group_cols,

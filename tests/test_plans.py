@@ -245,3 +245,61 @@ def test_join_mv_delta_broadcasts_never_shuffles_bases(spark, sf_dir):
     )
     assert has_broadcast_hash_join(delta)
     assert not has_sort_merge_join(delta), "a base table is being shuffled"
+
+
+def test_minmax_mv_dirty_recompute_broadcasts_dirty_keys(spark, sf_dir):
+    """The dirty-group recompute must reach the base through a
+    BROADCAST of the dirty-key set — a SortMergeJoin would shuffle the
+    base on every extremum-hitting refresh, the exact cost the
+    dirty-group rule exists to avoid."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_platform_spark.plans.introspect import (
+        has_broadcast_hash_join,
+        has_sort_merge_join,
+    )
+    from delta_lake_platform_spark.sources.catalog import load_table
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+    from delta_lake_platform_spark.sources.materialized_view import (
+        MaterializedAggView,
+    )
+
+    d = tempfile.mkdtemp(prefix="dlp_mvmm_plan_")
+    base = ManagedTable(spark, f"{d}/o")
+    base.create(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    mv = MaterializedAggView(
+        base, f"{d}/mv",
+        group_cols=["o_orderstatus"], sum_cols=[], minmax_cols=["cents"],
+    )
+    mv.create()
+    # Delete every group's current minimum row: all groups dirty.
+    minima = [
+        r.o_orderkey
+        for r in base.read()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("o_orderstatus")
+                .orderBy("cents", "o_orderkey")
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    ]
+    base.delete(f"o_orderkey in ({','.join(map(str, minima))})", rewrite=False)
+    mv.refresh()
+    met = mv.state.history(1)[0]["operationMetrics"]
+    assert met["numDirtyGroups"] == mv.state.read().count()
+    # The PRODUCTION recompute frame: base x dirty keys must broadcast.
+    dirty = mv.state.read().select("o_orderstatus").limit(3)
+    probe = mv._recompute_dirty(base.latest_version(), dirty)
+    assert has_broadcast_hash_join(probe)
+    assert not has_sort_merge_join(probe), "base shuffled for dirty recompute"
