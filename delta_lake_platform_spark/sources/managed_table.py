@@ -2551,6 +2551,20 @@ class ManagedTable:
         target._write_entry(0, entry)
         return target
 
+    def row_count(self, version: int | None = None) -> int | None:
+        """Exact row count from the commit log's row accounting
+        (``numOutputRows`` is maintained arithmetically by every commit
+        path — footer counts for writes, prior±delta for DV DML and
+        appends, carried over schema-only commits). None when a legacy
+        entry broke the chain — callers fall back to a scan. This is
+        Delta's metadata-only ``SELECT COUNT(*)``: O(1) against a
+        100 TB table."""
+        v = self.latest_version() if version is None else version
+        n = ((self._entry(v) or {}).get("operationMetrics") or {}).get(
+            "numOutputRows"
+        )
+        return n if isinstance(n, int) else None
+
     def retry(self, op, retries: int = 3):
         """Delta-style optimistic-concurrency retry: run ``op(self)``;
         on ConcurrentWriteError re-run it (the op re-reads the fresh

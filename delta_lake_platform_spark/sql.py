@@ -466,6 +466,22 @@ class PlatformSQL:
                 [{"version": v, "stale": mv.is_stale()}]
             )
 
+        # Metadata-only COUNT(*) (Delta's optimization): a bare count of
+        # a managed table is answered from the commit log's row
+        # accounting — O(1), zero files opened, at any table size. Any
+        # WHERE/grouping/expression falls through to the real scan, as
+        # does a legacy history without the metric.
+        m = re.match(
+            rf"(?is)^SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+({_IDENT}))?"
+            rf"\s+FROM\s+({_IDENT})\s*(?:VERSION\s+AS\s+OF\s+(\d+))?$",
+            t,
+        )
+        if m and m.group(2) in self.tables:
+            alias, name, ver = m.group(1), m.group(2), m.group(3)
+            n = self.tables[name].row_count(int(ver) if ver else None)
+            if n is not None:
+                return self._df([{alias or "count(1)": n}])
+
         # Plain SQL: resolve time travel, expose current snapshots as
         # temp views, delegate to Spark's parser/optimizer.
         for name, mv in getattr(self, "_views", {}).items():

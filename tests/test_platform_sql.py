@@ -294,3 +294,39 @@ def test_refresh_unknown_view_and_reattach(psql, spark):
         ).collect()
     }
     assert got == want
+
+
+def test_count_star_is_metadata_only(psql, spark, monkeypatch):
+    """A bare COUNT(*) on a managed table is answered from the commit
+    log's row accounting — proven by poisoning the scan path: the
+    count still returns correctly with reads disabled, tracks DML
+    arithmetically, and supports time travel. Any WHERE falls through
+    to the real scan."""
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    t = psql.tables["accounts"]
+    t.append(
+        spark.createDataFrame([(7, "dora", 50)], "id long, name string, balance long"),
+        fast=True,
+    )
+    psql.sql("DELETE FROM accounts WHERE id = 1")
+    expect = t.read().count()
+
+    def poisoned(self, version=None):
+        raise AssertionError("COUNT(*) fell back to a scan")
+
+    monkeypatch.setattr(ManagedTable, "read", poisoned)
+    assert psql.sql("SELECT COUNT(*) FROM accounts").first()[0] == expect
+    assert psql.sql("SELECT COUNT(*) AS n FROM accounts").first().n == expect
+    # Time travel: the pre-delete version's count, still scan-free.
+    v = t.latest_version() - 1
+    assert (
+        psql.sql(f"SELECT COUNT(*) AS n FROM accounts VERSION AS OF {v}").first().n
+        == expect + 1
+    )
+    monkeypatch.undo()
+    # Predicated counts use the real engine.
+    assert (
+        psql.sql("SELECT COUNT(*) AS n FROM accounts WHERE balance > 100").first().n
+        == t.read().filter("balance > 100").count()
+    )
