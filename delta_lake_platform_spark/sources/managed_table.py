@@ -837,6 +837,88 @@ class ManagedTable:
                 return False
         return True
 
+    def _adds_only_between(self, v_from: int, v_to: int) -> bool:
+        """Delta's WriteSerializable rule for a DML transaction: commits
+        that ONLY added files (blind appends — no removes, no
+        deletion-vector change, no schema change) commute with a DML
+        that read the pre-append snapshot: the appended files were
+        never read, and the DML's removes can't name them. Anything
+        else (another DML's removes, a DV change, a schema change, a
+        full-snapshot rewrite) is a real conflict."""
+        for v in range(v_from, v_to + 1):
+            entry = self._entry(v)
+            if (
+                entry is None
+                or entry.get("logMode") != "delta"
+                or entry.get("remove")
+                or "deletionVector" in entry
+                or "schema" in entry
+            ):
+                return False
+        return True
+
+    def _batch_dir(self) -> str:
+        """Version-independent writer-unique data dir (Delta's model —
+        file paths carry GUIDs, not versions): no two writers ever
+        contend on a data path, so version clashes are resolved at the
+        log entry alone. Unreferenced dirs (crashed or race-losing
+        writers) age out via VACUUM's orphan sweep."""
+        return os.path.join(self.path, "data", f"batch-{uuid.uuid4().hex[:12]}")
+
+    def _commit_delta_retry(
+        self,
+        operation: str,
+        metrics: dict,
+        delta_rows: int | None,
+        add: dict | None = None,
+        remove: list[str] | None = None,
+        add_paths: list[str] | None = None,
+        dv: str | None = None,
+        extra: dict | None = None,
+        commutes=None,
+    ) -> int:
+        """Commit a delta-action entry with optimistic-concurrency
+        retries: on a version clash, re-attempt the ENTRY ALONE against
+        the winner's snapshot when the intervening commits commute with
+        this one (``commutes`` predicate — ``_adds_only_between`` for
+        DML, ``_append_commutes_with`` for blind appends) — one
+        metadata write per retry, never a data rewrite. ``delta_rows``
+        is this commit's row-count effect; ``numOutputRows`` is
+        recomputed against each attempt's predecessor so the log's row
+        accounting survives reordering."""
+        commutes = commutes or self._adds_only_between
+        attempt_from: int | None = None
+        for attempt in range(self._APPEND_RETRIES + 1):
+            v_prev = self.latest_version()
+            prev_rows = (
+                (self._entry(v_prev) or {}).get("operationMetrics") or {}
+            ).get("numOutputRows")
+            m = dict(metrics)
+            if delta_rows is not None:
+                m["numOutputRows"] = (
+                    prev_rows + delta_rows
+                    if isinstance(prev_rows, int)
+                    else None
+                )
+            try:
+                return self._commit_delta(
+                    v_prev + 1,
+                    operation,
+                    m,
+                    add=add,
+                    remove=remove,
+                    add_paths=add_paths,
+                    dv=dv,
+                    extra=extra,
+                )
+            except ConcurrentWriteError:
+                self._state_cache.clear()
+                attempt_from = v_prev + 1 if attempt_from is None else attempt_from
+                if attempt == self._APPEND_RETRIES or not commutes(
+                    attempt_from, self.latest_version()
+                ):
+                    raise
+
     def _commit_incremental(
         self, batch: DataFrame, operation: str, metrics: dict, extra: dict | None = None
     ) -> int:
@@ -857,50 +939,24 @@ class ManagedTable:
         ultimately gives up leaves an unreferenced batch dir, reclaimed
         by VACUUM like any crashed writer's."""
         self.verify_constraints(batch)
-        batch_dir = os.path.join(
-            self.path, "data", f"batch-{uuid.uuid4().hex[:12]}"
-        )
-        local = self._write_data_staged(batch, batch_dir)
+        local = self._write_data_staged(batch, self._batch_dir())
         n_new, new_stats = _scan_parquet_footers(local, rel_root=self.path)
-        attempt_from: int | None = None
-        for attempt in range(self._APPEND_RETRIES + 1):
-            v_prev = self.latest_version()
-            prev_entry = self._entry(v_prev) or {}
-            version = v_prev + 1
-            prev_rows = (prev_entry.get("operationMetrics") or {}).get(
-                "numOutputRows"
-            )
-            m = {
-                **metrics,
-                "numAppendedRows": n_new,
-                "numOutputRows": (
-                    prev_rows + n_new if isinstance(prev_rows, int) else None
-                ),
-            }
-            try:
-                # Delta-action entry: the batch's own stats + its dir;
-                # prior files and the DV pointer carry through replay —
-                # commit metadata is O(batch), not O(table). An append
-                # never changes the table schema — the snapshot schema
-                # carries through replay (recording the batch's would
-                # let a type-compatible batch, e.g. int appended into a
-                # long column, narrow the recorded schema and break
-                # reads of older INT64 files).
-                return self._commit_delta(
-                    version,
-                    operation,
-                    m,
-                    add=new_stats,
-                    add_paths=[local],
-                    extra=extra,
-                )
-            except ConcurrentWriteError:
-                self._state_cache.clear()
-                attempt_from = version if attempt_from is None else attempt_from
-                if attempt == self._APPEND_RETRIES or not self._append_commutes_with(
-                    attempt_from, self.latest_version()
-                ):
-                    raise
+        # Delta-action entry: the batch's own stats + its dir; prior
+        # files and the DV pointer carry through replay — commit
+        # metadata is O(batch), not O(table). An append never changes
+        # the table schema — the snapshot schema carries through replay
+        # (recording the batch's would let a type-compatible batch,
+        # e.g. int appended into a long column, narrow the recorded
+        # schema and break reads of older INT64 files).
+        return self._commit_delta_retry(
+            operation,
+            {**metrics, "numAppendedRows": n_new},
+            delta_rows=n_new,
+            add=new_stats,
+            add_paths=[local],
+            extra=extra,
+            commutes=self._append_commutes_with,
+        )
 
     # -- public API ---------------------------------------------------------
 
@@ -1480,7 +1536,6 @@ class ManagedTable:
             )
             return self._commit_merge_filelevel(
                 v_prev,
-                prev_entry,
                 all_files,
                 tcols,
                 flagged_df,
@@ -1506,9 +1561,7 @@ class ManagedTable:
         for p in parts[1:]:
             batch = batch.unionByName(p)
         self.verify_constraints(batch)
-        batch_dir = self._write_data_staged(
-            batch, self._local_data_dir(new_version)
-        )
+        batch_dir = self._write_data_staged(batch, self._batch_dir())
         _n_batch, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
         dv_dir = self._dv_dir(new_version)
@@ -1531,17 +1584,11 @@ class ManagedTable:
         else:
             dv_dir, total_dv = None, 0
 
-        prev_rows = (prev_entry.get("operationMetrics") or {}).get("numOutputRows")
         metrics["numDeletionVectorRows"] = total_dv
-        metrics["numOutputRows"] = (
-            prev_rows + n_inserted - n_deleted
-            if isinstance(prev_rows, int)
-            else None
-        )
-        return self._commit_delta(
-            new_version,
+        return self._commit_delta_retry(
             "MERGE (MOR)",
             metrics,
+            delta_rows=n_inserted - n_deleted,
             add=batch_stats,
             add_paths=[batch_dir],
             dv=dv_dir,
@@ -1567,7 +1614,6 @@ class ManagedTable:
     def _commit_merge_filelevel(
         self,
         v_prev: int,
-        prev_entry: dict,
         all_files: list[str],
         tcols: list[str],
         flagged: DataFrame | None,
@@ -1595,8 +1641,6 @@ class ManagedTable:
         changed = {os.path.abspath(_uri_to_path(u)) for u in changed_uris}
         n_kept = len([f for f in all_files if os.path.abspath(f) not in changed])
 
-        new_version = v_prev + 1
-        batch_dir = self._local_data_dir(new_version)
         parts = []
         if changed_uris:
             parts.append(
@@ -1616,30 +1660,22 @@ class ManagedTable:
         for p in parts[1:]:
             batch = batch.unionByName(p)
         self.verify_constraints(batch)
-        batch_dir = self._write_data_staged(batch, batch_dir)
+        batch_dir = self._write_data_staged(batch, self._batch_dir())
         _n_batch, batch_stats = _scan_parquet_footers(
             batch_dir, rel_root=self.path
-        )
-
-        prev_rows = (prev_entry.get("operationMetrics") or {}).get(
-            "numOutputRows"
         )
         metrics = {
             **metrics,
             "numRewrittenFiles": len(changed),
             "numKeptFiles": n_kept,
-            "numOutputRows": (
-                prev_rows
-                + metrics.get("numTargetRowsInserted", 0)
-                - metrics.get("numTargetRowsDeleted", 0)
-                if isinstance(prev_rows, int)
-                else None
-            ),
         }
-        return self._commit_delta(
-            new_version,
+        return self._commit_delta_retry(
             "MERGE",
             metrics,
+            delta_rows=(
+                metrics.get("numTargetRowsInserted", 0)
+                - metrics.get("numTargetRowsDeleted", 0)
+            ),
             add=batch_stats,
             remove=[os.path.relpath(f, self.path) for f in sorted(changed)],
             add_paths=[batch_dir],
@@ -1662,7 +1698,6 @@ class ManagedTable:
         at 100 TB is the difference between rewriting 3 files and
         30 000."""
         v = self.latest_version()
-        entry = self._entry(v) or {}
         all_files = self._all_data_files(v)
         cond = F.coalesce(
             F.expr(condition) if condition else F.lit(True), F.lit(False)
@@ -1714,28 +1749,18 @@ class ManagedTable:
             metrics = {"numCompactedRows": n_matched}
             delta_rows = 0
         self.verify_constraints(batch)
-        new_version = v + 1
-        batch_dir = self._write_data_staged(
-            batch, self._local_data_dir(new_version)
-        )
+        batch_dir = self._write_data_staged(batch, self._batch_dir())
         _n, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
-
-        prev_rows = (entry.get("operationMetrics") or {}).get("numOutputRows")
         metrics.update(
             {
                 "numRewrittenFiles": len(changed),
                 "numKeptFiles": len(kept_files),
-                "numOutputRows": (
-                    prev_rows + delta_rows
-                    if isinstance(prev_rows, int)
-                    else None
-                ),
             }
         )
-        return self._commit_delta(
-            new_version,
+        return self._commit_delta_retry(
             op,
             metrics,
+            delta_rows=delta_rows,
             add=batch_stats,
             remove=[os.path.relpath(f, self.path) for f in sorted(changed)],
             add_paths=[batch_dir],
@@ -1780,7 +1805,6 @@ class ManagedTable:
             return self._commit(out, "UPDATE", {"numUpdatedRows": n})
 
         v = self.latest_version()
-        entry = self._entry(v) or {}
         cond = F.coalesce(
             F.expr(condition) if condition else F.lit(True), F.lit(False)
         )
@@ -1803,9 +1827,7 @@ class ManagedTable:
         )
         self.verify_constraints(rewritten)
         new_version = v + 1
-        batch_dir = self._write_data_staged(
-            rewritten, self._local_data_dir(new_version)
-        )
+        batch_dir = self._write_data_staged(rewritten, self._batch_dir())
         n_upd, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
         dv_dir = self._dv_dir(new_version)
@@ -1818,17 +1840,13 @@ class ManagedTable:
         dv_dir = self._write_dv(full_dv, dv_dir, old_dv_dir)
         total_dv, _ = _scan_parquet_footers(dv_dir)
 
-        prev_rows = (entry.get("operationMetrics") or {}).get("numOutputRows")
-        return self._commit_delta(
-            new_version,
+        return self._commit_delta_retry(
             "UPDATE (MOR)",
             {
                 "numUpdatedRows": n_upd,
                 "numDeletionVectorRows": total_dv,
-                "numOutputRows": prev_rows
-                if isinstance(prev_rows, int)
-                else None,
             },
+            delta_rows=0,
             add=batch_stats,
             add_paths=[batch_dir],
             dv=dv_dir,
@@ -1904,14 +1922,23 @@ class ManagedTable:
         # live through replay — a superset bound once rows are
         # DV-deleted, which keeps prune_files/column_max conservative
         # and therefore safe.
+        dv_metrics = {
+            "numDeletedRows": total_dv - prior_dv,
+            "numDeletionVectorRows": total_dv,
+        }
+        if isinstance(prev_rows, int):
+            return self._commit_delta_retry(
+                "DELETE (DV)",
+                dv_metrics,
+                delta_rows=-(total_dv - prior_dv),
+                dv=dv_dir,
+            )
+        # Legacy chain without the metric: footer-derived count, single
+        # attempt (a retry could not recompute it against a new head).
         return self._commit_delta(
             new_version,
             "DELETE (DV)",
-            {
-                "numDeletedRows": total_dv - prior_dv,
-                "numDeletionVectorRows": total_dv,
-                "numOutputRows": n_data - total_dv,
-            },
+            {**dv_metrics, "numOutputRows": n_data - total_dv},
             dv=dv_dir,
         )
 
@@ -2000,9 +2027,7 @@ class ManagedTable:
         batch = df.select(*cols)
         self.verify_constraints(batch)
         new_version = v + 1
-        batch_dir = self._write_data_staged(
-            batch, self._local_data_dir(new_version)
-        )
+        batch_dir = self._write_data_staged(batch, self._batch_dir())
         n_new, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
         dv_dir = self._dv_dir(new_version)
@@ -2013,8 +2038,7 @@ class ManagedTable:
         )
         dv_dir = self._write_dv(full_dv, dv_dir, old_dv_dir)
         total_dv, _ = _scan_parquet_footers(dv_dir)
-        return self._commit_delta(
-            new_version,
+        return self._commit_delta_retry(
             "REPLACE WHERE (MOR)",
             {
                 "predicate": condition,
@@ -2022,6 +2046,7 @@ class ManagedTable:
                 "numDeletionVectorRows": total_dv,
                 "numOutputRows": None,
             },
+            delta_rows=None,
             add=batch_stats,
             add_paths=[batch_dir],
             dv=dv_dir,

@@ -139,3 +139,45 @@ def test_append_racing_an_overwrite_conflicts(spark, tmpdir):
     assert sorted(r.id for r in b.read().collect()) == (
         list(range(500, 505)) + list(range(600, 605))
     )
+
+
+def test_update_racing_a_blind_append_commits(spark, tmpdir):
+    """WriteSerializable: a file-level UPDATE that read the pre-append
+    snapshot commutes with a concurrent blind append — the appended
+    files were never read and the update's removes can't name them. The
+    update logically precedes the append, so appended rows are NOT
+    updated even when they match the predicate."""
+    path = f"{tmpdir}/t"
+    b = ManagedTable(spark, path)
+    # Multi-file so the update takes the file-level COW path (a
+    # single-file table degrades to a full-snapshot commit, which is a
+    # legitimate conflict).
+    b.create(_batch(spark, 0, 10).repartitionByRange(2, "id"))
+
+    proto = _RacingProtocol(lambda: b.append(_batch(spark, 100, 103).coalesce(1)))
+    a = ManagedTable(spark, path, protocol=proto)
+    v = a.update({"v": "v + 1000"}, "id >= 5", rewrite=True)
+    assert v == 2
+    got = {r.id: r.v for r in b.read().collect()}
+    assert got[7] == 7 * 2 + 1000      # pre-append row updated
+    assert got[101] == 101 * 2         # appended row untouched
+    assert len(got) == 13
+    # Row accounting recomputed against the winner's snapshot.
+    assert b.history(1)[0]["operationMetrics"]["numOutputRows"] == 13
+    assert b.row_count() == 13
+
+
+def test_dml_racing_a_remove_bearing_commit_conflicts(spark, tmpdir):
+    """Two file-level DMLs can rewrite the same files — removes by the
+    winner are a real conflict for the loser (Delta's
+    ConcurrentDeleteRead rule), never silently reordered."""
+    path = f"{tmpdir}/t"
+    b = ManagedTable(spark, path)
+    b.create(_batch(spark, 0, 10).repartitionByRange(2, "id"))
+
+    proto = _RacingProtocol(lambda: b.delete("id = 2", rewrite=True))
+    a = ManagedTable(spark, path, protocol=proto)
+    with pytest.raises(ConcurrentWriteError):
+        a.update({"v": "v + 1"}, "id >= 0", rewrite=True)
+    # The winner's delete stands; the loser changed nothing.
+    assert sorted(r.id for r in b.read().collect()) == [i for i in range(10) if i != 2]

@@ -142,7 +142,10 @@ def test_mor_update_rewrites_only_matched_rows(table):
     assert m["numUpdatedRows"] == 100
     assert m["numDeletionVectorRows"] == 100
     # The rewritten batch landed in its own dir alongside v0's files.
-    assert table._data_dirs(1) == [table._local_data_dir(0), table._local_data_dir(1)]
+    import os as _os
+    dirs = table._data_dirs(1)
+    assert dirs[0] == table._local_data_dir(0)
+    assert len(dirs) == 2 and _os.path.basename(dirs[1]).startswith("batch-")
 
 
 def test_mor_update_after_dv_delete_composes(table):

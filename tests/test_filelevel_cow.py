@@ -223,7 +223,9 @@ def test_partitioned_merge_rewrites_only_touched_partition(spark, tmpdir):
     import glob as _glob
     import os as _os
 
-    assert _glob.glob(_os.path.join(t._local_data_dir(1), "p=3", "*.parquet"))
+    batch_dir = t._data_dirs(1)[-1]
+    assert _os.path.basename(batch_dir).startswith("batch-")
+    assert _glob.glob(_os.path.join(batch_dir, "p=3", "*.parquet"))
     got = t.read()
     assert got.columns == ["id", "p", "v"]  # declared order restored
     assert got.filter("id = 3").first().v == -1

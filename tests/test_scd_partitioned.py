@@ -97,7 +97,9 @@ def test_incremental_commit_touches_only_changed_partitions(spark, tmpdir):
     assert e2["operation"] == "REPLACE WHERE (MOR)"
     assert "id = 1" in e2["operationMetrics"]["predicate"]
     assert "id = 3" not in e2["operationMetrics"]["predicate"]
-    batch_dir = part._local_data_dir(v_day2)
+    batch_dir = next(
+        d for d in part._entry(v_day2)["addPaths"]
+    )  # version-independent batch dir
     parts = sorted(
         p for p in os.listdir(batch_dir) if not p.startswith(("_", "."))
     )
@@ -107,7 +109,7 @@ def test_incremental_commit_touches_only_changed_partitions(spark, tmpdir):
     v_day3 = part.latest_version()
     e3 = part._entry(v_day3)
     assert e3["operation"] == "REPLACE WHERE (MOR)"
-    batch_dir = part._local_data_dir(v_day3)
+    batch_dir = next(d for d in part._entry(v_day3)["addPaths"])
     parts = sorted(
         p for p in os.listdir(batch_dir) if not p.startswith(("_", "."))
     )
