@@ -91,8 +91,8 @@ def _commit_many(t: ManagedTable, spark, n: int):
 def test_checkpoint_written_at_interval_and_pointer_advances(spark, tmpdir):
     t = _table(spark, tmpdir)
     _commit_many(t, spark, mt._CKPT_INTERVAL + 2)
-    ck = os.path.join(t._ckpt_dir, f"{mt._CKPT_INTERVAL}.json")
-    assert os.path.isfile(ck)
+    ck = os.path.join(t._ckpt_dir, f"{mt._CKPT_INTERVAL}.parquet")
+    assert os.path.isfile(ck)  # Delta's columnar checkpoint format
     assert t._last_checkpoint_version() == mt._CKPT_INTERVAL
     assert t.latest_version() == mt._CKPT_INTERVAL + 2
 
@@ -235,3 +235,32 @@ def test_append_casts_batch_to_table_schema(spark, tmpdir):
     df = t.read()
     assert dict(df.dtypes)["v"] == "int"
     assert sorted(r["v"] for r in df.collect()) == [10, 20]
+
+
+def test_parquet_checkpoint_roundtrip_and_json_fallback(spark, tmpdir):
+    """The checkpoint is parquet (one row per file, snapshot fields in
+    the footer metadata); a legacy JSON checkpoint still resolves."""
+    t = _table(spark, tmpdir, n_files=4)
+    t.delete("id = 1", rewrite=False)  # DV + schema in state
+    _commit_many(t, spark, mt._CKPT_INTERVAL)
+    v = mt._CKPT_INTERVAL
+    ck = os.path.join(t._ckpt_dir, f"{v}.parquet")
+    assert os.path.isfile(ck)
+    fresh = ManagedTable(spark, t.path)
+    from_ckpt = fresh._read_checkpoint(v)
+    t_nock = ManagedTable(spark, t.path)
+    shutil.rmtree(t_nock._ckpt_dir)
+    os.remove(os.path.join(t_nock._log_dir, "_last_checkpoint"))
+    replayed = t_nock._state(v)
+    assert from_ckpt["files"] == replayed["files"]
+    assert from_ckpt["dv"] == replayed["dv"]
+    assert from_ckpt["schema"] == replayed["schema"]
+    # Legacy JSON checkpoint for the same version resolves identically.
+    os.makedirs(t._ckpt_dir, exist_ok=True)
+    with open(os.path.join(t._ckpt_dir, f"{v}.json"), "w") as f:
+        json.dump({"version": v, **replayed}, f)
+    legacy = ManagedTable(spark, t.path)
+    # The parquet checkpoint went with the rmtree above, so this read
+    # exercises the JSON fallback.
+    got = legacy._read_checkpoint(v)
+    assert got["files"] == replayed["files"] and got["dv"] == replayed["dv"]
