@@ -48,6 +48,22 @@ class CommitError(Exception):
     ConcurrentWriteError."""
 
 
+def _create_exclusive(entry_path: str, payload: str) -> None:
+    """Shared exclusive-create primitive: O_CREAT|O_EXCL has the same
+    win-or-fail contract as an object store's conditional put
+    (If-None-Match: * / generation-0), so both protocols use it
+    locally."""
+    os.makedirs(os.path.dirname(entry_path), exist_ok=True)
+    try:
+        fd = os.open(entry_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise CommitError(
+            f"log entry {entry_path} was committed concurrently"
+        ) from e
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+
+
 class RenameCommitProtocol:
     """Stage + atomic rename (POSIX/HDFS). The published path IS the
     requested path."""
@@ -70,15 +86,7 @@ class RenameCommitProtocol:
         return final_dir
 
     def create_entry(self, entry_path: str, payload: str) -> None:
-        os.makedirs(os.path.dirname(entry_path), exist_ok=True)
-        try:
-            fd = os.open(entry_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
-            raise CommitError(
-                f"log entry {entry_path} was committed concurrently"
-            ) from e
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
+        _create_exclusive(entry_path, payload)
 
 
 class PutIfAbsentCommitProtocol:
@@ -99,14 +107,5 @@ class PutIfAbsentCommitProtocol:
         return actual
 
     def create_entry(self, entry_path: str, payload: str) -> None:
-        # Local emulation of a conditional put (If-None-Match: *): an
-        # exclusive create has the same win-or-fail contract.
-        os.makedirs(os.path.dirname(entry_path), exist_ok=True)
-        try:
-            fd = os.open(entry_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
-            raise CommitError(
-                f"log entry {entry_path} was committed concurrently"
-            ) from e
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
+        # Local emulation of a conditional put (If-None-Match: *).
+        _create_exclusive(entry_path, payload)

@@ -48,17 +48,40 @@ class _FilePartition(InputPartition):
         self.deleted_rows = deleted_rows
 
 
-def _read_file_batches(part: _FilePartition) -> Iterator:
+def _read_file_batches(part: _FilePartition, arrow_schema=None) -> Iterator:
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pq.read_table(part.file_path)
     if part.deleted_rows:
-        import pyarrow as pa
-
         dead = set(part.deleted_rows)
         keep = [i for i in range(table.num_rows) if i not in dead]
         table = table.take(pa.array(keep, type=pa.int64()))
+    if arrow_schema is not None and table.schema != arrow_schema:
+        # Metadata-only schema evolution leaves older files physically
+        # narrow (or missing added columns); align each file to the
+        # log's authoritative schema: cast present columns, NULL-fill
+        # absent ones.
+        cols = []
+        for field in arrow_schema:
+            if field.name in table.column_names:
+                cols.append(table.column(field.name).cast(field.type))
+            else:
+                cols.append(pa.nulls(table.num_rows, type=field.type))
+        table = pa.Table.from_arrays(cols, schema=arrow_schema)
     yield from table.to_batches()
+
+
+def _log_arrow_schema(table: ManagedTable, version: int):
+    """Arrow form of the log's recorded snapshot schema (None for
+    legacy histories — files are then schema-homogeneous by
+    construction and need no alignment)."""
+    logical = table._schema_of(table._state(version))
+    if logical is None:
+        return None
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(logical)
 
 
 def _table_from_options(options) -> ManagedTable:
@@ -94,12 +117,13 @@ class _SnapshotReader(DataSourceReader):
         self.table = _table_from_options(options)
         v = options.get("version")
         self.version = int(v) if v is not None else self.table.latest_version()
+        self.arrow_schema = _log_arrow_schema(self.table, self.version)
 
     def partitions(self):
         return _snapshot_partitions(self.table, self.version)
 
     def read(self, partition: _FilePartition):
-        return _read_file_batches(partition)
+        return _read_file_batches(partition, self.arrow_schema)
 
 
 class _TailReader(DataSourceStreamReader):
@@ -108,6 +132,13 @@ class _TailReader(DataSourceStreamReader):
         self.ignore_changes = str(
             options.get("ignorechanges", "false")
         ).lower() in ("true", "1")
+        # Schema fixed at stream start (Delta restarts streams on
+        # schema change); files are aligned to it per batch.
+        self.arrow_schema = (
+            _log_arrow_schema(self.table, self.table.latest_version())
+            if self.table.exists()
+            else None
+        )
 
     def initialOffset(self):
         # First batch serves the current snapshot (startingVersion=0
@@ -146,7 +177,7 @@ class _TailReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: _FilePartition):
-        return _read_file_batches(partition)
+        return _read_file_batches(partition, self.arrow_schema)
 
     def commit(self, end):
         pass
@@ -292,6 +323,12 @@ class ManagedTableDataSource(DataSource):
             )
         v = self.options.get("version")
         version = int(v) if v is not None else table.latest_version()
+        # The log is the schema authority (metadata-only ADD COLUMN /
+        # type widening make mixed physical file schemas a normal
+        # state — the first file's footer may be stale and narrow).
+        logical = table._schema_of(table._state(version))
+        if logical is not None:
+            return logical
         files = table._all_data_files(version)
         if files:
             return from_arrow_schema(pq.read_schema(files[0]))

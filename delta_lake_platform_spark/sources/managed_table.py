@@ -43,8 +43,10 @@ def _json_stat(v):
     ISO strings, which keep their sort order under string comparison."""
     if isinstance(v, bool | int | float | str):
         return v
-    if isinstance(v, datetime | date):
+    if isinstance(v, datetime):
         return v.isoformat(sep=" ")
+    if isinstance(v, date):  # date.isoformat takes no sep argument
+        return v.isoformat()
     return None
 
 
@@ -306,6 +308,13 @@ class ManagedTable:
         stats = entry.get("fileStats")
         if stats is not None:
             files: dict[str, dict | None] = dict(stats)
+            # Legacy (pre-delta-action) entries rooted at a clone can
+            # carry referenced files ONLY in the manifest — their stats
+            # map covers just the files the commit itself wrote. Union
+            # the manifest in (stats unknown → conservatively kept) so
+            # replay never silently drops clone-referenced rows.
+            for f in entry.get("dataFiles", []):
+                files.setdefault(os.path.relpath(f, self.path), None)
         elif entry.get("fileLevel"):
             # File-level clone: the manifest IS the live file set; the
             # dirs are basePath roots only and must NOT be re-expanded
@@ -651,8 +660,13 @@ class ManagedTable:
         if version > 0 and version % _CKPT_INTERVAL == 0:
             try:
                 self._write_checkpoint(version)
-            except OSError:
-                pass  # checkpoint is derived data; the commit stands
+            except Exception:
+                # Checkpoint is DERIVED data and the log entry is
+                # already durable: any failure here (I/O, Arrow, a
+                # malformed older entry hit during replay) must not
+                # surface as a failed commit — a caller's retry would
+                # re-run the operation and double-apply it.
+                pass
 
     def _commit_delta(
         self,
@@ -1124,7 +1138,23 @@ class ManagedTable:
         reads — files the predicate provably excludes, which at 100 TB
         is the difference between touching 3 files and 30 000."""
         v = self.latest_version() if version is None else version
-        files = self._state(v)["files"]
+        state = self._state(v)
+        files = state["files"]
+        # date→timestamp widening leaves old files' stats as bare date
+        # strings; a date upcasts to midnight, so both bounds normalize
+        # EXACTLY to "D 00:00:00" (string-comparable with timestamp
+        # stats/bounds). Any residual type mismatch keeps the file —
+        # stats are a superset bound, never a correctness gate.
+        schema = self._schema_of(state)
+        is_ts = False
+        if schema is not None and col in schema.fieldNames():
+            is_ts = schema[col].dataType.simpleString().startswith("timestamp")
+
+        def norm(x):
+            if is_ts and isinstance(x, str) and len(x) == 10:
+                return x + " 00:00:00"
+            return x
+
         kept = []
         for rel in sorted(files):
             # Table-root-relative key (matches how commits record stats).
@@ -1133,9 +1163,14 @@ class ManagedTable:
             if s is None:  # no stats for this file/col: conservatively kept
                 kept.append(fpath)
                 continue
-            mn, mx = s
-            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
-                continue
+            mn, mx = norm(s[0]), norm(s[1])
+            try:
+                if (hi is not None and mn > hi) or (
+                    lo is not None and mx < lo
+                ):
+                    continue
+            except TypeError:
+                pass  # incomparable stat vs bound: keep conservatively
             kept.append(fpath)
         return kept, len(files)
 
@@ -1441,7 +1476,6 @@ class ManagedTable:
         all_files: list[str] = []
         if file_cow:
             v_prev = self.latest_version()
-            prev_entry = self._entry(v_prev) or {}
             candidates, all_files = self._merge_candidate_files(
                 source, clauses.condition, v_prev
             )
@@ -1449,7 +1483,6 @@ class ManagedTable:
                 file_cow = False  # nothing to keep: full snapshot is simpler
         if not rewrite:
             v_prev = self.latest_version()
-            prev_entry = self._entry(v_prev) or {}
             target = self._scan_version(v_prev, with_positions=True)
             old_dv_dir = self._state(v_prev)["dv"]
             if old_dv_dir:
@@ -2514,9 +2547,16 @@ class ManagedTable:
                 referenced_dvs.add(os.path.normpath(state["dv"]))
             live_files.update(self._abs(rel) for rel in state["files"])
 
-        def _holds_live_file(d: str) -> bool:
-            prefix = d.rstrip(os.sep) + os.sep
-            return any(f.startswith(prefix) for f in live_files)
+        # O(1)-per-dir live check: precompute every ancestor dir of a
+        # live file once instead of scanning the full live set per
+        # candidate (quadratic at the 10^6-file design point).
+        table_root = os.path.normpath(self.path)
+        live_dirs: set[str] = set()
+        for f in live_files:
+            d = os.path.dirname(os.path.normpath(f))
+            while (d + os.sep).startswith(table_root + os.sep) and d not in live_dirs:
+                live_dirs.add(d)
+                d = os.path.dirname(d)
 
         removed = []
         for v in to_remove:
@@ -2539,7 +2579,13 @@ class ManagedTable:
                 + list(entry.get("dataPaths") or [])
             )
             for d in dict.fromkeys(os.path.normpath(x) for x in own_dirs):
-                if d in referenced or _holds_live_file(d):
+                # A table only ever OWNS dirs under its own root: clone
+                # entries REFERENCE the source table's dirs through
+                # dataPaths, and vacuuming the clone must never reach
+                # into the source (cross-table deletion).
+                if not (d + os.sep).startswith(table_root + os.sep):
+                    continue
+                if d in referenced or d in live_dirs:
                     continue
                 if os.path.isdir(d):
                     shutil.rmtree(d)

@@ -264,3 +264,17 @@ def test_parquet_checkpoint_roundtrip_and_json_fallback(spark, tmpdir):
     # exercises the JSON fallback.
     got = legacy._read_checkpoint(v)
     assert got["files"] == replayed["files"] and got["dv"] == replayed["dv"]
+
+
+def test_clone_vacuum_never_touches_source_data(spark, tmpdir):
+    """A shallow clone's log REFERENCES the source's data dirs; the
+    clone diverging (full-snapshot compact) and vacuuming its own
+    history must never delete anything under the SOURCE table's root
+    (regression: vacuum once treated entry dataPaths as owned dirs)."""
+    src = _table(spark, tmpdir, "src", n_files=4)
+    c = src.clone(f"{tmpdir}/c")
+    c.compact()  # clone head no longer references the source dirs
+    expect = sorted(r.id for r in src.read().collect())
+    c.vacuum(keep_last=1, older_than_s=0)
+    assert sorted(r.id for r in src.read().collect()) == expect
+    assert os.path.isdir(src._local_data_dir(0))

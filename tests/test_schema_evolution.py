@@ -133,3 +133,47 @@ def test_change_feed_spans_a_metadata_only_commit(spark, tmpdir):
     feed = t.change_feed(v0, t.latest_version())
     rows = [(r.id, r.v, r._change_type) for r in feed.collect()]
     assert rows == [(2, 20, "insert")]
+
+
+def test_datasource_reads_through_evolved_schema(spark, tmpdir):
+    """spark.read.format('managed_table') must bind the LOG schema, not
+    the first file's footer: after a widen + add-column, old narrow
+    files upcast and NULL-fill per batch."""
+    t = ManagedTable(spark, f"{tmpdir}/t")
+    t.create(spark.createDataFrame([(1, 10)], "id long, v int").coalesce(1))
+    t.alter_widen_column("v", "bigint")
+    t.alter_add_column("w", "string")
+    t.append(
+        spark.createDataFrame([(2, 2**40, "x")], "id long, v long, w string")
+        .coalesce(1),
+        fast=True,
+    )
+    from delta_lake_platform_spark.sources.datasource import register
+
+    register(spark)
+    got = spark.read.format("managed_table").load(t.path)
+    assert dict(got.dtypes)["v"] == "bigint" and dict(got.dtypes)["w"] == "string"
+    rows = {r.id: (r.v, r.w) for r in got.collect()}
+    assert rows == {1: (10, None), 2: (2**40, "x")}
+
+
+def test_prune_files_after_date_widening(spark, tmpdir):
+    """Old files' date-string stats normalize exactly to midnight when
+    the column widened to timestamp — no over-pruning at the day
+    boundary, no TypeError on mixed bounds."""
+    import datetime as _dt
+
+    t = ManagedTable(spark, f"{tmpdir}/t")
+    t.create(
+        spark.createDataFrame(
+            [(1, _dt.date(2026, 8, 14))], "id long, d date"
+        ).coalesce(1)
+    )
+    t.alter_widen_column("d", "timestamp_ntz")
+    kept, total = t.prune_files("d", lo="2026-08-14 00:00:00")
+    assert total == 1 and len(kept) == 1  # midnight row must survive
+    kept, _ = t.prune_files("d", lo="2026-08-14 00:00:01")
+    assert len(kept) == 0  # and the exact bound still prunes
+    kept, _ = t.prune_files("d", lo=_dt.datetime(2026, 8, 14))
+    assert len(kept) == 1  # incomparable bound type: conservative keep
+    assert t.read_pruned("d", lo="2026-08-14 00:00:00").count() == 1
