@@ -181,3 +181,30 @@ def test_dml_racing_a_remove_bearing_commit_conflicts(spark, tmpdir):
         a.update({"v": "v + 1"}, "id >= 0", rewrite=True)
     # The winner's delete stands; the loser changed nothing.
     assert sorted(r.id for r in b.read().collect()) == [i for i in range(10) if i != 2]
+
+
+def test_threaded_concurrent_appends_all_commit(spark, tmpdir):
+    """Real concurrency (not a simulated interleave): N threads, each
+    its own table handle, appending in parallel. Every append must
+    land exactly once — version clashes resolve through the
+    entry-only retry — and the final row accounting must be exact."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = f"{tmpdir}/t"
+    ManagedTable(spark, path).create(_batch(spark, 0, 10).coalesce(1))
+
+    def writer(k):
+        t = ManagedTable(spark, path)
+        for j in range(3):
+            lo = 1000 * (k + 1) + 10 * j
+            t.append(_batch(spark, lo, lo + 5).coalesce(1), fast=True)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(writer, range(4)))
+
+    t = ManagedTable(spark, path)
+    assert t.latest_version() == 12  # create + 4x3 appends, no gaps
+    assert t.read().count() == 10 + 12 * 5
+    assert t.row_count() == 10 + 12 * 5  # log arithmetic survived races
+    ops = {h["operation"] for h in t.history(12)}
+    assert ops == {"APPEND"}
