@@ -37,6 +37,46 @@ from pyspark.sql import functions as F
 from .managed_table import ManagedTable
 
 
+def _minmax_delta_aggs(sign, cols) -> list:
+    """Signed-delta aggregate expressions for min/max maintenance:
+    insert-side extrema (fold in monotonically) and delete-side extrema
+    (drive the dirty-group test)."""
+    aggs = []
+    for c in cols:
+        ins = F.when(sign == 1, F.col(c))
+        dele = F.when(sign == -1, F.col(c))
+        aggs += [
+            F.min(ins).alias(f"__ins_min_{c}"),
+            F.max(ins).alias(f"__ins_max_{c}"),
+            F.min(dele).alias(f"__del_min_{c}"),
+            F.max(dele).alias(f"__del_max_{c}"),
+        ]
+    return aggs
+
+
+def _minmax_merge_cols(cols) -> tuple[list, "F.Column"]:
+    """(merged min/max select expressions, dirty-group condition) for
+    the state ⟗ delta merge. least/greatest skip NULLs; NULL
+    comparisons in the dirty test are false (no deletes / new group)."""
+    merged = []
+    dirty = F.lit(False)
+    for c in cols:
+        merged += [
+            F.least(F.col(f"o.min_{c}"), F.col(f"d.__ins_min_{c}")).alias(
+                f"min_{c}"
+            ),
+            F.greatest(F.col(f"o.max_{c}"), F.col(f"d.__ins_max_{c}")).alias(
+                f"max_{c}"
+            ),
+        ]
+        dirty = (
+            dirty
+            | (F.col(f"d.__del_min_{c}") <= F.col(f"o.min_{c}"))
+            | (F.col(f"d.__del_max_{c}") >= F.col(f"o.max_{c}"))
+        )
+    return merged, dirty
+
+
 class MaterializedAggView:
     """``group_cols``-keyed sums/counts (and optional min/max) over a
     base ManagedTable.
@@ -77,21 +117,14 @@ class MaterializedAggView:
                 for c in self.sum_cols
             ],
         ]
-        for c in self.minmax_cols:
-            if sign_col is None:
+        if sign_col is None:
+            for c in self.minmax_cols:
                 aggs += [
                     F.min(c).alias(f"min_{c}"),
                     F.max(c).alias(f"max_{c}"),
                 ]
-            else:
-                ins = F.when(sign == 1, F.col(c))
-                dele = F.when(sign == -1, F.col(c))
-                aggs += [
-                    F.min(ins).alias(f"__ins_min_{c}"),
-                    F.max(ins).alias(f"__ins_max_{c}"),
-                    F.min(dele).alias(f"__del_min_{c}"),
-                    F.max(dele).alias(f"__del_max_{c}"),
-                ]
+        else:
+            aggs += _minmax_delta_aggs(sign, self.minmax_cols)
         return df.groupBy(*self.group_cols).agg(*aggs)
 
     def _base_version(self) -> int:
@@ -143,26 +176,11 @@ class MaterializedAggView:
 
         old = self.state.read().alias("o")
         d = delta.alias("d")
-        minmax_cols = []
-        for c in self.minmax_cols:
-            # Insert extrema fold monotonically (least/greatest skip
-            # NULLs); a delete dirties the group only when it removed a
-            # value tying-or-beating the stored extremum.
-            minmax_cols += [
-                F.least(F.col(f"o.min_{c}"), F.col(f"d.__ins_min_{c}")).alias(
-                    f"min_{c}"
-                ),
-                F.greatest(
-                    F.col(f"o.max_{c}"), F.col(f"d.__ins_max_{c}")
-                ).alias(f"max_{c}"),
-            ]
-        dirty_cond = F.lit(False)
-        for c in self.minmax_cols:
-            dirty_cond = (
-                dirty_cond
-                | (F.col(f"d.__del_min_{c}") <= F.col(f"o.min_{c}"))
-                | (F.col(f"d.__del_max_{c}") >= F.col(f"o.max_{c}"))
-            )  # NULL comparisons are false: no deletes / new group => clean
+        # Insert extrema fold monotonically; a delete dirties the group
+        # only when it removed a value tying-or-beating the stored
+        # extremum (NULL comparisons are false: no deletes / new group
+        # => clean).
+        minmax_cols, dirty_cond = _minmax_merge_cols(self.minmax_cols)
         merged = (
             old.join(d, on=self.group_cols, how="full_outer")
             .select(
@@ -247,10 +265,14 @@ class MaterializedJoinAggView:
     so the base-side scans stay shuffle-free, and with manifest-pruned
     change feeds the deltas themselves cost O(changed files).
 
-    Supported aggregates are the same abelian ones as
-    ``MaterializedAggView`` (count + sums; avg derived at read);
-    updates arrive as delete+insert pairs from the feed and net out
-    exactly. Correctness is pinned against full recomputes in
+    Supported aggregates are the same as ``MaterializedAggView``:
+    count + sums (avg derived at read), plus min/max via the same
+    dirty-group rule — a dirty group's extrema are recomputed over the
+    CURRENT join restricted to the dirty keys (each base side filtered
+    by the group keys it carries before joining). Updates arrive as
+    delete+insert pairs from the feed and net out exactly; a
+    group-moving update dirties the source group and folds into the
+    target group. Correctness is pinned against full recomputes in
     tests/test_materialized_view.py and the
     ``mv_join_orders_customers`` DuckDB-oracle query.
     """
@@ -263,6 +285,7 @@ class MaterializedJoinAggView:
         on: list[str],
         group_cols: list[str],
         sum_cols: list[str],
+        minmax_cols: list[str] | None = None,
     ):
         self.left = left
         self.right = right
@@ -270,12 +293,53 @@ class MaterializedJoinAggView:
         self.on = list(on)
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        self.minmax_cols = list(minmax_cols or [])
 
     def _aggregate(self, df: DataFrame, sign_col: str | None = None) -> DataFrame:
         sign = F.col(sign_col) if sign_col else F.lit(1)
-        return df.groupBy(*self.group_cols).agg(
+        aggs = [
             F.sum(sign).cast("long").alias("n_rows"),
             *[F.sum(F.col(c) * sign).alias(f"sum_{c}") for c in self.sum_cols],
+        ]
+        if sign_col is None:
+            for c in self.minmax_cols:
+                aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        else:
+            aggs += _minmax_delta_aggs(sign, self.minmax_cols)
+        return df.groupBy(*self.group_cols).agg(*aggs)
+
+    def _recompute_dirty(self, l1: int, r1: int, dirty_keys: DataFrame) -> DataFrame:
+        """Exact min/max recompute of ONLY the dirty groups, over the
+        current join: each base is first restricted by the dirty group
+        keys IT carries (broadcast semi-join — the filtered side
+        becomes small, so the join itself stays broadcast under AQE).
+        A side carrying no group column is scanned for the join only;
+        its rows that don't reach a dirty group die in the join."""
+        lbase = self.left.read(l1)
+        rbase = self.right.read(r1)
+        lkeys = [g for g in self.group_cols if g in lbase.columns]
+        rkeys = [g for g in self.group_cols if g in rbase.columns]
+        if lkeys:
+            lbase = lbase.join(
+                F.broadcast(dirty_keys.select(*lkeys).distinct()), on=lkeys
+            )
+        if rkeys:
+            rbase = rbase.join(
+                F.broadcast(dirty_keys.select(*rkeys).distinct()), on=rkeys
+            )
+        return (
+            lbase.join(rbase, on=self.on)
+            .groupBy(*self.group_cols)
+            .agg(
+                *[
+                    a
+                    for c in self.minmax_cols
+                    for a in (
+                        F.min(c).alias(f"__r_min_{c}"),
+                        F.max(c).alias(f"__r_max_{c}"),
+                    )
+                ]
+            )
         )
 
     def _versions_at_create(self) -> tuple[int, int]:
@@ -366,6 +430,7 @@ class MaterializedJoinAggView:
 
         old = self.state.read().alias("o")
         d = delta.alias("d")
+        minmax_cols, dirty_cond = _minmax_merge_cols(self.minmax_cols)
         merged = (
             old.join(d, on=self.group_cols, how="full_outer")
             .select(
@@ -381,11 +446,41 @@ class MaterializedJoinAggView:
                     ).alias(f"sum_{c}")
                     for c in self.sum_cols
                 ],
+                *minmax_cols,
+                F.coalesce(dirty_cond, F.lit(False)).alias("__dirty"),
             )
             .filter(F.col("n_rows") > 0)
         )
+        n_dirty = 0
+        if self.minmax_cols:
+            merged = merged.localCheckpoint(eager=False)
+            dirty_keys = merged.filter(F.col("__dirty")).select(*self.group_cols)
+            n_dirty = dirty_keys.count()
+            if n_dirty:
+                m = merged.alias("m")
+                r = self._recompute_dirty(l1, r1, dirty_keys).alias("r")
+                merged = m.join(r, on=self.group_cols, how="left").select(
+                    *self.group_cols,
+                    "m.n_rows",
+                    *[F.col(f"m.sum_{c}").alias(f"sum_{c}") for c in self.sum_cols],
+                    *[
+                        col
+                        for c in self.minmax_cols
+                        for col in (
+                            F.when(F.col("m.__dirty"), F.col(f"r.__r_min_{c}"))
+                            .otherwise(F.col(f"m.min_{c}"))
+                            .alias(f"min_{c}"),
+                            F.when(F.col("m.__dirty"), F.col(f"r.__r_max_{c}"))
+                            .otherwise(F.col(f"m.max_{c}"))
+                            .alias(f"max_{c}"),
+                        )
+                    ],
+                )
+        merged = merged.drop("__dirty")
         return self.state._commit(
-            merged, "MV_REFRESH", {"leftVersion": l1, "rightVersion": r1}
+            merged,
+            "MV_REFRESH",
+            {"leftVersion": l1, "rightVersion": r1, "numDirtyGroups": n_dirty},
         )
 
     def read(self) -> DataFrame:

@@ -354,3 +354,84 @@ def test_minmax_mixed_churn_matches_full_recompute(minmax_view):
     base.delete("o_orderkey % 5 = 1", rewrite=False)
     mv.refresh()
     _assert_view_exact(mv)
+
+
+@pytest.fixture()
+def join_minmax_view(spark, sf_dir):
+    from delta_lake_platform_spark.sources.materialized_view import (
+        MaterializedJoinAggView,
+    )
+
+    d = tempfile.mkdtemp(prefix="dlp_mvjmm_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    left = ManagedTable(spark, f"{d}/orders")
+    left.create(orders)
+    right = ManagedTable(spark, f"{d}/cust")
+    right.create(cust)
+    mv = MaterializedJoinAggView(
+        left, right, f"{d}/mv",
+        on=["custkey"], group_cols=["segment"], sum_cols=["price_cents"],
+        minmax_cols=["price_cents"],
+    )
+    mv.create()
+    return left, right, mv
+
+
+def test_join_view_minmax_insert_only_recomputes_nothing(join_minmax_view):
+    left, right, mv = join_minmax_view
+    lo = (
+        left.read()
+        .join(right.read(), on=["custkey"])
+        .agg(F.min("price_cents"))
+        .first()[0]
+    )
+    joined_key = right.read().select("custkey").first()[0]
+    left.append(
+        left.read()
+        .limit(1)
+        .select(
+            F.lit(joined_key).alias("custkey"),
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit(lo - 5).cast("long").alias("price_cents"),
+        )
+    )
+    mv.refresh()
+    m = mv.state.history(1)[0]["operationMetrics"]
+    assert m["numDirtyGroups"] == 0
+    _assert_join_view_exact(mv)
+    assert mv.read().agg(F.min("min_price_cents")).first()[0] == lo - 5
+
+
+def test_join_view_minmax_extremum_delete_and_group_move(join_minmax_view):
+    """A delete of a group's minimum order dirties that group; a
+    customer changing segment MOVES all its joined rows (delete+insert
+    pairs) — the source group's extremum may leave, the target group
+    folds the rows in. Final state must equal a full recompute."""
+    left, right, mv = join_minmax_view
+    st = mv.read().orderBy("segment").first()
+    victim = (
+        left.read()
+        .join(right.read().filter(F.col("segment") == st.segment), on=["custkey"])
+        .filter(F.col("price_cents") == st.min_price_cents)
+        .first()
+    )
+    left.delete(f"o_orderkey = {victim.o_orderkey}", rewrite=False)
+    right.update(
+        {"segment": "'MOVED'"}, f"custkey % 10 = 0", rewrite=False
+    )
+    mv.refresh()
+    m = mv.state.history(1)[0]["operationMetrics"]
+    assert m["numDirtyGroups"] >= 1
+    _assert_join_view_exact(mv)
+    # Second round on the refreshed state.
+    left.delete("o_orderkey % 11 = 0", rewrite=False)
+    mv.refresh()
+    _assert_join_view_exact(mv)
