@@ -134,11 +134,40 @@ class _TailReader(DataSourceStreamReader):
         ).lower() in ("true", "1")
         # Schema fixed at stream start (Delta restarts streams on
         # schema change); files are aligned to it per batch.
+        self._pinned_version = (
+            self.table.latest_version() if self.table.exists() else None
+        )
         self.arrow_schema = (
-            _log_arrow_schema(self.table, self.table.latest_version())
-            if self.table.exists()
+            _log_arrow_schema(self.table, self._pinned_version)
+            if self._pinned_version is not None
             else None
         )
+        self._pinned_schema_json = (
+            json.dumps(
+                self.table._state(self._pinned_version).get("schema"),
+                sort_keys=True,
+            )
+            if self._pinned_version is not None
+            else None
+        )
+
+    def _check_schema_unchanged(self, version: int) -> None:
+        """Delta fails a stream explicitly when the source schema
+        changes so the user restarts it with the new schema; without
+        this, post-widening batches would be cast DOWN to the
+        stream-start schema — silent narrowing, or a deep executor
+        Arrow cast error on overflow."""
+        if self._pinned_schema_json is None:
+            return
+        cur = json.dumps(
+            self.table._state(version).get("schema"), sort_keys=True
+        )
+        if cur != self._pinned_schema_json:
+            raise RuntimeError(
+                "managed_table tail: table schema changed since the "
+                "stream started — restart the stream to pick up the "
+                "new schema"
+            )
 
     def initialOffset(self):
         # First batch serves the current snapshot (startingVersion=0
@@ -146,10 +175,13 @@ class _TailReader(DataSourceStreamReader):
         return {"version": -1}
 
     def latestOffset(self):
-        return {"version": self.table.latest_version()}
+        v = self.table.latest_version()
+        self._check_schema_unchanged(v)
+        return {"version": v}
 
     def partitions(self, start, end):
         s, e = start["version"], end["version"]
+        self._check_schema_unchanged(e)
         if s < 0:
             return _snapshot_partitions(self.table, e)
 
@@ -210,6 +242,13 @@ class _BatchWriter(DataSourceWriter):
         self.staging = os.path.join(
             self.path, "_staging", uuid.uuid4().hex
         )
+        # Snapshot anchor at write-plan time (the transaction's read
+        # version): commit() checks every later commit under the
+        # blind-append commute rule, so an OVERWRITE or schema change
+        # landing during the write job fails the append instead of
+        # being silently built on.
+        t = ManagedTable(None, self.path)
+        self.read_version = t.latest_version() if t.exists() else None
 
     def write(self, iterator):
         import pyarrow as pa
@@ -248,10 +287,46 @@ class _BatchWriter(DataSourceWriter):
                 "managed_table sink bypasses Spark-side CHECK validation; "
                 "use ManagedTable.append() on constrained tables"
             )
+        if table.exists() and not self.overwrite:
+            # The executors wrote this batch against self.schema; a
+            # table whose log schema no longer matches must reject the
+            # append (the micro-batch is stale), not absorb it.
+            logical = table._schema_of(table._state(table.latest_version()))
+            if logical is not None:
+                want = [(f.name, f.dataType) for f in logical.fields]
+                got = [(f.name, f.dataType) for f in self.schema.fields]
+                if want != got:
+                    import shutil
+
+                    shutil.rmtree(self.staging, ignore_errors=True)
+                    raise ValueError(
+                        "managed_table sink: batch schema does not match "
+                        f"the table schema (table {want}, batch {got}); "
+                        "restart the writer against the current schema"
+                    )
         os.makedirs(self.staging, exist_ok=True)  # all-empty partitions
         n_rows = sum(m.n_rows for m in messages if m is not None)
-        while True:
+        attempt_from = (
+            self.read_version + 1
+            if (self.read_version is not None and not self.overwrite)
+            else None
+        )
+        for _attempt in range(ManagedTable._APPEND_RETRIES + 1):
             version = (table.latest_version() + 1) if table.exists() else 0
+            if attempt_from is not None and version - 1 >= attempt_from:
+                # Same blind-append rule as ManagedTable appends: a
+                # micro-batch losing the race to a full-snapshot
+                # OVERWRITE or a schema change must NOT be silently
+                # appended on top of the redefined table.
+                if not table._append_commutes_with(attempt_from, version - 1):
+                    import shutil
+
+                    shutil.rmtree(self.staging, ignore_errors=True)
+                    raise ConcurrentWriteError(
+                        "managed_table sink: a non-append commit landed "
+                        "while this batch was committing; the append does "
+                        "not commute with it"
+                    )
             final = table._local_data_dir(version)
             os.makedirs(os.path.dirname(final), exist_ok=True)
             try:
@@ -298,6 +373,13 @@ class _BatchWriter(DataSourceWriter):
                 return
             except ConcurrentWriteError:
                 os.rename(final, self.staging)
+                if attempt_from is None:
+                    attempt_from = version
+        raise ConcurrentWriteError(
+            f"managed_table sink: gave up after "
+            f"{ManagedTable._APPEND_RETRIES + 1} commit attempts on "
+            f"{self.path}"
+        )
 
     def abort(self, messages):
         import shutil

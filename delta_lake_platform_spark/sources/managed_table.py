@@ -944,6 +944,7 @@ class ManagedTable:
         dv: str | None = None,
         extra: dict | None = None,
         commutes=None,
+        read_version: int | None = None,
     ) -> int:
         """Commit a delta-action entry with optimistic-concurrency
         retries: on a version clash, re-attempt the ENTRY ALONE against
@@ -953,11 +954,28 @@ class ManagedTable:
         metadata write per retry, never a data rewrite. ``delta_rows``
         is this commit's row-count effect; ``numOutputRows`` is
         recomputed against each attempt's predecessor so the log's row
-        accounting survives reordering."""
+        accounting survives reordering.
+
+        ``read_version`` is the snapshot version the OPERATION read
+        (scan/DV/batch write all happened against it). Every commit
+        that landed after it — including ones that land in the window
+        BEFORE our first entry-create attempt — is checked under the
+        ``commutes`` rule; without this, two concurrent MOR deletes
+        would silently drop one writer's DV rows (the second's full
+        vector was built from the first's predecessor) and a DML could
+        land on top of an unseen OVERWRITE."""
         commutes = commutes or self._adds_only_between
-        attempt_from: int | None = None
+        attempt_from = None if read_version is None else read_version + 1
         for attempt in range(self._APPEND_RETRIES + 1):
             v_prev = self.latest_version()
+            if attempt_from is not None and v_prev >= attempt_from:
+                if not commutes(attempt_from, v_prev):
+                    raise ConcurrentWriteError(
+                        f"{operation} on {self.path}: version(s) "
+                        f"{attempt_from}..{v_prev} committed after this "
+                        "transaction's snapshot read and do not commute "
+                        "with it"
+                    )
             prev_rows = (
                 (self._entry(v_prev) or {}).get("operationMetrics") or {}
             ).get("numOutputRows")
@@ -982,13 +1000,16 @@ class ManagedTable:
             except ConcurrentWriteError:
                 self._state_cache.clear()
                 attempt_from = v_prev + 1 if attempt_from is None else attempt_from
-                if attempt == self._APPEND_RETRIES or not commutes(
-                    attempt_from, self.latest_version()
-                ):
+                if attempt == self._APPEND_RETRIES:
                     raise
 
     def _commit_incremental(
-        self, batch: DataFrame, operation: str, metrics: dict, extra: dict | None = None
+        self,
+        batch: DataFrame,
+        operation: str,
+        metrics: dict,
+        extra: dict | None = None,
+        read_version: int | None = None,
     ) -> int:
         """Fast-append commit: write ONLY the batch's files — O(batch)
         cost, the only viable append shape when the table is 100 TB and
@@ -1024,6 +1045,7 @@ class ManagedTable:
             add_paths=[local],
             extra=extra,
             commutes=self._append_commutes_with,
+            read_version=read_version,
         )
 
     # -- public API ---------------------------------------------------------
@@ -1205,6 +1227,85 @@ class ManagedTable:
             df = df.filter(c >= F.lit(lo))
         if hi is not None:
             df = df.filter(c <= F.lit(hi))
+        return df
+
+    def prune_files_multi(
+        self,
+        ranges: dict,
+        eq_values: dict | None = None,
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Conjunctive file skipping: intersect the per-column range
+        prunes (``ranges``: col -> (lo, hi)), then — when a bloom index
+        exists for the version and the caller knows the complete value
+        set for a column (``eq_values``: col -> values) — drop files
+        whose bloom rules out EVERY probe value. Each step is a
+        superset bound, so the intersection is too; a file must survive
+        every predicate to be read. At 100 TB a composite-key probe
+        prunes strictly more than any single key's range."""
+        import base64
+
+        v = self.latest_version() if version is None else version
+        kept: set | None = None
+        total = len(self._state(v)["files"])
+        for col, (lo, hi) in ranges.items():
+            files, _ = self.prune_files(col, lo, hi, version=v)
+            kept = set(files) if kept is None else kept & set(files)
+        if kept is None:
+            kept = set(self._all_data_files(v))
+        idx = self._bloom_index(v) if eq_values else None
+        if idx:
+            for col, values in (eq_values or {}).items():
+                survivors = set()
+                for fpath in kept:
+                    rel = os.path.relpath(fpath, self.path)
+                    bloom = (idx["files"].get(rel) or {}).get(col)
+                    if bloom is None:
+                        survivors.add(fpath)  # unindexed: conservatively kept
+                        continue
+                    bits = base64.b64decode(bloom["bits"])
+                    m, k = bloom["m"], bloom["k"]
+                    if any(
+                        all(
+                            bits[pos >> 3] & (1 << (pos & 7))
+                            for pos in self._bloom_hashes(val, m, k)
+                        )
+                        for val in values
+                    ):
+                        survivors.add(fpath)
+                kept = survivors
+        return sorted(kept), total
+
+    def read_pruned_multi(
+        self,
+        ranges: dict,
+        eq_values: dict | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Multi-predicate read backed by ``prune_files_multi``; the
+        exact range filters are re-applied on the survivors (stats and
+        blooms are superset bounds)."""
+        if self.partition_spec():
+            df = self.read(version)
+            for col, (lo, hi) in ranges.items():
+                if lo is not None:
+                    df = df.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(col) <= F.lit(hi))
+            return df
+        kept, _total = self.prune_files_multi(ranges, eq_values, version)
+        if not kept:
+            return self.read(version).filter(F.lit(False))
+        v = self.latest_version() if version is None else version
+        df = self._scan(kept, schema=self._schema_of(self._state(v)))
+        dv_dir = self._state(v)["dv"]
+        if dv_dir is not None:
+            df = self._apply_dv(df, dv_dir)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
     # -- bloom-filter file index (point-lookup skipping) ---------------------
@@ -1679,6 +1780,7 @@ class ManagedTable:
             add=batch_stats,
             add_paths=[batch_dir],
             dv=dv_dir,
+            read_version=v_prev,
         )
 
     # Changed-file row selection: below this count the plan embeds an
@@ -1766,6 +1868,7 @@ class ManagedTable:
             add=batch_stats,
             remove=[os.path.relpath(f, self.path) for f in sorted(changed)],
             add_paths=[batch_dir],
+            read_version=v_prev,
         )
 
     def _dml_filelevel(
@@ -1817,15 +1920,20 @@ class ManagedTable:
             delta_rows = -n_matched
         elif op == "UPDATE":
             se = set_exprs or {}
+            schema = self._schema_of(self._state(v))
+
+            def upd_col(c):
+                # Store-assignment: keep the column's declared type even
+                # when the SET expression's type differs (NULL literal,
+                # wider arithmetic) — when/otherwise would otherwise
+                # promote BOTH branches and drift the batch schema.
+                e = F.when(F.col("__match"), F.expr(se[c])).otherwise(F.col(c))
+                if schema is not None and c in schema.fieldNames():
+                    e = e.cast(schema[c].dataType)
+                return e.alias(c)
+
             batch = touched.select(
-                *[
-                    F.when(F.col("__match"), F.expr(se[c]))
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    if c in se
-                    else F.col(c)
-                    for c in cols
-                ]
+                *[upd_col(c) if c in se else F.col(c) for c in cols]
             )
             metrics = {"numUpdatedRows": n_matched}
             delta_rows = 0
@@ -1851,6 +1959,7 @@ class ManagedTable:
             add=batch_stats,
             remove=[os.path.relpath(f, self.path) for f in sorted(changed)],
             add_paths=[batch_dir],
+            read_version=v,
         )
 
     def update(
@@ -1880,11 +1989,18 @@ class ManagedTable:
             target = self.read()
             cond = F.expr(condition) if condition else F.lit(True)
             cond = F.coalesce(cond, F.lit(False))
+            schema = self._schema_of(self._state(self.latest_version()))
+
+            def upd_col(c):
+                # Store-assignment cast (see _dml_filelevel UPDATE).
+                e = F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c))
+                if schema is not None and c in schema.fieldNames():
+                    e = e.cast(schema[c].dataType)
+                return e.alias(c)
+
             out = target.select(
                 *[
-                    F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
-                    if c in set_exprs
-                    else F.col(c)
+                    upd_col(c) if c in set_exprs else F.col(c)
                     for c in target.columns
                 ]
             )
@@ -1906,11 +2022,19 @@ class ManagedTable:
             )
         matched = tagged.filter(cond).localCheckpoint(eager=False)
 
+        # Store-assignment: SET expressions are cast to the column's
+        # declared type (a bare NULL literal is void-typed otherwise,
+        # and the batch would land with a corrupt parquet type).
+        schema = self._schema_of(self._state(v))
+
+        def set_col(c):
+            e = F.expr(set_exprs[c])
+            if schema is not None and c in schema.fieldNames():
+                e = e.cast(schema[c].dataType)
+            return e.alias(c)
+
         rewritten = matched.select(
-            *[
-                F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
-                for c in cols
-            ]
+            *[set_col(c) if c in set_exprs else F.col(c) for c in cols]
         )
         self.verify_constraints(rewritten)
         new_version = v + 1
@@ -1937,6 +2061,7 @@ class ManagedTable:
             add=batch_stats,
             add_paths=[batch_dir],
             dv=dv_dir,
+            read_version=v,
         )
 
     def delete(self, condition: str, rewrite: bool | None = None) -> int:
@@ -2019,6 +2144,7 @@ class ManagedTable:
                 dv_metrics,
                 delta_rows=-(total_dv - prior_dv),
                 dv=dv_dir,
+                read_version=v,
             )
         # Legacy chain without the metric: footer-derived count, single
         # attempt (a retry could not recompute it against a new head).
@@ -2137,6 +2263,7 @@ class ManagedTable:
             add=batch_stats,
             add_paths=[batch_dir],
             dv=dv_dir,
+            read_version=v,
         )
 
     def maybe_compact(self, max_data_dirs: int = 16, max_dv_rows: int | None = None) -> int | None:
@@ -2228,7 +2355,11 @@ class ManagedTable:
             if txn_app is not None
             else None
         )
-        current = self.read()
+        # Pin the snapshot the schema check/cast runs against: a
+        # non-commuting commit (OVERWRITE, schema change) landing after
+        # this point must fail the append, not be silently built on.
+        rv = self.latest_version()
+        current = self.read(rv)
         if merge_schema:
             for c, t in df.dtypes:
                 if c not in current.columns:
@@ -2258,7 +2389,11 @@ class ManagedTable:
                     *[F.col(c).cast(tgt[c]) for c in df.columns]
                 )
             return self._commit_incremental(
-                df.select(*current.columns), "APPEND", {}, extra=txn_extra
+                df.select(*current.columns),
+                "APPEND",
+                {},
+                extra=txn_extra,
+                read_version=rv,
             )
         new = current.unionByName(df, allowMissingColumns=False)
         return self._commit(
@@ -2306,7 +2441,8 @@ class ManagedTable:
         for k, v in (options or {}).items():
             reader = reader.option(k, v)
         batch = reader.format(format).load(new_files)
-        current = self.read()
+        rv = self.latest_version()
+        current = self.read(rv)
         extra_cols = [c for c in batch.columns if c not in current.columns]
         missing = [c for c in current.columns if c not in batch.columns]
         if extra_cols or missing:
@@ -2324,6 +2460,7 @@ class ManagedTable:
             "COPY INTO",
             {"numFiles": len(new_files)},
             extra={"copyIntoFiles": new_files},
+            read_version=rv,
         )
 
     @staticmethod
@@ -2382,12 +2519,16 @@ class ManagedTable:
         new_schema = T.StructType(
             list(schema.fields) + [T.StructField(name, self._parse_dtype(dtype))]
         )
+        # Commit the schema change FIRST: if the commit loses a
+        # concurrency race, the side file must not already list a
+        # column the table never gained (un-logged state drift).
+        out = self._commit_schema_only("ADD COLUMN", {"column": name}, new_schema)
         spec = self.partition_spec()
         if spec and self._column_order():
             self._set_partition_spec(
                 spec, column_order=self._column_order() + [name]
             )
-        return self._commit_schema_only("ADD COLUMN", {"column": name}, new_schema)
+        return out
 
     # Read-time-safe primitive widenings (verified against this Spark's
     # vectorized parquet reader: old files upcast at scan, no rewrite).

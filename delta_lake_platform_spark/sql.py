@@ -128,9 +128,18 @@ class PlatformSQL:
             )
         with open(meta_path) as f:
             meta = json.load(f)
-        base = self.tables.get(meta["base"]) or ManagedTable(
-            self.spark, meta["basePath"]
-        )
+        # Bind by the persisted basePath, not the session name: a table
+        # REGISTERED under the same name but living elsewhere is a
+        # different base — refreshing against it would fold a stranger's
+        # deltas into this view's state.
+        registered = self.tables.get(meta["base"])
+        if registered is not None and registered.path != meta["basePath"]:
+            raise ValueError(
+                f"attach_materialized_view: session table {meta['base']!r} "
+                f"points at {registered.path}, but the view was defined "
+                f"over {meta['basePath']}"
+            )
+        base = registered or ManagedTable(self.spark, meta["basePath"])
         self._views[name] = MaterializedAggView(
             base, path, group_cols=meta["groupCols"], sum_cols=meta["sumCols"]
         )

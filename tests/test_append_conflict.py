@@ -208,3 +208,96 @@ def test_threaded_concurrent_appends_all_commit(spark, tmpdir):
     assert t.row_count() == 10 + 12 * 5  # log arithmetic survived races
     ops = {h["operation"] for h in t.history(12)}
     assert ops == {"APPEND"}
+
+
+# --- the PRE-ATTEMPT window (r5 ADVICE #1) -----------------------------------
+#
+# A conflicting commit can land between the operation's SNAPSHOT READ
+# and its first entry-create attempt (the whole scan/DV/batch-write
+# window). The entry create then does NOT clash (the loser targets the
+# next free version), so only the read_version-anchored commutes check
+# can catch it. These interleaves fire INSIDE the operation body —
+# earlier than _RacingProtocol's create_entry hook.
+
+
+def _interleave_on(table, method_name, action):
+    """Patch ``table.<method_name>`` to run ``action`` once before the
+    real call — a deterministic writer landing mid-operation."""
+    orig = getattr(table, method_name)
+    state = {"fired": False}
+
+    def wrapper(*args, **kwargs):
+        if not state["fired"]:
+            state["fired"] = True
+            action()
+        return orig(*args, **kwargs)
+
+    setattr(table, method_name, wrapper)
+
+
+def test_mor_delete_racing_mor_delete_conflicts(spark, tmpdir):
+    """Two concurrent MOR deletes: the loser's full DV was built from
+    the winner's PREDECESSOR — committing it would resurrect the
+    winner's deleted rows. Must raise, and the winner's delete must
+    survive."""
+    path = f"{tmpdir}/t"
+    b = ManagedTable(spark, path)
+    b.create(_batch(spark, 0, 10).coalesce(1))
+
+    a = ManagedTable(spark, path)
+    _interleave_on(a, "_write_dv", lambda: b.delete("id < 3", rewrite=False))
+    with pytest.raises(ConcurrentWriteError):
+        a.delete("id >= 8", rewrite=False)
+    # Winner's rows stay deleted; loser's predicate did NOT half-apply.
+    assert sorted(r.id for r in b.read().collect()) == list(range(3, 10))
+
+
+def test_mor_update_racing_mor_delete_conflicts(spark, tmpdir):
+    path = f"{tmpdir}/t"
+    b = ManagedTable(spark, path)
+    b.create(_batch(spark, 0, 10).coalesce(1))
+
+    a = ManagedTable(spark, path)
+    _interleave_on(a, "_write_dv", lambda: b.delete("id = 0", rewrite=False))
+    with pytest.raises(ConcurrentWriteError):
+        a.update({"v": "v + 100"}, "id >= 5", rewrite=False)
+    assert sorted(r.id for r in b.read().collect()) == list(range(1, 10))
+    assert b.read().filter("v >= 100").count() == 0
+
+
+def test_append_racing_overwrite_in_write_window_conflicts(spark, tmpdir):
+    """An OVERWRITE landing while the append's batch is being written
+    redefines the table — the append must fail even though its entry
+    create does not clash."""
+    path = f"{tmpdir}/t"
+    b = ManagedTable(spark, path)
+    b.create(_batch(spark, 0, 10).coalesce(1))
+
+    a = ManagedTable(spark, path)
+    _interleave_on(
+        a,
+        "_write_data_staged",
+        lambda: b.overwrite(_batch(spark, 50, 55).coalesce(1)),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        a.append(_batch(spark, 200, 210).coalesce(1))
+    assert sorted(r.id for r in b.read().collect()) == list(range(50, 55))
+
+
+def test_mor_delete_racing_blind_append_commits(spark, tmpdir):
+    """The pre-attempt check must NOT over-fire: a blind append in the
+    window only adds files the DML never read — WriteSerializable says
+    commit."""
+    path = f"{tmpdir}/t"
+    b = ManagedTable(spark, path)
+    b.create(_batch(spark, 0, 10).coalesce(1))
+
+    a = ManagedTable(spark, path)
+    _interleave_on(
+        a, "_write_dv", lambda: b.append(_batch(spark, 200, 205).coalesce(1))
+    )
+    v = a.delete("id < 3", rewrite=False)
+    assert v == 2  # create(0), interleaved append(1), delete re-aimed at 2
+    assert sorted(r.id for r in b.read().collect()) == (
+        list(range(3, 10)) + list(range(200, 205))
+    )

@@ -167,3 +167,107 @@ def test_batch_writer_append_preserves_deletion_vector(table, spark):
     # Old k=1 rows stay masked; the appended k=1 rows are visible.
     assert got.filter("k = 1").count() == 10
     assert got.count() == 170
+
+
+def test_stream_tail_fails_explicitly_on_schema_change(table, spark):
+    """Delta fails a stream when the source schema changes so the user
+    restarts it — silently casting wide batches down to the
+    stream-start schema would narrow values (r5 ADVICE #4)."""
+    d = tempfile.mkdtemp(prefix="ds_schema_")
+
+    def run(tag, ignore_changes=True):
+        r = (
+            spark.readStream.format("managed_table")
+            .option("path", table.path)
+            .option("ignoreChanges", "true" if ignore_changes else "false")
+        )
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", f"{d}/{tag}")
+            .option("checkpointLocation", f"{d}/ckpt_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run("a")
+    table.alter_add_column("extra", "double")
+    table.append(
+        spark.range(5000, 5003).select(
+            "id",
+            (F.col("id") % 5).alias("k"),
+            (F.col("id") * 3).alias("v"),
+            F.lit(1.5).alias("extra"),
+        )
+    )
+    with pytest.raises(Exception, match="schema changed"):
+        run("a")
+    # A FRESH stream (new checkpoint) pins the new schema and works.
+    run("b")
+    assert spark.read.parquet(f"{d}/b").count() == table.read().count()
+
+
+def test_sink_commit_conflicting_with_overwrite_raises(table, spark):
+    """A streaming/batch sink append losing the race to a full
+    OVERWRITE must abort, not land on the redefined table (r5 ADVICE
+    #2). Simulated by interleaving the overwrite at the sink's first
+    entry-create."""
+    from delta_lake_platform_spark.sources.datasource import _BatchWriter
+    from delta_lake_platform_spark.sources.managed_table import (
+        ConcurrentWriteError,
+    )
+
+    path = table.path
+    writer = _BatchWriter({"path": path}, table.read().schema, overwrite=False)
+    assert writer.read_version == table.latest_version()
+    # Stage one real file via the writer's own write path.
+    rows = [tuple(r) for r in table.read().limit(3).collect()]
+    msg = writer.write(iter(rows))
+    assert msg.n_rows == 3
+
+    # The overwrite lands AFTER the writer's plan-time snapshot read
+    # but BEFORE its commit — the window the read_version anchor exists
+    # for (the sink's entry create does not even clash).
+    ManagedTable(spark, path).overwrite(
+        spark.range(7).select(
+            "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+        )
+    )
+    with pytest.raises(ConcurrentWriteError):
+        writer.commit([msg])
+    # The overwrite's snapshot stands untouched.
+    assert ManagedTable(spark, path).read().count() == 7
+
+
+def test_sink_commit_racing_blind_append_commits(table, spark):
+    """Symmetric positive case: losing the race to another APPEND is
+    fine — the sink re-aims at the next version."""
+    from delta_lake_platform_spark.sources.datasource import _BatchWriter
+
+    path = table.path
+    n0 = table.read().count()
+    writer = _BatchWriter({"path": path}, table.read().schema, overwrite=False)
+    rows = [(9000 + i, 0, 1) for i in range(4)]
+    msg = writer.write(iter(rows))
+
+    orig = ManagedTable._write_entry
+    state = {"fired": False}
+
+    def interleave(self, version, entry):
+        if not state["fired"] and entry.get("operation") == "APPEND" and "addPaths" in entry:
+            state["fired"] = True
+            ManagedTable(spark, path).append(
+                spark.range(8000, 8002).select(
+                    "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+                )
+            )
+        return orig(self, version, entry)
+
+    from unittest import mock
+
+    with mock.patch.object(ManagedTable, "_write_entry", interleave):
+        writer.commit([msg])
+    t = ManagedTable(spark, path)
+    assert t.read().count() == n0 + 2 + 4
+    assert t.read().filter("id >= 9000").count() == 4

@@ -229,17 +229,17 @@ def test_join_view_refresh_prunes_base_files_by_delta_keys(spark):
         spark.createDataFrame([(k, 7) for k in range(100, 105)], "k long, val long")
     )
     calls = []
-    orig = ManagedTable.read_pruned
+    orig = ManagedTable.read_pruned_multi
 
-    def spy(self, col, lo=None, hi=None, version=None):
-        calls.append((self.path, col, lo, hi))
-        return orig(self, col, lo, hi, version=version)
+    def spy(self, ranges, eq_values=None, version=None):
+        calls.append((self.path, dict(ranges)))
+        return orig(self, ranges, eq_values, version=version)
 
-    with mock.patch.object(ManagedTable, "read_pruned", spy):
+    with mock.patch.object(ManagedTable, "read_pruned_multi", spy):
         mv.refresh()
     assert any(
-        p.endswith("/dim") and c == "k" and lo == 100 and hi == 104
-        for p, c, lo, hi in calls
+        p.endswith("/dim") and ranges.get("k") == (100, 104)
+        for p, ranges in calls
     ), calls
     kept, total = right.prune_files("k", 100, 104)
     assert total == 16 and len(kept) <= 2, "delta range did not prune dim files"
@@ -435,3 +435,192 @@ def test_join_view_minmax_extremum_delete_and_group_move(join_minmax_view):
     left.delete("o_orderkey % 11 = 0", rewrite=False)
     mv.refresh()
     _assert_join_view_exact(mv)
+
+
+# --- NULL group keys (r4 VERDICT #1) -----------------------------------------
+#
+# groupBy treats NULL as a group of its own; every refresh-side join
+# must therefore match NULL keys null-safely or the NULL group splits
+# into duplicate state rows / gets NULL extrema. These tests pin
+# refresh == full recompute with NULLs present on both tiers.
+
+
+def _assert_val_view_exact(mv):
+    got, want = mv.read().drop("avg_val"), _recompute(mv)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def _null_base(spark, d):
+    rows = [
+        (1, "A", 10),
+        (2, "A", 20),
+        (3, None, 5),
+        (4, None, 50),
+        (5, None, 30),
+        (6, "B", 7),
+    ]
+    base = ManagedTable(spark, f"{d}/base")
+    base.create(
+        spark.createDataFrame(rows, "id long, grp string, val long")
+    )
+    return base
+
+
+def test_null_group_key_insert_refresh(spark):
+    d = tempfile.mkdtemp(prefix="dlp_mvnull_")
+    base = _null_base(spark, d)
+    mv = MaterializedAggView(
+        base, f"{d}/mv", group_cols=["grp"], sum_cols=["val"],
+        minmax_cols=["val"],
+    )
+    mv.create()
+    base.append(
+        spark.createDataFrame([(7, None, 100), (8, "A", 1)],
+                              "id long, grp string, val long")
+    )
+    mv.refresh()
+    _assert_val_view_exact(mv)
+    # Exactly ONE state row for the NULL group — no duplicate split.
+    assert mv.read().filter(F.col("grp").isNull()).count() == 1
+    row = mv.read().filter(F.col("grp").isNull()).first()
+    assert row.n_rows == 4 and row.max_val == 100 and row.min_val == 5
+
+
+def test_null_group_key_extremum_delete(spark):
+    """Deleting the NULL group's max dirties it; the recompute join
+    must reach the NULL group (null-safe semi-join) — a dropped group
+    would come back with NULL extrema."""
+    d = tempfile.mkdtemp(prefix="dlp_mvnull_")
+    base = _null_base(spark, d)
+    mv = MaterializedAggView(
+        base, f"{d}/mv", group_cols=["grp"], sum_cols=["val"],
+        minmax_cols=["val"],
+    )
+    mv.create()
+    base.delete("grp IS NULL AND val = 50", rewrite=False)
+    mv.refresh()
+    assert _dirty_groups(mv) == 1
+    _assert_val_view_exact(mv)
+    row = mv.read().filter(F.col("grp").isNull()).first()
+    assert row.min_val == 5 and row.max_val == 30 and row.n_rows == 2
+
+
+def test_null_group_key_group_vanishes_and_returns(spark):
+    d = tempfile.mkdtemp(prefix="dlp_mvnull_")
+    base = _null_base(spark, d)
+    mv = MaterializedAggView(
+        base, f"{d}/mv", group_cols=["grp"], sum_cols=["val"],
+        minmax_cols=["val"],
+    )
+    mv.create()
+    base.delete("grp IS NULL", rewrite=False)
+    mv.refresh()
+    _assert_val_view_exact(mv)
+    assert mv.read().filter(F.col("grp").isNull()).count() == 0
+    base.append(
+        spark.createDataFrame([(9, None, 42)], "id long, grp string, val long")
+    )
+    mv.refresh()
+    _assert_val_view_exact(mv)
+    row = mv.read().filter(F.col("grp").isNull()).first()
+    assert row.n_rows == 1 and row.min_val == 42 and row.max_val == 42
+
+
+def test_null_group_key_join_view_group_move(spark):
+    """Join-tier NULL keys: a dimension update moving rows INTO and a
+    delete removing the extremum OF the NULL group must both land on a
+    single null-keyed state row equal to a full recompute."""
+    from delta_lake_platform_spark.sources.materialized_view import (
+        MaterializedJoinAggView,
+    )
+
+    d = tempfile.mkdtemp(prefix="dlp_mvjnull_")
+    left = ManagedTable(spark, f"{d}/fact")
+    left.create(
+        spark.createDataFrame(
+            [(1, 100, 10), (2, 100, 20), (3, 200, 30), (4, 300, 40)],
+            "id long, k long, val long",
+        )
+    )
+    right = ManagedTable(spark, f"{d}/dim")
+    right.create(
+        spark.createDataFrame(
+            [(100, None), (200, "X"), (300, None)], "k long, grp string"
+        )
+    )
+    mv = MaterializedJoinAggView(
+        left, right, f"{d}/mv", on=["k"], group_cols=["grp"],
+        sum_cols=["val"], minmax_cols=["val"],
+    )
+    mv.create()
+    _assert_join_view_exact_nullsafe(mv)
+    # Move k=200 into the NULL group, delete the NULL group's max row.
+    right.update({"grp": "NULL"}, "k = 200", rewrite=False)
+    left.delete("id = 4", rewrite=False)
+    mv.refresh()
+    _assert_join_view_exact_nullsafe(mv)
+    assert mv.read().filter(F.col("grp").isNull()).count() == 1
+    row = mv.read().filter(F.col("grp").isNull()).first()
+    assert row.n_rows == 3 and row.min_val == 10 and row.max_val == 30
+
+
+def _assert_join_view_exact_nullsafe(mv):
+    got = mv.read().drop("avg_val")
+    want = mv._aggregate(mv.left.read().join(mv.right.read(), on=mv.on))
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+# --- dirty-group recompute past the broadcast threshold (r4 VERDICT #8) ------
+
+
+def test_dirty_recompute_past_broadcast_threshold(spark):
+    """With more dirty groups than ``broadcast_dirty_max`` the
+    recompute must drop the broadcast hint (shuffle semi-join) and
+    still land exactly on the full recompute."""
+    d = tempfile.mkdtemp(prefix="dlp_mvthr_")
+    base = ManagedTable(spark, f"{d}/base")
+    # 50 groups; each group's minimum is val = grp (deleted below).
+    base.create(
+        spark.range(500).select(
+            (F.col("id") % 50).alias("grp"),
+            (F.col("id") % 50 + (F.col("id") / 50).cast("long") * 100).alias(
+                "val"
+            ),
+        )
+    )
+    mv = MaterializedAggView(
+        base, f"{d}/mv", group_cols=["grp"], sum_cols=["val"],
+        minmax_cols=["val"], broadcast_dirty_max=10,
+    )
+    mv.create()
+    base.delete("val < 50", rewrite=False)  # every group loses its min
+    mv.refresh()
+    assert _dirty_groups(mv) == 50
+    got, want = mv.read().drop("avg_val"), mv._aggregate(base.read())
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_dirty_recompute_hint_presence_tracks_threshold(spark):
+    """The broadcast hint is present under the threshold and absent
+    above it (the hint, not AQE's final choice, is what we control)."""
+    d = tempfile.mkdtemp(prefix="dlp_mvhint_")
+    base = ManagedTable(spark, f"{d}/base")
+    base.create(
+        spark.range(100).select(
+            (F.col("id") % 10).alias("grp"), F.col("id").alias("val")
+        )
+    )
+    mv = MaterializedAggView(
+        base, f"{d}/mv", group_cols=["grp"], sum_cols=["val"],
+        minmax_cols=["val"], broadcast_dirty_max=5,
+    )
+    mv.create()
+    keys = base.read().select("grp").distinct()
+    plan_small = mv._recompute_dirty(
+        base.latest_version(), keys, n_dirty=3
+    )._jdf.queryExecution().analyzed().toString()
+    plan_big = mv._recompute_dirty(
+        base.latest_version(), keys, n_dirty=50
+    )._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in plan_small.lower()
+    assert "broadcast" not in plan_big.lower()

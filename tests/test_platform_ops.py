@@ -369,3 +369,31 @@ def test_overwrite_type_change_requires_opt_in(spark):
         overwrite_schema=True,
     )
     assert dict(t.read().dtypes)["v"] == "string"
+
+
+def test_update_set_null_keeps_column_type(spark):
+    """UPDATE SET col = NULL must store-assign to the column's declared
+    type on every DML path — a void-typed batch corrupts the parquet
+    schema (found via the MV NULL-group-key work, r5)."""
+    import tempfile
+
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    for rewrite in (False, True):
+        d = tempfile.mkdtemp(prefix="upd_null_")
+        t = ManagedTable(spark, f"{d}/t")
+        t.create(
+            spark.range(10).selectExpr(
+                "id", "cast(concat('s', id) as string) as s"
+            )
+        )
+        t.append(  # second file so rewrite=True takes the file-level path
+            spark.range(10, 20).selectExpr(
+                "id", "cast(concat('s', id) as string) as s"
+            )
+        )
+        t.update({"s": "NULL"}, "id % 2 = 0", rewrite=rewrite)
+        got = t.read()
+        assert dict(got.dtypes)["s"] == "string"
+        assert got.filter("s IS NULL").count() == 10
+        assert got.filter("s IS NOT NULL").count() == 10
