@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    load_start = os.getloadavg()  # recorded so a throttled/shared-VM run is visible
 
     from delta_lake_platform_spark.session import get_spark
     import delta_lake_platform_spark.queries.all  # noqa: F401
@@ -181,6 +182,7 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    loadavg = [round(x, 2) for x in (*load_start[:1], *os.getloadavg()[:1])]
     details = {
         "metric": "total_query_seconds",
         "value": total,
@@ -188,6 +190,7 @@ def main() -> None:
         "sf": sf_val,
         "runs": 2,
         "policy": "min",
+        "loadavg_start_end": loadavg,
         "n_queries": len(times),
         "queries": times,
     }
@@ -202,6 +205,17 @@ def main() -> None:
     except OSError as exc:  # noqa: BLE001
         print(f"could not write {details_path}: {exc}", file=sys.stderr)
     print(f"full per-query timings: {details_path}", file=sys.stderr)
+    # Cross-round archive (r4 postmortem: r3's details were overwritten,
+    # so per-query diffs between rounds had to come from the judge's
+    # records). One JSON line per run, appended.
+    try:
+        hist_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
+        )
+        with open(hist_path, "a") as fh:
+            fh.write(json.dumps({"ts": time.time(), **details}) + "\n")
+    except OSError:
+        pass
 
     # Keep the machine line compact: only the slowest queries inline.
     slowest = dict(
@@ -214,6 +228,7 @@ def main() -> None:
         "sf": sf_val,
         "runs": 2,
         "policy": "min",
+        "loadavg_start_end": loadavg,
         "n_queries": len(times),
         "n_errors": len(errors),
         "queries": slowest,

@@ -2909,27 +2909,45 @@ class ManagedTable:
         rescans the table to compute its feed. Falls back to the two
         full snapshots when the invariant doesn't hold (partitioned
         layout, shrunk DV, schema drift)."""
-        full = (self.read(from_version), self.read(to_version))
+        def full() -> tuple[DataFrame, DataFrame]:
+            return (self.read(from_version), self.read(to_version))
+
         if self.partition_spec():
-            return full  # bare-file scans would lose hive columns
+            return full()  # bare-file scans would lose hive columns
+
+        # Column agreement is decided from the LOG schemas — building
+        # the two full snapshot plans just to read .columns costs
+        # hundreds of py4j round-trips per feed (measured ~0.3s of the
+        # refresh commit tax); the log already knows.
+        schema_to = self._schema_of(self._state(to_version))
+        schema_from = self._schema_of(self._state(from_version))
+        if (
+            schema_to is None
+            or schema_from is None
+            or schema_from.fieldNames() != schema_to.fieldNames()
+        ):
+            f = full()
+            if f[0].columns != f[1].columns:
+                return f  # schema drift: exact full diff
+            schema_to = None  # legacy: scans below infer
+            cols = f[0].columns
+            empty = lambda: f[0].select(*cols).filter(F.lit(False))  # noqa: E731
+        else:
+            cols = schema_to.fieldNames()
+            empty = lambda: self.spark.createDataFrame([], schema_to)  # noqa: E731
+
         before_files = set(self._all_data_files(from_version))
         after_files = set(self._all_data_files(to_version))
         shared = sorted(before_files & after_files)
         b_only = sorted(before_files - after_files)
         a_only = sorted(after_files - before_files)
-        if full[0].columns != full[1].columns:
-            return full
         dv_from_dir = self._state(from_version)["dv"]
         dv_to_dir = self._state(to_version)["dv"]
 
-        def side(files: list[str], dv_dir: str | None, cols) -> DataFrame:
+        def side(files: list[str], dv_dir: str | None) -> DataFrame:
             if not files:
-                return full[0].select(*cols).filter(F.lit(False))
-            df = self._scan(
-                files,
-                with_positions=True,
-                schema=self._schema_of(self._state(to_version)),
-            )
+                return empty()
+            df = self._scan(files, with_positions=True, schema=schema_to)
             if dv_dir:
                 df = df.join(
                     F.broadcast(self._read_dv(dv_dir)),
@@ -2938,10 +2956,9 @@ class ManagedTable:
                 )
             return df.select(*cols)
 
-        cols = full[0].columns
-        before = side(b_only, dv_from_dir, cols)
-        after = side(a_only, dv_to_dir, cols)
-        if dv_to_dir and shared:
+        before = side(b_only, dv_from_dir)
+        after = side(a_only, dv_to_dir)
+        if dv_to_dir and shared and dv_to_dir != dv_from_dir:
             dv_to = self._read_dv(dv_to_dir)
             if dv_from_dir:
                 dv_from = self._read_dv(dv_from_dir)
@@ -2950,14 +2967,14 @@ class ManagedTable:
                 if not dv_from.join(
                     dv_to, on=["__dv_file", "__dv_pos"], how="left_anti"
                 ).isEmpty():
-                    return full
+                    return full()
                 dv_delta = dv_to.join(
                     dv_from, on=["__dv_file", "__dv_pos"], how="left_anti"
                 )
             else:
                 dv_delta = dv_to
             newly_dead = (
-                self._scan(shared, with_positions=True)
+                self._scan(shared, with_positions=True, schema=schema_to)
                 .join(
                     F.broadcast(dv_delta),
                     on=["__dv_file", "__dv_pos"],
@@ -2966,8 +2983,8 @@ class ManagedTable:
                 .select(*cols)
             )
             before = before.unionByName(newly_dead)
-        elif dv_from_dir and shared:
-            return full  # DV vanished between versions: full diff
+        elif dv_from_dir and shared and dv_from_dir != dv_to_dir:
+            return full()  # DV vanished between versions: full diff
         return before, after
 
     def change_feed(

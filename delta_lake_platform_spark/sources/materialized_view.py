@@ -234,7 +234,12 @@ class MaterializedAggView:
             .filter(F.col("n_rows") > 0)  # fully-deleted groups vanish
         )
         n_dirty = 0
-        if self.minmax_cols:
+        # Metadata short-circuit: when every commit in the span only
+        # ADDED files (blind appends — the log proves it), the feed has
+        # no deletes, no group can be dirty, and the checkpoint + count
+        # job are skipped outright — the common streaming-ingest case.
+        insert_only = self.base._adds_only_between(last + 1, cur)
+        if self.minmax_cols and not insert_only:
             merged = merged.localCheckpoint(eager=False)  # reused 3×
             dirty_keys = merged.filter(F.col("__dirty")).select(
                 *self.group_cols
@@ -524,7 +529,10 @@ class MaterializedJoinAggView:
             .filter(F.col("n_rows") > 0)
         )
         n_dirty = 0
-        if self.minmax_cols:
+        insert_only = self.left._adds_only_between(
+            l0 + 1, l1
+        ) and self.right._adds_only_between(r0 + 1, r1)
+        if self.minmax_cols and not insert_only:
             merged = merged.localCheckpoint(eager=False)
             dirty_keys = merged.filter(F.col("__dirty")).select(*self.group_cols)
             n_dirty = dirty_keys.count()
