@@ -48,7 +48,7 @@ class _FilePartition(InputPartition):
         self.deleted_rows = deleted_rows
 
 
-def _read_file_batches(part: _FilePartition, arrow_schema=None) -> Iterator:
+def _read_file_batches(part: _FilePartition, schema_info=None) -> Iterator:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -57,31 +57,41 @@ def _read_file_batches(part: _FilePartition, arrow_schema=None) -> Iterator:
         dead = set(part.deleted_rows)
         keep = [i for i in range(table.num_rows) if i not in dead]
         table = table.take(pa.array(keep, type=pa.int64()))
-    if arrow_schema is not None and table.schema != arrow_schema:
-        # Metadata-only schema evolution leaves older files physically
-        # narrow (or missing added columns); align each file to the
-        # log's authoritative schema: cast present columns, NULL-fill
-        # absent ones.
-        cols = []
-        for field in arrow_schema:
-            if field.name in table.column_names:
-                cols.append(table.column(field.name).cast(field.type))
-            else:
-                cols.append(pa.nulls(table.num_rows, type=field.type))
-        table = pa.Table.from_arrays(cols, schema=arrow_schema)
+    if schema_info is not None:
+        arrow_schema, logical_names = schema_info
+        if table.schema != arrow_schema:
+            # Metadata-only schema evolution leaves older files
+            # physically narrow (or missing added columns); align each
+            # file to the log's authoritative PHYSICAL schema: cast
+            # present columns, NULL-fill absent ones.
+            cols = []
+            for field in arrow_schema:
+                if field.name in table.column_names:
+                    cols.append(table.column(field.name).cast(field.type))
+                else:
+                    cols.append(pa.nulls(table.num_rows, type=field.type))
+            table = pa.Table.from_arrays(cols, schema=arrow_schema)
+        if list(table.column_names) != logical_names:
+            table = table.rename_columns(logical_names)  # physical -> logical
     yield from table.to_batches()
 
 
 def _log_arrow_schema(table: ManagedTable, version: int):
-    """Arrow form of the log's recorded snapshot schema (None for
-    legacy histories — files are then schema-homogeneous by
-    construction and need no alignment)."""
-    logical = table._schema_of(table._state(version))
+    """(physical arrow schema, logical names) from the log's recorded
+    snapshot schema — files are aligned to the PHYSICAL schema (column
+    mapping keeps physical names stable across renames) and the result
+    is renamed to logical. None for legacy histories — files are then
+    schema-homogeneous by construction and need no alignment."""
+    state = table._state(version)
+    logical = table._schema_of(state)
     if logical is None:
         return None
+    physical = ManagedTable._physical_schema(
+        logical, state.get("columnMapping")
+    )
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    return to_arrow_schema(logical)
+    return to_arrow_schema(physical), [f.name for f in logical.fields]
 
 
 def _table_from_options(options) -> ManagedTable:
@@ -287,6 +297,20 @@ class _BatchWriter(DataSourceWriter):
                 "managed_table sink bypasses Spark-side CHECK validation; "
                 "use ManagedTable.append() on constrained tables"
             )
+        if table.exists() and not self.overwrite:
+            state = table._state(table.latest_version())
+            if ManagedTable._mapping_nontrivial(state.get("columnMapping")):
+                # Executor partitions were written with LOGICAL column
+                # names; appending them to a column-mapped table would
+                # mix physical naming schemes inside one snapshot.
+                import shutil
+
+                shutil.rmtree(self.staging, ignore_errors=True)
+                raise ValueError(
+                    "managed_table sink cannot append to a column-mapped "
+                    "table (RENAME/DROP COLUMN history); use "
+                    "ManagedTable.append()"
+                )
         if table.exists() and not self.overwrite:
             # The executors wrote this batch against self.schema; a
             # table whose log schema no longer matches must reject the

@@ -266,9 +266,14 @@ class ManagedTable:
         return v
 
     def exists(self) -> bool:
-        # Version 0 always exists for a live table (VACUUM removes
-        # data, never log entries) — one stat call, no listing.
-        return os.path.isfile(self._entry_path(0)) or bool(self._versions())
+        # One stat call for a young table (entry 0); after log
+        # retention expired the early entries, the checkpoint pointer
+        # answers; the listing is the last resort.
+        return (
+            os.path.isfile(self._entry_path(0))
+            or self._last_checkpoint_version() is not None
+            or bool(self._versions())
+        )
 
     def _local_data_dir(self, version: int) -> str:
         return os.path.join(self.path, "data", f"v={version}")
@@ -339,6 +344,10 @@ class ManagedTable:
             "dv": entry.get("deletionVector"),
             "fileLevel": bool(entry.get("dataFiles")) or bool(entry.get("fileLevel")),
             "schema": entry.get("schema"),
+            # Logical->physical column-name mapping (Delta column
+            # mapping, name mode). A full-snapshot commit writes
+            # logical names and so RESETS the mapping.
+            "columnMapping": entry.get("columnMapping"),
         }
 
     def _read_checkpoint(self, version: int) -> dict | None:
@@ -369,6 +378,7 @@ class ManagedTable:
                     "dv": meta.get("dv"),
                     "fileLevel": meta.get("fileLevel", False),
                     "schema": meta.get("schema"),
+                    "columnMapping": meta.get("columnMapping"),
                 }
             except Exception:
                 return None  # derived data: fall back to log replay
@@ -386,6 +396,7 @@ class ManagedTable:
             "dv": ck.get("dv"),
             "fileLevel": ck.get("fileLevel", False),
             "schema": ck.get("schema"),
+            "columnMapping": ck.get("columnMapping"),
         }
 
     def _state(self, version: int) -> dict:
@@ -411,7 +422,11 @@ class ManagedTable:
             entry = self._entry(cur)
             if entry is None:
                 raise FileNotFoundError(
-                    f"no log entry for version {cur} of {self.path}"
+                    f"no log entry for version {cur} of {self.path} — "
+                    "either the version never existed or its entry was "
+                    "expired by log retention (time travel past the "
+                    "retained horizon needs a checkpoint at the target "
+                    "version)"
                 )
             if entry.get("logMode") != "delta":
                 state = self._base_state_from_entry(entry)
@@ -431,6 +446,8 @@ class ManagedTable:
                 or bool(entry.get("remove"))
                 or bool(entry.get("fileLevel")),
                 "schema": entry.get("schema") or state.get("schema"),
+                "columnMapping": entry.get("columnMapping")
+                or state.get("columnMapping"),
             }
             self._state_cache[entry["version"]] = state
         self._state_cache[version] = state
@@ -473,6 +490,7 @@ class ManagedTable:
             "dv": state["dv"],
             "fileLevel": state["fileLevel"],
             "schema": state.get("schema"),
+            "columnMapping": state.get("columnMapping"),
         }
         table = table.replace_schema_metadata(
             {b"snapshot": json.dumps(meta).encode()}
@@ -533,18 +551,24 @@ class ManagedTable:
         root with ``basePath`` when hive columns must survive."""
         state = self._state(version)
         schema = self._schema_of(state)
+        mapping = state.get("columnMapping")
         spec = self.partition_spec()
         if spec and not state["fileLevel"]:
             return self._scan(
-                state["dirs"], with_positions=with_positions, schema=schema
+                state["dirs"], with_positions=with_positions, schema=schema,
+                mapping=mapping,
             )
         files = self._all_data_files(version)
         if not files:  # degenerate: fall back to the dirs (schema anchor)
             return self._scan(
-                state["dirs"], with_positions=with_positions, schema=schema
+                state["dirs"], with_positions=with_positions, schema=schema,
+                mapping=mapping,
             )
         if not spec:
-            return self._scan(files, with_positions=with_positions, schema=schema)
+            return self._scan(
+                files, with_positions=with_positions, schema=schema,
+                mapping=mapping,
+            )
         return self._scan_files_partitioned(
             files, state["dirs"], with_positions=with_positions, schema=schema
         )
@@ -613,7 +637,10 @@ class ManagedTable:
         state = self._state(version)
         schema = self._schema_of(state)
         if not self.partition_spec():
-            return self._scan(files, with_positions=with_positions, schema=schema)
+            return self._scan(
+                files, with_positions=with_positions, schema=schema,
+                mapping=state.get("columnMapping"),
+            )
         return self._scan_files_partitioned(
             files, state["dirs"], with_positions=with_positions, schema=schema
         )
@@ -679,6 +706,7 @@ class ManagedTable:
         dv: str | None = None,
         extra: dict | None = None,
         schema: dict | None = None,
+        column_mapping: dict | None = None,
     ) -> int:
         """Write an incremental (delta-action) log entry: only the files
         this commit added (with their stats) and removed — O(changed
@@ -686,7 +714,7 @@ class ManagedTable:
         pointer carries forward implicitly unless ``dv`` replaces it;
         same for the recorded snapshot schema (pass ``schema`` only when
         the commit changes it, e.g. an append that anchors a legacy
-        table's schema)."""
+        table's schema) and the column mapping (RENAME/DROP COLUMN)."""
         entry = {
             "version": version,
             "timestamp": time.time(),
@@ -698,6 +726,11 @@ class ManagedTable:
             "addPaths": add_paths or [],
             **({"deletionVector": dv} if dv is not None else {}),
             **({"schema": schema} if schema is not None else {}),
+            **(
+                {"columnMapping": column_mapping}
+                if column_mapping is not None
+                else {}
+            ),
             **(extra or {}),
         }
         self._write_entry(version, entry)
@@ -791,11 +824,50 @@ class ManagedTable:
         except CommitError as e:
             raise ConcurrentWriteError(str(e)) from e
 
+    @staticmethod
+    def _mapping_nontrivial(mapping: dict | None) -> bool:
+        return bool(mapping) and any(l != p for l, p in mapping.items())
+
+    @staticmethod
+    def _physical_schema(
+        schema: T.StructType, mapping: dict | None
+    ) -> T.StructType:
+        """The on-file schema under column mapping: same fields, names
+        translated logical -> physical."""
+        if not ManagedTable._mapping_nontrivial(mapping):
+            return schema
+        return T.StructType(
+            [
+                T.StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+                )
+                for f in schema.fields
+            ]
+        )
+
+    def _to_physical(self, df: DataFrame, version: int) -> DataFrame:
+        """Rename a logical-schema batch to physical column names before
+        it is written: under column mapping, data files always carry
+        PHYSICAL names (stable across renames), so incremental commits
+        after a rename stay metadata-only."""
+        mapping = self._state(version).get("columnMapping")
+        if not self._mapping_nontrivial(mapping):
+            return df
+        return df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
+
+    def _phys_col(self, state: dict, col: str) -> str:
+        """Physical (on-file, stats-key) name of a logical column."""
+        mapping = state.get("columnMapping")
+        return mapping.get(col, col) if mapping else col
+
     def _scan(
         self,
         dirs: list[str],
         with_positions: bool = False,
         schema: T.StructType | None = None,
+        mapping: dict | None = None,
     ) -> DataFrame:
         """One DataFrame over a version's data dirs. Non-partitioned
         tables scan all dirs as a single relation. Hive-partitioned
@@ -804,7 +876,19 @@ class ManagedTable:
         still gets its own PartitionFilters, so partition pruning fires
         per dir. ``with_positions`` exposes the (file, row-position)
         metadata the DV machinery joins on; it must be projected per
-        relation (``_metadata`` does not exist on a union)."""
+        relation (``_metadata`` does not exist on a union).
+
+        Under column mapping (``mapping``: logical -> physical names,
+        Delta's name mode), files are read with the PHYSICAL schema and
+        re-aliased to logical names — a renamed column costs a
+        projection, never a rewrite; a stale physical column from a
+        dropped field is simply never selected."""
+        mapped = (
+            self._mapping_nontrivial(mapping) and schema is not None
+        )
+        phys_schema = (
+            self._physical_schema(schema, mapping) if mapped else schema
+        )
 
         def tag(df: DataFrame) -> DataFrame:
             if not with_positions:
@@ -813,6 +897,18 @@ class ManagedTable:
                 F.col("_metadata.file_path").alias("__dv_file"),
                 F.col("_metadata.row_index").alias("__dv_pos"),
                 *df.columns,
+            )
+
+        def to_logical(df: DataFrame) -> DataFrame:
+            if not mapped:
+                return df
+            meta = [c for c in ("__dv_file", "__dv_pos") if c in df.columns]
+            return df.select(
+                *meta,
+                *[
+                    F.col(mapping.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ],
             )
 
         spec = self.partition_spec()
@@ -831,14 +927,14 @@ class ManagedTable:
 
         def reader():
             r = self.spark.read
-            return r.schema(schema) if schema is not None else r
+            return r.schema(phys_schema) if phys_schema is not None else r
 
         if not spec or len(dirs) == 1:
-            return reorder(tag(reader().parquet(*dirs)))
+            return reorder(to_logical(tag(reader().parquet(*dirs))))
         nonempty = [d for d in dirs if _parquet_files(d)] or dirs[:1]
         out = None
         for d in nonempty:
-            df = tag(reader().parquet(d))
+            df = to_logical(tag(reader().parquet(d)))
             out = df if out is None else out.unionByName(df)
         return reorder(out)
 
@@ -1028,7 +1124,10 @@ class ManagedTable:
         ultimately gives up leaves an unreferenced batch dir, reclaimed
         by VACUUM like any crashed writer's."""
         self.verify_constraints(batch)
-        local = self._write_data_staged(batch, self._batch_dir())
+        rv = read_version if read_version is not None else self.latest_version()
+        local = self._write_data_staged(
+            self._to_physical(batch, rv), self._batch_dir()
+        )
         n_new, new_stats = _scan_parquet_footers(local, rel_root=self.path)
         # Delta-action entry: the batch's own stats + its dir; prior
         # files and the DV pointer carry through replay — commit
@@ -1086,7 +1185,16 @@ class ManagedTable:
         )
 
     def _dv_dir(self, version: int) -> str:
+        """Legacy version-named DV location — still recognized by reads
+        and vacuum for histories written before uuid naming."""
         return os.path.join(self.path, "dv", f"v={version}")
+
+    def _new_dv_dir(self) -> str:
+        """Version-INDEPENDENT writer-unique DV sidecar dir (same model
+        as ``_batch_dir``): no two writers contend on a dv path, a
+        conflict retry re-aims the LOG ENTRY alone, and vacuum treats
+        all transient artifacts uniformly (NOTES debt (b))."""
+        return os.path.join(self.path, "dv", f"dv-{uuid.uuid4().hex[:12]}")
 
     _DV_SCHEMA = T.StructType(
         [
@@ -1177,10 +1285,12 @@ class ManagedTable:
                 return x + " 00:00:00"
             return x
 
+        # Footer stats are keyed by PHYSICAL column names.
+        pcol = self._phys_col(state, col)
         kept = []
         for rel in sorted(files):
             # Table-root-relative key (matches how commits record stats).
-            s = (files[rel] or {}).get(col)
+            s = (files[rel] or {}).get(pcol)
             fpath = self._abs(rel)
             if s is None:  # no stats for this file/col: conservatively kept
                 kept.append(fpath)
@@ -1217,7 +1327,11 @@ class ManagedTable:
         if not kept:
             return self.read(version).filter(F.lit(False))
         v = self.latest_version() if version is None else version
-        df = self._scan(kept, schema=self._schema_of(self._state(v)))
+        df = self._scan(
+            kept,
+            schema=self._schema_of(self._state(v)),
+            mapping=self._state(v).get("columnMapping"),
+        )
         dv_dir = self._state(v)["dv"]
         if dv_dir is not None:
             # DV rows for skipped files simply find no match.
@@ -1256,10 +1370,11 @@ class ManagedTable:
         idx = self._bloom_index(v) if eq_values else None
         if idx:
             for col, values in (eq_values or {}).items():
+                pcol = self._phys_col(self._state(v), col)
                 survivors = set()
                 for fpath in kept:
                     rel = os.path.relpath(fpath, self.path)
-                    bloom = (idx["files"].get(rel) or {}).get(col)
+                    bloom = (idx["files"].get(rel) or {}).get(pcol)
                     if bloom is None:
                         survivors.add(fpath)  # unindexed: conservatively kept
                         continue
@@ -1297,7 +1412,11 @@ class ManagedTable:
         if not kept:
             return self.read(version).filter(F.lit(False))
         v = self.latest_version() if version is None else version
-        df = self._scan(kept, schema=self._schema_of(self._state(v)))
+        df = self._scan(
+            kept,
+            schema=self._schema_of(self._state(v)),
+            mapping=self._state(v).get("columnMapping"),
+        )
         dv_dir = self._state(v)["dv"]
         if dv_dir is not None:
             df = self._apply_dv(df, dv_dir)
@@ -1345,6 +1464,10 @@ class ManagedTable:
         import pyarrow.parquet as pq
 
         v = self.latest_version() if version is None else version
+        state = self._state(v)
+        # Files carry PHYSICAL names under column mapping; the sidecar
+        # is keyed by them too (stable across renames).
+        cols = [self._phys_col(state, c) for c in cols]
         files_index: dict[str, dict] = {}
         ln2 = math.log(2)
         for fpath in self._all_data_files(v):
@@ -1411,12 +1534,13 @@ class ManagedTable:
         idx = self._bloom_index(v)
         if idx is None:
             return kept, total
+        pcol = self._phys_col(self._state(v), col)
         out = []
         for fpath in kept:
             # Same table-root-relative key the builder writes; no
             # cross-dir ambiguity possible.
             rel = os.path.relpath(fpath, self.path)
-            bloom = (idx["files"].get(rel) or {}).get(col)
+            bloom = (idx["files"].get(rel) or {}).get(pcol)
             if bloom is None:
                 out.append(fpath)  # unindexed file: conservatively kept
                 continue
@@ -1440,7 +1564,11 @@ class ManagedTable:
         if not kept:
             return self.read(version).filter(F.lit(False))
         v = self.latest_version() if version is None else version
-        df = self._scan(kept, schema=self._schema_of(self._state(v)))
+        df = self._scan(
+            kept,
+            schema=self._schema_of(self._state(v)),
+            mapping=self._state(v).get("columnMapping"),
+        )
         dv_dir = self._state(v)["dv"]
         if dv_dir is not None:
             df = self._apply_dv(df, dv_dir)
@@ -1453,15 +1581,17 @@ class ManagedTable:
         This is how an identity column's high-water mark should be
         found at 100 TB: the log already knows it."""
         v = self.latest_version() if version is None else version
+        state = self._state(v)
+        pcol = self._phys_col(state, col)
         maxes = []
-        for fname, cols in self._state(v)["files"].items():
+        for fname, cols in state["files"].items():
             if cols is None:
                 return None  # stats-less file (clone) could hide the max
             if not cols:
                 continue  # zero-row file (no row groups -> no stats)
-            if col not in cols:
+            if pcol not in cols:
                 return None  # a file without stats could hide the max
-            maxes.append(cols[col][1])
+            maxes.append(cols[pcol][1])
         return max(maxes) if maxes else None
 
     def known_row_count(self, version: int | None = None) -> int | None:
@@ -1749,10 +1879,12 @@ class ManagedTable:
         for p in parts[1:]:
             batch = batch.unionByName(p)
         self.verify_constraints(batch)
-        batch_dir = self._write_data_staged(batch, self._batch_dir())
+        batch_dir = self._write_data_staged(
+            self._to_physical(batch, v_prev), self._batch_dir()
+        )
         _n_batch, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
-        dv_dir = self._dv_dir(new_version)
+        dv_dir = self._new_dv_dir()
         old_dv_dir = self._state(v_prev)["dv"]
         dv_parts = []
         if old_dv_dir:
@@ -1849,7 +1981,9 @@ class ManagedTable:
         for p in parts[1:]:
             batch = batch.unionByName(p)
         self.verify_constraints(batch)
-        batch_dir = self._write_data_staged(batch, self._batch_dir())
+        batch_dir = self._write_data_staged(
+            self._to_physical(batch, v_prev), self._batch_dir()
+        )
         _n_batch, batch_stats = _scan_parquet_footers(
             batch_dir, rel_root=self.path
         )
@@ -1944,7 +2078,9 @@ class ManagedTable:
             metrics = {"numCompactedRows": n_matched}
             delta_rows = 0
         self.verify_constraints(batch)
-        batch_dir = self._write_data_staged(batch, self._batch_dir())
+        batch_dir = self._write_data_staged(
+            self._to_physical(batch, v), self._batch_dir()
+        )
         _n, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
         metrics.update(
             {
@@ -2038,10 +2174,12 @@ class ManagedTable:
         )
         self.verify_constraints(rewritten)
         new_version = v + 1
-        batch_dir = self._write_data_staged(rewritten, self._batch_dir())
+        batch_dir = self._write_data_staged(
+            self._to_physical(rewritten, v), self._batch_dir()
+        )
         n_upd, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
-        dv_dir = self._dv_dir(new_version)
+        dv_dir = self._new_dv_dir()
         new_pos = matched.select("__dv_file", "__dv_pos")
         full_dv = (
             new_pos
@@ -2101,7 +2239,7 @@ class ManagedTable:
             )
         new_pos = tagged.filter(cond).select("__dv_file", "__dv_pos")
         new_version = v + 1
-        dv_dir = self._dv_dir(new_version)
+        dv_dir = self._new_dv_dir()
         # Each DV commit writes the COMPLETE vector (prior ∪ new), so no
         # version ever depends on another version's sidecar.
         full_dv = (
@@ -2240,10 +2378,12 @@ class ManagedTable:
         batch = df.select(*cols)
         self.verify_constraints(batch)
         new_version = v + 1
-        batch_dir = self._write_data_staged(batch, self._batch_dir())
+        batch_dir = self._write_data_staged(
+            self._to_physical(batch, v), self._batch_dir()
+        )
         n_new, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
 
-        dv_dir = self._dv_dir(new_version)
+        dv_dir = self._new_dv_dir()
         full_dv = (
             replaced_pos
             if not old_dv_dir
@@ -2471,7 +2611,11 @@ class ManagedTable:
             return T._parse_datatype_string(dtype)
 
     def _commit_schema_only(
-        self, operation: str, metrics: dict, new_schema: T.StructType
+        self,
+        operation: str,
+        metrics: dict,
+        new_schema: T.StructType,
+        column_mapping: dict | None = None,
     ) -> int:
         """Metadata-only schema commit (Delta's model): a delta-action
         entry carrying ONLY the new schema — zero data files touched,
@@ -2497,6 +2641,7 @@ class ManagedTable:
                 ),
             },
             schema=new_schema.jsonValue(),
+            column_mapping=column_mapping,
         )
 
     def alter_add_column(self, name: str, dtype: str) -> int:
@@ -2519,10 +2664,21 @@ class ManagedTable:
         new_schema = T.StructType(
             list(schema.fields) + [T.StructField(name, self._parse_dtype(dtype))]
         )
+        # Under an ACTIVE column mapping, new columns get a fresh
+        # uuid physical name (Delta's model): the logical name might
+        # collide with a dropped or renamed-away PHYSICAL column still
+        # present in old files, whose stale values must never surface.
+        mapping = None
+        if state.get("columnMapping") is not None:
+            mapping = self._mapping_of(state, schema)
+            mapping[name] = f"col-{uuid.uuid4().hex[:12]}"
         # Commit the schema change FIRST: if the commit loses a
         # concurrency race, the side file must not already list a
         # column the table never gained (un-logged state drift).
-        out = self._commit_schema_only("ADD COLUMN", {"column": name}, new_schema)
+        out = self._commit_schema_only(
+            "ADD COLUMN", {"column": name}, new_schema,
+            column_mapping=mapping,
+        )
         spec = self.partition_spec()
         if spec and self._column_order():
             self._set_partition_spec(
@@ -2581,27 +2737,93 @@ class ManagedTable:
             new_schema,
         )
 
+    def _mapping_of(self, state: dict, schema: T.StructType) -> dict:
+        """The snapshot's logical->physical mapping, materialized to a
+        full dict (identity for columns never renamed)."""
+        return dict(
+            state.get("columnMapping")
+            or {f.name: f.name for f in schema.fields}
+        )
+
     def alter_rename_column(self, old: str, new: str) -> int:
-        """ALTER TABLE RENAME COLUMN. Delta needs column-mapping mode
-        (name-based IDs) to make this metadata-only; this layer rewrites
-        the snapshot — still scan-only, no shuffle."""
-        cols = self.read().columns
-        if old not in cols:
+        """ALTER TABLE RENAME COLUMN — Delta's column mapping (name
+        mode), metadata-only: the schema-only commit records the new
+        LOGICAL schema plus a logical->physical name mapping; data
+        files keep their physical column names forever, scans re-alias.
+        Zero data files touched at any table size. Legacy histories
+        without a recorded schema fall back to the snapshot rewrite.
+        Partitioned tables reject renames (partition columns are
+        path-encoded; Delta imposes the same restriction)."""
+        v = self.latest_version()
+        state = self._state(v)
+        schema = self._schema_of(state)
+        if schema is None:
+            cols = self.read().columns
+            if old not in cols:
+                raise ValueError(f"no column {old}")
+            if new in cols:
+                raise ValueError(f"column {new} already exists")
+            return self._commit(
+                self.read().withColumnRenamed(old, new),
+                "RENAME COLUMN",
+                {"from": old, "to": new},
+            )
+        if old not in schema.fieldNames():
             raise ValueError(f"no column {old}")
-        if new in cols:
+        if new in schema.fieldNames():
             raise ValueError(f"column {new} already exists")
-        return self._commit(
-            self.read().withColumnRenamed(old, new),
-            "RENAME COLUMN",
-            {"from": old, "to": new},
+        if self.partition_spec():
+            raise ValueError(
+                "RENAME COLUMN is not supported on hive-partitioned "
+                "tables (partition columns are path-encoded)"
+            )
+        mapping = self._mapping_of(state, schema)
+        mapping[new] = mapping.pop(old)
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    new if f.name == old else f.name,
+                    f.dataType, f.nullable, f.metadata,
+                )
+                for f in schema.fields
+            ]
+        )
+        return self._commit_schema_only(
+            "RENAME COLUMN", {"from": old, "to": new}, new_schema,
+            column_mapping=mapping,
         )
 
     def alter_drop_column(self, name: str) -> int:
-        """ALTER TABLE DROP COLUMN (column-mapping analogue)."""
-        if name not in self.read().columns:
+        """ALTER TABLE DROP COLUMN — metadata-only under column
+        mapping: the field leaves the logical schema and the mapping;
+        the physical column stays in old files, never selected again.
+        Legacy histories fall back to the snapshot rewrite."""
+        v = self.latest_version()
+        state = self._state(v)
+        schema = self._schema_of(state)
+        if schema is None:
+            if name not in self.read().columns:
+                raise ValueError(f"no column {name}")
+            return self._commit(
+                self.read().drop(name), "DROP COLUMN", {"column": name}
+            )
+        if name not in schema.fieldNames():
             raise ValueError(f"no column {name}")
-        return self._commit(
-            self.read().drop(name), "DROP COLUMN", {"column": name}
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        if self.partition_spec():
+            raise ValueError(
+                "DROP COLUMN is not supported on hive-partitioned "
+                "tables (partition columns are path-encoded)"
+            )
+        mapping = self._mapping_of(state, schema)
+        mapping.pop(name, None)
+        new_schema = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        return self._commit_schema_only(
+            "DROP COLUMN", {"column": name}, new_schema,
+            column_mapping=mapping,
         )
 
     def compact(self, target_partitions: int = 1) -> int:
@@ -2646,6 +2868,40 @@ class ManagedTable:
         return self._commit(
             df, "OPTIMIZE_ZORDER", {"numOutputRows": None, "zorderBy": zorder_cols}
         )
+
+    def expire_log_entries(
+        self, older_than_s: float = 30 * 24 * 3600.0
+    ) -> list[int]:
+        """Delta's ``logRetentionDuration``: delete JSON log entries
+        strictly BELOW the checkpoint horizon whose commits are older
+        than the retention window. Without this a 10^5-commit table
+        pays an O(#versions) listing on every history()/vacuum() call
+        and the ``_log/`` dir grows forever.
+
+        What survives: every entry at or above the last checkpoint
+        (needed for replay), every checkpoint file (so time travel to
+        CHECKPOINTED old versions keeps working — like Delta, versions
+        between expired entries and the next checkpoint become
+        unreachable), and ``history()`` afterwards answers from the
+        retained entries only. Returns the expired versions."""
+        horizon = self._last_checkpoint_version()
+        if horizon is None:
+            return []  # young table: nothing is safely expirable
+        cutoff = time.time() - older_than_s
+        removed = []
+        for v in self._versions():
+            if v >= horizon:
+                break
+            entry = self._entry(v) or {}
+            if entry.get("timestamp", 0) <= cutoff:
+                try:
+                    os.remove(self._entry_path(v))
+                    removed.append(v)
+                except OSError:
+                    pass
+        if removed:
+            self._state_cache.clear()
+        return removed
 
     def vacuum(
         self, keep_last: int = 2, older_than_s: float | None = None
@@ -2701,16 +2957,20 @@ class ManagedTable:
 
         removed = []
         for v in to_remove:
-            # DV sidecars (the version's own, plus writer-unique `.w-`
-            # siblings under the put-if-absent protocol): delete ONLY
-            # when no retained log entry still points at them.
-            for dvd in [self._dv_dir(v)] + glob.glob(
-                f"{self._dv_dir(v)}.w-*"
-            ):
-                if os.path.isdir(dvd) and os.path.normpath(dvd) not in referenced_dvs:
+            entry = self._entry(v) or {}
+            # DV sidecars (the version's own — legacy version-named or
+            # uuid-named via the entry's pointer — plus writer-unique
+            # `.w-` siblings under the put-if-absent protocol): delete
+            # ONLY when no retained log entry still points at them.
+            own_dvs = [self._dv_dir(v)] + glob.glob(f"{self._dv_dir(v)}.w-*")
+            if entry.get("deletionVector"):
+                own_dvs.append(entry["deletionVector"])
+            for dvd in dict.fromkeys(os.path.normpath(x) for x in own_dvs):
+                if not (dvd + os.sep).startswith(table_root + os.sep):
+                    continue  # never reach outside the table root
+                if os.path.isdir(dvd) and dvd not in referenced_dvs:
                     shutil.rmtree(dvd)
             data_removed = False
-            entry = self._entry(v) or {}
             own_dirs = (
                 [self._local_data_dir(v)]
                 + glob.glob(f"{self._local_data_dir(v)}.w-*")
@@ -2759,11 +3019,29 @@ class ManagedTable:
                 p = os.path.join(parent, name)
                 if ".staged-" in name:
                     pass  # always reclamation-eligible (never referenced)
-                elif ".w-" in name or name.startswith("batch-"):
-                    # Version-independent append batch dirs and
-                    # put-if-absent data dirs are live once a log entry
-                    # references them — an orphan (crashed or
-                    # race-losing appender) is referenced by NO version.
+                elif (
+                    ".w-" in name
+                    or name.startswith("batch-")
+                    or name.startswith("dv-")
+                ):
+                    # Version-independent append batch dirs, uuid DV
+                    # sidecars, and put-if-absent data dirs are live
+                    # once a log entry references them — an orphan
+                    # (crashed or race-losing writer) is referenced by
+                    # NO version.
+                    if os.path.normpath(p) in referenced_any:
+                        continue
+                elif name.startswith("v="):
+                    # Version-named dirs whose log entry was EXPIRED by
+                    # log retention: the per-version loop above can't
+                    # reach them (they aren't listed). Reclaim only
+                    # when no retained version references them.
+                    try:
+                        vnum = int(name.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if os.path.isfile(self._entry_path(vnum)):
+                        continue  # live entry: per-version loop governs
                     if os.path.normpath(p) in referenced_any:
                         continue
                 else:
@@ -2944,10 +3222,15 @@ class ManagedTable:
         dv_from_dir = self._state(from_version)["dv"]
         dv_to_dir = self._state(to_version)["dv"]
 
+        mapping_to = self._state(to_version).get("columnMapping")
+
         def side(files: list[str], dv_dir: str | None) -> DataFrame:
             if not files:
                 return empty()
-            df = self._scan(files, with_positions=True, schema=schema_to)
+            df = self._scan(
+                files, with_positions=True, schema=schema_to,
+                mapping=mapping_to,
+            )
             if dv_dir:
                 df = df.join(
                     F.broadcast(self._read_dv(dv_dir)),
@@ -2974,7 +3257,10 @@ class ManagedTable:
             else:
                 dv_delta = dv_to
             newly_dead = (
-                self._scan(shared, with_positions=True, schema=schema_to)
+                self._scan(
+                    shared, with_positions=True, schema=schema_to,
+                    mapping=mapping_to,
+                )
                 .join(
                     F.broadcast(dv_delta),
                     on=["__dv_file", "__dv_pos"],

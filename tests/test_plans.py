@@ -300,6 +300,6 @@ def test_minmax_mv_dirty_recompute_broadcasts_dirty_keys(spark, sf_dir):
     assert met["numDirtyGroups"] == mv.state.read().count()
     # The PRODUCTION recompute frame: base x dirty keys must broadcast.
     dirty = mv.state.read().select("o_orderstatus").limit(3)
-    probe = mv._recompute_dirty(base.latest_version(), dirty)
+    probe = mv._recompute_dirty(base.latest_version(), dirty, n_dirty=3)
     assert has_broadcast_hash_join(probe)
     assert not has_sort_merge_join(probe), "base shuffled for dirty recompute"
