@@ -69,11 +69,14 @@ PRIORITY = [
     "customer_dense_ids",
     "sql_dml_pipeline",
     "mv_incremental_orders_by_status",
-    # events_hourly_by_type rotated out in r4: its exact computation is
-    # driver-verified through its streamed twin events_hourly_streamed
-    # (same oracle); the slot gives the r4 min/max dirty-group MV
-    # driver-visible verification. Still locally oracle-swept.
-    "mv_minmax_orders_by_status",
+    # events_hourly_by_type rotated out in r4 (computation driver-
+    # verified through its streamed twin events_hourly_streamed).
+    # mv_minmax_orders_by_status rotated out in r5 for its strict
+    # superset mv_nullkey_orders_by_priority: the same min/max
+    # dirty-group MV churn, but with a NULL-bearing grouping column —
+    # driver-visible proof of the r5 null-safe merge fix (VERDICT r4
+    # #1). Both rotated-out queries stay locally oracle-swept.
+    "mv_nullkey_orders_by_priority",
     "events_hourly_streamed",
     "events_sessionize",
     "asof_prior_purchase",

@@ -220,3 +220,76 @@ def mv_minmax_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+MV_NULLKEY_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey,
+         NULLIF(o_orderpriority, '1-URGENT') AS priority_group,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+after AS (
+  SELECT o_orderkey, priority_group, price_cents
+  FROM b WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, priority_group, price_cents + 1
+  FROM b WHERE o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
+)
+SELECT priority_group,
+  COUNT(*)::BIGINT AS n_rows,
+  CAST(MIN(price_cents) AS BIGINT) AS min_price_cents,
+  CAST(MAX(price_cents) AS BIGINT) AS max_price_cents
+FROM after
+GROUP BY priority_group
+ORDER BY priority_group
+"""
+
+
+@register("mv_nullkey_orders_by_priority", MV_NULLKEY_ORACLE)
+def mv_nullkey_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max MV whose GROUPING COLUMN CONTAINS NULL (every urgent
+    order maps to a NULL priority group — the real-dimension-data shape
+    the r4 verdict flagged): the refresh's state⟗delta merge and the
+    dirty-group recompute join must reunite the NULL group null-safely
+    (sources/materialized_view.py::_ns_cond) or it splits into
+    duplicate state rows / gets NULL extrema. Delete + append churn
+    hits extrema in the NULL group too; the oracle is the from-scratch
+    recompute."""
+    d = tempfile.mkdtemp(prefix="dlp_mvnull_q_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias(
+            "priority_group"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    base = ManagedTable(spark, f"{d}/orders_base")
+    base.create(orders)
+    mv = MaterializedAggView(
+        base, f"{d}/mv",
+        group_cols=["priority_group"], sum_cols=[],
+        minmax_cols=["price_cents"],
+    )
+    mv.create()
+    base.delete("o_orderkey % 17 = 0", rewrite=False)
+    base.append(
+        base.read()
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "priority_group",
+            (F.col("price_cents") + 1).alias("price_cents"),
+        )
+    )
+    mv.refresh()
+    out = (
+        mv.state.read()
+        .select(
+            "priority_group", "n_rows", "min_price_cents", "max_price_cents"
+        )
+        .orderBy("priority_group")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -28,7 +28,9 @@ def test_family_representation_in_first_50():
         "identity": "scd_surrogate_keys",
         "sql-dml": "sql_dml_pipeline",
         "mv": "mv_incremental_orders_by_status",
-        "mv-minmax": "mv_minmax_orders_by_status",
+        # r5: the min/max family representative is the NULL-group-key
+        # variant (strict superset of mv_minmax_orders_by_status).
+        "mv-minmax": "mv_nullkey_orders_by_priority",
         "schema-evolution": "sql_schema_evolution",
         # the hourly-agg computation's driver signal rides on its
         # streamed twin (same oracle) since the r4 rotation
