@@ -186,6 +186,31 @@ class MergeClauses:
 _CKPT_INTERVAL = 10
 
 
+def _parse_duration_s(text: str | None) -> float | None:
+    """Parse Delta-style duration strings ('interval 30 days',
+    '168 hours', '3600' seconds) to seconds; None if absent/invalid."""
+    if not text:
+        return None
+    import re
+
+    m = re.match(
+        r"(?i)^\s*(?:interval\s+)?(\d+(?:\.\d+)?)\s*"
+        r"(day|days|hour|hours|minute|minutes|second|seconds)?\s*$",
+        str(text),
+    )
+    if not m:
+        return None
+    n = float(m.group(1))
+    unit = (m.group(2) or "seconds").lower()
+    mult = {
+        "day": 86400.0, "days": 86400.0,
+        "hour": 3600.0, "hours": 3600.0,
+        "minute": 60.0, "minutes": 60.0,
+        "second": 1.0, "seconds": 1.0,
+    }[unit]
+    return n * mult
+
+
 class ManagedTable:
     """Versioned parquet table rooted at ``path``.
 
@@ -506,6 +531,18 @@ class ManagedTable:
             with open(tmp, "w") as f:
                 json.dump({"version": version}, f)
             os.replace(tmp, ptr)
+        # Delta's metadata-cleanup hook: when the table opts in via the
+        # logRetentionDuration property, expired entries are reclaimed
+        # as part of checkpointing (exactly where Delta does it).
+        # Checkpoints are derived data — never let cleanup fail a commit.
+        try:
+            ret_s = _parse_duration_s(
+                self.properties().get("logRetentionDuration")
+            )
+            if ret_s is not None:
+                self.expire_log_entries(older_than_s=ret_s)
+        except Exception:
+            pass
 
     def _data_dir(self, version: int) -> str:
         """First data dir root of a version (the version's own local
@@ -3196,14 +3233,27 @@ class ManagedTable:
         # Column agreement is decided from the LOG schemas — building
         # the two full snapshot plans just to read .columns costs
         # hundreds of py4j round-trips per feed (measured ~0.3s of the
-        # refresh commit tax); the log already knows.
+        # refresh commit tax); the log already knows. A span whose only
+        # schema drift is RENAME (identical physical columns through
+        # the column mapping) stays on the pruned path and reports the
+        # feed in the CURRENT logical names — Delta CDF's contract.
         schema_to = self._schema_of(self._state(to_version))
         schema_from = self._schema_of(self._state(from_version))
-        if (
-            schema_to is None
-            or schema_from is None
-            or schema_from.fieldNames() != schema_to.fieldNames()
-        ):
+        compatible = False
+        if schema_to is not None and schema_from is not None:
+            if schema_from.fieldNames() == schema_to.fieldNames():
+                compatible = True
+            else:
+                pf = self._physical_schema(
+                    schema_from, self._state(from_version).get("columnMapping")
+                )
+                pt = self._physical_schema(
+                    schema_to, self._state(to_version).get("columnMapping")
+                )
+                compatible = [
+                    (x.name, x.dataType.simpleString()) for x in pf.fields
+                ] == [(x.name, x.dataType.simpleString()) for x in pt.fields]
+        if not compatible:
             f = full()
             if f[0].columns != f[1].columns:
                 return f  # schema drift: exact full diff

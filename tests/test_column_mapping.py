@@ -213,3 +213,109 @@ def test_datasource_sink_rejects_mapped_table(table, spark):
             .mode("append")
             .save()
         )
+
+
+def test_change_feed_spanning_rename_uses_current_names(spark):
+    """A feed whose span CONTAINS the rename commit: physical identity
+    (same on-file columns) keeps the manifest-pruned path, and the feed
+    reports the CURRENT logical names — Delta CDF's contract."""
+    d = tempfile.mkdtemp(prefix="cmap_feed_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.range(10).selectExpr("id", "id * 2 as v"))
+    t.delete("id = 1", rewrite=False)          # pre-rename delete
+    t.alter_rename_column("v", "value")        # schema-only commit
+    t.delete("id = 2", rewrite=False)          # post-rename delete
+    t.append(spark.range(50, 52).selectExpr("id", "id * 2 as value"))
+    feed = t.change_feed(0)
+    assert feed.columns[:2] == ["id", "value"]  # current logical names
+    rows = {(r.id, r["_change_type"]) for r in feed.collect()}
+    assert rows == {
+        (1, "delete"), (2, "delete"), (50, "insert"), (51, "insert"),
+    }
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_evolution_sequence_matches_model(spark, seed):
+    """Model-based randomized sequence: appends, MOR deletes, renames,
+    drops, and adds interleave; after every step the table must equal a
+    driver-side pandas model — the strongest single guard against
+    mapping/schema bookkeeping drift."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(seed)
+    d = tempfile.mkdtemp(prefix=f"cmap_rand{seed}_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.range(8).selectExpr("id", "id * 10 as c0"))
+    model = pd.DataFrame(
+        {"id": range(8), "c0": [i * 10 for i in range(8)]}
+    ).astype("int64")
+    next_id, next_col = 100, 1
+
+    def check():
+        got = (
+            t.read()
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)[list(model.columns)]
+        )
+        want = model.sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype(object).where(got.notna(), None),
+            want.astype(object).where(want.notna(), None),
+            check_dtype=False,
+        )
+
+    for _ in range(14):
+        op = rng.choice(["append", "delete", "rename", "drop", "add"])
+        cols = [c for c in model.columns if c != "id"]
+        if op == "append":
+            rows = pd.DataFrame(
+                {
+                    "id": [next_id, next_id + 1],
+                    **{c: [rng.randrange(1000), rng.randrange(1000)] for c in cols},
+                }
+            )
+            next_id += 2
+            sdf = spark.createDataFrame(
+                rows[list(model.columns)].astype(object).where(
+                    rows[list(model.columns)].notna(), None
+                )
+                .values.tolist(),
+                schema=t.read().schema,
+            )
+            t.append(sdf)
+            model = pd.concat([model, rows], ignore_index=True)
+        elif op == "delete":
+            pivot = rng.randrange(0, next_id)
+            t.delete(f"id >= {pivot}", rewrite=False)
+            model = model[model["id"] < pivot]
+            if model.empty:  # keep the table non-degenerate
+                t.append(
+                    spark.createDataFrame(
+                        [[next_id] + [0] * len(cols)], schema=t.read().schema
+                    )
+                )
+                model = pd.DataFrame(
+                    [[next_id] + [0] * len(cols)], columns=list(model.columns)
+                )
+                next_id += 1
+        elif op == "rename" and cols:
+            old = rng.choice(cols)
+            new = f"c{next_col}"
+            next_col += 1
+            t.alter_rename_column(old, new)
+            model = model.rename(columns={old: new})
+        elif op == "drop" and len(cols) >= 2:
+            victim = rng.choice(cols)
+            t.alter_drop_column(victim)
+            model = model.drop(columns=[victim])
+        elif op == "add":
+            new = f"c{next_col}"
+            next_col += 1
+            t.alter_add_column(new, "bigint")
+            model[new] = None
+        else:
+            continue
+        check()

@@ -136,3 +136,34 @@ def test_vacuum_keeps_expired_dirs_still_referenced(spark, tmpdir):
     assert os.path.isdir(base_dir), "referenced base dir was reclaimed"
     assert t.read().filter("id < 3").count() == 0
     assert t.read().count() == 97 + mt._CKPT_INTERVAL + 2
+
+
+def test_log_retention_property_expires_at_checkpoint(spark, tmpdir):
+    """Delta's logRetentionDuration property: once set, checkpointing
+    itself reclaims expired entries — no manual expire call."""
+    t = ManagedTable(spark, f"{tmpdir}/t")
+    t.create(spark.range(10).selectExpr("id", "id as v"))
+    t.set_property("logRetentionDuration", "interval 0 seconds")
+    for i in range(2 * mt._CKPT_INTERVAL + 1):  # crosses two checkpoints
+        t.append(
+            spark.createDataFrame([(100 + i, i)], "id long, v long").coalesce(1),
+            fast=True,
+        )
+    horizon = t._last_checkpoint_version()
+    assert horizon is not None and horizon >= mt._CKPT_INTERVAL
+    for v in range(0, horizon):
+        assert not os.path.isfile(t._entry_path(v)), f"entry {v} survived"
+    assert t.read().count() == 10 + 2 * mt._CKPT_INTERVAL + 1
+
+
+def test_parse_duration_formats():
+    from delta_lake_platform_spark.sources.managed_table import (
+        _parse_duration_s,
+    )
+
+    assert _parse_duration_s("interval 30 days") == 30 * 86400.0
+    assert _parse_duration_s("168 hours") == 168 * 3600.0
+    assert _parse_duration_s("90 minutes") == 5400.0
+    assert _parse_duration_s("3600") == 3600.0
+    assert _parse_duration_s(None) is None
+    assert _parse_duration_s("garbage") is None
