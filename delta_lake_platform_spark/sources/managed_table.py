@@ -164,6 +164,25 @@ class ConcurrentWriteError(Exception):
     create is the atomic commit point)."""
 
 
+class TableFeatureError(Exception):
+    """The table's recorded protocol requires a newer reader or writer
+    than this library supports (Delta's protocol action): failing
+    loudly beats silently misreading a feature — e.g. an old reader
+    ignoring deletion vectors would resurrect deleted rows."""
+
+
+# Protocol versions THIS library can read/write. 1 = base tables,
+# 2 = column mapping, 3 = deletion vectors (loose mirror of Delta's
+# ladder). Tables record a protocol bump the first time a commit uses
+# a feature beyond the table's current level.
+SUPPORTED_READER_VERSION = 3
+SUPPORTED_WRITER_VERSION = 3
+_FEATURE_PROTOCOL = {
+    "columnMapping": (2, 2),
+    "deletionVectors": (3, 3),
+}
+
+
 @dataclass
 class MergeClauses:
     condition: str
@@ -373,6 +392,7 @@ class ManagedTable:
             # mapping, name mode). A full-snapshot commit writes
             # logical names and so RESETS the mapping.
             "columnMapping": entry.get("columnMapping"),
+            "protocol": entry.get("protocol"),
         }
 
     def _read_checkpoint(self, version: int) -> dict | None:
@@ -404,6 +424,7 @@ class ManagedTable:
                     "fileLevel": meta.get("fileLevel", False),
                     "schema": meta.get("schema"),
                     "columnMapping": meta.get("columnMapping"),
+                    "protocol": meta.get("protocol"),
                 }
             except Exception:
                 return None  # derived data: fall back to log replay
@@ -422,6 +443,7 @@ class ManagedTable:
             "fileLevel": ck.get("fileLevel", False),
             "schema": ck.get("schema"),
             "columnMapping": ck.get("columnMapping"),
+            "protocol": ck.get("protocol"),
         }
 
     def _state(self, version: int) -> dict:
@@ -473,8 +495,16 @@ class ManagedTable:
                 "schema": entry.get("schema") or state.get("schema"),
                 "columnMapping": entry.get("columnMapping")
                 or state.get("columnMapping"),
+                "protocol": entry.get("protocol") or state.get("protocol"),
             }
             self._state_cache[entry["version"]] = state
+        proto = state.get("protocol") or {}
+        if proto.get("minReaderVersion", 1) > SUPPORTED_READER_VERSION:
+            raise TableFeatureError(
+                f"table {self.path} requires reader version "
+                f"{proto['minReaderVersion']} (this library supports "
+                f"{SUPPORTED_READER_VERSION}); upgrade before reading"
+            )
         self._state_cache[version] = state
         return state
 
@@ -516,6 +546,7 @@ class ManagedTable:
             "fileLevel": state["fileLevel"],
             "schema": state.get("schema"),
             "columnMapping": state.get("columnMapping"),
+            "protocol": state.get("protocol"),
         }
         table = table.replace_schema_metadata(
             {b"snapshot": json.dumps(meta).encode()}
@@ -752,6 +783,7 @@ class ManagedTable:
         same for the recorded snapshot schema (pass ``schema`` only when
         the commit changes it, e.g. an append that anchors a legacy
         table's schema) and the column mapping (RENAME/DROP COLUMN)."""
+        self._check_writer(version - 1)
         entry = {
             "version": version,
             "timestamp": time.time(),
@@ -882,6 +914,31 @@ class ManagedTable:
             ]
         )
 
+    def _protocol_bump(self, version: int, feature: str) -> dict | None:
+        """Protocol action to attach when a commit first uses
+        ``feature`` beyond the table's current level; None when the
+        table is already there (Delta writes the protocol upgrade only
+        once)."""
+        need_r, need_w = _FEATURE_PROTOCOL[feature]
+        cur = self._state(version).get("protocol") or {}
+        cur_r = cur.get("minReaderVersion", 1)
+        cur_w = cur.get("minWriterVersion", 1)
+        if cur_r >= need_r and cur_w >= need_w:
+            return None
+        return {
+            "minReaderVersion": max(cur_r, need_r),
+            "minWriterVersion": max(cur_w, need_w),
+        }
+
+    def _check_writer(self, version: int) -> None:
+        proto = self._state(version).get("protocol") or {}
+        if proto.get("minWriterVersion", 1) > SUPPORTED_WRITER_VERSION:
+            raise TableFeatureError(
+                f"table {self.path} requires writer version "
+                f"{proto['minWriterVersion']} (this library supports "
+                f"{SUPPORTED_WRITER_VERSION}); refusing to commit"
+            )
+
     def _to_physical(self, df: DataFrame, version: int) -> DataFrame:
         """Rename a logical-schema batch to physical column names before
         it is written: under column mapping, data files always carry
@@ -980,6 +1037,8 @@ class ManagedTable:
     ) -> int:
         self.verify_constraints(df)
         version = (self.latest_version() + 1) if self.exists() else 0
+        if version > 0:
+            self._check_writer(version - 1)
         spec = self.partition_spec()
         if spec and self._column_order() and set(self._column_order()) != set(
             df.columns
@@ -1098,6 +1157,15 @@ class ManagedTable:
         vector was built from the first's predecessor) and a DML could
         land on top of an unseen OVERWRITE."""
         commutes = commutes or self._adds_only_between
+        if dv is not None:
+            base_v = (
+                read_version
+                if read_version is not None
+                else self.latest_version()
+            )
+            bump = self._protocol_bump(base_v, "deletionVectors")
+            if bump:
+                extra = {**(extra or {}), "protocol": bump}
         attempt_from = None if read_version is None else read_version + 1
         for attempt in range(self._APPEND_RETRIES + 1):
             v_prev = self.latest_version()
@@ -2660,6 +2728,11 @@ class ManagedTable:
         schema; parquet fills absent columns with NULL and upcasts
         widened primitives at scan time."""
         v_prev = self.latest_version()
+        extra = None
+        if column_mapping is not None:
+            bump = self._protocol_bump(v_prev, "columnMapping")
+            if bump:
+                extra = {"protocol": bump}
         prev_rows = (
             (self._entry(v_prev) or {}).get("operationMetrics") or {}
         ).get("numOutputRows")
@@ -2679,6 +2752,7 @@ class ManagedTable:
             },
             schema=new_schema.jsonValue(),
             column_mapping=column_mapping,
+            extra=extra,
         )
 
     def alter_add_column(self, name: str, dtype: str) -> int:
