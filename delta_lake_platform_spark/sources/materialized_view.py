@@ -409,6 +409,58 @@ class MaterializedJoinAggView:
             ),
         )
 
+    def _feed_key_ranges(self, base: ManagedTable, v0: int, v1: int):
+        """[lo, hi] per join key of the rows base's (v0, v1] change
+        feed CAN contain — from the commit log's footer stats alone, no
+        Spark job. Contributing files: the symmetric difference of the
+        two manifests plus (when the DV pointer moved) the files the
+        new DV names. Returns a ranges dict (superset bound — safe for
+        pruning), the sentinel "EMPTY" when no file can contribute, or
+        None when a contributing file lacks stats (caller falls back to
+        the exact aggregation over the feed)."""
+        st0, st1 = base._state(v0), base._state(v1)
+        f0, f1 = st0["files"], st1["files"]
+        contributing = set(f0) ^ set(f1)
+        if st1.get("dv") != st0.get("dv") and st1.get("dv"):
+            try:
+                import pyarrow.parquet as pq
+                from urllib.parse import urlparse
+
+                dv_files = pq.read_table(
+                    st1["dv"], columns=["__dv_file"]
+                ).column("__dv_file").to_pylist()
+                import os as _os
+
+                for u in set(dv_files):
+                    p = urlparse(u).path if ":" in u.split("/", 1)[0] else u
+                    rel = _os.path.relpath(_os.path.abspath(p), base.path)
+                    if rel in f1:
+                        contributing.add(rel)
+            except Exception:
+                return None  # unreadable DV sidecar: exact path decides
+        if not contributing:
+            return "EMPTY"
+        ranges = {}
+        for k in self.on:
+            pk0 = base._phys_col(st0, k)
+            pk1 = base._phys_col(st1, k)
+            lo = hi = None
+            for rel in contributing:
+                stats = f0[rel] if rel in f0 else f1[rel]
+                if stats is None:
+                    return None  # stats-less contributor: exact path
+                if not stats:
+                    continue  # zero-row file: contributes no rows
+                s = stats.get(pk0 if rel in f0 else pk1)
+                if s is None:
+                    return None
+                lo = s[0] if lo is None else min(lo, s[0])
+                hi = s[1] if hi is None else max(hi, s[1])
+            if lo is None:
+                return "EMPTY"  # only zero-row contributors
+            ranges[k] = (lo, hi)
+        return ranges
+
     def _pruned_base(
         self, base: ManagedTable, version: int, delta: DataFrame
     ) -> DataFrame | None:
@@ -460,14 +512,27 @@ class MaterializedJoinAggView:
         separately so the plan gate can pin that neither join shuffles
         a base table. None when both deltas are empty (metadata-only
         commits)."""
+        def pruned_opposite(base, version, delta_table, v0, v1, delta):
+            # Metadata first: the commit log's footer stats bound the
+            # delta's key range with ZERO Spark jobs; the exact
+            # aggregation over the feed is the fallback (stats-less
+            # files), and also the only path that probes blooms with
+            # exact value sets.
+            meta = self._feed_key_ranges(delta_table, v0, v1)
+            if meta == "EMPTY":
+                return None
+            if isinstance(meta, dict):
+                return base.read_pruned_multi(meta, version=version)
+            return self._pruned_base(base, version, delta)
+
         parts = []
         if l1 != l0:
-            # Lazily checkpointed: the min/max prune and the join both
-            # consume the feed; computed once.
+            # Lazily checkpointed: the delta join (and the exact-prune
+            # fallback) consume the feed; computed once.
             d_l = self._signed_feed(self.left, l0, l1).localCheckpoint(
                 eager=False
             )
-            r_base = self._pruned_base(self.right, r0, d_l)
+            r_base = pruned_opposite(self.right, r0, self.left, l0, l1, d_l)
             # dL ⋈ R_old: R rows carry weight +1, so the pair's sign is dL's.
             if r_base is not None:
                 parts.append(F.broadcast(d_l).join(r_base, on=self.on))
@@ -475,7 +540,7 @@ class MaterializedJoinAggView:
             d_r = self._signed_feed(self.right, r0, r1).localCheckpoint(
                 eager=False
             )
-            l_base = self._pruned_base(self.left, l1, d_r)
+            l_base = pruned_opposite(self.left, l1, self.right, r0, r1, d_r)
             # L_new ⋈ dR
             if l_base is not None:
                 parts.append(l_base.join(F.broadcast(d_r), on=self.on))

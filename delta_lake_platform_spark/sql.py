@@ -59,17 +59,21 @@ class PlatformSQL:
         group_by: str,
     ) -> DataFrame:
         """``CREATE MATERIALIZED VIEW v LOCATION '<p>' AS SELECT
-        <groups>, COUNT(*) AS n_rows, SUM(c) AS sum_c... FROM t GROUP
-        BY <groups>`` — restricted to the incrementally-maintainable
-        aggregate shape (count + sums; see materialized_view.py for why
-        min/max are excluded). ``REFRESH MATERIALIZED VIEW v`` then
-        folds the base's change feed; ``SELECT ... FROM v`` reads the
-        maintained state."""
+        <groups>, COUNT(*) AS n_rows, SUM(c) AS sum_c, MIN(c) AS
+        min_c, MAX(c) AS max_c ... FROM t GROUP BY <groups>`` —
+        restricted to the incrementally-maintainable aggregate shape
+        (count + sums fold exactly; min/max refresh with the
+        dirty-group rule — materialized_view.py). ``REFRESH
+        MATERIALIZED VIEW v`` then folds the base's change feed;
+        ``SELECT ... FROM v`` reads the maintained state. A MIN or MAX
+        on a column maintains BOTH extrema (the state always carries
+        the pair)."""
         from .sources.materialized_view import MaterializedAggView
 
         base = self.tables[base_name]
         group_cols = [c.strip() for c in group_by.split(",")]
         sum_cols = []
+        minmax_cols: list[str] = []
         for item in _split_top_level(select_list):
             if item.strip() in group_cols:
                 continue
@@ -85,12 +89,23 @@ class PlatformSQL:
             if mm:
                 sum_cols.append(mm.group(1))
                 continue
+            mm = re.fullmatch(
+                rf"(?is)\s*(MIN|MAX)\s*\(\s*({_IDENT})\s*\)"
+                rf"\s+AS\s+(?:min|max)_\2\s*",
+                item,
+            )
+            if mm:
+                if mm.group(2) not in minmax_cols:
+                    minmax_cols.append(mm.group(2))
+                continue
             raise ValueError(
                 f"materialized view supports group cols, COUNT(*) AS "
-                f"n_rows, and SUM(c) AS sum_c only; got {item!r}"
+                f"n_rows, SUM(c) AS sum_c, and MIN/MAX(c) AS "
+                f"min_c/max_c only; got {item!r}"
             )
         mv = MaterializedAggView(
-            base, path, group_cols=group_cols, sum_cols=sum_cols
+            base, path, group_cols=group_cols, sum_cols=sum_cols,
+            minmax_cols=minmax_cols,
         )
         v = mv.create()
         self._views[name] = mv
@@ -107,6 +122,7 @@ class PlatformSQL:
                     "basePath": base.path,
                     "groupCols": group_cols,
                     "sumCols": sum_cols,
+                    "minmaxCols": minmax_cols,
                 },
                 f,
             )
@@ -141,7 +157,9 @@ class PlatformSQL:
             )
         base = registered or ManagedTable(self.spark, meta["basePath"])
         self._views[name] = MaterializedAggView(
-            base, path, group_cols=meta["groupCols"], sum_cols=meta["sumCols"]
+            base, path, group_cols=meta["groupCols"],
+            sum_cols=meta["sumCols"],
+            minmax_cols=meta.get("minmaxCols") or [],
         )
 
     # -- statement handlers --------------------------------------------------

@@ -330,3 +330,45 @@ def test_count_star_is_metadata_only(psql, spark, monkeypatch):
         psql.sql("SELECT COUNT(*) AS n FROM accounts WHERE balance > 100").first().n
         == t.read().filter("balance > 100").count()
     )
+
+
+def test_minmax_materialized_view_via_sql(psql, spark):
+    """r5: MIN/MAX aggregates in the SQL MV shape — maintained with the
+    dirty-group rule, persisted (minmaxCols) for re-attach."""
+    big = spark.range(0, 300).select(
+        "id",
+        F.col("id").cast("string").alias("name"),
+        (F.col("id") % 4).alias("balance"),
+    )
+    psql.tables["accounts"].overwrite(big, overwrite_schema=True)
+    path = f"{psql.tables['accounts'].path}_mmv"
+    psql.sql(
+        "CREATE MATERIALIZED VIEW acct_mm LOCATION "
+        f"'{path}' AS "
+        "SELECT balance, COUNT(*) AS n_rows, MIN(id) AS min_id, "
+        "MAX(id) AS max_id FROM accounts GROUP BY balance"
+    )
+    # Delete every group's maximum (ids 296..299) -> dirty recompute.
+    psql.sql("DELETE FROM accounts WHERE id >= 296")
+    psql.sql("REFRESH MATERIALIZED VIEW acct_mm")
+    got = {
+        r.balance: (r.n_rows, r.min_id, r.max_id)
+        for r in psql.sql(
+            "SELECT balance, n_rows, min_id, max_id FROM acct_mm"
+        ).collect()
+    }
+    want = {
+        r.balance: (r.n, r.lo, r.hi)
+        for r in psql.sql(
+            "SELECT balance, count(*) AS n, min(id) AS lo, max(id) AS hi "
+            "FROM accounts GROUP BY balance"
+        ).collect()
+    }
+    assert got == want
+    # Re-attach from the persisted definition restores minmax support.
+    from delta_lake_platform_spark.sql import PlatformSQL
+
+    fresh = PlatformSQL(spark)
+    fresh.register("accounts", psql.tables["accounts"])
+    fresh.attach_materialized_view("acct_mm", path)
+    assert fresh._views["acct_mm"].minmax_cols == ["id"]
