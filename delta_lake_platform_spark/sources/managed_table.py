@@ -1617,9 +1617,25 @@ class ManagedTable:
         return {"version": v, "numFiles": len(files_index), "cols": cols}
 
     def _bloom_index(self, version: int) -> dict | None:
+        """The newest bloom sidecar at or BELOW ``version``. Data files
+        are immutable, so a bloom built at v stays exact for every
+        surviving file at v+k — only files added since lack entries and
+        are conservatively kept. One build keeps serving an append-only
+        table instead of demanding a rebuild per commit."""
         p = self._bloom_path(version)
         if not os.path.isfile(p):
-            return None
+            bloom_dir = os.path.join(self.path, "_bloom")
+            if not os.path.isdir(bloom_dir):
+                return None
+            candidates = [
+                int(f.split(".")[0])
+                for f in os.listdir(bloom_dir)
+                if f.endswith(".json") and f.split(".")[0].isdigit()
+            ]
+            candidates = [v for v in candidates if v <= version]
+            if not candidates:
+                return None
+            p = self._bloom_path(max(candidates))
         with open(p) as f:
             return json.load(f)
 

@@ -88,17 +88,23 @@ def test_bloom_keys_are_table_root_relative(table):
     assert total == 2 and len(kept) == 1
 
 
-def test_unindexed_version_falls_back_conservatively(table):
-    # A new commit has no sidecar for its version: the stale bloom must
-    # NOT be consulted, so the two interleaved files are both kept
-    # (range pruning still excludes the new file, whose min=max range
-    # provably misses the probe).
+def test_prior_bloom_keeps_serving_after_append(table):
+    """Data files are immutable (and rel paths never reused), so the
+    bloom built at version v stays EXACT for surviving files at v+k:
+    the prior sidecar keeps pruning them, while the newly appended file
+    (no bloom entry) is conservatively kept — never a false negative,
+    and one build serves an append-only table indefinitely."""
+    table.build_bloom_index(["uid"])
     table.append(
         table.spark.createDataFrame([("user_777777", 1)], "uid string, score long"),
         fast=True,
     )
     kept, total = table.prune_files_eq("uid", "user_000400")
     range_kept, _ = table.prune_files("uid", "user_000400", "user_000400")
-    assert sorted(kept) == sorted(range_kept), "stale bloom used for new version"
-    assert len(kept) >= 2  # both interleaved files survive range pruning
+    # The carried-forward bloom prunes the interleaved old files the
+    # range prune alone cannot discriminate.
+    assert len(kept) < len(range_kept), "prior bloom not consulted"
     assert table.read_pruned_eq("uid", "user_000400").count() == 1
+    # And a probe for the NEW file's value still finds it (its file has
+    # no bloom entry -> conservatively kept).
+    assert table.read_pruned_eq("uid", "user_777777").count() == 1
