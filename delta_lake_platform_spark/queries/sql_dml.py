@@ -185,11 +185,15 @@ cur AS (
   FROM base
   UNION ALL
   SELECT * FROM ins
+),
+survivors AS (
+  SELECT * FROM cur
+  WHERE NOT (s_suppkey % 97 = 0 AND tier IS NULL)
 )
 SELECT COALESCE(tier, 'NONE') AS tier,
        COUNT(*) AS n,
        CAST(SUM(cents) AS BIGINT) AS total_cents
-FROM cur GROUP BY 1 ORDER BY 1
+FROM survivors GROUP BY 1 ORDER BY 1
 """
 
 
@@ -197,10 +201,12 @@ FROM cur GROUP BY 1 ORDER BY 1
 def sql_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only schema evolution driven as SQL: widen an INT
     column to BIGINT (old INT32 files upcast at scan — no rewrite),
-    ADD COLUMN (old files fill NULLs), then INSERT values that need
-    the widened range and UPDATE through the evolved schema. The two
-    ALTERs commit only a new schema; correctness of the final state is
-    what the oracle checks."""
+    ADD COLUMN (old files fill NULLs), INSERT values that need the
+    widened range, UPDATE through the evolved schema, then RENAME the
+    widened column (metadata-only via column mapping — data files keep
+    the physical name) and DELETE through the NEW logical name. Every
+    ALTER commits only schema metadata; correctness of the final state
+    — read through the mapping — is what the oracle checks."""
     d = tempfile.mkdtemp(prefix="dlp_evo_q_")
     t = ManagedTable(spark, f"{d}/st")
     t.create(
@@ -225,16 +231,18 @@ def sql_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView("st_new")
     p.sql("INSERT INTO st (s_suppkey, cents, tier) SELECT * FROM st_new")
     p.sql("UPDATE st SET tier = 'STD' WHERE tier IS NULL AND s_suppkey % 2 = 0")
+    p.sql("ALTER TABLE st RENAME COLUMN cents TO balance_cents")
+    p.sql("DELETE FROM st WHERE s_suppkey % 97 = 0 AND tier IS NULL")
     out = (
         t.read()
         .select(
             F.coalesce(F.col("tier"), F.lit("NONE")).alias("tier"),
-            "cents",
+            "balance_cents",
         )
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("cents").alias("total_cents"),
+            F.sum("balance_cents").alias("total_cents"),
         )
         .orderBy("tier")
         .localCheckpoint()
