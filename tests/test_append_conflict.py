@@ -301,3 +301,62 @@ def test_mor_delete_racing_blind_append_commits(spark, tmpdir):
     assert sorted(r.id for r in b.read().collect()) == (
         list(range(3, 10)) + list(range(200, 205))
     )
+
+
+def test_threaded_mixed_appends_and_mor_deletes_stay_consistent(spark, tmpdir):
+    """Real concurrency with a NON-commuting writer in the mix: three
+    appender threads race one MOR-delete thread. Appends always
+    commute; a delete whose window a conflicting commit invaded raises
+    ConcurrentWriteError (never a silent lost delete). Invariants:
+    every appended row lands exactly once, every delete that REPORTED
+    success is fully applied (its rows stay gone), and the log's row
+    accounting matches the data."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = f"{tmpdir}/t"
+    ManagedTable(spark, path).create(_batch(spark, 0, 100).coalesce(1))
+
+    applied_deletes = []
+    append_errors = []
+
+    def appender(k):
+        t = ManagedTable(spark, path)
+        for j in range(3):
+            lo = 10_000 * (k + 1) + 10 * j
+            try:
+                t.append(_batch(spark, lo, lo + 5).coalesce(1), fast=True)
+            except ConcurrentWriteError as e:  # pragma: no cover
+                append_errors.append(str(e))
+
+    def deleter():
+        t = ManagedTable(spark, path)
+        for pivot in (10, 20, 30):
+            try:
+                t.delete(f"id >= {pivot} AND id < {pivot + 5}", rewrite=False)
+                applied_deletes.append(pivot)
+            except ConcurrentWriteError:
+                pass  # legitimate: a non-commuting commit won the window
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [pool.submit(appender, k) for k in range(3)]
+        futures.append(pool.submit(deleter))
+        for f in futures:
+            f.result()
+
+    t = ManagedTable(spark, path)
+    assert not append_errors, append_errors  # appends always commute
+    got_ids = sorted(r.id for r in t.read().collect())
+    # Every appended row landed exactly once.
+    expected_appended = sorted(
+        x
+        for k in range(3)
+        for j in range(3)
+        for x in range(10_000 * (k + 1) + 10 * j, 10_000 * (k + 1) + 10 * j + 5)
+    )
+    assert [i for i in got_ids if i >= 10_000] == expected_appended
+    # Every delete that reported success is fully applied.
+    for pivot in applied_deletes:
+        gone = set(range(pivot, pivot + 5))
+        assert not (gone & set(got_ids)), f"delete at {pivot} lost rows"
+    # Log row accounting matches the actual data.
+    assert t.row_count() == len(got_ids)
