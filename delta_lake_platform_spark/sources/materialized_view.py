@@ -426,6 +426,14 @@ class MaterializedJoinAggView:
                 import pyarrow.parquet as pq
                 from urllib.parse import urlparse
 
+                # Driver-memory guard: the sidecar column read is fine
+                # for normal DV sizes but a table drowning in deletes
+                # should answer from the exact (distributed) path.
+                n_dv = (
+                    (base._entry(v1) or {}).get("operationMetrics") or {}
+                ).get("numDeletionVectorRows")
+                if isinstance(n_dv, int) and n_dv > 50_000_000:
+                    return None
                 dv_files = pq.read_table(
                     st1["dv"], columns=["__dv_file"]
                 ).column("__dv_file").to_pylist()
