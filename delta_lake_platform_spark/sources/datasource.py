@@ -259,6 +259,17 @@ class _BatchWriter(DataSourceWriter):
         # being silently built on.
         t = ManagedTable(None, self.path)
         self.read_version = t.latest_version() if t.exists() else None
+        # Column-mapped tables: executors must write PHYSICAL column
+        # names (stable across renames). Captured at plan time; a
+        # mapping change after this point is a schema commit, which the
+        # commute rules turn into an explicit abort.
+        self.physical_names = None
+        if self.read_version is not None and not overwrite:
+            mapping = t._state(self.read_version).get("columnMapping")
+            if ManagedTable._mapping_nontrivial(mapping):
+                self.physical_names = [
+                    mapping.get(f.name, f.name) for f in schema.fields
+                ]
 
     def write(self, iterator):
         import pyarrow as pa
@@ -273,6 +284,8 @@ class _BatchWriter(DataSourceWriter):
         names = [f.name for f in self.schema.fields]
         cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
         table = pa.Table.from_pydict(cols, schema=to_arrow_schema(self.schema))
+        if self.physical_names is not None:
+            table = table.rename_columns(self.physical_names)
         os.makedirs(self.staging, exist_ok=True)
         fpath = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
         pq.write_table(table, fpath)
@@ -297,20 +310,6 @@ class _BatchWriter(DataSourceWriter):
                 "managed_table sink bypasses Spark-side CHECK validation; "
                 "use ManagedTable.append() on constrained tables"
             )
-        if table.exists() and not self.overwrite:
-            state = table._state(table.latest_version())
-            if ManagedTable._mapping_nontrivial(state.get("columnMapping")):
-                # Executor partitions were written with LOGICAL column
-                # names; appending them to a column-mapped table would
-                # mix physical naming schemes inside one snapshot.
-                import shutil
-
-                shutil.rmtree(self.staging, ignore_errors=True)
-                raise ValueError(
-                    "managed_table sink cannot append to a column-mapped "
-                    "table (RENAME/DROP COLUMN history); use "
-                    "ManagedTable.append()"
-                )
         if table.exists() and not self.overwrite:
             # The executors wrote this batch against self.schema; a
             # table whose log schema no longer matches must reject the
@@ -337,6 +336,10 @@ class _BatchWriter(DataSourceWriter):
         )
         for _attempt in range(ManagedTable._APPEND_RETRIES + 1):
             version = (table.latest_version() + 1) if table.exists() else 0
+            if version > 0:
+                # Same protocol gate the library's own commits apply —
+                # the sink writes entries directly and must not bypass.
+                table._check_writer(version - 1)
             if attempt_from is not None and version - 1 >= attempt_from:
                 # Same blind-append rule as ManagedTable appends: a
                 # micro-batch losing the race to a full-snapshot

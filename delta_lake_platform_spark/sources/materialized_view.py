@@ -194,6 +194,17 @@ class MaterializedAggView:
         if cur == last:
             return self.state.latest_version()
         feed = self.base.change_feed(last, cur)
+        missing = [
+            c
+            for c in (self.group_cols + self.sum_cols + self.minmax_cols)
+            if c not in feed.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"materialized view columns {missing} no longer exist on "
+                "the base (RENAME/DROP COLUMN since the view was "
+                "created?); recreate the view against the new schema"
+            )
         signed = feed.withColumn(
             "__sign",
             F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
@@ -565,6 +576,20 @@ class MaterializedJoinAggView:
         if (l0, r0) == (l1, r1):
             return self.state.latest_version()
         delta_rows = self._delta_frame(l0, r0, l1, r1)
+        if delta_rows is not None:
+            missing = [
+                c
+                for c in (
+                    self.group_cols + self.sum_cols + self.minmax_cols
+                )
+                if c not in delta_rows.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"materialized view columns {missing} no longer exist "
+                    "on the bases (RENAME/DROP COLUMN since the view was "
+                    "created?); recreate the view against the new schema"
+                )
         if delta_rows is None:
             # Base versions moved but no rows changed (metadata-only
             # commits): re-commit the state at the new version marks.

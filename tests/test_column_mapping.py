@@ -200,19 +200,38 @@ def test_datasource_reads_through_mapping(table, spark):
     assert df.agg(F.sum("value")).first()[0] == sum(2 * i for i in range(23))
 
 
-def test_datasource_sink_rejects_mapped_table(table, spark):
+def test_datasource_sink_appends_to_mapped_table(table, spark):
+    """The sink captures the mapping at write-plan time, so executor
+    partitions land with PHYSICAL column names and the append stays
+    consistent with the table's naming scheme."""
+    import pyarrow.parquet as pq
+
     from delta_lake_platform_spark.sources import datasource
 
     datasource.register(spark)
     table.alter_rename_column("v", "value")
-    with pytest.raises(Exception, match="column-mapped"):
-        (
-            table.read()
-            .write.format("managed_table")
-            .option("path", table.path)
-            .mode("append")
-            .save()
-        )
+    (
+        spark.range(40, 43)
+        .selectExpr("id", "id * 2 as value", "concat('s', id) as s")
+        .write.format("managed_table")
+        .option("path", table.path)
+        .mode("append")
+        .save()
+    )
+    got = table.read()
+    assert got.count() == 23
+    assert got.filter("id >= 40").count() == 3
+    assert got.columns == ["id", "value", "s"]
+    # The sink's file carries the PHYSICAL name.
+    state = table._state(table.latest_version())
+    new_files = [
+        table._abs(rel) for rel in state["files"] if "/v=1/" not in rel
+    ]
+    sink_files = [f for f in new_files if "data/v=" in f and "/v=0/" not in f]
+    assert sink_files
+    for f in sink_files:
+        names = pq.read_schema(f).names
+        assert "v" in names and "value" not in names
 
 
 def test_change_feed_spanning_rename_uses_current_names(spark):
@@ -319,3 +338,24 @@ def test_random_evolution_sequence_matches_model(spark, seed):
         else:
             continue
         check()
+
+
+def test_mv_refresh_after_base_group_rename_fails_loudly(spark):
+    """Renaming a column the MV groups on makes refresh impossible
+    (state columns keep the old name) — the error must say so, not
+    surface a deep AnalysisException."""
+    from delta_lake_platform_spark.sources.materialized_view import (
+        MaterializedAggView,
+    )
+
+    d = tempfile.mkdtemp(prefix="cmap_mv_")
+    base = ManagedTable(spark, f"{d}/base")
+    base.create(spark.range(20).selectExpr("id", "id % 3 as grp", "id as val"))
+    mv = MaterializedAggView(
+        base, f"{d}/mv", group_cols=["grp"], sum_cols=["val"]
+    )
+    mv.create()
+    base.alter_rename_column("grp", "bucket")
+    base.append(spark.range(50, 52).selectExpr("id", "id % 3 as bucket", "id as val"))
+    with pytest.raises(ValueError, match="recreate the view"):
+        mv.refresh()
