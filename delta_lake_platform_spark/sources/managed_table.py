@@ -2570,6 +2570,14 @@ class ManagedTable:
             ),
             "lastOperation": entry["operation"],
             "constraints": self.constraints(),
+            # r5 metadata surface: protocol requirement, active column
+            # mapping, and table properties (retention etc.).
+            "protocol": self._state(v).get("protocol")
+            or {"minReaderVersion": 1, "minWriterVersion": 1},
+            "columnMapping": bool(
+                self._mapping_nontrivial(self._state(v).get("columnMapping"))
+            ),
+            "properties": self.properties(),
         }
 
     def last_txn_version(self, app_id: str) -> int | None:

@@ -183,7 +183,8 @@ class PlatformSQL:
 
     def _detail(self, name: str) -> DataFrame:
         d = dict(self.tables[name].detail())
-        d["constraints"] = json.dumps(d.get("constraints", {}), sort_keys=True)
+        for k in ("constraints", "protocol", "properties"):
+            d[k] = json.dumps(d.get(k, {}), sort_keys=True)
         return self._df([d])
 
     def _version_at_timestamp(self, name: str, ts: str) -> int:
