@@ -3286,6 +3286,17 @@ class ManagedTable:
         with open(self._constraints_path(), "w") as f:
             json.dump(cons, f)
 
+    def drop_constraint(self, name: str) -> None:
+        """Delta's ALTER TABLE DROP CONSTRAINT: unknown names raise (a
+        silent no-op would leave the caller believing a constraint was
+        removed that never existed)."""
+        cons = self.constraints()
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} on {self.path}")
+        del cons[name]
+        with open(self._constraints_path(), "w") as f:
+            json.dump(cons, f)
+
     def verify_constraints(
         self, df: DataFrame, constraints: dict[str, str] | None = None
     ) -> None:

@@ -330,6 +330,24 @@ class PlatformSQL:
             self.tables[name].set_property(key, value)
             return self._df([{"key": key, "value": value}])
         m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+"
+            rf"({_IDENT})\s+CHECK\s*\((.+)\)$",
+            t,
+        )
+        if m:
+            name, cname, expr = m.groups()
+            self.tables[name].add_constraint(cname, expr)
+            return self._df([{"constraint": cname, "check": expr}])
+        m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+"
+            rf"({_IDENT})$",
+            t,
+        )
+        if m:
+            name, cname = m.groups()
+            self.tables[name].drop_constraint(cname)
+            return self._df([{"constraint": cname, "dropped": True}])
+        m = re.match(
             rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMN\s*\(?\s*"
             rf"({_IDENT})\s+([A-Za-z0-9_]+(?:\([0-9, ]*\))?)\s*\)?$",
             t,

@@ -372,3 +372,27 @@ def test_minmax_materialized_view_via_sql(psql, spark):
     fresh.register("accounts", psql.tables["accounts"])
     fresh.attach_materialized_view("acct_mm", path)
     assert fresh._views["acct_mm"].minmax_cols == ["id"]
+
+
+def test_constraint_ddl_via_sql(psql, spark):
+    """r5: ALTER TABLE ADD/DROP CONSTRAINT in the dialect — routed to
+    the same CHECK machinery the Python API uses."""
+    t = psql.tables["accounts"]
+    psql.sql("ALTER TABLE accounts ADD CONSTRAINT bal_nonneg CHECK (balance >= 0)")
+    assert "bal_nonneg" in t.constraints()
+    with pytest.raises(Exception):  # violating batch rejected
+        t.append(
+            spark.createDataFrame(
+                [(999, "x", -5)], "id long, name string, balance long"
+            )
+        )
+    # Adding a constraint the CURRENT data violates must fail upfront.
+    with pytest.raises(Exception):
+        psql.sql(
+            "ALTER TABLE accounts ADD CONSTRAINT impossible CHECK (balance > 1000000)"
+        )
+    assert "impossible" not in t.constraints()
+    psql.sql("ALTER TABLE accounts DROP CONSTRAINT bal_nonneg")
+    assert "bal_nonneg" not in t.constraints()
+    with pytest.raises(ValueError, match="no constraint"):
+        psql.sql("ALTER TABLE accounts DROP CONSTRAINT nope")
