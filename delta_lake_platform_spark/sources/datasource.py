@@ -400,6 +400,7 @@ class _BatchWriter(DataSourceWriter):
                 return
             except ConcurrentWriteError:
                 os.rename(final, self.staging)
+                table._state_cache.clear()  # see the interloper's state
                 if attempt_from is None:
                     attempt_from = version
         raise ConcurrentWriteError(

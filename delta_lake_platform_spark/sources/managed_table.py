@@ -455,7 +455,9 @@ class ManagedTable:
         O(commits since base), never O(#versions) or O(#table files
         beyond the map itself)."""
         if version in self._state_cache:
-            return self._state_cache[version]
+            state = self._state_cache[version]
+            self._check_reader(state)
+            return state
         chain: list[dict] = []
         cur = version
         while True:
@@ -498,6 +500,11 @@ class ManagedTable:
                 "protocol": entry.get("protocol") or state.get("protocol"),
             }
             self._state_cache[entry["version"]] = state
+        self._check_reader(state)
+        self._state_cache[version] = state
+        return state
+
+    def _check_reader(self, state: dict) -> None:
         proto = state.get("protocol") or {}
         if proto.get("minReaderVersion", 1) > SUPPORTED_READER_VERSION:
             raise TableFeatureError(
@@ -505,8 +512,6 @@ class ManagedTable:
                 f"{proto['minReaderVersion']} (this library supports "
                 f"{SUPPORTED_READER_VERSION}); upgrade before reading"
             )
-        self._state_cache[version] = state
-        return state
 
     def _write_checkpoint(self, version: int) -> None:
         """Write the consolidated state checkpoint + advance the
