@@ -1246,7 +1246,7 @@ class ManagedTable:
         # (recording the batch's would let a type-compatible batch,
         # e.g. int appended into a long column, narrow the recorded
         # schema and break reads of older INT64 files).
-        return self._commit_delta_retry(
+        v_new = self._commit_delta_retry(
             operation,
             {**metrics, "numAppendedRows": n_new},
             delta_rows=n_new,
@@ -1256,6 +1256,8 @@ class ManagedTable:
             commutes=self._append_commutes_with,
             read_version=read_version,
         )
+        self._maybe_extend_bloom(v_new, local)
+        return v_new
 
     # -- public API ---------------------------------------------------------
 
@@ -1560,6 +1562,38 @@ class ManagedTable:
         h1, h2 = h & ((1 << 64) - 1), h >> 64
         return [(h1 + i * h2) % m for i in range(k)]
 
+    def _bloom_for_file(self, fpath: str, cols: list[str], fpp: float) -> dict:
+        """Per-(file, col) bloom entries for ONE parquet file."""
+        import base64
+        import math
+
+        import pyarrow.parquet as pq
+
+        ln2 = math.log(2)
+        schema_names = pq.read_schema(fpath).names
+        want = [c for c in cols if c in schema_names]
+        if not want:
+            return {}
+        tbl = pq.read_table(fpath, columns=want)
+        per_col = {}
+        for c in want:
+            vals = {
+                val for val in tbl.column(c).to_pylist() if val is not None
+            }
+            n = max(len(vals), 1)
+            m = max(8, int(math.ceil(-n * math.log(fpp) / (ln2 * ln2))))
+            k = max(1, round(m / n * ln2))
+            bits = bytearray((m + 7) // 8)
+            for val in vals:
+                for pos in self._bloom_hashes(val, m, k):
+                    bits[pos >> 3] |= 1 << (pos & 7)
+            per_col[c] = {
+                "m": m,
+                "k": k,
+                "bits": base64.b64encode(bytes(bits)).decode(),
+            }
+        return per_col
+
     def build_bloom_index(
         self, cols: list[str], fpp: float = 0.01, version: int | None = None
     ) -> dict:
@@ -1568,58 +1602,69 @@ class ManagedTable:
         local); at scale the blooms come from the writing tasks at
         commit time, exactly like Delta's bloom filter index — the
         sidecar format and the read path would not change."""
-        import base64
-        import math
-
-        import pyarrow.parquet as pq
-
         v = self.latest_version() if version is None else version
         state = self._state(v)
         # Files carry PHYSICAL names under column mapping; the sidecar
         # is keyed by them too (stable across renames).
         cols = [self._phys_col(state, c) for c in cols]
         files_index: dict[str, dict] = {}
-        ln2 = math.log(2)
         for fpath in self._all_data_files(v):
-                # Keyed by path relative to the TABLE ROOT (data-dir
-                # component included), so two data dirs holding files
-                # with the same dir-relative name can never alias each
-                # other's blooms — a false-negative prune would silently
-                # drop rows. Clone dataPaths outside the root still get
-                # unique "../..." keys. _all_data_files covers both dir
-                # contents and individually referenced (file-level COW)
-                # files.
-                rel = os.path.relpath(fpath, self.path)
-                schema_names = pq.read_schema(fpath).names
-                want = [c for c in cols if c in schema_names]
-                if not want:
-                    continue
-                tbl = pq.read_table(fpath, columns=want)
-                per_col = {}
-                for c in want:
-                    vals = {
-                        val
-                        for val in tbl.column(c).to_pylist()
-                        if val is not None
-                    }
-                    n = max(len(vals), 1)
-                    m = max(8, int(math.ceil(-n * math.log(fpp) / (ln2 * ln2))))
-                    k = max(1, round(m / n * ln2))
-                    bits = bytearray((m + 7) // 8)
-                    for val in vals:
-                        for pos in self._bloom_hashes(val, m, k):
-                            bits[pos >> 3] |= 1 << (pos & 7)
-                    per_col[c] = {
-                        "m": m,
-                        "k": k,
-                        "bits": base64.b64encode(bytes(bits)).decode(),
-                    }
-                files_index[rel] = per_col
+            # Keyed by path relative to the TABLE ROOT (data-dir
+            # component included), so two data dirs holding files
+            # with the same dir-relative name can never alias each
+            # other's blooms — a false-negative prune would silently
+            # drop rows. Clone dataPaths outside the root still get
+            # unique "../..." keys. _all_data_files covers both dir
+            # contents and individually referenced (file-level COW)
+            # files.
+            per_col = self._bloom_for_file(fpath, cols, fpp)
+            if per_col:
+                files_index[os.path.relpath(fpath, self.path)] = per_col
         os.makedirs(os.path.dirname(self._bloom_path(v)), exist_ok=True)
         payload = {"version": v, "fpp": fpp, "cols": cols, "files": files_index}
         with open(self._bloom_path(v), "w") as f:
             json.dump(payload, f)
         return {"version": v, "numFiles": len(files_index), "cols": cols}
+
+    def _maybe_extend_bloom(self, version: int, batch_dir: str) -> None:
+        """Incremental bloom maintenance (Delta's writer-side bloom):
+        when the ``bloomFilterColumns`` table property names columns,
+        every append extends the carried-forward sidecar with entries
+        for JUST the new batch's files — O(batch) extra I/O at commit,
+        and point-lookup pruning never goes stale. Derived data: any
+        failure here is swallowed, the reads just stay conservative."""
+        try:
+            prop = self.properties().get("bloomFilterColumns")
+            if not prop:
+                return
+            cols = [c.strip() for c in prop.split(",") if c.strip()]
+            state = self._state(version)
+            cols = [self._phys_col(state, c) for c in cols]
+            prior = self._bloom_index(version) or {
+                "fpp": 0.01,
+                "cols": cols,
+                "files": {},
+            }
+            fpp = prior.get("fpp", 0.01)
+            files_index = dict(prior.get("files") or {})
+            for fpath in _parquet_files(batch_dir):
+                rel = os.path.relpath(fpath, self.path)
+                per_col = self._bloom_for_file(fpath, cols, fpp)
+                if per_col:
+                    files_index[rel] = per_col
+            payload = {
+                "version": version,
+                "fpp": fpp,
+                "cols": cols,
+                "files": files_index,
+            }
+            os.makedirs(os.path.dirname(self._bloom_path(version)), exist_ok=True)
+            tmp = f"{self._bloom_path(version)}.tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, self._bloom_path(version))
+        except Exception:
+            pass
 
     def _bloom_index(self, version: int) -> dict | None:
         """The newest bloom sidecar at or BELOW ``version``. Data files

@@ -108,3 +108,35 @@ def test_prior_bloom_keeps_serving_after_append(table):
     # And a probe for the NEW file's value still finds it (its file has
     # no bloom entry -> conservatively kept).
     assert table.read_pruned_eq("uid", "user_777777").count() == 1
+
+
+def test_bloom_property_maintains_index_across_appends(table):
+    """r5: with bloomFilterColumns set, every append extends the
+    sidecar with the new batch's blooms — pruning stays exact for new
+    files too, no rebuild ever needed."""
+    table.build_bloom_index(["uid"])
+    table.set_property("bloomFilterColumns", "uid")
+    table.append(
+        table.spark.createDataFrame(
+            [("user_888888", 1)], "uid string, score long"
+        ),
+        fast=True,
+    )
+    table.append(
+        table.spark.createDataFrame(
+            [("user_999999", 2)], "uid string, score long"
+        ),
+        fast=True,
+    )
+    idx = table._bloom_index(table.latest_version())
+    # Both new batch files gained entries.
+    assert sum(1 for rel in idx["files"] if "batch-" in rel) >= 3  # odds + 2 new
+    # A probe for one new value keeps ONLY files whose bloom can hold
+    # it: the other new file and both interleaved old files are pruned.
+    kept, total = table.prune_files_eq("uid", "user_888888")
+    assert len(kept) == 1
+    assert table.read_pruned_eq("uid", "user_888888").count() == 1
+    # Absent value: everything bloom-prunable is pruned.
+    kept2, _ = table.prune_files_eq("uid", "user_777000")
+    assert len(kept2) == 0
+    assert table.read_pruned_eq("uid", "user_777000").count() == 0
