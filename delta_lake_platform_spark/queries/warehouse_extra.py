@@ -464,3 +464,49 @@ def events_partitioned_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+DV_PURGE_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE NOT (o_custkey % 7 = 0)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("dv_purge_roundtrip", DV_PURGE_ORACLE)
+def dv_purge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG TABLE ... APPLY (PURGE) end to end: a scattered MOR
+    delete leaves deletion-vector debt on many files; the purge
+    rewrites ONLY those files (work list read from the sidecar itself,
+    no table scan) and clears the DV pointer, after which reads skip
+    the anti-join entirely. Content must round-trip exactly — the
+    oracle sees only the surviving rows, and the query hard-fails if
+    the purge left a DV behind."""
+    import shutil
+    import tempfile
+
+    from ..sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="dv_purge_")
+    t = ManagedTable(spark, f"{d}/orders_purge")
+    t.create(load_table(spark, sf_dir, "orders"))
+    t.delete("o_custkey % 7 = 0", rewrite=False)
+    v = t.reorg_purge()
+    if v is None or t._state(v)["dv"] is not None:
+        raise AssertionError("REORG PURGE left a deletion vector behind")
+    out = (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -798,7 +798,10 @@ class ManagedTable:
             "add": add or {},
             "remove": remove or [],
             "addPaths": add_paths or [],
-            **({"deletionVector": dv} if dv is not None else {}),
+            # dv="" is the explicit CLEAR sentinel (REORG PURGE): the
+            # entry records deletionVector: null, which replay takes
+            # over the carried-forward pointer.
+            **({"deletionVector": (dv or None)} if dv is not None else {}),
             **({"schema": schema} if schema is not None else {}),
             **(
                 {"columnMapping": column_mapping}
@@ -1162,7 +1165,7 @@ class ManagedTable:
         vector was built from the first's predecessor) and a DML could
         land on top of an unseen OVERWRITE."""
         commutes = commutes or self._adds_only_between
-        if dv is not None:
+        if dv:  # a CLEAR ("" sentinel) never needs the DV feature bump
             base_v = (
                 read_version
                 if read_version is not None
@@ -1216,6 +1219,7 @@ class ManagedTable:
         metrics: dict,
         extra: dict | None = None,
         read_version: int | None = None,
+        commutes=None,
     ) -> int:
         """Fast-append commit: write ONLY the batch's files — O(batch)
         cost, the only viable append shape when the table is 100 TB and
@@ -1253,7 +1257,7 @@ class ManagedTable:
             add=new_stats,
             add_paths=[local],
             extra=extra,
-            commutes=self._append_commutes_with,
+            commutes=commutes or self._append_commutes_with,
             read_version=read_version,
         )
         self._maybe_extend_bloom(v_new, local)
@@ -2679,6 +2683,12 @@ class ManagedTable:
         # this point must fail the append, not be silently built on.
         rv = self.latest_version()
         current = self.read(rv)
+        df, id_marks = self._fill_identity(df, rv)
+        if id_marks:
+            txn_extra = {
+                **(txn_extra or {}),
+                "identityHighWaterMark": id_marks,
+            }
         if merge_schema:
             for c, t in df.dtypes:
                 if c not in current.columns:
@@ -2713,6 +2723,11 @@ class ManagedTable:
                 {},
                 extra=txn_extra,
                 read_version=rv,
+                commutes=(
+                    self._identity_append_commutes(id_marks)
+                    if id_marks
+                    else None
+                ),
             )
         new = current.unionByName(df, allowMissingColumns=False)
         return self._commit(
@@ -2762,6 +2777,7 @@ class ManagedTable:
         batch = reader.format(format).load(new_files)
         rv = self.latest_version()
         current = self.read(rv)
+        batch, id_marks = self._fill_identity(batch, rv)
         extra_cols = [c for c in batch.columns if c not in current.columns]
         missing = [c for c in current.columns if c not in batch.columns]
         if extra_cols or missing:
@@ -2778,8 +2794,16 @@ class ManagedTable:
             batch.select(*current.columns),
             "COPY INTO",
             {"numFiles": len(new_files)},
-            extra={"copyIntoFiles": new_files},
+            extra={
+                "copyIntoFiles": new_files,
+                **(
+                    {"identityHighWaterMark": id_marks} if id_marks else {}
+                ),
+            },
             read_version=rv,
+            commutes=(
+                self._identity_append_commutes(id_marks) if id_marks else None
+            ),
         )
 
     @staticmethod
@@ -3038,6 +3062,78 @@ class ManagedTable:
             return self.compact(target_partitions)
         return self._dml_filelevel(
             "OPTIMIZE WHERE", condition, coalesce=target_partitions
+        )
+
+    def reorg_purge(self) -> int | None:
+        """Delta ``REORG TABLE ... APPLY (PURGE)``: rewrite ONLY the
+        files carrying deletion-vector debt, materializing their
+        deletes; every clean file is referenced untouched through the
+        manifest, and the new snapshot carries NO deletion vector (the
+        entry records an explicit clear). The file list comes from the
+        DV sidecar itself — O(#files-with-DVs) metadata, zero table
+        scan to FIND the work — which is what makes periodic purge
+        maintenance viable on a 100 TB table where deletes touched a
+        handful of files. Old versions still read their DVs via time
+        travel. Returns the committed version, or ``None`` when the
+        snapshot has no deletion vector."""
+        v = self.latest_version()
+        dv_dir = self._state(v)["dv"]
+        if dv_dir is None:
+            return None
+        if not self._filelevel_ok(v):
+            # Unresolvable clone roots: full rewrite (also clears DV).
+            return self._commit(self.read(), "REORG PURGE", {"numOutputRows": None})
+        dv = self._read_dv(dv_dir)
+        per_file = {
+            r["__dv_file"]: r["count"]
+            for r in dv.groupBy("__dv_file").count().collect()
+        }  # one row per DV-bearing file — O(#files with DVs)
+        live = {os.path.abspath(f) for f in self._all_data_files(v)}
+        changed_uris = [
+            u
+            for u in sorted(per_file)
+            if os.path.abspath(_uri_to_path(u)) in live
+        ]
+        n_purged = sum(per_file[u] for u in changed_uris)
+        if not changed_uris:
+            # Every DV row is dangling (its file was since rewritten):
+            # clear the pointer, rewrite nothing.
+            return self._commit_delta_retry(
+                "REORG PURGE",
+                {"numRewrittenFiles": 0, "numPurgedRows": 0},
+                delta_rows=0,
+                dv="",
+                read_version=v,
+            )
+        changed = {os.path.abspath(_uri_to_path(u)) for u in changed_uris}
+        tagged = self._scan_version(v, with_positions=True)
+        cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
+        batch = (
+            self._restrict_to_files(tagged, changed_uris)
+            .join(
+                F.broadcast(dv), on=["__dv_file", "__dv_pos"], how="left_anti"
+            )
+            .select(*cols)
+        )
+        batch_dir = self._write_data_staged(
+            self._to_physical(batch, v), self._batch_dir()
+        )
+        _n, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
+        return self._commit_delta_retry(
+            "REORG PURGE",
+            {
+                "numRewrittenFiles": len(changed),
+                "numKeptFiles": len(live) - len(changed),
+                "numPurgedRows": n_purged,
+            },
+            delta_rows=0,
+            add=batch_stats,
+            remove=[
+                os.path.relpath(f, self.path) for f in sorted(changed)
+            ],
+            add_paths=[batch_dir],
+            dv="",
+            read_version=v,
         )
 
     def optimize_zorder(self, zorder_cols: list[str], n_files: int = 8) -> int:
@@ -3364,6 +3460,111 @@ class ManagedTable:
             raise ValueError(
                 f"CHECK constraint violation in {self.path}: {list(cons)}"
             )
+
+    # -- identity columns (Delta GENERATED ALWAYS AS IDENTITY) ---------------
+
+    def _identity_path(self) -> str:
+        return os.path.join(self.path, "_identity.json")
+
+    def identity_columns(self) -> dict[str, dict]:
+        """``{col: {"start": int, "step": int}}`` for every identity
+        column. Identity columns are engine-assigned on append /
+        COPY INTO (the batch must NOT supply them — GENERATED ALWAYS),
+        unique across the table's whole history (deleted ids are never
+        reused: the high-water mark is monotone), and allocated from
+        the log's footer stats plus the last recorded mark — no data
+        scan (reference ``account_key BIGINT GENERATED ALWAYS AS
+        IDENTITY (START WITH 10)``, test_scd_handler.py:41)."""
+        if not os.path.isfile(self._identity_path()):
+            return {}
+        with open(self._identity_path()) as f:
+            return json.load(f)
+
+    def set_identity_column(
+        self, col: str, start: int = 1, step: int = 1
+    ) -> None:
+        """Declare ``col`` GENERATED ALWAYS AS IDENTITY. The column
+        must exist with BIGINT type; existing values (if any) simply
+        seed the high-water mark. ``step`` must be >= 1."""
+        if step < 1:
+            raise ValueError("identity step must be >= 1")
+        state = self._state(self.latest_version())
+        schema = self._schema_of(state)
+        if schema is None or col not in schema.fieldNames():
+            raise ValueError(f"no column {col!r} on {self.path}")
+        if not isinstance(schema[col].dataType, T.LongType):
+            raise ValueError(
+                f"identity column {col!r} must be BIGINT, is "
+                f"{schema[col].dataType.simpleString()}"
+            )
+        idents = self.identity_columns()
+        idents[col] = {"start": int(start), "step": int(step)}
+        with open(self._identity_path(), "w") as f:
+            json.dump(idents, f)
+
+    def _identity_hwm(self, col: str, version: int):
+        """Monotone high-water mark: the newest commit's recorded
+        ``identityHighWaterMark`` (stops at the first identity append —
+        O(1) on an append-heavy log) maxed with the snapshot's footer-
+        stats column max (seeds from pre-identity data; deleted peak
+        ids stay burned because the recorded mark never decreases)."""
+        recorded = None
+        for v in reversed(self._versions()):
+            if v > version:
+                continue
+            marks = (self._entry(v) or {}).get("identityHighWaterMark")
+            if marks and col in marks:
+                recorded = marks[col]
+                break
+        stat = self.column_max(col, version)
+        vals = [x for x in (recorded, stat) if x is not None]
+        return max(vals) if vals else None
+
+    def _fill_identity(self, df: DataFrame, read_version: int):
+        """Assign identity values to an incoming batch. Returns
+        ``(df, marks)`` where ``marks`` maps each filled column to the
+        batch's last allocated id (recorded in the commit entry so
+        concurrent identity appends are detected as real conflicts —
+        both allocated from the same mark)."""
+        idents = self.identity_columns()
+        if not idents:
+            return df, None
+        from ..functions.ids import assign_unique_ids
+
+        marks: dict[str, int] = {}
+        for col, spec in idents.items():
+            if col in df.columns:
+                raise ValueError(
+                    f"GENERATED ALWAYS AS IDENTITY column {col!r} "
+                    "cannot be supplied by the writer"
+                )
+            start, step = spec["start"], spec["step"]
+            hwm = self._identity_hwm(col, read_version)
+            nxt = start if hwm is None else max(hwm + step, start)
+            df = assign_unique_ids(df, start=nxt, id_col=col, step=step)
+            # Exactly #rows ids are allocated; the count is one cached-
+            # layout job (assign_unique_ids pinned the batch already).
+            n = df.count()
+            marks[col] = nxt + step * (n - 1) if n else nxt - step
+        return df, marks
+
+    def _identity_append_commutes(self, cols):
+        """Blind-append rule PLUS: an intervening commit that allocated
+        identity values for any of ``cols`` is a real conflict — both
+        writers drew from the same high-water mark, so the loser's ids
+        would collide. (Delta serializes identity allocation through
+        its metadata high-water mark the same way.)"""
+
+        def commutes(v_from: int, v_to: int) -> bool:
+            if not self._append_commutes_with(v_from, v_to):
+                return False
+            for v in range(v_from, v_to + 1):
+                marks = (self._entry(v) or {}).get("identityHighWaterMark")
+                if marks and set(marks) & set(cols):
+                    return False
+            return True
+
+        return commutes
 
     def _feed_sides(
         self, from_version: int, to_version: int

@@ -298,6 +298,44 @@ class PlatformSQL:
             self.register(name, table)
             return self._df([{"version": v, "location": path}])
         m = re.match(
+            rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s*\((.*)\)\s+"
+            rf"LOCATION\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?$",
+            t,
+        )
+        if m:
+            name, coldefs, path, pcols = m.groups()
+            fields, idents = [], {}
+            for cd in _split_top_level(coldefs):
+                cm = re.match(
+                    rf"(?is)^\s*({_IDENT})\s+([A-Za-z0-9_]+"
+                    r"(?:\([0-9, ]*\))?)"
+                    r"(?:\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+                    r"(?:\s*\(\s*START\s+WITH\s+(\d+)"
+                    r"(?:\s+INCREMENT\s+BY\s+(\d+))?\s*\))?)?\s*$",
+                    cd,
+                )
+                if not cm:
+                    raise ValueError(f"cannot parse column definition {cd!r}")
+                cname, ctype, istart, istep = cm.groups()
+                fields.append(f"{cname} {ctype}")
+                if istart is not None or "IDENTITY" in cd.upper():
+                    idents[cname] = (
+                        int(istart) if istart else 1,
+                        int(istep) if istep else 1,
+                    )
+            empty = self.spark.createDataFrame([], ", ".join(fields))
+            table = ManagedTable(self.spark, path)
+            v = table.create(
+                empty,
+                partition_by=(
+                    [c.strip() for c in pcols.split(",")] if pcols else None
+                ),
+            )
+            for cname, (istart, istep) in idents.items():
+                table.set_identity_column(cname, start=istart, step=istep)
+            self.register(name, table)
+            return self._df([{"version": v, "location": path}])
+        m = re.match(
             rf"(?is)^INSERT\s+INTO\s+({_IDENT})\s*(?:\(([^)]*)\))?\s+"
             r"(SELECT\s+.*|VALUES\s*.*)$",
             t,
@@ -444,6 +482,28 @@ class PlatformSQL:
             else:
                 v = table.compact()
             return self._df([{"version": v, "operation": table.history(1)[0]["operation"]}])
+        m = re.match(
+            rf"(?is)^REORG\s+TABLE\s+({_IDENT})\s+APPLY\s*\(\s*PURGE\s*\)$",
+            t,
+        )
+        if m:
+            name = m.group(1)
+            v = self.tables[name].reorg_purge()
+            met = (
+                self.tables[name].history(1)[0].get("operationMetrics", {})
+                if v is not None
+                else {}
+            )
+            return self._df(
+                [
+                    {
+                        # -1 = nothing to purge (no DV on the snapshot)
+                        "version": -1 if v is None else v,
+                        "purged": v is not None,
+                        **{k: x for k, x in met.items() if x is not None},
+                    }
+                ]
+            )
         m = re.match(
             rf"(?is)^RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+(?:TO\s+)?"
             r"VERSION\s+AS\s+OF\s+(\d+)$",
