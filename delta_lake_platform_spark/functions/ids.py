@@ -67,6 +67,31 @@ def assign_dense_ids(
     pinned = _range_sorted(df, order_cols, num_partitions).localCheckpoint(
         eager=True
     )
+    return _ids_over_pinned(df, pinned, start, id_col)
+
+
+def assign_unique_ids(
+    df: DataFrame, start: int = 1, id_col: str = "row_id", step: int = 1
+) -> DataFrame:
+    """Batch-dense unique ids WITHOUT an ordering contract — the
+    GENERATED ALWAYS AS IDENTITY allocation path. The batch keeps its
+    existing partitioning (no shuffle at all); per-partition sequences
+    come from ``monotonically_increasing_id`` and cross-partition
+    offsets from a #partitions-row collect over the pinned layout.
+    Values are ``start, start+step, ...`` — exactly #rows ids, but
+    WHICH row gets which id depends on partition placement (identity
+    columns guarantee uniqueness, not order — Delta's contract)."""
+    pinned = df.localCheckpoint(eager=True)
+    return _ids_over_pinned(df, pinned, start, id_col, step=step)
+
+
+def _ids_over_pinned(
+    df: DataFrame,
+    pinned: DataFrame,
+    start: int,
+    id_col: str,
+    step: int = 1,
+) -> DataFrame:
     with_mid = pinned.select(
         "*", F.monotonically_increasing_id().alias("__mid")
     )
@@ -91,8 +116,7 @@ def assign_dense_ids(
             "*",
             (
                 F.lit(start)
-                + off_map[pid].cast("long")
-                + seq
+                + F.lit(step) * (off_map[pid].cast("long") + seq)
             ).cast("long").alias(id_col),
         )
         .drop("__mid")

@@ -66,7 +66,12 @@ PRIORITY = [
     "scd_change_feed_day2",
     "scd_time_travel_day1",
     "scd_surrogate_keys",
-    "customer_dense_ids",
+    # customer_dense_ids rotated out in r5 (dense-id assignment stays
+    # driver-covered inside scd_surrogate_keys) for
+    # sql_identity_accounts: the new GENERATED ALWAYS AS IDENTITY
+    # table feature end to end (CREATE TABLE DDL, engine-assigned
+    # appends, footer-stats high-water mark). Still locally swept.
+    "sql_identity_accounts",
     "sql_dml_pipeline",
     "mv_incremental_orders_by_status",
     # events_hourly_by_type rotated out in r4 (computation driver-
@@ -82,7 +87,12 @@ PRIORITY = [
     "asof_prior_purchase",
     "range_clicks_before_error",
     "events_json_props",
-    "dv_delete_orders",
+    # dv_delete_orders rotated out in r5 for its strict superset
+    # dv_purge_roundtrip: the same scattered MOR delete, followed by
+    # REORG TABLE APPLY (PURGE) — driver-visible proof that the purge
+    # rewrites only DV-bearing files and clears the pointer without
+    # changing content. Still locally oracle-swept.
+    "dv_purge_roundtrip",
     "events_partitioned_by_type",
     "events_heavy_hitter_users",
     "events_value_mad_grouped_udf",

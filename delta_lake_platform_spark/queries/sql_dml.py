@@ -249,3 +249,41 @@ def sql_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+IDENTITY_ORACLE = """
+SELECT 9 + ROW_NUMBER() OVER (ORDER BY c_custkey) AS account_key
+FROM customer
+ORDER BY account_key
+"""
+
+
+@register("sql_identity_accounts", IDENTITY_ORACLE)
+def sql_identity_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY end to end through the SQL DDL
+    (the reference's own table declares ``account_key BIGINT GENERATED
+    ALWAYS AS IDENTITY (START WITH 10)``, test_scd_handler.py:41): a
+    CREATE TABLE with an identity column, two appends that must NOT
+    supply it, ids drawn from the footer-stats high-water mark. WHICH
+    row gets which id is placement-dependent (identity guarantees
+    uniqueness, not order — Delta's contract), so the checkable
+    invariant is the id SEQUENCE itself: dense from START WITH across
+    both batches, exactly one per row."""
+    d = tempfile.mkdtemp(prefix="sql_ident_")
+    p = PlatformSQL(spark)
+    p.sql(
+        "CREATE TABLE accounts ("
+        "account_key BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10), "
+        f"name STRING) LOCATION '{d}/accounts'"
+    )
+    t = p.tables["accounts"]
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_name").alias("name")
+    )
+    t.append(cust.filter(F.col("c_custkey") % 2 == 0).select("name"))
+    t.append(cust.filter(F.col("c_custkey") % 2 != 0).select("name"))
+    out = (
+        t.read().select("account_key").orderBy("account_key").localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

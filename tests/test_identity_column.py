@@ -1,0 +1,155 @@
+"""GENERATED ALWAYS AS IDENTITY columns (the reference's own DDL:
+``account_key BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10)``,
+test_scd_handler.py:41): engine-assigned on append/COPY INTO, writer
+may never supply values, high-water mark is monotone (deleted peak ids
+stay burned), allocation is footer-stats + log metadata — no scan."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.sources.managed_table import ManagedTable
+from delta_lake_platform_spark.sql import PlatformSQL
+
+
+@pytest.fixture()
+def table(spark):
+    d = tempfile.mkdtemp(prefix="ident_table_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.createDataFrame([], "id bigint, name string"))
+    t.set_identity_column("id", start=10)
+    return t
+
+
+def _batch(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "name string")
+
+
+def test_identity_fill_on_append(spark, table):
+    table.append(_batch(spark, ["a", "b", "c"]))
+    rows = {r["name"]: r["id"] for r in table.read().collect()}
+    assert sorted(rows.values()) == [10, 11, 12]
+
+    # Second append continues from the high-water mark.
+    table.append(_batch(spark, ["d", "e"]))
+    ids = sorted(r["id"] for r in table.read().collect())
+    assert ids == [10, 11, 12, 13, 14]
+    marks = table.history(1)[0]["identityHighWaterMark"]
+    assert marks == {"id": 14}
+
+
+def test_identity_rejects_supplied_values(spark, table):
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        table.append(
+            spark.createDataFrame([(99, "x")], "id bigint, name string")
+        )
+
+
+def test_identity_never_reuses_deleted_peak(spark, table):
+    table.append(_batch(spark, ["a", "b", "c"]))  # ids 10..12
+    table.delete("id >= 11")  # burn the peak
+    assert table.read().count() == 1
+    table.append(_batch(spark, ["d"]))
+    ids = sorted(r["id"] for r in table.read().collect())
+    # 13, not 11: the recorded mark keeps deleted ids burned.
+    assert ids == [10, 13]
+
+
+def test_identity_step_and_existing_values_seed_hwm(spark):
+    d = tempfile.mkdtemp(prefix="ident_seed_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(
+        spark.createDataFrame([(100, "pre")], "id bigint, name string")
+    )
+    t.set_identity_column("id", start=10, step=5)
+    t.append(_batch(spark, ["a", "b"]))
+    ids = sorted(r["id"] for r in t.read().collect())
+    assert ids == [100, 105, 110]  # continues past existing data
+
+
+def test_identity_declaration_validates(spark):
+    d = tempfile.mkdtemp(prefix="ident_bad_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.createDataFrame([], "id int, name string"))
+    with pytest.raises(ValueError, match="BIGINT"):
+        t.set_identity_column("id")
+    with pytest.raises(ValueError, match="no column"):
+        t.set_identity_column("nope")
+    with pytest.raises(ValueError, match="step"):
+        ManagedTable(spark, f"{d}/t2")  # path unused before the raise
+        t.set_identity_column("id", step=0)
+
+
+def test_identity_concurrent_allocation_conflicts(spark, table):
+    """Two appends drawing from the same high-water mark must NOT both
+    commit: the identity-aware commute rejects an intervening identity
+    allocation (plain blind-append commute would let it through)."""
+    table.append(_batch(spark, ["a"]))  # v1, allocates id 10
+    assert table._append_commutes_with(1, 1) is True
+    assert table._identity_append_commutes(["id"])(1, 1) is False
+    assert table._identity_append_commutes(["other"])(1, 1) is True
+
+
+def test_identity_copy_into(spark, table):
+    src = tempfile.mkdtemp(prefix="ident_src_")
+    _batch(spark, ["a", "b"]).coalesce(1).write.parquet(f"{src}/f1")
+    # copy_into lists files directly under src_dir
+    import glob
+    import shutil
+
+    for i, f in enumerate(glob.glob(f"{src}/f1/*.parquet")):
+        shutil.move(f, f"{src}/part{i}.parquet")
+    shutil.rmtree(f"{src}/f1")
+    table.copy_into(src)
+    ids = sorted(r["id"] for r in table.read().collect())
+    assert ids == [10, 11]
+
+
+def test_sql_create_table_with_identity(spark):
+    d = tempfile.mkdtemp(prefix="ident_sql_")
+    sess = PlatformSQL(spark)
+    sess.sql(
+        f"""CREATE TABLE accounts (
+              account_key BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10),
+              name STRING,
+              balance DOUBLE
+            ) LOCATION '{d}/accounts'"""
+    )
+    t = sess.tables["accounts"]
+    assert t.identity_columns() == {
+        "account_key": {"start": 10, "step": 1}
+    }
+    sess.sql(
+        "INSERT INTO accounts (name, balance) VALUES ('ann', 1.5), ('bob', 2.5)"
+    )
+    got = {
+        r["name"]: r["account_key"]
+        for r in sess.sql(
+            "SELECT name, account_key FROM accounts"
+        ).collect()
+    }
+    assert sorted(got.values()) == [10, 11]
+
+    # GENERATED ALWAYS: supplying the key is refused.
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        sess.sql(
+            "INSERT INTO accounts (account_key, name, balance) "
+            "VALUES (99, 'eve', 0.0)"
+        )
+
+
+def test_sql_create_table_plain_schema(spark):
+    d = tempfile.mkdtemp(prefix="plain_sql_")
+    sess = PlatformSQL(spark)
+    sess.sql(
+        f"CREATE TABLE pt (k BIGINT, v STRING) LOCATION '{d}/pt' "
+        "PARTITIONED BY (v)"
+    )
+    t = sess.tables["pt"]
+    assert t.partition_spec() == ["v"]
+    sess.sql("INSERT INTO pt (k, v) VALUES (1, 'x'), (2, 'y')")
+    assert sess.sql("SELECT COUNT(*) AS n FROM pt").first()["n"] == 2
