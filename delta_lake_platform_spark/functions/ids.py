@@ -24,8 +24,28 @@ oracle-checkable and reproducible across cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Below this optimizer size estimate, a global ROW_NUMBER window (one
+# Exchange SinglePartition) beats the range-partition machinery: its
+# sort folds into the consuming job — zero extra jobs — versus the
+# scalable path's sampling job + eager checkpoint + offsets collect.
+# 64 MB through one task is milliseconds; the estimate comes from the
+# optimized plan's stats (driver-side, no job), and anything unknown or
+# join-inflated falls through to the scalable path.
+SMALL_BATCH_BYTES = 64 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the plan (file sizes for scans,
+    propagated through the operators). None when unavailable."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
 
 # monotonically_increasing_id() = (partition_id << 33) + in-partition
 # sequence (Spark's documented layout; 8 billion rows per partition).
@@ -63,7 +83,24 @@ def assign_dense_ids(
     collect for the offsets, zero single-partition stages. The
     checkpoint pins partition placement so the offset job and the id
     job see identical layouts.
+
+    Small-batch fast path: when the optimizer's size estimate says the
+    input is tiny (< ``SMALL_BATCH_BYTES``), a plain global ROW_NUMBER
+    window is used instead — same result, ZERO extra jobs (the sort
+    folds into whichever job consumes the frame), and the single
+    partition it implies is exactly right at that size. Unknown or
+    large estimates take the scalable path, so a 100 TB initial load
+    never sees a single-partition stage.
     """
+    est = _plan_size_bytes(df) if num_partitions is None else None
+    if est is not None and 0 <= est < SMALL_BATCH_BYTES:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.select(
+            "*",
+            (F.lit(start) - 1 + F.row_number().over(w))
+            .cast("long")
+            .alias(id_col),
+        )
     pinned = _range_sorted(df, order_cols, num_partitions).localCheckpoint(
         eager=True
     )

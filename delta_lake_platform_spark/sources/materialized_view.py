@@ -110,6 +110,7 @@ class MaterializedAggView:
         sum_cols: list[str],
         minmax_cols: list[str] | None = None,
         broadcast_dirty_max: int = 100_000,
+        literal_dirty_max: int = 1024,
     ):
         self.base = base
         self.state = ManagedTable(base.spark, path)
@@ -121,6 +122,11 @@ class MaterializedAggView:
         # mass delete can dirty millions of groups, and broadcasting
         # an unbounded frame OOMs the driver/executors.
         self.broadcast_dirty_max = broadcast_dirty_max
+        # Up to this many dirty groups their keys are COLLECTED and the
+        # recompute becomes a file-pruned literal-predicate scan — the
+        # common few-dirty-groups refresh reads only the files that can
+        # contain the dirty keys, not the base.
+        self.literal_dirty_max = literal_dirty_max
 
     # -- aggregation helpers ------------------------------------------------
 
@@ -167,16 +173,56 @@ class MaterializedAggView:
             .alias("b")
             .join(keys, on=_ns_cond("b", "k", self.group_cols), how="leftsemi")
             .groupBy(*self.group_cols)
-            .agg(
-                *[
-                    a
-                    for c in self.minmax_cols
-                    for a in (
-                        F.min(c).alias(f"__r_min_{c}"),
-                        F.max(c).alias(f"__r_max_{c}"),
-                    )
-                ]
+            .agg(*self._recompute_aggs())
+        )
+
+    def _recompute_aggs(self):
+        return [
+            a
+            for c in self.minmax_cols
+            for a in (
+                F.min(c).alias(f"__r_min_{c}"),
+                F.max(c).alias(f"__r_max_{c}"),
             )
+        ]
+
+    def _recompute_dirty_literal(self, cur: int, rows) -> DataFrame:
+        """Exact min/max recompute of a SMALL dirty-group set with the
+        collected keys as literals: the base read is FILE-PRUNED by the
+        keys' ranges (and bloom sidecars when present) instead of
+        scanned in full — at 100 TB one dirty group reads the files
+        that can contain it, not the table — and membership is a
+        pushed-down literal predicate, no join at all. A NULL anywhere
+        in a column's key values disables pruning on that column
+        (footer min/max ignore NULLs, so range skipping could drop
+        files holding the NULL-keyed rows)."""
+        ranges, eq_values = {}, {}
+        for c in self.group_cols:
+            vals = [r[c] for r in rows]
+            if any(v is None for v in vals):
+                continue
+            ranges[c] = (min(vals), max(vals))
+            eq_values[c] = sorted(set(vals))
+        base = (
+            self.base.read_pruned_multi(ranges, eq_values, version=cur)
+            if ranges
+            else self.base.read(cur)
+        )
+        cond = None
+        for r in rows:
+            tup = None
+            for c in self.group_cols:
+                cl = (
+                    F.col(c).isNull()
+                    if r[c] is None
+                    else (F.col(c) == F.lit(r[c]))
+                )
+                tup = cl if tup is None else (tup & cl)
+            cond = tup if cond is None else (cond | tup)
+        return (
+            base.filter(cond)
+            .groupBy(*self.group_cols)
+            .agg(*self._recompute_aggs())
         )
 
     # -- lifecycle ----------------------------------------------------------
@@ -255,9 +301,19 @@ class MaterializedAggView:
             dirty_keys = merged.filter(F.col("__dirty")).select(
                 *self.group_cols
             )
-            n_dirty = dirty_keys.count()
+            # One bounded collect doubles as the dirty COUNT and, when
+            # small, the literal key set for the pruned recompute; only
+            # a mass-dirty refresh pays a separate count job.
+            rows = dirty_keys.limit(self.literal_dirty_max + 1).collect()
+            n_dirty = len(rows)
+            if n_dirty > self.literal_dirty_max:
+                n_dirty = dirty_keys.count()
             if n_dirty:
-                recomputed = self._recompute_dirty(cur, dirty_keys, n_dirty)
+                recomputed = (
+                    self._recompute_dirty_literal(cur, rows)
+                    if len(rows) <= self.literal_dirty_max
+                    else self._recompute_dirty(cur, dirty_keys, n_dirty)
+                )
                 m, r = merged.alias("m"), recomputed.alias("r")
                 merged = m.join(
                     r, on=_ns_cond("m", "r", self.group_cols), how="left"

@@ -505,6 +505,67 @@ def test_null_group_key_extremum_delete(spark):
     assert row.min_val == 5 and row.max_val == 30 and row.n_rows == 2
 
 
+def test_null_group_key_extremum_delete_semijoin_path(spark):
+    """Same NULL-group extremum delete, with the literal recompute
+    disabled — pins the null-safe SEMI-JOIN recompute path, which the
+    default config no longer exercises for small dirty sets."""
+    d = tempfile.mkdtemp(prefix="dlp_mvnull_")
+    base = _null_base(spark, d)
+    mv = MaterializedAggView(
+        base, f"{d}/mv", group_cols=["grp"], sum_cols=["val"],
+        minmax_cols=["val"], literal_dirty_max=0,
+    )
+    mv.create()
+    base.delete("grp IS NULL AND val = 50", rewrite=False)
+    mv.refresh()
+    assert _dirty_groups(mv) == 1
+    _assert_val_view_exact(mv)
+    row = mv.read().filter(F.col("grp").isNull()).first()
+    assert row.min_val == 5 and row.max_val == 30 and row.n_rows == 2
+
+
+def test_literal_recompute_plan_has_no_join_and_prunes(spark):
+    """The small-dirty-set recompute is a literal-predicate scan: no
+    join anywhere in its plan, and the base read is file-pruned by the
+    dirty keys' range — the property that keeps a one-group refresh
+    O(files containing that group) at any table size."""
+    d = tempfile.mkdtemp(prefix="dlp_mvlit_")
+    base = ManagedTable(spark, f"{d}/base")
+    # Range layout on grp: each file covers a narrow grp range, so a
+    # single dirty group prunes to a strict subset of files.
+    base.create(
+        spark.range(400)
+        .select(
+            (F.col("id") % 20).alias("grp"),
+            (F.col("id") * 3).alias("val"),
+        )
+        .repartitionByRange(4, "grp")
+    )
+    mv = MaterializedAggView(
+        base, f"{d}/mv", group_cols=["grp"], sum_cols=["val"],
+        minmax_cols=["val"],
+    )
+    mv.create()
+    top = base.read().filter("grp = 2").agg(F.max("val")).first()[0]
+    base.delete(f"grp = 2 AND val = {top}", rewrite=False)
+    rows = [{"grp": 2}]
+    plan = (
+        mv._recompute_dirty_literal(base.latest_version(), rows)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+        .lower()
+    )
+    # No key join: the only join allowed is the DV anti-join a MOR
+    # read always carries; membership is a literal predicate.
+    assert "leftsemi" not in plan and "broadcasthint" not in plan
+    kept, total = base.prune_files_multi({"grp": (2, 2)})
+    assert total == 4 and len(kept) < total
+    mv.refresh()
+    got, want = mv.read().drop("avg_val"), mv._aggregate(base.read())
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
 def test_null_group_key_group_vanishes_and_returns(spark):
     d = tempfile.mkdtemp(prefix="dlp_mvnull_")
     base = _null_base(spark, d)
@@ -591,6 +652,7 @@ def test_dirty_recompute_past_broadcast_threshold(spark):
     mv = MaterializedAggView(
         base, f"{d}/mv", group_cols=["grp"], sum_cols=["val"],
         minmax_cols=["val"], broadcast_dirty_max=10,
+        literal_dirty_max=0,  # force the semi-join path this test pins
     )
     mv.create()
     base.delete("val < 50", rewrite=False)  # every group loses its min
