@@ -23,10 +23,9 @@ Maintainable aggregates come in two tiers:
 
 Scale: refresh cost is O(|delta|) + a merge against the view state,
 which is |groups|-sized — never O(|base|). At 100 TB the change feed
-comes from the commit log (Delta CDF files), and the state merge
-shuffles only group keys; the base table is untouched. The full-outer
-state merge is the same dataflow as the SCD engine's single-commit
-apply (scd/engine.py), reused deliberately.
+comes from the commit log (Delta CDF files), and the state merge —
+state ∪ signed feed folded through ONE groupBy (``_union_agg_merge``)
+— shuffles only group keys; the base table is untouched.
 """
 
 from __future__ import annotations
@@ -51,44 +50,87 @@ def _ns_cond(lhs: str, rhs: str, cols) -> "F.Column":
     return cond
 
 
-def _minmax_delta_aggs(sign, cols) -> list:
-    """Signed-delta aggregate expressions for min/max maintenance:
-    insert-side extrema (fold in monotonically) and delete-side extrema
-    (drive the dirty-group test)."""
-    aggs = []
-    for c in cols:
-        ins = F.when(sign == 1, F.col(c))
-        dele = F.when(sign == -1, F.col(c))
+def _union_agg_merge(
+    old: DataFrame,
+    signed_rows: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str],
+) -> DataFrame:
+    """Fold signed change-feed ROWS into the stored aggregate state
+    with one union + one groupBy — the merge shape both MV tiers share.
+    Versus the previous full-outer join: one exchange instead of three
+    (no delta pre-aggregation, no join), and NULL group keys need no
+    null-safe join keys because groupBy reunites them by construction.
+    Emits the merged state plus ``__dirty`` (a delete removed a value
+    tying-or-beating a stored extremum; NULL comparisons are false —
+    no deletes / brand-new group => clean)."""
+    o_src = old.select(
+        *group_cols,
+        F.col("n_rows").alias("__n"),
+        *[F.col(f"sum_{c}").alias(f"__sum_{c}") for c in sum_cols],
+        *[
+            e
+            for c in minmax_cols
+            for e in (
+                F.col(f"min_{c}").alias(f"__o_min_{c}"),
+                F.col(f"max_{c}").alias(f"__o_max_{c}"),
+            )
+        ],
+    )
+    sgn = F.col("__sign")
+    d_src = signed_rows.select(
+        *group_cols,
+        sgn.cast("long").alias("__n"),
+        *[(F.col(c) * sgn).alias(f"__sum_{c}") for c in sum_cols],
+        *[
+            e
+            for c in minmax_cols
+            for e in (
+                F.when(sgn == 1, F.col(c)).alias(f"__ins_{c}"),
+                F.when(sgn == -1, F.col(c)).alias(f"__del_{c}"),
+            )
+        ],
+    )
+    u = o_src.unionByName(d_src, allowMissingColumns=True)
+    aggs = [F.sum("__n").cast("long").alias("n_rows")]
+    aggs += [F.sum(f"__sum_{c}").alias(f"sum_{c}") for c in sum_cols]
+    for c in minmax_cols:
         aggs += [
-            F.min(ins).alias(f"__ins_min_{c}"),
-            F.max(ins).alias(f"__ins_max_{c}"),
-            F.min(dele).alias(f"__del_min_{c}"),
-            F.max(dele).alias(f"__del_max_{c}"),
+            F.min(f"__o_min_{c}").alias(f"__o_min_{c}"),
+            F.max(f"__o_max_{c}").alias(f"__o_max_{c}"),
+            F.min(f"__ins_{c}").alias(f"__ins_min_{c}"),
+            F.max(f"__ins_{c}").alias(f"__ins_max_{c}"),
+            F.min(f"__del_{c}").alias(f"__del_min_{c}"),
+            F.max(f"__del_{c}").alias(f"__del_max_{c}"),
         ]
-    return aggs
-
-
-def _minmax_merge_cols(cols) -> tuple[list, "F.Column"]:
-    """(merged min/max select expressions, dirty-group condition) for
-    the state ⟗ delta merge. least/greatest skip NULLs; NULL
-    comparisons in the dirty test are false (no deletes / new group)."""
-    merged = []
+    g = u.groupBy(*group_cols).agg(*aggs)
     dirty = F.lit(False)
-    for c in cols:
-        merged += [
-            F.least(F.col(f"o.min_{c}"), F.col(f"d.__ins_min_{c}")).alias(
+    sel_mm = []
+    for c in minmax_cols:
+        sel_mm += [
+            F.least(F.col(f"__o_min_{c}"), F.col(f"__ins_min_{c}")).alias(
                 f"min_{c}"
             ),
-            F.greatest(F.col(f"o.max_{c}"), F.col(f"d.__ins_max_{c}")).alias(
+            F.greatest(F.col(f"__o_max_{c}"), F.col(f"__ins_max_{c}")).alias(
                 f"max_{c}"
             ),
         ]
         dirty = (
             dirty
-            | (F.col(f"d.__del_min_{c}") <= F.col(f"o.min_{c}"))
-            | (F.col(f"d.__del_max_{c}") >= F.col(f"o.max_{c}"))
+            | (F.col(f"__del_min_{c}") <= F.col(f"__o_min_{c}"))
+            | (F.col(f"__del_max_{c}") >= F.col(f"__o_max_{c}"))
         )
-    return merged, dirty
+    return (
+        g.select(
+            *group_cols,
+            "n_rows",
+            *[F.col(f"sum_{c}") for c in sum_cols],
+            *sel_mm,
+            F.coalesce(dirty, F.lit(False)).alias("__dirty"),
+        )
+        .filter(F.col("n_rows") > 0)  # fully-deleted groups vanish
+    )
 
 
 class MaterializedAggView:
@@ -130,27 +172,16 @@ class MaterializedAggView:
 
     # -- aggregation helpers ------------------------------------------------
 
-    def _aggregate(self, df: DataFrame, sign_col: str | None = None) -> DataFrame:
-        """Group ``df`` to the view grain. With ``sign_col`` (+1/-1),
-        produces signed deltas so deletes subtract; min/max deltas are
-        split per side (insert extrema fold in, delete extrema drive
-        the dirty-group test)."""
-        sign = F.col(sign_col) if sign_col else F.lit(1)
+    def _aggregate(self, df: DataFrame) -> DataFrame:
+        """Full aggregation of ``df`` to the view grain (create() and
+        the equivalence oracle; refresh folds deltas through
+        ``_union_agg_merge`` instead)."""
         aggs = [
-            F.sum(sign).cast("long").alias("n_rows"),
-            *[
-                F.sum(F.col(c) * sign).alias(f"sum_{c}")
-                for c in self.sum_cols
-            ],
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.sum(c).alias(f"sum_{c}") for c in self.sum_cols],
         ]
-        if sign_col is None:
-            for c in self.minmax_cols:
-                aggs += [
-                    F.min(c).alias(f"min_{c}"),
-                    F.max(c).alias(f"max_{c}"),
-                ]
-        else:
-            aggs += _minmax_delta_aggs(sign, self.minmax_cols)
+        for c in self.minmax_cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
         return df.groupBy(*self.group_cols).agg(*aggs)
 
     def _base_version(self) -> int:
@@ -257,38 +288,12 @@ class MaterializedAggView:
                 F.lit(-1)
             ),
         )
-        delta = self._aggregate(signed, "__sign")
-
-        old = self.state.read().alias("o")
-        d = delta.alias("d")
-        # Insert extrema fold monotonically; a delete dirties the group
-        # only when it removed a value tying-or-beating the stored
-        # extremum (NULL comparisons are false: no deletes / new group
-        # => clean). The merge join is NULL-SAFE on the group keys:
-        # groupBy made NULL a group, so the join must reunite it.
-        minmax_cols, dirty_cond = _minmax_merge_cols(self.minmax_cols)
-        merged = (
-            old.join(d, on=_ns_cond("o", "d", self.group_cols), how="full_outer")
-            .select(
-                *[
-                    F.coalesce(F.col(f"o.{c}"), F.col(f"d.{c}")).alias(c)
-                    for c in self.group_cols
-                ],
-                (
-                    F.coalesce(F.col("o.n_rows"), F.lit(0))
-                    + F.coalesce(F.col("d.n_rows"), F.lit(0))
-                ).alias("n_rows"),
-                *[
-                    (
-                        F.coalesce(F.col(f"o.sum_{c}"), F.lit(0))
-                        + F.coalesce(F.col(f"d.sum_{c}"), F.lit(0))
-                    ).alias(f"sum_{c}")
-                    for c in self.sum_cols
-                ],
-                *minmax_cols,
-                F.coalesce(dirty_cond, F.lit(False)).alias("__dirty"),
-            )
-            .filter(F.col("n_rows") > 0)  # fully-deleted groups vanish
+        merged = _union_agg_merge(
+            self.state.read(),
+            signed,
+            self.group_cols,
+            self.sum_cols,
+            self.minmax_cols,
         )
         n_dirty = 0
         # Metadata short-circuit: when every commit in the span only
@@ -403,17 +408,13 @@ class MaterializedJoinAggView:
         self.minmax_cols = list(minmax_cols or [])
         self.broadcast_dirty_max = broadcast_dirty_max
 
-    def _aggregate(self, df: DataFrame, sign_col: str | None = None) -> DataFrame:
-        sign = F.col(sign_col) if sign_col else F.lit(1)
+    def _aggregate(self, df: DataFrame) -> DataFrame:
         aggs = [
-            F.sum(sign).cast("long").alias("n_rows"),
-            *[F.sum(F.col(c) * sign).alias(f"sum_{c}") for c in self.sum_cols],
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.sum(c).alias(f"sum_{c}") for c in self.sum_cols],
         ]
-        if sign_col is None:
-            for c in self.minmax_cols:
-                aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-        else:
-            aggs += _minmax_delta_aggs(sign, self.minmax_cols)
+        for c in self.minmax_cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
         return df.groupBy(*self.group_cols).agg(*aggs)
 
     def _recompute_dirty(
@@ -654,33 +655,16 @@ class MaterializedJoinAggView:
                 "MV_REFRESH",
                 {"leftVersion": l1, "rightVersion": r1},
             )
-        delta = self._aggregate(delta_rows, "__sign")
-
-        old = self.state.read().alias("o")
-        d = delta.alias("d")
-        minmax_cols, dirty_cond = _minmax_merge_cols(self.minmax_cols)
-        merged = (
-            old.join(d, on=_ns_cond("o", "d", self.group_cols), how="full_outer")
-            .select(
-                *[
-                    F.coalesce(F.col(f"o.{c}"), F.col(f"d.{c}")).alias(c)
-                    for c in self.group_cols
-                ],
-                (
-                    F.coalesce(F.col("o.n_rows"), F.lit(0))
-                    + F.coalesce(F.col("d.n_rows"), F.lit(0))
-                ).alias("n_rows"),
-                *[
-                    (
-                        F.coalesce(F.col(f"o.sum_{c}"), F.lit(0))
-                        + F.coalesce(F.col(f"d.sum_{c}"), F.lit(0))
-                    ).alias(f"sum_{c}")
-                    for c in self.sum_cols
-                ],
-                *minmax_cols,
-                F.coalesce(dirty_cond, F.lit(False)).alias("__dirty"),
-            )
-            .filter(F.col("n_rows") > 0)
+        # State ∪ signed-delta-rows → ONE groupBy (same union-aggregate
+        # merge as the single-table tier: one exchange instead of the
+        # full-outer join's three, NULL group keys reunited by groupBy
+        # itself).
+        merged = _union_agg_merge(
+            self.state.read(),
+            delta_rows,
+            self.group_cols,
+            self.sum_cols,
+            self.minmax_cols,
         )
         n_dirty = 0
         insert_only = self.left._adds_only_between(
