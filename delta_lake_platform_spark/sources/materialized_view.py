@@ -50,6 +50,40 @@ def _ns_cond(lhs: str, rhs: str, cols) -> "F.Column":
     return cond
 
 
+def _literal_restrict(table, version, rows, cols) -> DataFrame:
+    """Pruned scan of exactly the rows whose ``cols`` tuple appears in
+    ``rows`` (collected dirty keys): per-column range stats and bloom
+    sidecars skip every file that cannot contain a wanted key, and
+    membership is a pushed-down literal predicate — no join. A NULL
+    among a column's values disables pruning on that column (footer
+    min/max ignore NULLs, so range skipping could drop the files
+    holding the NULL-keyed rows)."""
+    ranges, eq_values = {}, {}
+    for c in cols:
+        vals = [r[c] for r in rows]
+        if any(v is None for v in vals):
+            continue
+        ranges[c] = (min(vals), max(vals))
+        eq_values[c] = sorted(set(vals))
+    base = (
+        table.read_pruned_multi(ranges, eq_values, version=version)
+        if ranges
+        else table.read(version)
+    )
+    cond = None
+    for r in rows:
+        tup = None
+        for c in cols:
+            cl = (
+                F.col(c).isNull()
+                if r[c] is None
+                else (F.col(c) == F.lit(r[c]))
+            )
+            tup = cl if tup is None else (tup & cl)
+        cond = tup if cond is None else (cond | tup)
+    return base.filter(cond)
+
+
 def _union_agg_merge(
     old: DataFrame,
     signed_rows: DataFrame,
@@ -220,38 +254,11 @@ class MaterializedAggView:
     def _recompute_dirty_literal(self, cur: int, rows) -> DataFrame:
         """Exact min/max recompute of a SMALL dirty-group set with the
         collected keys as literals: the base read is FILE-PRUNED by the
-        keys' ranges (and bloom sidecars when present) instead of
-        scanned in full — at 100 TB one dirty group reads the files
-        that can contain it, not the table — and membership is a
-        pushed-down literal predicate, no join at all. A NULL anywhere
-        in a column's key values disables pruning on that column
-        (footer min/max ignore NULLs, so range skipping could drop
-        files holding the NULL-keyed rows)."""
-        ranges, eq_values = {}, {}
-        for c in self.group_cols:
-            vals = [r[c] for r in rows]
-            if any(v is None for v in vals):
-                continue
-            ranges[c] = (min(vals), max(vals))
-            eq_values[c] = sorted(set(vals))
-        base = (
-            self.base.read_pruned_multi(ranges, eq_values, version=cur)
-            if ranges
-            else self.base.read(cur)
-        )
-        cond = None
-        for r in rows:
-            tup = None
-            for c in self.group_cols:
-                cl = (
-                    F.col(c).isNull()
-                    if r[c] is None
-                    else (F.col(c) == F.lit(r[c]))
-                )
-                tup = cl if tup is None else (tup & cl)
-            cond = tup if cond is None else (cond | tup)
+        keys (``_literal_restrict``) — at 100 TB one dirty group reads
+        the files that can contain it, not the table — and there is no
+        key join at all."""
         return (
-            base.filter(cond)
+            _literal_restrict(self.base, cur, rows, self.group_cols)
             .groupBy(*self.group_cols)
             .agg(*self._recompute_aggs())
         )
@@ -398,6 +405,7 @@ class MaterializedJoinAggView:
         sum_cols: list[str],
         minmax_cols: list[str] | None = None,
         broadcast_dirty_max: int = 100_000,
+        literal_dirty_max: int = 1024,
     ):
         self.left = left
         self.right = right
@@ -407,6 +415,10 @@ class MaterializedJoinAggView:
         self.sum_cols = list(sum_cols)
         self.minmax_cols = list(minmax_cols or [])
         self.broadcast_dirty_max = broadcast_dirty_max
+        # Up to this many dirty groups their keys are collected and
+        # each base carrying group columns is read through a
+        # file-pruned literal predicate instead of a semi-join.
+        self.literal_dirty_max = literal_dirty_max
 
     def _aggregate(self, df: DataFrame) -> DataFrame:
         aggs = [
@@ -443,6 +455,44 @@ class MaterializedJoinAggView:
             lbase = restrict(lbase, lkeys)
         if rkeys:
             rbase = restrict(rbase, rkeys)
+        return (
+            lbase.join(rbase, on=self.on)
+            .groupBy(*self.group_cols)
+            .agg(
+                *[
+                    a
+                    for c in self.minmax_cols
+                    for a in (
+                        F.min(c).alias(f"__r_min_{c}"),
+                        F.max(c).alias(f"__r_max_{c}"),
+                    )
+                ]
+            )
+        )
+
+    def _recompute_dirty_literal(self, l1: int, r1: int, rows) -> DataFrame:
+        """Literal-key variant of the dirty recompute: each base
+        carrying group columns is read through ``_literal_restrict``
+        (file-pruned by the collected keys, no semi-join); a side with
+        no group column is scanned for the join only — its rows that
+        don't reach a dirty group die in the join."""
+        lbase, rbase = self.left.read(l1), self.right.read(r1)
+        lkeys = [g for g in self.group_cols if g in lbase.columns]
+        rkeys = [g for g in self.group_cols if g in rbase.columns]
+
+        def lit_restrict(table, version, keys):
+            seen, proj = set(), []
+            for r in rows:
+                t = tuple(r[c] for c in keys)
+                if t not in seen:
+                    seen.add(t)
+                    proj.append({c: r[c] for c in keys})
+            return _literal_restrict(table, version, proj, keys)
+
+        if lkeys:
+            lbase = lit_restrict(self.left, l1, lkeys)
+        if rkeys:
+            rbase = lit_restrict(self.right, r1, rkeys)
         return (
             lbase.join(rbase, on=self.on)
             .groupBy(*self.group_cols)
@@ -673,10 +723,19 @@ class MaterializedJoinAggView:
         if self.minmax_cols and not insert_only:
             merged = merged.localCheckpoint(eager=False)
             dirty_keys = merged.filter(F.col("__dirty")).select(*self.group_cols)
-            n_dirty = dirty_keys.count()
+            # One bounded collect doubles as the dirty COUNT and, when
+            # small, the literal key set for the pruned recompute.
+            rows = dirty_keys.limit(self.literal_dirty_max + 1).collect()
+            n_dirty = len(rows)
+            if n_dirty > self.literal_dirty_max:
+                n_dirty = dirty_keys.count()
             if n_dirty:
                 m = merged.alias("m")
-                r = self._recompute_dirty(l1, r1, dirty_keys, n_dirty).alias("r")
+                r = (
+                    self._recompute_dirty_literal(l1, r1, rows)
+                    if len(rows) <= self.literal_dirty_max
+                    else self._recompute_dirty(l1, r1, dirty_keys, n_dirty)
+                ).alias("r")
                 merged = m.join(
                     r, on=_ns_cond("m", "r", self.group_cols), how="left"
                 ).select(

@@ -625,6 +625,101 @@ def test_null_group_key_join_view_group_move(spark):
     assert row.n_rows == 3 and row.min_val == 10 and row.max_val == 30
 
 
+def test_null_group_key_join_view_semijoin_path(spark):
+    """Join-tier twin with the literal recompute disabled — pins the
+    null-safe SEMI-JOIN restrict path the default config no longer
+    exercises for small dirty sets."""
+    from delta_lake_platform_spark.sources.materialized_view import (
+        MaterializedJoinAggView,
+    )
+
+    d = tempfile.mkdtemp(prefix="dlp_mvjnull_")
+    left = ManagedTable(spark, f"{d}/fact")
+    left.create(
+        spark.createDataFrame(
+            [(1, 100, 10), (2, 100, 20), (3, 200, 30), (4, 300, 40)],
+            "id long, k long, val long",
+        )
+    )
+    right = ManagedTable(spark, f"{d}/dim")
+    right.create(
+        spark.createDataFrame(
+            [(100, None), (200, "X"), (300, None)], "k long, grp string"
+        )
+    )
+    mv = MaterializedJoinAggView(
+        left, right, f"{d}/mv", on=["k"], group_cols=["grp"],
+        sum_cols=["val"], minmax_cols=["val"], literal_dirty_max=0,
+    )
+    mv.create()
+    right.update({"grp": "NULL"}, "k = 200", rewrite=False)
+    left.delete("id = 4", rewrite=False)
+    mv.refresh()
+    _assert_join_view_exact_nullsafe(mv)
+    row = mv.read().filter(F.col("grp").isNull()).first()
+    assert row.n_rows == 3 and row.min_val == 10 and row.max_val == 30
+
+
+def test_join_view_literal_recompute_prunes_dim(spark):
+    """Join-tier literal recompute: the dimension side (the base that
+    carries the group column) is file-pruned by the dirty keys — a
+    one-group refresh reads the dim files that can contain that group,
+    not the dim table."""
+    from delta_lake_platform_spark.sources.materialized_view import (
+        MaterializedJoinAggView,
+    )
+
+    d = tempfile.mkdtemp(prefix="dlp_mvjlit_")
+    left = ManagedTable(spark, f"{d}/fact")
+    left.create(
+        spark.range(200).select(
+            F.col("id"),
+            (F.col("id") % 40).alias("k"),
+            (F.col("id") * 3).alias("val"),
+        )
+    )
+    right = ManagedTable(spark, f"{d}/dim")
+    right.create(
+        spark.range(40)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("g"), (F.col("id") % 8).cast("string")).alias(
+                "grp"
+            ),
+        )
+        .repartitionByRange(4, "grp")
+    )
+    mv = MaterializedJoinAggView(
+        left, right, f"{d}/mv", on=["k"], group_cols=["grp"],
+        sum_cols=["val"], minmax_cols=["val"],
+    )
+    mv.create()
+    # Delete the max-val fact row of one group to dirty exactly it.
+    top = (
+        left.read()
+        .join(right.read().filter("grp = 'g3'"), on=["k"])
+        .agg(F.max("val"))
+        .first()[0]
+    )
+    left.delete(f"val = {top}", rewrite=False)
+    plan = (
+        mv._recompute_dirty_literal(
+            left.latest_version(), right.latest_version(), [{"grp": "g3"}]
+        )
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+        .lower()
+    )
+    assert "leftsemi" not in plan  # no key semi-join on the dim side
+    kept, total = right.prune_files_multi({"grp": ("g3", "g3")})
+    assert total == 4 and len(kept) < total
+    mv.refresh()
+    want = mv._aggregate(left.read().join(right.read(), on=["k"]))
+    got = mv.read().drop("avg_val")
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
 def _assert_join_view_exact_nullsafe(mv):
     got = mv.read().drop("avg_val")
     want = mv._aggregate(mv.left.read().join(mv.right.read(), on=mv.on))
