@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import glob
 import json
+import re
 import os
 import time
 import uuid
@@ -2684,6 +2685,7 @@ class ManagedTable:
         rv = self.latest_version()
         current = self.read(rv)
         df, id_marks = self._fill_identity(df, rv)
+        df = self._fill_generated(df, rv)
         if id_marks:
             txn_extra = {
                 **(txn_extra or {}),
@@ -2778,6 +2780,7 @@ class ManagedTable:
         rv = self.latest_version()
         current = self.read(rv)
         batch, id_marks = self._fill_identity(batch, rv)
+        batch = self._fill_generated(batch, rv)
         extra_cols = [c for c in batch.columns if c not in current.columns]
         missing = [c for c in current.columns if c not in batch.columns]
         if extra_cols or missing:
@@ -2963,6 +2966,7 @@ class ManagedTable:
         without a recorded schema fall back to the snapshot rewrite.
         Partitioned tables reject renames (partition columns are
         path-encoded; Delta imposes the same restriction)."""
+        self._guard_dependent_exprs(old, "rename")
         v = self.latest_version()
         state = self._state(v)
         schema = self._schema_of(state)
@@ -3007,6 +3011,7 @@ class ManagedTable:
         mapping: the field leaves the logical schema and the mapping;
         the physical column stays in old files, never selected again.
         Legacy histories fall back to the snapshot rewrite."""
+        self._guard_dependent_exprs(name, "drop")
         v = self.latest_version()
         state = self._state(v)
         schema = self._schema_of(state)
@@ -3449,16 +3454,28 @@ class ManagedTable:
         """Raise if any row violates any CHECK constraint. One job for
         all constraints (a single disjunctive filter), not one per."""
         cons = self.constraints() if constraints is None else constraints
-        if not cons:
-            return
         violation = None
         for expr in cons.values():
             clause = ~F.coalesce(F.expr(expr), F.lit(False))
             violation = clause if violation is None else (violation | clause)
+        # Generated columns are implicit CHECKs (col <=> expr): a batch
+        # that supplies the column with the wrong value — or a DML that
+        # rewrites a source without its generated pair — fails here.
+        gen_checked = []
+        for col, expr in self.generated_columns().items():
+            if col in df.columns:
+                gen_checked.append(col)
+                clause = ~F.col(col).eqNullSafe(F.expr(expr))
+                violation = (
+                    clause if violation is None else (violation | clause)
+                )
+        if violation is None:
+            return
         bad = df.filter(violation)
         if not bad.isEmpty():
             raise ValueError(
-                f"CHECK constraint violation in {self.path}: {list(cons)}"
+                f"CHECK constraint violation in {self.path}: "
+                f"{list(cons) + [f'{c} (generated)' for c in gen_checked]}"
             )
 
     # -- identity columns (Delta GENERATED ALWAYS AS IDENTITY) ---------------
@@ -3547,6 +3564,80 @@ class ManagedTable:
             n = df.count()
             marks[col] = nxt + step * (n - 1) if n else nxt - step
         return df, marks
+
+    # -- generated columns (Delta GENERATED ALWAYS AS (expr)) ----------------
+
+    def _generated_path(self) -> str:
+        return os.path.join(self.path, "_generated.json")
+
+    def generated_columns(self) -> dict[str, str]:
+        """``{col: sql_expr}`` for every generated column. On append /
+        COPY INTO an absent generated column is COMPUTED from its
+        expression; a present one is VERIFIED against it (folded into
+        the same single ``verify_constraints`` job every write path
+        already runs, so DML that would break the invariant fails
+        loudly — Delta recomputes on UPDATE instead; we require the
+        writer to keep the pair consistent, which the check enforces)."""
+        if not os.path.isfile(self._generated_path()):
+            return {}
+        with open(self._generated_path()) as f:
+            return json.load(f)
+
+    def set_generated_column(self, col: str, expr: str) -> None:
+        """Declare ``col`` GENERATED ALWAYS AS (``expr``). The column
+        must exist and every current row must already satisfy
+        ``col <=> expr`` (checked in one job, like ADD CONSTRAINT)."""
+        state = self._state(self.latest_version())
+        schema = self._schema_of(state)
+        if schema is None or col not in schema.fieldNames():
+            raise ValueError(f"no column {col!r} on {self.path}")
+        bad = self.read().filter(
+            ~F.col(col).eqNullSafe(F.expr(expr))
+        )
+        if not bad.isEmpty():
+            raise ValueError(
+                f"existing rows violate {col} = {expr}; cannot declare "
+                "the generated column"
+            )
+        gen = self.generated_columns()
+        gen[col] = expr
+        with open(self._generated_path(), "w") as f:
+            json.dump(gen, f)
+
+    def _fill_generated(self, df: DataFrame, read_version: int) -> DataFrame:
+        """Compute absent generated columns on an incoming batch
+        (present ones pass through and are verified by the constraint
+        check at commit time)."""
+        gen = self.generated_columns()
+        if not gen:
+            return df
+        schema = self._schema_of(self._state(read_version))
+        for col, expr in gen.items():
+            if col in df.columns:
+                continue
+            e = F.expr(expr)
+            if schema is not None and col in schema.fieldNames():
+                e = e.cast(schema[col].dataType)
+            df = df.withColumn(col, e)
+        return df
+
+    def _guard_dependent_exprs(self, col: str, action: str) -> None:
+        """RENAME/DROP COLUMN guard: refuse when a generated column's
+        expression or a CHECK constraint references ``col`` (Delta
+        blocks dropping generated-source columns the same way)."""
+        pat = re.compile(rf"\b{re.escape(col)}\b")
+        for gcol, expr in self.generated_columns().items():
+            if gcol == col or pat.search(expr):
+                raise ValueError(
+                    f"cannot {action} {col!r}: generated column "
+                    f"{gcol!r} = ({expr}) depends on it"
+                )
+        for name, expr in self.constraints().items():
+            if pat.search(expr):
+                raise ValueError(
+                    f"cannot {action} {col!r}: CHECK constraint "
+                    f"{name!r} = ({expr}) depends on it"
+                )
 
     def _identity_append_commutes(self, cols):
         """Blind-append rule PLUS: an intervening commit that allocated

@@ -304,25 +304,38 @@ class PlatformSQL:
         )
         if m:
             name, coldefs, path, pcols = m.groups()
-            fields, idents = [], {}
+            fields, idents, gens = [], {}, {}
             for cd in _split_top_level(coldefs):
                 cm = re.match(
                     rf"(?is)^\s*({_IDENT})\s+([A-Za-z0-9_]+"
-                    r"(?:\([0-9, ]*\))?)"
-                    r"(?:\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
-                    r"(?:\s*\(\s*START\s+WITH\s+(\d+)"
-                    r"(?:\s+INCREMENT\s+BY\s+(\d+))?\s*\))?)?\s*$",
+                    r"(?:\([0-9, ]*\))?)\s*(.*?)\s*$",
                     cd,
                 )
                 if not cm:
                     raise ValueError(f"cannot parse column definition {cd!r}")
-                cname, ctype, istart, istep = cm.groups()
+                cname, ctype, rest = cm.groups()
                 fields.append(f"{cname} {ctype}")
-                if istart is not None or "IDENTITY" in cd.upper():
+                if not rest:
+                    continue
+                im = re.match(
+                    r"(?is)^GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+                    r"(?:\s*\(\s*START\s+WITH\s+(\d+)"
+                    r"(?:\s+INCREMENT\s+BY\s+(\d+))?\s*\))?$",
+                    rest,
+                )
+                if im:
                     idents[cname] = (
-                        int(istart) if istart else 1,
-                        int(istep) if istep else 1,
+                        int(im.group(1) or 1),
+                        int(im.group(2) or 1),
                     )
+                    continue
+                gm = re.match(
+                    r"(?is)^GENERATED\s+ALWAYS\s+AS\s*\((.*)\)$", rest
+                )
+                if gm:
+                    gens[cname] = gm.group(1).strip()
+                    continue
+                raise ValueError(f"cannot parse column definition {cd!r}")
             empty = self.spark.createDataFrame([], ", ".join(fields))
             table = ManagedTable(self.spark, path)
             v = table.create(
@@ -333,6 +346,8 @@ class PlatformSQL:
             )
             for cname, (istart, istep) in idents.items():
                 table.set_identity_column(cname, start=istart, step=istep)
+            for cname, gexpr in gens.items():
+                table.set_generated_column(cname, gexpr)
             self.register(name, table)
             return self._df([{"version": v, "location": path}])
         m = re.match(
