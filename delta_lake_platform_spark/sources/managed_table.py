@@ -3190,7 +3190,10 @@ class ManagedTable:
         return removed
 
     def vacuum(
-        self, keep_last: int = 2, older_than_s: float | None = None
+        self,
+        keep_last: int = 2,
+        older_than_s: float | None = None,
+        dry_run: bool = False,
     ) -> list[int]:
         """Delete data for old versions (Delta VACUUM analogue). Log
         entries are kept (history stays queryable; the data is gone).
@@ -3199,7 +3202,9 @@ class ManagedTable:
         ``older_than_s`` is Delta's ``RETAIN <n> HOURS``: additionally
         keep any version whose commit is younger than the retention
         window, so readers of recent snapshots don't lose data under
-        them. Returns removed versions."""
+        them. ``dry_run`` (Delta's ``VACUUM ... DRY RUN``) reports the
+        versions the retention policy selects without deleting
+        anything. Returns removed (or would-remove) versions."""
         import shutil
 
         versions = self._versions()
@@ -3255,7 +3260,8 @@ class ManagedTable:
                 if not (dvd + os.sep).startswith(table_root + os.sep):
                     continue  # never reach outside the table root
                 if os.path.isdir(dvd) and dvd not in referenced_dvs:
-                    shutil.rmtree(dvd)
+                    if not dry_run:
+                        shutil.rmtree(dvd)
             data_removed = False
             own_dirs = (
                 [self._local_data_dir(v)]
@@ -3275,10 +3281,13 @@ class ManagedTable:
                 if d in referenced or d in live_dirs:
                     continue
                 if os.path.isdir(d):
-                    shutil.rmtree(d)
+                    if not dry_run:
+                        shutil.rmtree(d)
                     data_removed = True
             if data_removed:
                 removed.append(v)
+        if dry_run:
+            return removed
         # Abandoned staging dirs: a writer that crashed mid-publish (or
         # lost the rename race) leaves `<dir>.staged-<uuid>` garbage no
         # log entry references. Reclaim the stale ones — an AGE guard

@@ -187,6 +187,40 @@ class PlatformSQL:
             d[k] = json.dumps(d.get(k, {}), sort_keys=True)
         return self._df([d])
 
+    def _show_create(self, name: str) -> str:
+        """Round-trippable DDL for a registered table: column list with
+        IDENTITY / GENERATED clauses, LOCATION, PARTITIONED BY, then
+        TBLPROPERTIES and ADD CONSTRAINT statements — everything this
+        dialect needs to recreate the table's contract elsewhere."""
+        t = self.tables[name]
+        idents = t.identity_columns()
+        gens = t.generated_columns()
+        cols = []
+        for f in t.read().schema.fields:
+            line = f"  {f.name} {f.dataType.simpleString().upper()}"
+            if f.name in idents:
+                spec = idents[f.name]
+                line += (
+                    f" GENERATED ALWAYS AS IDENTITY (START WITH "
+                    f"{spec['start']} INCREMENT BY {spec['step']})"
+                )
+            elif f.name in gens:
+                line += f" GENERATED ALWAYS AS ({gens[f.name]})"
+            cols.append(line)
+        stmt = (
+            f"CREATE TABLE {name} (\n"
+            + ",\n".join(cols)
+            + f"\n) LOCATION '{t.path}'"
+        )
+        spec = t.partition_spec()
+        if spec:
+            stmt += f"\nPARTITIONED BY ({', '.join(spec)})"
+        for k, v in sorted(t.properties().items()):
+            stmt += f";\nALTER TABLE {name} SET TBLPROPERTIES ({k} = {v})"
+        for cname, expr in sorted(t.constraints().items()):
+            stmt += f";\nALTER TABLE {name} ADD CONSTRAINT {cname} CHECK ({expr})"
+        return stmt
+
     def _version_at_timestamp(self, name: str, ts: str) -> int:
         """Latest version committed at or before ``ts`` (Delta's
         TIMESTAMP AS OF), from commit-log timestamps alone."""
@@ -466,16 +500,37 @@ class PlatformSQL:
             return self._detail(m.group(1))
         m = re.match(
             rf"(?is)^VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+HOURS)?"
-            r"(?:\s+KEEP\s+LAST\s+(\d+))?$",
+            r"(?:\s+KEEP\s+LAST\s+(\d+))?(\s+DRY\s+RUN)?$",
             t,
         )
         if m:
-            name, hours, keep = m.groups()
+            name, hours, keep, dry = m.groups()
             removed = self.tables[name].vacuum(
                 keep_last=int(keep) if keep else 2,
                 older_than_s=float(hours) * 3600 if hours else None,
+                dry_run=bool(dry),
             )
-            return self._df([{"removedVersions": json.dumps(removed)}])
+            return self._df(
+                [
+                    {
+                        "removedVersions": json.dumps(removed),
+                        "dryRun": bool(dry),
+                    }
+                ]
+            )
+        m = re.match(rf"(?is)^SHOW\s+TBLPROPERTIES\s+({_IDENT})$", t)
+        if m:
+            props = self.tables[m.group(1)].properties()
+            return self._df(
+                [{"key": k, "value": str(v)} for k, v in sorted(props.items())]
+                or [{"key": None, "value": None}]
+            ).filter("key IS NOT NULL")
+        m = re.match(rf"(?is)^SHOW\s+CREATE\s+TABLE\s+({_IDENT})$", t)
+        if m:
+            name = m.group(1)
+            return self._df(
+                [{"createtab_stmt": self._show_create(name)}]
+            )
         m = re.match(
             rf"(?is)^OPTIMIZE\s+({_IDENT})(?:\s+WHERE\s+(.*?))?"
             r"(?:\s+ZORDER\s+BY\s*\((.*?)\))?$",

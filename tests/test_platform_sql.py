@@ -396,3 +396,79 @@ def test_constraint_ddl_via_sql(psql, spark):
     assert "bal_nonneg" not in t.constraints()
     with pytest.raises(ValueError, match="no constraint"):
         psql.sql("ALTER TABLE accounts DROP CONSTRAINT nope")
+
+
+def test_show_tblproperties_and_create_table(spark):
+    import tempfile
+
+    from delta_lake_platform_spark.sql import PlatformSQL
+
+    d = tempfile.mkdtemp(prefix="show_sql_")
+    p = PlatformSQL(spark)
+    p.sql(
+        f"""CREATE TABLE acct (
+              account_key BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10),
+              cents BIGINT,
+              dollars DOUBLE GENERATED ALWAYS AS (cents / 100.0)
+            ) LOCATION '{d}/acct'"""
+    )
+    p.sql("ALTER TABLE acct SET TBLPROPERTIES (enableDeletionVectors = true)")
+    p.sql("ALTER TABLE acct ADD CONSTRAINT nonneg CHECK (cents >= 0)")
+
+    props = {r["key"]: r["value"] for r in p.sql("SHOW TBLPROPERTIES acct").collect()}
+    assert props == {"enableDeletionVectors": "true"}
+
+    ddl = p.sql("SHOW CREATE TABLE acct").first()["createtab_stmt"]
+    assert "account_key BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 1)" in ddl
+    assert "dollars DOUBLE GENERATED ALWAYS AS (cents / 100.0)" in ddl
+    assert f"LOCATION '{d}/acct'" in ddl
+    assert "ADD CONSTRAINT nonneg CHECK (cents >= 0)" in ddl
+    assert "SET TBLPROPERTIES (enableDeletionVectors = true)" in ddl
+
+    # Round-trip: replaying the DDL (new name/location) yields the same
+    # contract surfaces.
+    replay = ddl.replace("acct", "acct2").replace(f"{d}/acct", f"{d}/acct2")
+    for stmt in replay.split(";\n"):
+        p.sql(stmt)
+    t2 = p.tables["acct2"]
+    assert t2.identity_columns() == {"account_key": {"start": 10, "step": 1}}
+    assert t2.generated_columns() == {"dollars": "cents / 100.0"}
+    assert t2.constraints() == {"nonneg": "cents >= 0"}
+    assert t2.properties() == {"enableDeletionVectors": "true"}
+
+
+def test_vacuum_dry_run(spark):
+    import json as _json
+    import tempfile
+
+    from delta_lake_platform_spark.sql import PlatformSQL
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="vac_dry_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.range(10).selectExpr("id", "id * 2 as v"))
+    for i in range(3):
+        t.append(spark.range(i * 10, i * 10 + 5).selectExpr("id", "id * 2 as v"))
+    p = PlatformSQL(spark)
+    p.register("t", t)
+    row = p.sql("VACUUM t KEEP LAST 2 DRY RUN").first()
+    assert row["dryRun"] is True
+    would = _json.loads(row["removedVersions"])
+    # Fast-append chain: every old batch dir is still referenced by the
+    # retained head, so a real run would reclaim nothing — and the dry
+    # run must say so (it applies the same reference analysis).
+    assert would == []
+    for v in range(4):
+        assert t.read(v).count() > 0
+
+    # A full-snapshot OVERWRITE makes the old dirs reclaimable; the dry
+    # run now predicts exactly what the real vacuum then removes — and
+    # still deletes nothing itself.
+    t.overwrite(t.read())
+    row = p.sql("VACUUM t KEEP LAST 1 DRY RUN").first()
+    would = _json.loads(row["removedVersions"])
+    assert would != []
+    for v in range(5):
+        assert t.read(v).count() > 0  # dry run deleted nothing
+    row2 = p.sql("VACUUM t KEEP LAST 1").first()
+    assert _json.loads(row2["removedVersions"]) == would
