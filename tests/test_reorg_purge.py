@@ -101,3 +101,44 @@ def test_sql_reorg_purge(spark, table):
     # Second purge: nothing to do.
     row2 = sess.sql("REORG TABLE t APPLY (PURGE)").first()
     assert row2["purged"] is False
+
+
+def test_change_feed_across_purge_is_empty(table):
+    """REORG PURGE changes layout, not content: the change feed across
+    the purge commit must net to zero rows (rewritten rows cancel)."""
+    table.delete("id < 250", rewrite=False)   # v1
+    v = table.reorg_purge()                    # v2
+    feed = table.change_feed(1, v)
+    assert feed.count() == 0
+
+
+def test_mv_refresh_across_purge_stays_exact(spark):
+    """A refresh whose span includes a REORG PURGE commit must still
+    land exactly on the full recompute (the purge's rewritten rows
+    cancel in the feed; the delete still dirties its groups)."""
+    from delta_lake_platform_spark.sources.materialized_view import (
+        MaterializedAggView,
+    )
+
+    b = tempfile.mkdtemp(prefix="reorg_mvbase_")
+    base = ManagedTable(spark, f"{b}/t")
+    base.create(
+        spark.range(0, 1000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 5).alias("bucket"),
+            (F.col("id") * 2).alias("val"),
+        )
+        .repartitionByRange(4, "id")
+    )
+    view = MaterializedAggView(
+        base, f"{b}/mv", group_cols=["bucket"], sum_cols=["val"],
+        minmax_cols=["val"],
+    )
+    view.create()
+    base.delete("id < 100", rewrite=False)  # dirties min-holding groups
+    base.reorg_purge()
+    view.refresh()
+    got = view.read().drop("avg_val")
+    want = view._aggregate(base.read())
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
