@@ -259,6 +259,18 @@ class _BatchWriter(DataSourceWriter):
         # being silently built on.
         t = ManagedTable(None, self.path)
         self.read_version = t.latest_version() if t.exists() else None
+        # Identity columns allocate from a driver-coordinated high-water
+        # mark; executor-side sink writes cannot do that. Fail at plan
+        # time with the right pointer instead of a cryptic schema error
+        # (foreachBatch -> table.append() is the streaming path that
+        # DOES mint keys, with txn idempotence).
+        if t.exists() and t.identity_columns():
+            raise ValueError(
+                "managed_table sink cannot write to a table with "
+                "GENERATED ALWAYS AS IDENTITY columns; use "
+                "foreachBatch with ManagedTable.append (txn_app/"
+                "txn_version for exactly-once) instead"
+            )
         # Column-mapped tables: executors must write PHYSICAL column
         # names (stable across renames). Captured at plan time; a
         # mapping change after this point is a schema commit, which the

@@ -758,7 +758,11 @@ class ManagedTable:
                 f"version {version} of {self.path} was committed concurrently"
             ) from e
         self._state_cache.clear()
-        if version > 0 and version % _CKPT_INTERVAL == 0:
+        try:
+            interval = int(self.properties().get("checkpointInterval", _CKPT_INTERVAL))
+        except (ValueError, TypeError):
+            interval = _CKPT_INTERVAL
+        if version > 0 and interval > 0 and version % interval == 0:
             try:
                 self._write_checkpoint(version)
             except Exception:
@@ -826,15 +830,30 @@ class ManagedTable:
             return json.load(f)
 
     def set_property(self, key: str, value: str) -> None:
-        """ALTER TABLE SET TBLPROPERTIES analogue. The one behavioral
-        property is ``enableDeletionVectors``: when 'true', DML
-        (DELETE/UPDATE/MERGE/replaceWhere) defaults to merge-on-read —
-        exactly Delta's ``delta.enableDeletionVectors`` switch."""
+        """ALTER TABLE SET TBLPROPERTIES analogue. Behavioral
+        properties (all Delta analogues): ``enableDeletionVectors``
+        ('true' -> DML defaults to merge-on-read),
+        ``checkpointInterval`` (commits between consolidated log
+        checkpoints), ``appendOnly`` ('true' -> DELETE/UPDATE/MERGE/
+        overwrite/restore are refused — the audit-log contract),
+        ``bloomFilterColumns`` and ``logRetentionDuration``
+        (documented at their use sites)."""
         props = self.properties()
         props[key] = value
         os.makedirs(self.path, exist_ok=True)
         with open(self._properties_path(), "w") as f:
             json.dump(props, f)
+
+    def _check_append_only(self, operation: str) -> None:
+        """Delta's ``delta.appendOnly``: a table declared append-only
+        refuses every row-removing or rewriting commit — appends,
+        COPY INTO, and metadata/layout-preserving maintenance remain
+        allowed."""
+        if str(self.properties().get("appendOnly", "")).lower() == "true":
+            raise ValueError(
+                f"{operation} on {self.path}: table is appendOnly "
+                "(TBLPROPERTIES appendOnly = true)"
+            )
 
     def _resolve_rewrite(self, rewrite: bool | None) -> bool:
         if rewrite is not None:
@@ -1870,6 +1889,7 @@ class ManagedTable:
         their replacements plus the inserts land in one new batch dir —
         the commit costs O(touched + inserted). Incompatible with
         ``auto_schema_evolution`` (widening needs a rewrite)."""
+        self._check_append_only("MERGE")
         rewrite = self._resolve_rewrite(rewrite)
         if not rewrite and auto_schema_evolution:
             raise MergeError(
@@ -2288,6 +2308,7 @@ class ManagedTable:
         (b) fast-appends the rewritten rows as a new batch dir — cost is
         O(matched rows), not O(table). This is exactly how Delta updates
         a table with DVs enabled: mark old copies dead, add new copies."""
+        self._check_append_only("UPDATE")
         rewrite = self._resolve_rewrite(rewrite)
         if rewrite:
             if (
@@ -2389,6 +2410,7 @@ class ManagedTable:
         1 GB rewrite — the point of DVs at 100 TB. Any later full
         rewrite (compact/OPTIMIZE/UPDATE/...) reads through the DV and
         materializes the survivors, clearing the debt."""
+        self._check_append_only("DELETE")
         rewrite = self._resolve_rewrite(rewrite)
         if rewrite:
             if (
@@ -2479,6 +2501,7 @@ class ManagedTable:
         that would CHANGE the column set requires explicit opt-in
         (``overwriteSchema``) — otherwise a typo'd projection silently
         rewrites the table shape for every downstream reader."""
+        self._check_append_only("OVERWRITE")
         if self.exists() and not overwrite_schema:
             # Compare names AND types: Delta's overwriteSchema gate also
             # blocks type changes, and a rename+add that keeps the name
@@ -2515,6 +2538,7 @@ class ManagedTable:
         deletion vector and the replacement lands as one new batch dir
         — the whole partition reload costs O(slice), the canonical
         daily-reload shape for a date-partitioned 100 TB fact table."""
+        self._check_append_only("replaceWhere")
         rewrite = self._resolve_rewrite(rewrite)
         table_cols = self.read().columns
         extra_cols = [c for c in df.columns if c not in table_cols]
@@ -3419,6 +3443,7 @@ class ManagedTable:
         """Delta RESTORE: make a past snapshot the new current version
         (forward-written as a new commit — history is append-only, so
         the restore itself is auditable and reversible)."""
+        self._check_append_only("RESTORE")
         df = self.read(version)
         return self._commit(
             df, "RESTORE", {"restoredVersion": version, "numOutputRows": None}

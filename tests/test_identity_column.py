@@ -153,3 +153,35 @@ def test_sql_create_table_plain_schema(spark):
     assert t.partition_spec() == ["v"]
     sess.sql("INSERT INTO pt (k, v) VALUES (1, 'x'), (2, 'y')")
     assert sess.sql("SELECT COUNT(*) AS n FROM pt").first()["n"] == 2
+
+
+def test_identity_with_idempotent_txn_append(spark, table):
+    """Streaming micro-batch shape: identity keys mint exactly once
+    under txn-idempotent appends — a replayed (app, version) batch is a
+    NO-OP and does not re-draw from the high-water mark."""
+    b = _batch(spark, ["a", "b"])
+    table.append(b, txn_app="q1", txn_version=0)
+    table.append(b, txn_app="q1", txn_version=0)  # replay: no-op
+    ids = sorted(r["id"] for r in table.read().collect())
+    assert ids == [10, 11]
+    table.append(_batch(spark, ["c"]), txn_app="q1", txn_version=1)
+    ids = sorted(r["id"] for r in table.read().collect())
+    assert ids == [10, 11, 12]
+
+
+def test_sink_refuses_identity_table(spark, table):
+    """The executor-side DataSource sink cannot coordinate identity
+    allocation; it must fail at plan time with a pointer to the
+    foreachBatch/append path."""
+    from delta_lake_platform_spark.sources import datasource
+
+    datasource.register(spark)
+    table.append(_batch(spark, ["a"]))
+    df = _batch(spark, ["x"]).withColumn("id", F.lit(None).cast("long"))
+    with pytest.raises(Exception, match="IDENTITY"):
+        try:
+            df.write.format("managed_table").option(
+                "path", table.path
+            ).mode("append").save()
+        except Exception as e:  # py4j wraps the planner error
+            raise RuntimeError(str(e)) from e

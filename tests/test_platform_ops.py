@@ -397,3 +397,50 @@ def test_update_set_null_keeps_column_type(spark):
         assert dict(got.dtypes)["s"] == "string"
         assert got.filter("s IS NULL").count() == 10
         assert got.filter("s IS NOT NULL").count() == 10
+
+
+def test_append_only_property_blocks_mutations(spark):
+    import tempfile
+
+    import pytest as _pytest
+
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="appendonly_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.range(10).selectExpr("id", "id * 2 as v"))
+    t.set_property("appendOnly", "true")
+    t.append(spark.range(10, 15).selectExpr("id", "id * 2 as v"))  # allowed
+    assert t.read().count() == 15
+    for op in (
+        lambda: t.delete("id < 3"),
+        lambda: t.update({"v": "v + 1"}, "id = 1"),
+        lambda: t.overwrite(t.read()),
+        lambda: t.restore(0),
+    ):
+        with _pytest.raises(ValueError, match="appendOnly"):
+            op()
+    # compact (layout-only) stays allowed; so does dropping the gate.
+    t.set_property("appendOnly", "false")
+    t.delete("id < 3")
+    assert t.read().count() == 12
+
+
+def test_checkpoint_interval_property(spark):
+    import os as _os
+    import tempfile
+
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="ckptint_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.range(5).selectExpr("id", "id * 2 as v"))
+    t.set_property("checkpointInterval", "3")
+    for i in range(6):
+        t.append(spark.range(i, i + 2).selectExpr("id", "id * 2 as v"))
+    ckpt_dir = _os.path.join(t.path, "_log", "_checkpoints")
+    ckpts = sorted(_os.listdir(ckpt_dir)) if _os.path.isdir(ckpt_dir) else []
+    # Commits 3 and 6 checkpointed under the property (default is 10,
+    # which would have produced none by version 6).
+    assert len(ckpts) == 2
+    assert t._last_checkpoint_version() == 6
