@@ -36,7 +36,11 @@ def test_family_representation_in_first_50():
         # streamed twin (same oracle) since the r4 rotation
         "streaming-real": "events_hourly_streamed",
         "temporal-asof": "asof_prior_purchase",
-        "deletion-vectors": "dv_delete_orders",
+        # r5: the DV family representative is the purge roundtrip
+        # (strict superset of dv_delete_orders: same scattered MOR
+        # delete, plus REORG PURGE clearing the vector).
+        "deletion-vectors": "dv_purge_roundtrip",
+        "identity-table": "sql_identity_accounts",
         "partitioned": "events_partitioned_by_type",
         "sketches": "events_heavy_hitter_users",
         "grouped-udf": "events_value_mad_grouped_udf",
