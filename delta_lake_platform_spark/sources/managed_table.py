@@ -3199,17 +3199,35 @@ class ManagedTable:
             return []  # young table: nothing is safely expirable
         cutoff = time.time() - older_than_s
         removed = []
+        expiring_marks: dict[str, int] = {}
         for v in self._versions():
             if v >= horizon:
                 break
             entry = self._entry(v) or {}
             if entry.get("timestamp", 0) <= cutoff:
+                for c, mark in (
+                    entry.get("identityHighWaterMark") or {}
+                ).items():
+                    expiring_marks[c] = max(expiring_marks.get(c, mark), mark)
                 try:
                     os.remove(self._entry_path(v))
                     removed.append(v)
                 except OSError:
                     pass
         if removed:
+            # Identity marks recorded only in expired entries must not
+            # vanish (deleted peak ids would be re-minted): fold them
+            # into the identity metadata as a persistent floor.
+            if expiring_marks:
+                idents = self.identity_columns()
+                changed = False
+                for c, mark in expiring_marks.items():
+                    if c in idents and mark > idents[c].get("floor", -1):
+                        idents[c]["floor"] = mark
+                        changed = True
+                if changed:
+                    with open(self._identity_path(), "w") as f:
+                        json.dump(idents, f)
             self._state_cache.clear()
         return removed
 
@@ -3568,7 +3586,10 @@ class ManagedTable:
                 recorded = marks[col]
                 break
         stat = self.column_max(col, version)
-        vals = [x for x in (recorded, stat) if x is not None]
+        # Floor persisted by expire_log_entries when the mark-carrying
+        # entries aged out of the log (see there).
+        floor = (self.identity_columns().get(col) or {}).get("floor")
+        vals = [x for x in (recorded, stat, floor) if x is not None]
         return max(vals) if vals else None
 
     def _fill_identity(self, df: DataFrame, read_version: int):

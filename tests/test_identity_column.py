@@ -185,3 +185,24 @@ def test_sink_refuses_identity_table(spark, table):
             ).mode("append").save()
         except Exception as e:  # py4j wraps the planner error
             raise RuntimeError(str(e)) from e
+
+
+def test_identity_hwm_survives_log_retention(spark, table, monkeypatch):
+    """Expiring the log entries that recorded the high-water mark must
+    not resurrect deleted peak ids: expire_log_entries folds the marks
+    into a persistent floor in the identity metadata."""
+    from delta_lake_platform_spark.sources import managed_table as mt
+
+    monkeypatch.setattr(mt, "_CKPT_INTERVAL", 2)
+    table.append(_batch(spark, ["a", "b", "c"]))  # ids 10..12, v1
+    table.delete("id >= 11")  # burn the peak, v2 (checkpoint at v2)
+    for n in ("d", "e"):  # v3, v4 (checkpoint at v4)
+        table.append(_batch(spark, [n]))
+    removed = table.expire_log_entries(older_than_s=0.0)
+    assert removed, "test needs at least one expired entry"
+    # The mark for ids<=14 lives on even if its entries are gone.
+    assert table.identity_columns()["id"].get("floor", -1) >= 12
+    table.append(_batch(spark, ["f"]))
+    ids = sorted(r["id"] for r in table.read().collect())
+    assert len(ids) == len(set(ids)), f"duplicate identity ids: {ids}"
+    assert max(ids) >= 15
