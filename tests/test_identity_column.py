@@ -206,3 +206,37 @@ def test_identity_hwm_survives_log_retention(spark, table, monkeypatch):
     ids = sorted(r["id"] for r in table.read().collect())
     assert len(ids) == len(set(ids)), f"duplicate identity ids: {ids}"
     assert max(ids) >= 15
+
+
+def test_identity_unique_under_mixed_ops(spark):
+    """Randomized (seeded) op sequence — appends, deletes, a purge, a
+    compact — must never mint a duplicate identity value, and every
+    append's ids must stay above everything ever seen."""
+    import random
+
+    rng = random.Random(7)
+    d = tempfile.mkdtemp(prefix="ident_fuzz_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.createDataFrame([], "id bigint, name string"))
+    t.set_identity_column("id", start=1)
+    seen: set[int] = set()
+    hwm = 0
+    for step in range(10):
+        op = rng.choice(["append", "append", "delete", "purge", "compact"])
+        if op == "append":
+            n = rng.randint(1, 5)
+            t.append(_batch(spark, [f"s{step}_{i}" for i in range(n)]))
+            ids = {r["id"] for r in t.read().collect()}
+            fresh = ids - seen
+            assert len(fresh) == n, f"step {step}: expected {n} new ids"
+            assert min(fresh) > hwm, f"step {step}: reused id below hwm"
+            seen |= fresh
+            hwm = max(seen)
+        elif op == "delete" and t.read().count() > 0:
+            t.delete(f"id % 3 = {rng.randint(0, 2)}", rewrite=False)
+        elif op == "purge":
+            t.reorg_purge()  # None when no DV — fine
+        elif op == "compact" and t.read().count() > 0:
+            t.compact()
+    live = [r["id"] for r in t.read().collect()]
+    assert len(live) == len(set(live))
