@@ -521,10 +521,10 @@ class PlatformSQL:
         m = re.match(rf"(?is)^SHOW\s+TBLPROPERTIES\s+({_IDENT})$", t)
         if m:
             props = self.tables[m.group(1)].properties()
-            return self._df(
-                [{"key": k, "value": str(v)} for k, v in sorted(props.items())]
-                or [{"key": None, "value": None}]
-            ).filter("key IS NOT NULL")
+            return self.spark.createDataFrame(
+                sorted((k, str(v)) for k, v in props.items()),
+                "key string, value string",
+            )
         m = re.match(rf"(?is)^SHOW\s+CREATE\s+TABLE\s+({_IDENT})$", t)
         if m:
             name = m.group(1)

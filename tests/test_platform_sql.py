@@ -472,3 +472,18 @@ def test_vacuum_dry_run(spark):
         assert t.read(v).count() > 0  # dry run deleted nothing
     row2 = p.sql("VACUUM t KEEP LAST 1").first()
     assert _json.loads(row2["removedVersions"]) == would
+
+
+def test_show_tblproperties_empty(spark):
+    import tempfile
+
+    from delta_lake_platform_spark.sql import PlatformSQL
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="show_empty_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.range(3).selectExpr("id"))
+    p = PlatformSQL(spark)
+    p.register("t", t)
+    out = p.sql("SHOW TBLPROPERTIES t")
+    assert out.columns == ["key", "value"] and out.count() == 0
