@@ -142,3 +142,24 @@ def test_mv_refresh_across_purge_stays_exact(spark):
     got = view.read().drop("avg_val")
     want = view._aggregate(base.read())
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_purge_on_partitioned_table(spark):
+    d = tempfile.mkdtemp(prefix="reorg_part_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(
+        spark.range(0, 300).select(
+            F.col("id"),
+            (F.col("id") % 3).cast("string").alias("part"),
+            (F.col("id") * 2).alias("val"),
+        ),
+        partition_by=["part"],
+    )
+    t.delete("part = '1' AND id < 100", rewrite=False)
+    before = {(r["id"], r["part"], r["val"]) for r in t.read().collect()}
+    v = t.reorg_purge()
+    assert v is not None and t._state(v)["dv"] is None
+    after = {(r["id"], r["part"], r["val"]) for r in t.read().collect()}
+    assert after == before
+    # Partition columns still prune after the purge.
+    assert t.read().filter("part = '2'").count() == 100
