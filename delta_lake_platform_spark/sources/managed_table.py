@@ -2022,7 +2022,15 @@ class ManagedTable:
             new_target = target
 
         inserts = None
+        id_marks = None
         if clauses.not_matched_insert is not None:
+            idents = self.identity_columns()
+            assigned = sorted(set(idents) & set(clauses.not_matched_insert))
+            if assigned:
+                raise MergeError(
+                    "MERGE cannot assign GENERATED ALWAYS AS IDENTITY "
+                    f"column(s) {assigned}"
+                )
             anti = s.join(t, cond, "left_anti").drop("__src")
             inserts = anti.select(
                 *[
@@ -2031,8 +2039,35 @@ class ManagedTable:
                     else F.lit(None).cast(dict(target.dtypes)[c]).alias(c)
                     for c in tcols
                 ]
-            ).localCheckpoint(eager=False)  # reused by count + commit write
+            )
+            id_next: dict[str, tuple[int, int]] = {}
+            if idents:
+                # Inserted rows draw fresh identity values from the
+                # high-water mark, exactly like append (existing target
+                # rows keep theirs — they never pass through this path).
+                from ..functions.ids import assign_unique_ids
+
+                for col, spec in idents.items():
+                    hwm = self._identity_hwm(col, self.latest_version())
+                    nxt = (
+                        spec["start"]
+                        if hwm is None
+                        else max(hwm + spec["step"], spec["start"])
+                    )
+                    id_next[col] = (nxt, spec["step"])
+                    inserts = assign_unique_ids(
+                        inserts.drop(col),
+                        start=nxt,
+                        id_col=col,
+                        step=spec["step"],
+                    ).select(*tcols)
+            inserts = inserts.localCheckpoint(eager=False)  # count + write
             n_inserted = inserts.count()
+            if id_next:
+                id_marks = {
+                    col: (nxt + step * (n_inserted - 1) if n_inserted else nxt - step)
+                    for col, (nxt, step) in id_next.items()
+                }
 
         metrics = {
             "numTargetRowsUpdated": n_updated,
@@ -2055,11 +2090,19 @@ class ManagedTable:
                 flagged_df,
                 inserts,
                 metrics,
+                id_marks=id_marks,
             )
         if rewrite:
             if inserts is not None:
                 new_target = new_target.unionByName(inserts)
-            return self._commit(new_target, "MERGE", metrics)
+            return self._commit(
+                new_target,
+                "MERGE",
+                metrics,
+                extra=(
+                    {"identityHighWaterMark": id_marks} if id_marks else None
+                ),
+            )
 
         # Merge-on-read commit: touched target rows -> DV entries; their
         # replacements + the inserts -> one new batch dir.
@@ -2109,6 +2152,16 @@ class ManagedTable:
             add_paths=[batch_dir],
             dv=dv_dir,
             read_version=v_prev,
+            extra=(
+                {"identityHighWaterMark": id_marks} if id_marks else None
+            ),
+            commutes=(
+                self._identity_append_commutes(
+                    id_marks, base=self._adds_only_between
+                )
+                if id_marks
+                else None
+            ),
         )
 
     # Changed-file row selection: below this count the plan embeds an
@@ -2136,6 +2189,7 @@ class ManagedTable:
         flagged: DataFrame | None,
         inserts: DataFrame | None,
         metrics: dict,
+        id_marks: dict | None = None,
     ) -> int:
         """File-level COW commit for MERGE: rewrite ONLY files where a
         row was updated or deleted; every other file stays live through
@@ -2199,6 +2253,16 @@ class ManagedTable:
             remove=[os.path.relpath(f, self.path) for f in sorted(changed)],
             add_paths=[batch_dir],
             read_version=v_prev,
+            extra=(
+                {"identityHighWaterMark": id_marks} if id_marks else None
+            ),
+            commutes=(
+                self._identity_append_commutes(
+                    id_marks, base=self._adds_only_between
+                )
+                if id_marks
+                else None
+            ),
         )
 
     def _dml_filelevel(
@@ -3694,15 +3758,17 @@ class ManagedTable:
                     f"{name!r} = ({expr}) depends on it"
                 )
 
-    def _identity_append_commutes(self, cols):
-        """Blind-append rule PLUS: an intervening commit that allocated
+    def _identity_append_commutes(self, cols, base=None):
+        """``base`` commute rule (blind-append by default; the stricter
+        DML rule for merges) PLUS: an intervening commit that allocated
         identity values for any of ``cols`` is a real conflict — both
         writers drew from the same high-water mark, so the loser's ids
         would collide. (Delta serializes identity allocation through
         its metadata high-water mark the same way.)"""
+        base = base or self._append_commutes_with
 
         def commutes(v_from: int, v_to: int) -> bool:
-            if not self._append_commutes_with(v_from, v_to):
+            if not base(v_from, v_to):
                 return False
             for v in range(v_from, v_to + 1):
                 marks = (self._entry(v) or {}).get("identityHighWaterMark")

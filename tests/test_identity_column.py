@@ -240,3 +240,58 @@ def test_identity_unique_under_mixed_ops(spark):
             t.compact()
     live = [r["id"] for r in t.read().collect()]
     assert len(live) == len(set(live))
+
+
+def _merge_clauses(cond, update=None, insert=None, check=True):
+    from delta_lake_platform_spark.sources.managed_table import MergeClauses
+
+    return MergeClauses(
+        condition=cond,
+        matched_update=update,
+        not_matched_insert=insert,
+        check_multi_match=check,
+    )
+
+
+@pytest.mark.parametrize("rewrite", [True, False])
+def test_merge_insert_mints_identity(spark, table, rewrite):
+    """MERGE inserts draw fresh identity values from the high-water
+    mark (both COW and MOR paths); matched rows keep their keys."""
+    table.append(_batch(spark, ["a", "b"]))  # ids 10, 11
+    src = spark.createDataFrame(
+        [("a", "A2"), ("c", "C1")], "name string, newname string"
+    )
+    src.createOrReplaceTempView("ident_src")
+    table.merge(
+        src,
+        _merge_clauses(
+            "target.name = updates.name",
+            update={"name": "updates.newname"},
+            insert={"name": "updates.newname"},
+        ),
+        rewrite=rewrite,
+    )
+    rows = {r["name"]: r["id"] for r in table.read().collect()}
+    assert rows["A2"] in (10, 11)  # matched row kept its key
+    assert rows["b"] in (10, 11)
+    assert rows["C1"] == 12  # insert drew from the mark
+    marks = table.history(1)[0]["identityHighWaterMark"]
+    assert marks == {"id": 12}
+    # Next append continues above the merge's allocation.
+    table.append(_batch(spark, ["d"]))
+    assert max(r["id"] for r in table.read().collect()) == 13
+
+
+def test_merge_cannot_assign_identity(spark, table):
+    from delta_lake_platform_spark.sources.managed_table import MergeError
+
+    table.append(_batch(spark, ["a"]))
+    src = spark.createDataFrame([("z",)], "name string")
+    with pytest.raises(MergeError, match="IDENTITY"):
+        table.merge(
+            src,
+            _merge_clauses(
+                "target.name = updates.name",
+                insert={"name": "updates.name", "id": "99"},
+            ),
+        )
