@@ -104,7 +104,7 @@ def assign_dense_ids(
     pinned = _range_sorted(df, order_cols, num_partitions).localCheckpoint(
         eager=True
     )
-    return _ids_over_pinned(df, pinned, start, id_col)
+    return _ids_over_pinned(pinned, start, id_col)
 
 
 def assign_unique_ids(
@@ -119,11 +119,10 @@ def assign_unique_ids(
     WHICH row gets which id depends on partition placement (identity
     columns guarantee uniqueness, not order — Delta's contract)."""
     pinned = df.localCheckpoint(eager=True)
-    return _ids_over_pinned(df, pinned, start, id_col, step=step)
+    return _ids_over_pinned(pinned, start, id_col, step=step)
 
 
 def _ids_over_pinned(
-    df: DataFrame,
     pinned: DataFrame,
     start: int,
     id_col: str,
@@ -144,7 +143,9 @@ def _ids_over_pinned(
         offsets[p] = acc
         acc += sizes[p]
     if not offsets:
-        return df.select("*", F.lit(None).cast("long").alias(id_col)).limit(0)
+        return pinned.select(
+            "*", F.lit(None).cast("long").alias(id_col)
+        ).limit(0)
     off_map = F.create_map(
         *[F.lit(x) for p_off in sorted(offsets.items()) for x in p_off]
     )

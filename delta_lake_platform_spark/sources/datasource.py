@@ -271,6 +271,16 @@ class _BatchWriter(DataSourceWriter):
                 "foreachBatch with ManagedTable.append (txn_app/"
                 "txn_version for exactly-once) instead"
             )
+        # Generated columns are enforced as implicit CHECK constraints
+        # inside ManagedTable.append; the sink's executor-side write
+        # path never runs that job, so it must refuse these tables the
+        # same way it refuses explicitly constrained ones (commit()).
+        if t.exists() and t.generated_columns():
+            raise ValueError(
+                "managed_table sink bypasses generated-column "
+                "validation; use foreachBatch with ManagedTable.append "
+                "on tables with GENERATED ALWAYS AS (expr) columns"
+            )
         # Column-mapped tables: executors must write PHYSICAL column
         # names (stable across renames). Captured at plan time; a
         # mapping change after this point is a schema commit, which the

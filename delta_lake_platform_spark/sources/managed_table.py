@@ -1506,6 +1506,8 @@ class ManagedTable:
         idx = self._bloom_index(v) if eq_values else None
         if idx:
             for col, values in (eq_values or {}).items():
+                if not all(self._bloom_probe_safe(x) for x in values):
+                    continue  # unsafe probe type: range prune only
                 pcol = self._phys_col(self._state(v), col)
                 survivors = set()
                 for fpath in kept:
@@ -1574,6 +1576,24 @@ class ManagedTable:
 
     def _bloom_path(self, version: int) -> str:
         return os.path.join(self.path, "_bloom", f"{version}.json")
+
+    @staticmethod
+    def _bloom_probe_safe(value) -> bool:
+        """True when ``str(value)`` is guaranteed identical between the
+        build side (pyarrow ``to_pylist``) and the probe side (Spark
+        ``collect``). Timestamps (pyarrow yields tz-aware UTC, Spark
+        yields naive session-tz), binary (bytes vs bytearray) and
+        decimals are NOT safe: probing them could bloom-prune a file
+        that holds the value — a false negative, i.e. silent wrong
+        data on the literal dirty-group recompute. Unsafe probes skip
+        the bloom and fall back to range pruning alone (still a
+        superset bound)."""
+        import datetime
+
+        return isinstance(value, (bool, int, float, str)) or (
+            isinstance(value, datetime.date)
+            and not isinstance(value, datetime.datetime)
+        )
 
     @staticmethod
     def _bloom_hashes(value, m: int, k: int) -> list[int]:
@@ -1727,7 +1747,7 @@ class ManagedTable:
         v = self.latest_version() if version is None else version
         kept, total = self.prune_files(col, value, value, version=v)
         idx = self._bloom_index(v)
-        if idx is None:
+        if idx is None or not self._bloom_probe_safe(value):
             return kept, total
         pcol = self._phys_col(self._state(v), col)
         out = []
@@ -1953,6 +1973,18 @@ class ManagedTable:
                     f"MERGE assigns unknown target column(s) {sorted(unknown)}"
                     " (pass auto_schema_evolution=True to widen the schema)"
                 )
+        ident_assigned = sorted(
+            set(self.identity_columns())
+            & (
+                set(clauses.matched_update or {})
+                | set(clauses.not_matched_insert or {})
+            )
+        )
+        if ident_assigned:
+            raise MergeError(
+                "MERGE cannot assign GENERATED ALWAYS AS IDENTITY "
+                f"column(s) {ident_assigned}"
+            )
         t = target.withColumn("__tid", F.monotonically_increasing_id()).alias("target")
         # Explicit match indicator: a source column could legitimately be
         # NULL in a matched row, so null-probing the join output is wrong.
@@ -2025,12 +2057,6 @@ class ManagedTable:
         id_marks = None
         if clauses.not_matched_insert is not None:
             idents = self.identity_columns()
-            assigned = sorted(set(idents) & set(clauses.not_matched_insert))
-            if assigned:
-                raise MergeError(
-                    "MERGE cannot assign GENERATED ALWAYS AS IDENTITY "
-                    f"column(s) {assigned}"
-                )
             anti = s.join(t, cond, "left_anti").drop("__src")
             inserts = anti.select(
                 *[
@@ -2063,9 +2089,13 @@ class ManagedTable:
                     ).select(*tcols)
             inserts = inserts.localCheckpoint(eager=False)  # count + write
             n_inserted = inserts.count()
-            if id_next:
+            # Only record a high-water mark (and thereby engage the strict
+            # identity commute rule) when rows were actually inserted — a
+            # no-op insert clause allocates nothing and must stay a blind
+            # append for concurrency purposes.
+            if id_next and n_inserted:
                 id_marks = {
-                    col: (nxt + step * (n_inserted - 1) if n_inserted else nxt - step)
+                    col: nxt + step * (n_inserted - 1)
                     for col, (nxt, step) in id_next.items()
                 }
 
@@ -2373,6 +2403,12 @@ class ManagedTable:
         O(matched rows), not O(table). This is exactly how Delta updates
         a table with DVs enabled: mark old copies dead, add new copies."""
         self._check_append_only("UPDATE")
+        ident_assigned = sorted(set(self.identity_columns()) & set(set_exprs))
+        if ident_assigned:
+            raise ValueError(
+                "UPDATE cannot assign GENERATED ALWAYS AS IDENTITY "
+                f"column(s) {ident_assigned}"
+            )
         rewrite = self._resolve_rewrite(rewrite)
         if rewrite:
             if (
@@ -3286,7 +3322,11 @@ class ManagedTable:
                 idents = self.identity_columns()
                 changed = False
                 for c, mark in expiring_marks.items():
-                    if c in idents and mark > idents[c].get("floor", -1):
+                    prev = idents[c].get("floor") if c in idents else None
+                    # None sentinel, not -1: identity sequences may be
+                    # negative (start=-100), and a zero/negative mark is
+                    # just as burned as a positive one.
+                    if c in idents and (prev is None or mark > prev):
                         idents[c]["floor"] = mark
                         changed = True
                 if changed:

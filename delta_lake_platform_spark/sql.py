@@ -216,7 +216,10 @@ class PlatformSQL:
         if spec:
             stmt += f"\nPARTITIONED BY ({', '.join(spec)})"
         for k, v in sorted(t.properties().items()):
-            stmt += f";\nALTER TABLE {name} SET TBLPROPERTIES ({k} = {v})"
+            # Quoted: property values may contain commas/spaces (e.g. a
+            # multi-column bloomFilterColumns list) and must re-parse.
+            vq = str(v).replace("'", "''")
+            stmt += f";\nALTER TABLE {name} SET TBLPROPERTIES ({k} = '{vq}')"
         for cname, expr in sorted(t.constraints().items()):
             stmt += f";\nALTER TABLE {name} ADD CONSTRAINT {cname} CHECK ({expr})"
         return stmt
@@ -409,11 +412,13 @@ class PlatformSQL:
             return self._df([{"version": v, **{k: v2 for k, v2 in met.items() if v2 is not None}}])
         m = re.match(
             rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*"
-            r"\(\s*'?([^'=,\s]+)'?\s*=\s*'?([^'),\s]+)'?\s*\)$",
+            r"\(\s*'?([^'=,\s]+)'?\s*=\s*"
+            r"(?:'((?:[^']|'')*)'|([^'),\s]+))\s*\)$",
             t,
         )
         if m:
-            name, key, value = m.groups()
+            name, key, vq, vbare = m.groups()
+            value = vq.replace("''", "'") if vq is not None else vbare
             self.tables[name].set_property(key, value)
             return self._df([{"key": key, "value": value}])
         m = re.match(

@@ -140,3 +140,59 @@ def test_bloom_property_maintains_index_across_appends(table):
     kept2, _ = table.prune_files_eq("uid", "user_777000")
     assert len(kept2) == 0
     assert table.read_pruned_eq("uid", "user_777000").count() == 0
+
+
+def test_bloom_probe_skipped_for_unsafe_types(spark):
+    """Timestamps/binary/decimals stringify DIFFERENTLY on the build
+    side (pyarrow to_pylist: tz-aware UTC datetimes, bytes) vs the
+    probe side (Spark collect: naive session-tz datetimes, bytearray).
+    Hashing str(value) on both sides would bloom-prune the file that
+    actually holds the value — a false negative. Probes on those types
+    must skip the bloom and fall back to range pruning (conservative,
+    still exact)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = _tempfile.mkdtemp(prefix="bloom_ts_")
+    t = ManagedTable(spark, f"{d}/t")
+    df = spark.sql(
+        "SELECT timestamp'2024-03-01 12:30:00' AS ts, "
+        "CAST('payload' AS BINARY) AS blob, 1 AS x"
+    )
+    t.create(df.coalesce(1))
+    t.build_bloom_index(["ts", "blob"])
+    # Probe with values exactly as a query layer obtains them: collected
+    # from Spark (naive datetime / bytearray).
+    row = t.read().first()
+    for col in ("ts", "blob"):
+        kept, total = t.prune_files_eq(col, row[col])
+        assert len(kept) == total == 1, (
+            f"bloom false negative on {col}: probe-side str() differs "
+            "from build-side str()"
+        )
+        got = t.read_pruned_eq(col, row[col]).collect()
+        assert len(got) == 1
+    # The actual failure shape: a tz-aware probe for the same instant
+    # (what pyarrow yields when the footer says isAdjustedToUTC, and
+    # what any non-UTC session tz produces) stringifies with an offset
+    # suffix. Without the type guard the bloom prunes the file that
+    # holds the row.
+    import datetime as _dt
+
+    aware = row["ts"].replace(tzinfo=_dt.timezone.utc)
+    kept, total = t.prune_files_eq("ts", aware)
+    assert len(kept) == total == 1, "tz-aware probe was bloom-pruned"
+    # Multi-predicate path takes the same guard.
+    kept, total = t.prune_files_multi(
+        ranges={}, eq_values={"ts": [row["ts"]]}
+    )
+    assert len(kept) == 1
+    kept, total = t.prune_files_multi(
+        ranges={}, eq_values={"ts": [aware]}
+    )
+    assert len(kept) == 1
+    # Safe types still engage the bloom (sanity: int probe present in
+    # the file is kept; one absent from every file may prune to zero).
+    kept, _ = t.prune_files_multi(ranges={}, eq_values={"x": [1]})
+    assert len(kept) == 1
+    _shutil.rmtree(d, ignore_errors=True)

@@ -111,3 +111,25 @@ def test_generated_and_identity_together(spark):
     rows = sess.sql("SELECT tx_id, cents, dollars FROM tx").collect()
     assert sorted(r["tx_id"] for r in rows) == [100, 101]
     assert {r["cents"]: r["dollars"] for r in rows} == {500: 5.0, 125: 1.25}
+
+
+def test_sink_refuses_generated_column_table(spark, table):
+    """Generated columns are enforced by the CHECK job inside
+    ManagedTable.append; the executor-side DataSource sink never runs
+    it, so it must refuse these tables at plan time (same rule as
+    constrained and identity tables)."""
+    from delta_lake_platform_spark.sources import datasource
+
+    datasource.register(spark)
+    df = spark.createDataFrame(
+        [(9, 90, 999)], "k bigint, v bigint, v_plus bigint"  # wrong v_plus
+    )
+    with pytest.raises(Exception, match="generated"):
+        try:
+            df.write.format("managed_table").option(
+                "path", table.path
+            ).mode("append").save()
+        except Exception as e:  # py4j wraps the planner error
+            raise RuntimeError(str(e)) from e
+    # Nothing landed.
+    assert table.read().count() == 1

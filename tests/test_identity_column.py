@@ -295,3 +295,81 @@ def test_merge_cannot_assign_identity(spark, table):
                 insert={"name": "updates.name", "id": "99"},
             ),
         )
+
+def test_merge_matched_update_cannot_assign_identity(spark, table):
+    """WHEN MATCHED UPDATE SET on an identity column must be refused
+    exactly like the insert clause — otherwise matched rows could all
+    be reassigned the same id, breaking table-lifetime uniqueness."""
+    from delta_lake_platform_spark.sources.managed_table import MergeError
+
+    table.append(_batch(spark, ["a", "b"]))
+    src = spark.createDataFrame([("a",)], "name string")
+    with pytest.raises(MergeError, match="IDENTITY"):
+        table.merge(
+            src,
+            _merge_clauses(
+                "target.name = updates.name",
+                update={"id": "0"},
+            ),
+        )
+
+
+@pytest.mark.parametrize("rewrite", [True, False])
+def test_update_cannot_assign_identity(spark, table, rewrite):
+    table.append(_batch(spark, ["a", "b"]))
+    with pytest.raises(ValueError, match="IDENTITY"):
+        table.update({"id": "0"}, condition="name = 'a'", rewrite=rewrite)
+    # Non-identity columns still update fine.
+    table.update({"name": "'z'"}, condition="name = 'a'", rewrite=rewrite)
+    ids = sorted(r["id"] for r in table.read().collect())
+    assert ids == [10, 11]
+
+
+def test_merge_noop_insert_records_no_hwm(spark, table):
+    """A MERGE whose insert clause matched nothing allocated no ids —
+    the commit must NOT carry identityHighWaterMark (which would flip
+    concurrent blind appends into spurious conflicts)."""
+    table.append(_batch(spark, ["a", "b"]))  # ids 10, 11
+    src = spark.createDataFrame([("a", "A2")], "name string, newname string")
+    table.merge(
+        src,
+        _merge_clauses(
+            "target.name = updates.name",
+            update={"name": "updates.newname"},
+            insert={"name": "updates.newname"},  # every source row matches
+        ),
+    )
+    entry = table.history(1)[0]
+    assert entry["operationMetrics"]["numTargetRowsInserted"] == 0
+    assert not entry.get("identityHighWaterMark")
+    # And the mark itself is unchanged: next append mints 12.
+    table.append(_batch(spark, ["c"]))
+    assert max(r["id"] for r in table.read().collect()) == 12
+
+
+def test_negative_identity_floor_survives_log_retention(
+    spark, monkeypatch
+):
+    """Negative sequences: a zero/negative high-water mark is just as
+    burned as a positive one — the expiry floor must persist it (a -1
+    sentinel would drop it and re-mint deleted ids)."""
+    from delta_lake_platform_spark.sources import managed_table as mt
+
+    monkeypatch.setattr(mt, "_CKPT_INTERVAL", 2)
+    d = tempfile.mkdtemp(prefix="ident_neg_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.createDataFrame([], "id bigint, name string"))
+    t.set_identity_column("id", start=-100)
+    t.append(_batch(spark, ["a", "b", "c"]))  # ids -100..-98, v1
+    t.delete("id >= -99")  # burn -99/-98; only -100 lives, v2 (ckpt)
+    t.compact()  # v3: mark-free commits push v1 below the horizon
+    t.compact()  # v4 (ckpt)
+    removed = t.expire_log_entries(older_than_s=0.0)
+    assert removed, "test needs at least one expired entry"
+    # The only mark-bearing entry (v1, mark -98) is gone; the floor
+    # must carry it. Footer stats alone would say max=-100 and re-mint
+    # the burned -99.
+    assert t.identity_columns()["id"].get("floor") == -98
+    t.append(_batch(spark, ["f"]))
+    ids = sorted(r["id"] for r in t.read().collect())
+    assert ids == [-100, -97], f"burned ids re-minted: {ids}"

@@ -413,17 +413,27 @@ def test_show_tblproperties_and_create_table(spark):
             ) LOCATION '{d}/acct'"""
     )
     p.sql("ALTER TABLE acct SET TBLPROPERTIES (enableDeletionVectors = true)")
+    # A value with commas/spaces MUST survive the round trip — exactly
+    # the shape bloomFilterColumns takes for a multi-column index.
+    p.sql(
+        "ALTER TABLE acct SET TBLPROPERTIES "
+        "(bloomFilterColumns = 'account_key,cents')"
+    )
     p.sql("ALTER TABLE acct ADD CONSTRAINT nonneg CHECK (cents >= 0)")
 
     props = {r["key"]: r["value"] for r in p.sql("SHOW TBLPROPERTIES acct").collect()}
-    assert props == {"enableDeletionVectors": "true"}
+    assert props == {
+        "enableDeletionVectors": "true",
+        "bloomFilterColumns": "account_key,cents",
+    }
 
     ddl = p.sql("SHOW CREATE TABLE acct").first()["createtab_stmt"]
     assert "account_key BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 1)" in ddl
     assert "dollars DOUBLE GENERATED ALWAYS AS (cents / 100.0)" in ddl
     assert f"LOCATION '{d}/acct'" in ddl
     assert "ADD CONSTRAINT nonneg CHECK (cents >= 0)" in ddl
-    assert "SET TBLPROPERTIES (enableDeletionVectors = true)" in ddl
+    assert "SET TBLPROPERTIES (enableDeletionVectors = 'true')" in ddl
+    assert "SET TBLPROPERTIES (bloomFilterColumns = 'account_key,cents')" in ddl
 
     # Round-trip: replaying the DDL (new name/location) yields the same
     # contract surfaces.
@@ -434,7 +444,10 @@ def test_show_tblproperties_and_create_table(spark):
     assert t2.identity_columns() == {"account_key": {"start": 10, "step": 1}}
     assert t2.generated_columns() == {"dollars": "cents / 100.0"}
     assert t2.constraints() == {"nonneg": "cents >= 0"}
-    assert t2.properties() == {"enableDeletionVectors": "true"}
+    assert t2.properties() == {
+        "enableDeletionVectors": "true",
+        "bloomFilterColumns": "account_key,cents",
+    }
 
 
 def test_vacuum_dry_run(spark):
