@@ -96,10 +96,15 @@ PRIORITY = [
     "events_partitioned_by_type",
     "events_heavy_hitter_users",
     "events_value_mad_grouped_udf",
+    # convert_in_place_orders rotated in in r5 (the new CONVERT family:
+    # in-place parquet-dir cataloguing, then DV delete + append on the
+    # converted files). docs_tfidf_keywords rotated out — text analysis
+    # keeps four driver representatives (token stats, quality, lang-id,
+    # PII) and tf-idf stays locally oracle-swept.
+    "convert_in_place_orders",
     "docs_token_stats",
     "docs_quality_score",
     "docs_lang_id",
-    "docs_tfidf_keywords",
     "docs_pii_redaction",
     "docs_train_split",
     "docs_pack_sequences",

@@ -510,3 +510,84 @@ def dv_purge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+CONVERT_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+after AS (
+  SELECT o_orderkey, o_orderstatus, price_cents
+  FROM b WHERE o_orderkey % 19 <> 0
+  UNION ALL
+  SELECT o_orderkey + 20000000, o_orderstatus, price_cents + 7
+  FROM b WHERE o_orderkey % 11 = 0 AND o_orderkey % 19 <> 0
+)
+SELECT o_orderstatus,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(price_cents)::BIGINT AS sum_price_cents
+FROM after
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+_CONVERT_CACHE: dict[str, str] = {}
+
+
+@register("convert_in_place_orders", CONVERT_ORACLE)
+def convert_in_place_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT in place (Delta's CONVERT TO DELTA): a plain parquet
+    directory written by an external process becomes a managed table
+    with ONE metadata commit — O(#files) footer reads, zero data bytes
+    copied or rewritten, which is the entire point at 100 TB. The
+    converted table is then exercised as a full citizen: a scattered
+    MOR DELETE lands deletion vectors over the original files, an
+    append adds perturbed survivors, and the final aggregate (what the
+    oracle recomputes from scratch) must see through all of it."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.managed_table import ManagedTable
+
+    path = _CONVERT_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        d = tempfile.mkdtemp(prefix="convert_orders_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        ext = f"{d}/ext_orders"
+        # What an external writer leaves behind: a bare multi-file
+        # parquet dir, no table metadata of any kind.
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        ).repartition(4).write.parquet(ext)
+        t = ManagedTable.convert(spark, ext)
+        t.delete("o_orderkey % 19 = 0", rewrite=False)
+        t.append(
+            t.read()
+            .filter(F.col("o_orderkey") % 11 == 0)
+            .select(
+                (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+                (F.col("price_cents") + 7).alias("price_cents"),
+            ),
+            fast=True,
+        )
+        _CONVERT_CACHE[sf_dir] = t.path
+        path = t.path
+    t = ManagedTable(spark, path)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("price_cents").alias("sum_price_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

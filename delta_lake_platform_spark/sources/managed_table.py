@@ -1304,6 +1304,63 @@ class ManagedTable:
             self._set_partition_spec(partition_by, column_order=list(df.columns))
         return self._commit(df, "CREATE OR OVERWRITE", {"numOutputRows": None})
 
+    @classmethod
+    def convert(cls, spark, path: str) -> "ManagedTable":
+        """Delta's ``CONVERT TO DELTA``: catalog an existing parquet
+        directory — flat or hive-partitioned — as a managed table IN
+        PLACE. Cost is O(#files) footer reads (fanned out over
+        executors past the threshold) plus one log-entry write; no data
+        file is copied or rewritten — at 100 TB this is a metadata
+        operation, which is the entire point. Partition columns are
+        detected from ``k=v`` path segments; their values double as
+        exact per-file stats, so partition pruning works through the
+        same data-skipping API from version 0.
+
+        The v0 entry is file-level: scans use the recorded live file
+        list (with ``basePath`` for partitioned layouts) rather than
+        re-expanding the root — later appends land batch dirs UNDER the
+        root, and a root re-expansion would double-read them."""
+        t = cls(spark, path)
+        if t.exists():
+            raise FileExistsError(f"already a managed table: {path}")
+        files = _parquet_files(path)
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        rel0 = os.path.relpath(files[0], path)
+        part_cols = [
+            seg.split("=", 1)[0]
+            for seg in rel0.split(os.sep)[:-1]
+            if "=" in seg
+        ]
+        # One listing+footer inference pass at convert time (Delta's
+        # convert reads every footer too); afterwards the schema lives
+        # in the log and reads never infer again.
+        schema = spark.read.parquet(path).schema
+        n_rows, file_stats = _scan_parquet_footers(
+            path, rel_root=path, spark=spark
+        )
+        entry = {
+            "version": 0,
+            "timestamp": time.time(),
+            "operation": "CONVERT",
+            "operationMetrics": {
+                "numConvertedFiles": len(file_stats),
+                "numOutputRows": n_rows,
+            },
+            "fileStats": file_stats,
+            "schema": schema.jsonValue(),
+            "dataPaths": [path],
+            "fileLevel": True,
+        }
+        t._write_entry(0, entry)
+        if part_cols:
+            # After the commit (a side file must never outlive a lost
+            # entry-create race — see alter_add_column's ordering).
+            t._set_partition_spec(
+                part_cols, column_order=[f.name for f in schema.fields]
+            )
+        return t
+
     def read(self, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version
         dv_dir = self._state(v)["dv"]
@@ -3421,7 +3478,13 @@ class ManagedTable:
                 # A table only ever OWNS dirs under its own root: clone
                 # entries REFERENCE the source table's dirs through
                 # dataPaths, and vacuuming the clone must never reach
-                # into the source (cross-table deletion).
+                # into the source (cross-table deletion). The root
+                # itself is never dir-removed (a CONVERT entry's
+                # dataPath IS the root — rmtree would take the log
+                # with it); its dead files go through the per-file
+                # sweep below.
+                if d == table_root:
+                    continue
                 if not (d + os.sep).startswith(table_root + os.sep):
                     continue
                 if d in referenced or d in live_dirs:
@@ -3429,6 +3492,27 @@ class ManagedTable:
                 if os.path.isdir(d):
                     if not dry_run:
                         shutil.rmtree(d)
+                    data_removed = True
+            # Converted-in-place files live directly under the root
+            # (outside any owned data dir): reclaim a removed version's
+            # recorded files individually when no retained version
+            # still lists them — Delta's VACUUM deletes these
+            # file-by-file for converted tables too.
+            local_data = os.path.join(self.path, "data") + os.sep
+            for rel in entry.get("fileStats") or {}:
+                f = self._abs(rel)
+                if (
+                    f.startswith(local_data)
+                    or not (f + os.sep).startswith(table_root + os.sep)
+                    or f in live_files
+                ):
+                    continue
+                if os.path.isfile(f):
+                    if not dry_run:
+                        try:
+                            os.remove(f)
+                        except OSError:
+                            continue
                     data_removed = True
             if data_removed:
                 removed.append(v)

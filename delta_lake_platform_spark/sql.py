@@ -388,6 +388,20 @@ class PlatformSQL:
             self.register(name, table)
             return self._df([{"version": v, "location": path}])
         m = re.match(
+            rf"(?is)^CONVERT\s+TO\s+MANAGED\s+(?:PARQUET\s+)?'([^']+)'"
+            rf"(?:\s+AS\s+({_IDENT}))?$",
+            t,
+        )
+        if m:
+            path, name = m.groups()
+            table = ManagedTable.convert(self.spark, path)
+            if name:
+                self.register(name, table)
+            met = table.history(1)[0]["operationMetrics"]
+            return self._df(
+                [{"location": path, **{k: v for k, v in met.items()}}]
+            )
+        m = re.match(
             rf"(?is)^INSERT\s+INTO\s+({_IDENT})\s*(?:\(([^)]*)\))?\s+"
             r"(SELECT\s+.*|VALUES\s*.*)$",
             t,

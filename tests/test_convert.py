@@ -1,0 +1,169 @@
+"""CONVERT (Delta's ``CONVERT TO DELTA``): catalog an existing parquet
+directory as a managed table IN PLACE — a metadata-only operation that
+rewrites zero data bytes. The converted table must be a full citizen:
+stats-pruned reads, appends, DML, time travel, and vacuum all work on
+top of the files exactly where they already are."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.sources.managed_table import ManagedTable
+from delta_lake_platform_spark.sql import PlatformSQL
+
+
+def _write_plain_parquet(spark, d, partitioned=False):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("bucket"),
+        (F.col("id") * 10).alias("v"),
+    )
+    w = df.repartition(4, "bucket").write.mode("overwrite")
+    if partitioned:
+        w = w.partitionBy("bucket")
+    w.parquet(d)
+    return df
+
+
+def test_convert_flat_dir_is_metadata_only(spark):
+    root = tempfile.mkdtemp(prefix="convert_flat_")
+    d = f"{root}/t"
+    _write_plain_parquet(spark, d)
+    files_before = sorted(glob.glob(f"{d}/**/*.parquet", recursive=True))
+    mtimes_before = {f: os.path.getmtime(f) for f in files_before}
+
+    t = ManagedTable.convert(spark, d)
+    # Zero data movement: the exact same files, untouched.
+    files_after = sorted(glob.glob(f"{d}/**/*.parquet", recursive=True))
+    assert files_after == files_before
+    assert {f: os.path.getmtime(f) for f in files_after} == mtimes_before
+
+    assert t.read().count() == 1000
+    assert t.read().agg(F.sum("v")).first()[0] == sum(i * 10 for i in range(1000))
+    h = t.history(1)[0]
+    assert h["operation"] == "CONVERT"
+    assert h["operationMetrics"]["numOutputRows"] == 1000
+    # Footer stats were recorded: a range prune outside the data reads
+    # zero files.
+    kept, total = t.prune_files("k", 5000, 6000)
+    assert total == len(files_before) and kept == []
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_convert_refuses_existing_table_and_empty_dir(spark):
+    root = tempfile.mkdtemp(prefix="convert_bad_")
+    d = f"{root}/t"
+    _write_plain_parquet(spark, d)
+    ManagedTable.convert(spark, d)
+    with pytest.raises(FileExistsError):
+        ManagedTable.convert(spark, d)
+    with pytest.raises(FileNotFoundError):
+        ManagedTable.convert(spark, f"{root}/empty")
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_converted_table_supports_append_dml_time_travel(spark):
+    root = tempfile.mkdtemp(prefix="convert_ops_")
+    d = f"{root}/t"
+    _write_plain_parquet(spark, d)
+    t = ManagedTable.convert(spark, d)
+
+    t.append(
+        spark.createDataFrame(
+            [(10_000, 9, 1)], "k bigint, bucket bigint, v bigint"
+        ),
+        fast=True,
+    )
+    assert t.read().count() == 1001
+    t.delete("k < 100", rewrite=False)  # MOR on converted files
+    assert t.history(1)[0]["operationMetrics"]["numDeletedRows"] == 100
+    assert t.read().count() == 901
+    t.update({"v": "v + 1"}, condition="k = 10000")
+    assert t.read().filter("k = 10000").first()["v"] == 2
+    # Time travel back to the converted snapshot.
+    assert t.read(version=0).count() == 1000
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_convert_partitioned_dir_detects_spec_and_prunes(spark):
+    root = tempfile.mkdtemp(prefix="convert_part_")
+    d = f"{root}/t"
+    _write_plain_parquet(spark, d, partitioned=True)
+    t = ManagedTable.convert(spark, d)
+    assert t.partition_spec() == ["bucket"]
+    got = t.read()
+    assert "bucket" in got.columns
+    assert got.count() == 1000
+    assert got.filter("bucket = 2").count() == 250
+    # Partition values double as exact stats: pruning on the partition
+    # column keeps only that partition's files.
+    kept, total = t.prune_files("bucket", 2, 2)
+    assert 0 < len(kept) < total
+    assert all("bucket=2" in f for f in kept)
+    # Appends and reads compose after conversion.
+    t.append(
+        spark.createDataFrame([(10_000, 2, 1)], "k bigint, bucket bigint, v bigint"),
+        fast=True,
+    )
+    assert t.read().filter("bucket = 2").count() == 251
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_vacuum_reclaims_dead_converted_files_but_never_the_root(spark):
+    root = tempfile.mkdtemp(prefix="convert_vac_")
+    d = f"{root}/t"
+    _write_plain_parquet(spark, d)
+    t = ManagedTable.convert(spark, d)
+    converted = sorted(glob.glob(f"{d}/*.parquet"))
+    assert converted
+    # Rewrite the whole table: the converted originals are now dead.
+    t.create(
+        spark.createDataFrame([(1, 1, 1)], "k bigint, bucket bigint, v bigint"),
+        mode="overwrite",
+    )
+    t.vacuum(keep_last=1, older_than_s=0)
+    assert not any(os.path.isfile(f) for f in converted), (
+        "dead converted files must be reclaimed file-by-file"
+    )
+    # The table itself (log + live head) survives.
+    assert t.read().count() == 1
+    assert os.path.isdir(d)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_vacuum_keeps_converted_files_while_referenced(spark):
+    root = tempfile.mkdtemp(prefix="convert_vac_live_")
+    d = f"{root}/t"
+    _write_plain_parquet(spark, d)
+    t = ManagedTable.convert(spark, d)
+    converted = sorted(glob.glob(f"{d}/*.parquet"))
+    t.append(
+        spark.createDataFrame([(10_000, 9, 1)], "k bigint, bucket bigint, v bigint"),
+        fast=True,
+    )
+    t.vacuum(keep_last=1, older_than_s=0)
+    # The head still references every converted file (fast append adds
+    # on top): nothing may vanish.
+    assert all(os.path.isfile(f) for f in converted)
+    assert t.read().count() == 1001
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_sql_convert_statement(spark):
+    root = tempfile.mkdtemp(prefix="convert_sql_")
+    d = f"{root}/t"
+    _write_plain_parquet(spark, d)
+    p = PlatformSQL(spark)
+    out = p.sql(f"CONVERT TO MANAGED PARQUET '{d}' AS ext").first()
+    assert out["numConvertedFiles"] >= 1
+    assert out["numOutputRows"] == 1000
+    assert p.sql("SELECT COUNT(*) AS n FROM ext").first()["n"] == 1000
+    p.sql("DELETE FROM ext WHERE k < 100")
+    assert p.sql("SELECT COUNT(*) AS n FROM ext").first()["n"] == 900
+    shutil.rmtree(root, ignore_errors=True)

@@ -41,6 +41,9 @@ def test_family_representation_in_first_50():
         # delete, plus REORG PURGE clearing the vector).
         "deletion-vectors": "dv_purge_roundtrip",
         "identity-table": "sql_identity_accounts",
+        # r5: CONVERT (in-place parquet-dir cataloguing) joins as its
+        # own storage family; tf-idf rotated out (text keeps 4 reps).
+        "convert": "convert_in_place_orders",
         "partitioned": "events_partitioned_by_type",
         "sketches": "events_heavy_hitter_users",
         "grouped-udf": "events_value_mad_grouped_udf",
