@@ -142,6 +142,27 @@ class _TailReader(DataSourceStreamReader):
         self.ignore_changes = str(
             options.get("ignorechanges", "false")
         ).lower() in ("true", "1")
+        # Delta's maxFilesPerTrigger: admission control for backfills.
+        # Without it, the first micro-batch of a stream over a 100 TB
+        # table is the WHOLE snapshot in one batch — one giant task
+        # wave, one giant state update, no incremental checkpointing.
+        # With it, latestOffset walks forward at most N files per
+        # trigger; offsets gain a within-unit file index so even the
+        # initial snapshot is served in chunks.
+        #
+        # The Python DataSource API gives latestOffset() no start
+        # offset (the JVM SupportsAdmissionControl API does), so the
+        # planner position must be carried by the reader itself. With
+        # a ``streamId`` option the position persists in a tiny
+        # ``_streams/<id>.json`` sidecar next to the table — capping is
+        # then deterministic from the very first batch and across
+        # restarts. Without it the position is in-memory only: the
+        # first trigger of a (re)started stream is an uncapped
+        # catch-up, and the cap engages from the second trigger on.
+        mft = options.get("maxfilespertrigger")
+        self.max_files = max(1, int(mft)) if mft is not None else None
+        self.stream_id = options.get("streamid")
+        self._last_planned = None  # most recent offset handed to Spark
         # Schema fixed at stream start (Delta restarts streams on
         # schema change); files are aligned to it per batch.
         self._pinned_version = (
@@ -182,40 +203,160 @@ class _TailReader(DataSourceStreamReader):
     def initialOffset(self):
         # First batch serves the current snapshot (startingVersion=0
         # semantics); the tail then follows appends.
-        return {"version": -1}
+        off = {"version": -1}
+        self._last_planned = off
+        return off
+
+    # -- rate-limited offset walking ------------------------------------
+    #
+    # Offsets are {"version": v} (legacy: everything through v fully
+    # served) or {"version": v, "idx": i, "snap": v_snap} (rate-limited:
+    # units through v-1 fully served plus the first i files of unit v).
+    # Unit v_snap is the pinned initial snapshot's file list; every unit
+    # v > v_snap is the files version v appended. The snapshot version
+    # rides INSIDE the offset so checkpoint restarts replay the exact
+    # same chunking.
+
+    def _unit_files(self, v: int, v_snap: int) -> list[_FilePartition]:
+        if v == v_snap:
+            return _snapshot_partitions(self.table, v)
+        prev = set(self.table._all_data_files(v - 1))
+        entry = self.table._entry(v) or {}
+        op = entry.get("operation", "")
+        appended = [
+            f for f in self.table._all_data_files(v) if f not in prev
+        ]
+        if op not in ("APPEND", "COPY INTO"):
+            if not self.ignore_changes:
+                raise RuntimeError(
+                    f"managed_table tail: version {v} is {op!r}, not an "
+                    "append — rewritten/deleted rows cannot be streamed "
+                    "exactly-once (set ignoreChanges to skip such commits)"
+                )
+            return []
+        return [_FilePartition(f) for f in appended]
+
+    def _pos_path(self) -> str:
+        return os.path.join(
+            self.table.path, "_streams", f"{self.stream_id}.json"
+        )
+
+    def _load_pos(self):
+        try:
+            with open(self._pos_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _save_pos(self, off: dict) -> None:
+        import uuid as _uuid
+
+        d = os.path.dirname(self._pos_path())
+        os.makedirs(d, exist_ok=True)
+        tmp = self._pos_path() + f".tmp-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(off, f)
+        os.replace(tmp, self._pos_path())
 
     def latestOffset(self):
-        v = self.table.latest_version()
-        self._check_schema_unchanged(v)
-        return {"version": v}
+        head = self.table.latest_version()
+        self._check_schema_unchanged(head)
+        if self.max_files is None:
+            return {"version": head}
+        last = self._last_planned
+        if last is None and self.stream_id:
+            last = self._load_pos()
+            if last is None:
+                # No sidecar: a genuinely fresh capped stream — start
+                # chunking from the initial snapshot.
+                last = {"version": -1}
+        if last is None:
+            # No streamId and no in-memory position (first trigger of a
+            # (re)started stream): the checkpointed position is unknown
+            # here, so this one catch-up trigger is uncapped; the cap
+            # engages from the next trigger.
+            off = {"version": head}
+            self._last_planned = off
+            return off
+        if last["version"] < 0:
+            # Nothing served yet: pin the snapshot unit at the head.
+            cur_v, cur_i, v_snap = head, 0, head
+        else:
+            cur_v, cur_i = last["version"], last.get("idx")
+            v_snap = last.get("snap", last["version"])
+            if cur_i is None:  # legacy offset: unit fully served
+                cur_v, cur_i = cur_v + 1, 0
+        if cur_v > head:
+            # Fully caught up (and the last unit was version-complete):
+            # repeat the previous offset verbatim so Spark sees no
+            # progress and plans no batch.
+            return dict(last)
+        budget = self.max_files
+        while budget > 0 and cur_v <= head:
+            n = len(self._unit_files(cur_v, v_snap))
+            take = min(budget, n - cur_i)
+            cur_i += take
+            budget -= take
+            if cur_i >= n and cur_v < head:
+                cur_v, cur_i = cur_v + 1, 0
+            elif cur_i >= n:
+                break
+        off = {"version": cur_v, "idx": cur_i, "snap": v_snap}
+        self._last_planned = off
+        if self.stream_id:
+            self._save_pos(off)
+        return off
 
     def partitions(self, start, end):
         s, e = start["version"], end["version"]
         self._check_schema_unchanged(e)
-        if s < 0:
-            return _snapshot_partitions(self.table, e)
-
-        seen = set(self.table._all_data_files(s))
-        parts: list[_FilePartition] = []
-        for v in range(s + 1, e + 1):
-            entry = self.table._entry(v) or {}
-            op = entry.get("operation", "")
-            appended = [
-                f
-                for f in self.table._all_data_files(v)
-                if f not in seen
-            ]
-            if op not in ("APPEND", "COPY INTO"):
-                if not self.ignore_changes:
-                    raise RuntimeError(
-                        f"managed_table tail: version {v} is {op!r}, not an "
-                        "append — rewritten/deleted rows cannot be streamed "
-                        "exactly-once (set ignoreChanges to skip such commits)"
-                    )
+        self._last_planned = dict(end)
+        if "idx" not in start and "idx" not in end:
+            # Legacy (uncapped) protocol — the original one-unit-per-
+            # version walk, snapshot served whole.
+            if s < 0:
+                return _snapshot_partitions(self.table, e)
+            seen = set(self.table._all_data_files(s))
+            parts: list[_FilePartition] = []
+            for v in range(s + 1, e + 1):
+                entry = self.table._entry(v) or {}
+                op = entry.get("operation", "")
+                appended = [
+                    f
+                    for f in self.table._all_data_files(v)
+                    if f not in seen
+                ]
+                if op not in ("APPEND", "COPY INTO"):
+                    if not self.ignore_changes:
+                        raise RuntimeError(
+                            f"managed_table tail: version {v} is {op!r}, "
+                            "not an append — rewritten/deleted rows cannot "
+                            "be streamed exactly-once (set ignoreChanges "
+                            "to skip such commits)"
+                        )
+                    seen.update(appended)
+                    continue
+                parts.extend(_FilePartition(f) for f in appended)
                 seen.update(appended)
-                continue
-            parts.extend(_FilePartition(f) for f in appended)
-            seen.update(appended)
+            return parts
+        v_snap = end.get("snap", start.get("snap"))
+        e_idx = end.get("idx")
+        if s < 0:
+            s_v, s_i = v_snap, 0
+        elif "idx" in start:
+            s_v, s_i = s, start["idx"]
+        else:
+            s_v, s_i = s + 1, 0
+        if v_snap is None:
+            v_snap = s_v  # defensive: treat the first unit as snapshot
+        parts: list[_FilePartition] = []
+        v = s_v
+        while v <= e:
+            files = self._unit_files(v, v_snap)
+            lo = s_i if v == s_v else 0
+            hi = e_idx if (v == e and e_idx is not None) else len(files)
+            parts.extend(files[lo:hi])
+            v += 1
         return parts
 
     def read(self, partition: _FilePartition):

@@ -271,3 +271,104 @@ def test_sink_commit_racing_blind_append_commits(table, spark):
     t = ManagedTable(spark, path)
     assert t.read().count() == n0 + 2 + 4
     assert t.read().filter("id >= 9000").count() == 4
+
+
+def test_stream_max_files_per_trigger_chunks_the_backfill(table, spark):
+    """Delta's maxFilesPerTrigger: the initial snapshot AND the tail
+    are admitted at most N files per micro-batch — the backfill over a
+    huge table arrives as incrementally-checkpointed chunks instead of
+    one giant batch. Every row still arrives exactly once."""
+    d = tempfile.mkdtemp(prefix="ds_mft_")
+    # Snapshot = 3 files (fixture repartition(3)); two appends add one
+    # file each -> 5 files total.
+    table.append(spark.range(1000, 1020).select(
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+    ).coalesce(1), fast=True)
+    table.append(spark.range(2000, 2005).select(
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+    ).coalesce(1), fast=True)
+
+    import time as _time
+
+    batches: list[int] = []
+
+    def sink(df, epoch_id):
+        batches.append(df.count())
+
+    def run_until(total, timeout=120):
+        # Python DataSource streams fall back to single-batch execution
+        # under Trigger.AvailableNow, so a capped stream needs a
+        # continuous trigger: run until all expected rows arrived.
+        # streamId persists the planner position, so the cap governs
+        # from the FIRST batch and across restarts (without it the
+        # Python API's latestOffset cannot know the start position and
+        # the first trigger is an uncapped catch-up).
+        q = (
+            spark.readStream.format("managed_table")
+            .option("path", table.path)
+            .option("maxFilesPerTrigger", "2")
+            .option("streamId", "mft_test")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + timeout
+            while sum(batches) < total and _time.time() < deadline:
+                _time.sleep(0.5)
+        finally:
+            q.stop()
+
+    run_until(225)
+    assert sum(batches) == 225  # 200 snapshot + 20 + 5, exactly once
+    nonempty = [b for b in batches if b]
+    assert len(nonempty) >= 3, (
+        f"2-file admission over 5 files needs >=3 batches, got {batches}"
+    )
+    # No batch may exceed 2 files' worth of rows (the snapshot's 200
+    # rows span 3 files, so any two files hold < 200).
+    assert all(b < 200 for b in nonempty), batches
+
+    # The tail keeps exactly-once across a checkpoint restart: two more
+    # single-file appends resume from the stored (version, idx) offset.
+    start_total = sum(batches)
+    table.append(spark.range(3000, 3003).select(
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+    ).coalesce(1), fast=True)
+    table.append(spark.range(4000, 4002).select(
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+    ).coalesce(1), fast=True)
+    run_until(start_total + 5)
+    assert sum(batches) == start_total + 5  # 3 + 2, nothing replayed
+
+
+def test_stream_uncapped_behavior_unchanged(table, spark):
+    """Without maxFilesPerTrigger the tail serves whole-version units
+    exactly as before (one snapshot batch, then one batch per append)."""
+    d = tempfile.mkdtemp(prefix="ds_nocap_")
+    batches: list[int] = []
+
+    def sink(df, epoch_id):
+        batches.append(df.count())
+
+    def run():
+        q = (
+            spark.readStream.format("managed_table")
+            .option("path", table.path)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sum(batches) == 200
+    table.append(spark.range(1000, 1010).select(
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+    ))
+    run()
+    assert sum(batches) == 210
