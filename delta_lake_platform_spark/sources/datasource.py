@@ -163,6 +163,13 @@ class _TailReader(DataSourceStreamReader):
         self.max_files = max(1, int(mft)) if mft is not None else None
         self.stream_id = options.get("streamid")
         self._last_planned = None  # most recent offset handed to Spark
+        # Delta's startingVersion: where a FRESH stream begins.
+        # Default: the current snapshot, then the tail. "latest": skip
+        # the snapshot, serve only commits after stream start (a CDC
+        # consumer that only wants new data). An integer v: serve the
+        # appends of versions >= v (no snapshot) — resuming a pipeline
+        # at a known log position.
+        self.starting_version = options.get("startingversion")
         # Schema fixed at stream start (Delta restarts streams on
         # schema change); files are aligned to it per batch.
         self._pinned_version = (
@@ -201,9 +208,22 @@ class _TailReader(DataSourceStreamReader):
             )
 
     def initialOffset(self):
-        # First batch serves the current snapshot (startingVersion=0
-        # semantics); the tail then follows appends.
-        off = {"version": -1}
+        # Default: first batch serves the current snapshot, the tail
+        # then follows appends. startingVersion overrides (see ctor);
+        # offsets mean "fully served through version v", so starting AT
+        # version v is offset v-1.
+        if self.starting_version is None:
+            off = {"version": -1}
+        elif str(self.starting_version).lower() == "latest":
+            off = {
+                "version": (
+                    self.table.latest_version() if self.table.exists() else -1
+                )
+            }
+        else:
+            off = {"version": max(0, int(self.starting_version)) - 1}
+            if off["version"] < 0:
+                off = {"version": -1}  # from 0 == snapshot semantics
         self._last_planned = off
         return off
 

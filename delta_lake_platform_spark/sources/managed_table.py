@@ -3597,6 +3597,10 @@ class ManagedTable:
             "operationMetrics": {
                 "sourcePath": self.path,
                 "sourceVersion": src_version,
+                # Carry the source's row accounting: the clone keeps
+                # metadata-only COUNT(*) and DV-delete row arithmetic
+                # working (None when the source chain lost it).
+                "numOutputRows": self.row_count(src_version),
             },
         }
         if not state["fileLevel"]:

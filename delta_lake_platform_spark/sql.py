@@ -388,6 +388,18 @@ class PlatformSQL:
             self.register(name, table)
             return self._df([{"version": v, "location": path}])
         m = re.match(
+            rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+"
+            rf"({_IDENT})\s+LOCATION\s+'([^']+)'$",
+            t,
+        )
+        if m:
+            name, src, path = m.groups()
+            table = self.tables[src].clone(path)
+            self.register(name, table)
+            return self._df(
+                [{"version": 0, "location": path, "source": src}]
+            )
+        m = re.match(
             rf"(?is)^CONVERT\s+TO\s+MANAGED\s+(?:PARQUET\s+)?'([^']+)'"
             rf"(?:\s+AS\s+({_IDENT}))?$",
             t,
@@ -609,7 +621,11 @@ class PlatformSQL:
             name, cond = m.groups()
             v = self.tables[name].delete(cond)
             met = self.tables[name].history(1)[0]["operationMetrics"]
-            return self._df([{"version": v, **met}])
+            # None-valued metrics (legacy chains without row accounting)
+            # break createDataFrame's type inference.
+            return self._df(
+                [{"version": v, **{k: x for k, x in met.items() if x is not None}}]
+            )
         m = re.match(
             rf"(?is)^UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", t
         )

@@ -372,3 +372,96 @@ def test_stream_uncapped_behavior_unchanged(table, spark):
     ))
     run()
     assert sum(batches) == 210
+
+
+def test_stream_starting_version_latest_skips_snapshot(table, spark):
+    """startingVersion=latest: a CDC-style consumer gets only commits
+    made AFTER the stream started — the existing snapshot never flows."""
+    d = tempfile.mkdtemp(prefix="ds_sv_")
+    batches: list[int] = []
+
+    def run():
+        q = (
+            spark.readStream.format("managed_table")
+            .option("path", table.path)
+            .option("startingVersion", "latest")
+            .load()
+            .writeStream.foreachBatch(lambda df, e: batches.append(df.count()))
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run()
+    assert sum(batches) == 0  # snapshot skipped
+    table.append(spark.range(1000, 1010).select(
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+    ))
+    run()
+    assert sum(batches) == 10  # only the post-start append
+
+
+def test_stream_starting_version_integer(table, spark):
+    """startingVersion=N serves the appends of versions >= N — resuming
+    a pipeline at a known log position without replaying the snapshot."""
+    table.append(spark.range(1000, 1010).select(  # v1
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+    ))
+    table.append(spark.range(2000, 2005).select(  # v2
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+    ))
+    d = tempfile.mkdtemp(prefix="ds_svi_")
+    batches: list[int] = []
+    q = (
+        spark.readStream.format("managed_table")
+        .option("path", table.path)
+        .option("startingVersion", "2")
+        .load()
+        .writeStream.foreachBatch(lambda df, e: batches.append(df.count()))
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert sum(batches) == 5  # v2's append only — not v1, not the snapshot
+
+
+@pytest.mark.parametrize("cap", [1, 2, 3, 7])
+def test_capped_offset_walk_partitions_the_uncapped_set(table, spark, cap):
+    """Reader-level invariant behind exactly-once under rate limiting:
+    for ANY cap, walking latestOffset() and collecting partitions()
+    between consecutive offsets yields exactly the uncapped file set —
+    same files, no duplicates, no gaps, every chunk within the cap."""
+    from delta_lake_platform_spark.sources.datasource import _TailReader
+
+    table.append(spark.range(1000, 1020).select(
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(2), fast=True)
+    table.delete("k = 4", rewrite=False)  # non-append: needs ignoreChanges
+    table.append(spark.range(2000, 2005).select(
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+    ).coalesce(1), fast=True)
+
+    def walk(opts):
+        r = _TailReader({"path": table.path, **opts})
+        prev = r.initialOffset()
+        served = []
+        for _ in range(100):
+            cur = r.latestOffset()
+            if cur == prev:
+                break
+            served.append([p.file_path for p in r.partitions(prev, cur)])
+            prev = cur
+        else:
+            raise AssertionError("offset walk did not converge")
+        return served
+
+    uncapped = [f for chunk in walk({"ignorechanges": "true"}) for f in chunk]
+    chunks = walk({
+        "ignorechanges": "true", "maxfilespertrigger": str(cap)
+    })
+    capped = [f for chunk in chunks for f in chunk]
+    assert sorted(capped) == sorted(uncapped)
+    assert len(capped) == len(set(capped)), "a file was served twice"
+    assert all(len(c) <= cap for c in chunks), chunks

@@ -500,3 +500,22 @@ def test_show_tblproperties_empty(spark):
     p.register("t", t)
     out = p.sql("SHOW TBLPROPERTIES t")
     assert out.columns == ["key", "value"] and out.count() == 0
+
+
+def test_sql_shallow_clone(spark):
+    import tempfile
+
+    from delta_lake_platform_spark.sql import PlatformSQL
+
+    d = tempfile.mkdtemp(prefix="sql_clone_")
+    p = PlatformSQL(spark)
+    p.sql(
+        f"CREATE TABLE src LOCATION '{d}/src' AS "
+        "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(k, s)"
+    )
+    p.sql(f"CREATE TABLE dst SHALLOW CLONE src LOCATION '{d}/dst'")
+    assert p.sql("SELECT COUNT(*) AS n FROM dst").first()["n"] == 2
+    # Copy-on-write divergence: writes to the clone never touch src.
+    p.sql("DELETE FROM dst WHERE k = 1")
+    assert p.sql("SELECT COUNT(*) AS n FROM dst").first()["n"] == 1
+    assert p.sql("SELECT COUNT(*) AS n FROM src").first()["n"] == 2
