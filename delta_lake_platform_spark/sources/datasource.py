@@ -19,9 +19,14 @@ imports at the call site, composable with the whole reader/stream API.
   ``ignoreChanges`` is set — the same contract Delta enforces, because
   silently replaying rewritten rows would double-count.
 
-Scope note (documented, not silent): hive-partitioned tables are not
-servable through this source — a bare file read cannot recover the
-partition directory columns; use ``ManagedTable.read()`` for those.
+Hive-partitioned tables are served by materializing each file's
+``k=v`` path values as typed constant columns against the log schema
+(which records partition columns like any other). Scope note
+(documented, not silent): LEGACY partitioned tables without a schema
+in the log are refused — a bare file footer cannot recover the
+partition columns; use ``ManagedTable.read()`` for those. The SINK
+still refuses partitioned tables (executors would need the partition
+layout at write time).
 """
 
 from __future__ import annotations
@@ -43,9 +48,35 @@ from .managed_table import ManagedTable
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file_path: str, deleted_rows: tuple[int, ...] = ()):
+    def __init__(
+        self,
+        file_path: str,
+        deleted_rows: tuple[int, ...] = (),
+        partition_values: dict | None = None,
+    ):
         self.file_path = file_path
         self.deleted_rows = deleted_rows
+        # Hive partition columns are not stored inside the files; the
+        # raw `k=v` path values ride the partition object and become
+        # typed constant columns at read time.
+        self.partition_values = partition_values or {}
+
+
+def _partition_values_of(table: ManagedTable, fpath: str) -> dict:
+    """Raw hive partition values from a file's `k=v` path segments
+    (None for the default partition); typed at read time against the
+    log schema."""
+    from urllib.parse import unquote
+
+    vals: dict = {}
+    rel = os.path.relpath(fpath, table.path)
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            vals[k] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            )
+    return vals
 
 
 def _read_file_batches(part: _FilePartition, schema_info=None) -> Iterator:
@@ -61,15 +92,28 @@ def _read_file_batches(part: _FilePartition, schema_info=None) -> Iterator:
         arrow_schema, logical_names = schema_info
         if table.schema != arrow_schema:
             # Metadata-only schema evolution leaves older files
-            # physically narrow (or missing added columns); align each
-            # file to the log's authoritative PHYSICAL schema: cast
-            # present columns, NULL-fill absent ones.
+            # physically narrow (or missing added columns), and hive
+            # partition columns are never stored in the files at all;
+            # align each file to the log's authoritative PHYSICAL
+            # schema: cast present columns, materialize partition
+            # values as typed constants, NULL-fill the rest.
+            n = table.num_rows
             cols = []
             for field in arrow_schema:
                 if field.name in table.column_names:
                     cols.append(table.column(field.name).cast(field.type))
+                elif field.name in part.partition_values:
+                    sval = part.partition_values[field.name]
+                    if sval is None:
+                        cols.append(pa.nulls(n, type=field.type))
+                    else:
+                        cols.append(
+                            pa.array([sval] * n, type=pa.string()).cast(
+                                field.type
+                            )
+                        )
                 else:
-                    cols.append(pa.nulls(table.num_rows, type=field.type))
+                    cols.append(pa.nulls(n, type=field.type))
             table = pa.Table.from_arrays(cols, schema=arrow_schema)
         if list(table.column_names) != logical_names:
             table = table.rename_columns(logical_names)  # physical -> logical
@@ -117,8 +161,15 @@ def _snapshot_partitions(table: ManagedTable, version: int) -> list[_FilePartiti
             key = urlparse(f).path if ":" in f.split("/", 1)[0] else f
             dv.setdefault(key, []).append(pos)
     parts = []
+    hive = bool(table.partition_spec())
     for f in table._all_data_files(version):
-        parts.append(_FilePartition(f, tuple(dv.get(f, ()))))
+        parts.append(
+            _FilePartition(
+                f,
+                tuple(dv.get(f, ())),
+                _partition_values_of(table, f) if hive else None,
+            )
+        )
     return parts
 
 
@@ -254,7 +305,16 @@ class _TailReader(DataSourceStreamReader):
                     "exactly-once (set ignoreChanges to skip such commits)"
                 )
             return []
-        return [_FilePartition(f) for f in appended]
+        hive = bool(self.table.partition_spec())
+        return [
+            _FilePartition(
+                f,
+                partition_values=(
+                    _partition_values_of(self.table, f) if hive else None
+                ),
+            )
+            for f in appended
+        ]
 
     def _pos_path(self) -> str:
         return os.path.join(
@@ -356,7 +416,18 @@ class _TailReader(DataSourceStreamReader):
                         )
                     seen.update(appended)
                     continue
-                parts.extend(_FilePartition(f) for f in appended)
+                hive = bool(self.table.partition_spec())
+                parts.extend(
+                    _FilePartition(
+                        f,
+                        partition_values=(
+                            _partition_values_of(self.table, f)
+                            if hive
+                            else None
+                        ),
+                    )
+                    for f in appended
+                )
                 seen.update(appended)
             return parts
         v_snap = end.get("snap", start.get("snap"))
@@ -608,20 +679,25 @@ class ManagedTableDataSource(DataSource):
         import pyarrow.parquet as pq
 
         table = _table_from_options(self.options)
-        if table.partition_spec():
-            raise ValueError(
-                "managed_table source cannot serve hive-partitioned tables "
-                "(bare file reads lose partition columns); use "
-                "ManagedTable.read()"
-            )
         v = self.options.get("version")
         version = int(v) if v is not None else table.latest_version()
         # The log is the schema authority (metadata-only ADD COLUMN /
         # type widening make mixed physical file schemas a normal
         # state — the first file's footer may be stale and narrow).
+        # Hive-partitioned tables are served through it too: the
+        # recorded schema INCLUDES partition columns (the committed
+        # DataFrame carried them), and the readers materialize each
+        # file's `k=v` path values as typed constant columns.
         logical = table._schema_of(table._state(version))
         if logical is not None:
             return logical
+        if table.partition_spec():
+            raise ValueError(
+                "managed_table source cannot serve a LEGACY "
+                "hive-partitioned table (no schema in its log — a bare "
+                "file footer loses the partition columns); use "
+                "ManagedTable.read()"
+            )
         files = table._all_data_files(version)
         if files:
             return from_arrow_schema(pq.read_schema(files[0]))

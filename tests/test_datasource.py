@@ -465,3 +465,78 @@ def test_capped_offset_walk_partitions_the_uncapped_set(table, spark, cap):
     assert sorted(capped) == sorted(uncapped)
     assert len(capped) == len(set(capped)), "a file was served twice"
     assert all(len(c) <= cap for c in chunks), chunks
+
+
+def test_batch_read_partitioned_table(spark):
+    """Hive-partitioned tables through the native format: partition
+    columns come from the `k=v` path segments, typed against the log
+    schema — including after a MOR delete and a fast append."""
+    datasource.register(spark)
+    d = tempfile.mkdtemp(prefix="ds_part_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(
+        spark.range(0, 120).select(
+            "id",
+            (F.col("id") % 4).alias("bucket"),
+            F.concat(F.lit("s"), (F.col("id") % 3)).alias("tag"),
+        ),
+        partition_by=["bucket", "tag"],
+    )
+    got = _load(spark, t)
+    assert sorted(map(tuple, got.select("id", "bucket", "tag").collect())) \
+        == sorted(map(tuple, t.read().select("id", "bucket", "tag").collect()))
+    assert dict(got.dtypes)["bucket"] == "bigint"  # typed, not string
+
+    t.delete("id % 10 = 0", rewrite=False)
+    t.append(
+        spark.range(1000, 1006).select(
+            "id",
+            (F.col("id") % 4).alias("bucket"),
+            F.concat(F.lit("s"), (F.col("id") % 3)).alias("tag"),
+        ),
+        fast=True,
+    )
+    got = _load(spark, t)
+    assert sorted(map(tuple, got.select("id", "bucket", "tag").collect())) \
+        == sorted(map(tuple, t.read().select("id", "bucket", "tag").collect()))
+
+
+def test_stream_tail_partitioned_table(spark):
+    """The streaming tail serves partitioned appends with their
+    partition columns reconstructed."""
+    datasource.register(spark)
+    d = tempfile.mkdtemp(prefix="ds_part_stream_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(
+        spark.range(0, 40).select(
+            "id", (F.col("id") % 2).alias("bucket")
+        ),
+        partition_by=["bucket"],
+    )
+
+    def run():
+        q = (
+            spark.readStream.format("managed_table")
+            .option("path", t.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{d}/out")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run()
+    out = spark.read.parquet(f"{d}/out")
+    assert out.count() == 40
+    assert out.filter("bucket = 1").count() == 20
+    t.append(
+        spark.range(100, 110).select("id", (F.col("id") % 2).alias("bucket"))
+    )
+    run()
+    out = spark.read.parquet(f"{d}/out")
+    assert out.count() == 50
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, t.read().select(*out.columns).collect())
+    )
