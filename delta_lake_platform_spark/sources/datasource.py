@@ -331,12 +331,18 @@ class _TailReader(DataSourceStreamReader):
     def _save_pos(self, off: dict) -> None:
         import uuid as _uuid
 
-        d = os.path.dirname(self._pos_path())
-        os.makedirs(d, exist_ok=True)
-        tmp = self._pos_path() + f".tmp-{_uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(off, f)
-        os.replace(tmp, self._pos_path())
+        try:
+            d = os.path.dirname(self._pos_path())
+            os.makedirs(d, exist_ok=True)
+            tmp = self._pos_path() + f".tmp-{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(off, f)
+            os.replace(tmp, self._pos_path())
+        except OSError:
+            # Read-only table storage: degrade to in-memory position
+            # (the cap then behaves as without streamId). Exactly-once
+            # is unaffected — Spark's offset log owns it.
+            pass
 
     def latestOffset(self):
         head = self.table.latest_version()

@@ -523,9 +523,12 @@ class PlatformSQL:
             return (
                 table.read().select(*spec).distinct().orderBy(*spec)
             )
-        m = re.match(rf"(?is)^DESCRIBE\s+HISTORY\s+({_IDENT})$", t)
+        m = re.match(
+            rf"(?is)^DESCRIBE\s+HISTORY\s+({_IDENT})(?:\s+LIMIT\s+(\d+))?$", t
+        )
         if m:
-            return self._history(m.group(1))
+            out = self._history(m.group(1))
+            return out.limit(int(m.group(2))) if m.group(2) else out
         m = re.match(rf"(?is)^DESCRIBE\s+DETAIL\s+({_IDENT})$", t)
         if m:
             return self._detail(m.group(1))
@@ -615,6 +618,16 @@ class PlatformSQL:
             v = self.tables[name].restore(int(ver))
             return self._df([{"version": v, "restoredVersion": int(ver)}])
         m = re.match(
+            rf"(?is)^RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+(?:TO\s+)?"
+            r"TIMESTAMP\s+AS\s+OF\s+'([^']+)'$",
+            t,
+        )
+        if m:
+            name, ts = m.groups()
+            ver = self._version_at_timestamp(name, ts)
+            v = self.tables[name].restore(ver)
+            return self._df([{"version": v, "restoredVersion": ver}])
+        m = re.match(
             rf"(?is)^DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.*)$", t
         )
         if m:
@@ -692,6 +705,24 @@ class PlatformSQL:
             n = self.tables[name].row_count(int(ver) if ver else None)
             if n is not None:
                 return self._df([{alias or "count(1)": n}])
+
+        # Delta's CDF table-valued function: table_changes('t', v0[, v1])
+        # becomes a temp view over ManagedTable.change_feed — usable
+        # anywhere a relation is (joins, CTEs, aggregates).
+        def tc(m2):
+            name, v0, v1 = m2.group(1), int(m2.group(2)), m2.group(3)
+            view = f"{name}__changes_{v0}_{v1 or 'head'}"
+            self.tables[name].change_feed(
+                v0, int(v1) if v1 else None
+            ).createOrReplaceTempView(view)
+            return view
+
+        t = re.sub(
+            rf"(?is)\btable_changes\s*\(\s*'?({_IDENT})'?\s*,\s*(\d+)"
+            r"(?:\s*,\s*(\d+))?\s*\)",
+            tc,
+            t,
+        )
 
         # Plain SQL: resolve time travel, expose current snapshots as
         # temp views, delegate to Spark's parser/optimizer.

@@ -167,3 +167,25 @@ def test_sql_convert_statement(spark):
     p.sql("DELETE FROM ext WHERE k < 100")
     assert p.sql("SELECT COUNT(*) AS n FROM ext").first()["n"] == 900
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_converted_partitioned_table_through_datasource(spark):
+    """Feature interplay: a hive dir converted in place is readable
+    through the native format too — partition values come from the
+    same k=v segments the convert recorded as stats."""
+    from delta_lake_platform_spark.sources import datasource
+
+    datasource.register(spark)
+    root = tempfile.mkdtemp(prefix="convert_ds_")
+    d = f"{root}/t"
+    _write_plain_parquet(spark, d, partitioned=True)
+    t = ManagedTable.convert(spark, d)
+    got = (
+        spark.read.format("managed_table").option("path", t.path).load()
+    )
+    assert got.count() == 1000
+    assert got.filter("bucket = 3").count() == 250
+    # Typed (partition-discovery infers int for integral dir values),
+    # never a raw string.
+    assert dict(got.dtypes)["bucket"] in ("int", "bigint")
+    shutil.rmtree(root, ignore_errors=True)

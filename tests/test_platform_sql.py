@@ -519,3 +519,59 @@ def test_sql_shallow_clone(spark):
     p.sql("DELETE FROM dst WHERE k = 1")
     assert p.sql("SELECT COUNT(*) AS n FROM dst").first()["n"] == 1
     assert p.sql("SELECT COUNT(*) AS n FROM src").first()["n"] == 2
+
+
+def test_sql_table_changes_and_history_limit(spark):
+    import tempfile
+
+    from delta_lake_platform_spark.sql import PlatformSQL
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="sql_tc_")
+    p = PlatformSQL(spark)
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+    ))
+    p.register("t", t)
+    p.sql("DELETE FROM t WHERE k = 2")              # v1
+    p.sql("INSERT INTO t (k, s) VALUES (4, 'd')")   # v2
+
+    # table_changes(t, v0, v1): snapshot diff between the versions,
+    # usable as a relation anywhere.
+    rows = p.sql(
+        "SELECT _change_type, k FROM table_changes('t', 0, 2) ORDER BY k"
+    ).collect()
+    assert [(r._change_type, r.k) for r in rows] == [
+        ("delete", 2), ("insert", 4),
+    ]
+    # Open-ended form diffs against the head; aggregation over it works.
+    n = p.sql(
+        "SELECT COUNT(*) AS n FROM table_changes('t', 1)"
+    ).first()["n"]
+    assert n == 1  # just the insert of k=4
+
+    h = p.sql("DESCRIBE HISTORY t LIMIT 2").collect()
+    assert len(h) == 2
+    assert h[0]["operation"] in ("APPEND", "WRITE")  # newest first
+
+
+def test_restore_timestamp_as_of(psql):
+    import datetime
+
+    psql.sql("DELETE FROM accounts WHERE id = 1")  # v1
+    future = (
+        datetime.datetime.now() + datetime.timedelta(days=1)
+    ).isoformat()
+    # Future timestamp resolves to the latest commit (v1) — restoring
+    # to it is a no-op content-wise but still a real commit.
+    psql.sql(f"RESTORE accounts TO TIMESTAMP AS OF '{future}'")
+    assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 2
+    # Restore to before the delete via a pre-delete timestamp: use the
+    # v0 commit's own timestamp.
+    t0 = psql.tables["accounts"].history()[-1]["timestamp"]
+    # +0.5s: isoformat truncation must not land the cutoff a hair
+    # below v0's own float timestamp (the delete is seconds later).
+    ts0 = datetime.datetime.utcfromtimestamp(t0 + 0.5).isoformat()
+    psql.sql(f"RESTORE accounts TO TIMESTAMP AS OF '{ts0}'")
+    assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 3
