@@ -65,14 +65,20 @@ class _FilePartition(InputPartition):
 def _partition_values_of(table: ManagedTable, fpath: str) -> dict:
     """Raw hive partition values from a file's `k=v` path segments
     (None for the default partition); typed at read time against the
-    log schema."""
+    log schema. Restricted to the DECLARED partition columns: internal
+    dirs also use `k=v` naming (``data/v=0``, ``data/v=0.w-abc``), and
+    treating those as partition values would overwrite a real column
+    named ``v`` — or crash the cast."""
     from urllib.parse import unquote
 
+    spec = set(table.partition_spec())
     vals: dict = {}
     rel = os.path.relpath(fpath, table.path)
     for seg in rel.split(os.sep)[:-1]:
         if "=" in seg:
             k, v = seg.split("=", 1)
+            if k not in spec:
+                continue
             vals[k] = (
                 None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
             )
@@ -214,6 +220,7 @@ class _TailReader(DataSourceStreamReader):
         self.max_files = max(1, int(mft)) if mft is not None else None
         self.stream_id = options.get("streamid")
         self._last_planned = None  # most recent offset handed to Spark
+        self._unit_cache: dict = {}  # (v, v_snap) -> [_FilePartition]
         # Delta's startingVersion: where a FRESH stream begins.
         # Default: the current snapshot, then the tail. "latest": skip
         # the snapshot, serve only commits after stream start (a CDC
@@ -221,6 +228,18 @@ class _TailReader(DataSourceStreamReader):
         # appends of versions >= v (no snapshot) — resuming a pipeline
         # at a known log position.
         self.starting_version = options.get("startingversion")
+        # assumeFresh=true: the caller PROMISES this stream has no
+        # prior checkpoint, so a missing position sidecar means
+        # "genuinely fresh" and the cap applies from the very first
+        # batch (the engine asks latestOffset before initialOffset has
+        # ever run, so without this promise the first batch of an
+        # unknown-position stream must be an uncapped catch-up — the
+        # alternative, guessing "fresh", would replay everything a
+        # checkpointed restart already served). Combining assumeFresh
+        # with an EXISTING checkpoint is user error and duplicates.
+        self.assume_fresh = str(
+            options.get("assumefresh", "false")
+        ).lower() in ("true", "1")
         # Schema fixed at stream start (Delta restarts streams on
         # schema change); files are aligned to it per batch.
         self._pinned_version = (
@@ -258,24 +277,40 @@ class _TailReader(DataSourceStreamReader):
                 "new schema"
             )
 
-    def initialOffset(self):
-        # Default: first batch serves the current snapshot, the tail
-        # then follows appends. startingVersion overrides (see ctor);
-        # offsets mean "fully served through version v", so starting AT
-        # version v is offset v-1.
+    def _initial_off(self) -> dict:
+        """The stream's starting offset. Default: -1 (first batch =
+        current snapshot, then the tail). startingVersion overrides;
+        offsets mean "fully served through version v", so starting AT
+        version v is offset v-1."""
         if self.starting_version is None:
-            off = {"version": -1}
-        elif str(self.starting_version).lower() == "latest":
-            off = {
+            return {"version": -1}
+        if str(self.starting_version).lower() == "latest":
+            return {
                 "version": (
                     self.table.latest_version() if self.table.exists() else -1
                 )
             }
-        else:
-            off = {"version": max(0, int(self.starting_version)) - 1}
-            if off["version"] < 0:
-                off = {"version": -1}  # from 0 == snapshot semantics
+        sv = int(self.starting_version)
+        head = self.table.latest_version() if self.table.exists() else -1
+        if sv > head + 1:
+            raise ValueError(
+                f"startingVersion {sv} exceeds the table's latest "
+                f"version {head} — a stream cannot begin past the head"
+            )
+        off = {"version": max(0, sv) - 1}
+        if off["version"] < 0:
+            off = {"version": -1}  # from 0 == snapshot semantics
+        return off
+
+    def initialOffset(self):
+        # Only called for streams WITHOUT a checkpoint; persisting the
+        # position seeds the streamId sidecar (note the engine may ask
+        # latestOffset FIRST, so a capped fresh backfill additionally
+        # needs assumeFresh for its very first batch to be capped).
+        off = self._initial_off()
         self._last_planned = off
+        if self.stream_id and self.max_files is not None:
+            self._save_pos(off)
         return off
 
     # -- rate-limited offset walking ------------------------------------
@@ -289,6 +324,22 @@ class _TailReader(DataSourceStreamReader):
     # same chunking.
 
     def _unit_files(self, v: int, v_snap: int) -> list[_FilePartition]:
+        # Memoized per (v, v_snap): the log is immutable, and a capped
+        # backfill calls this once per TRIGGER from latestOffset and
+        # again from partitions — without the cache a K-file snapshot
+        # served m files at a time costs O(K^2/m) driver work
+        # (rebuilding all K partitions, re-reading the DV sidecar,
+        # re-parsing partition values every trigger).
+        cached = self._unit_cache.get((v, v_snap))
+        if cached is not None:
+            return cached
+        out = self._unit_files_uncached(v, v_snap)
+        self._unit_cache[(v, v_snap)] = out
+        return out
+
+    def _unit_files_uncached(
+        self, v: int, v_snap: int
+    ) -> list[_FilePartition]:
         if v == v_snap:
             return _snapshot_partitions(self.table, v)
         prev = set(self.table._all_data_files(v - 1))
@@ -352,15 +403,21 @@ class _TailReader(DataSourceStreamReader):
         last = self._last_planned
         if last is None and self.stream_id:
             last = self._load_pos()
-            if last is None:
-                # No sidecar: a genuinely fresh capped stream — start
-                # chunking from the initial snapshot.
-                last = {"version": -1}
+        if last is None and self.assume_fresh:
+            # The caller promised there is no prior checkpoint: start
+            # from the declared beginning, capped from batch one.
+            last = self._initial_off()
         if last is None:
-            # No streamId and no in-memory position (first trigger of a
-            # (re)started stream): the checkpointed position is unknown
-            # here, so this one catch-up trigger is uncapped; the cap
-            # engages from the next trigger.
+            # No in-memory position and no sidecar. This could be a
+            # fresh stream (the engine asks latestOffset before
+            # initialOffset has seeded anything) OR a restart whose
+            # checkpointed position is unknown here. Assuming "fresh"
+            # would re-pin the snapshot and REPLAY everything a
+            # checkpointed restart already served — an exactly-once
+            # violation — so the safe move is one uncapped catch-up to
+            # the head; the cap engages from the next trigger. Pass
+            # assumeFresh=true to cap a genuinely fresh backfill's
+            # first batch.
             off = {"version": head}
             self._last_planned = off
             return off
@@ -454,6 +511,10 @@ class _TailReader(DataSourceStreamReader):
             hi = e_idx if (v == e and e_idx is not None) else len(files)
             parts.extend(files[lo:hi])
             v += 1
+        # Fully-served units will never be asked for again: bound the
+        # memo so a long-running stream's cache stays O(in-flight).
+        for key in [k for k in self._unit_cache if k[0] < e]:
+            del self._unit_cache[key]
         return parts
 
     def read(self, partition: _FilePartition):

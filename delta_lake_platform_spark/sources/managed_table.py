@@ -3576,6 +3576,36 @@ class ManagedTable:
                         shutil.rmtree(p, ignore_errors=True)
                 except OSError:
                     pass
+        # Converted-in-place files live at the TABLE ROOT (or its k=v
+        # subdirs), outside data/ and dv/. Once the CONVERT entry ages
+        # out via log retention the per-version sweep can't name them;
+        # reclaim root-level parquet not referenced by any version
+        # with a live entry (age-guarded like the other orphans) so a
+        # rewritten-then-expired conversion doesn't leak its originals
+        # forever.
+        root_candidates = glob.glob(os.path.join(self.path, "*.parquet"))
+        for sub in os.listdir(self.path) if os.path.isdir(self.path) else []:
+            if "=" in sub and os.path.isdir(os.path.join(self.path, sub)):
+                root_candidates.extend(
+                    glob.glob(
+                        os.path.join(self.path, sub, "**", "*.parquet"),
+                        recursive=True,
+                    )
+                )
+        if root_candidates:
+            referenced_files_any = {
+                os.path.normpath(self._abs(rel))
+                for v in versions
+                for rel in self._state(v)["files"]
+            }
+            for f in root_candidates:
+                if os.path.normpath(f) in referenced_files_any:
+                    continue
+                try:
+                    if os.path.getmtime(f) <= cutoff:
+                        os.remove(f)
+                except OSError:
+                    pass
         return removed
 
     def clone(self, target_path: str) -> "ManagedTable":

@@ -167,7 +167,7 @@ class PlatformSQL:
     def _df(self, rows: list[dict]) -> DataFrame:
         return self.spark.createDataFrame([Row(**r) for r in rows])
 
-    def _history(self, name: str) -> DataFrame:
+    def _history(self, name: str, limit: int | None = None) -> DataFrame:
         rows = [
             {
                 "version": h["version"],
@@ -177,7 +177,9 @@ class PlatformSQL:
                     h.get("operationMetrics", {}), sort_keys=True
                 ),
             }
-            for h in self.tables[name].history()
+            # history(limit) stops after the n newest entries — LIMIT 1
+            # on a 10^5-commit table must not parse the whole log.
+            for h in self.tables[name].history(limit)
         ]
         return self._df(rows)
 
@@ -527,8 +529,9 @@ class PlatformSQL:
             rf"(?is)^DESCRIBE\s+HISTORY\s+({_IDENT})(?:\s+LIMIT\s+(\d+))?$", t
         )
         if m:
-            out = self._history(m.group(1))
-            return out.limit(int(m.group(2))) if m.group(2) else out
+            return self._history(
+                m.group(1), int(m.group(2)) if m.group(2) else None
+            )
         m = re.match(rf"(?is)^DESCRIBE\s+DETAIL\s+({_IDENT})$", t)
         if m:
             return self._detail(m.group(1))
@@ -708,12 +711,22 @@ class PlatformSQL:
 
         # Delta's CDF table-valued function: table_changes('t', v0[, v1])
         # becomes a temp view over ManagedTable.change_feed — usable
-        # anywhere a relation is (joins, CTEs, aggregates).
+        # anywhere a relation is (joins, CTEs, aggregates). Delta
+        # semantics: the start version is INCLUSIVE (the changes commit
+        # v0 itself made are returned), so it maps to the snapshot diff
+        # (v0-1) -> v1. Version 0 is the initial snapshot, not a
+        # change — read the table (or time-travel) for it.
         def tc(m2):
             name, v0, v1 = m2.group(1), int(m2.group(2)), m2.group(3)
+            if v0 < 1:
+                raise ValueError(
+                    "table_changes: start version must be >= 1 (version "
+                    "0 is the initial snapshot — read the table VERSION "
+                    "AS OF 0 instead)"
+                )
             view = f"{name}__changes_{v0}_{v1 or 'head'}"
             self.tables[name].change_feed(
-                v0, int(v1) if v1 else None
+                v0 - 1, int(v1) if v1 else None
             ).createOrReplaceTempView(view)
             return view
 

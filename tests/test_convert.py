@@ -189,3 +189,42 @@ def test_converted_partitioned_table_through_datasource(spark):
     # never a raw string.
     assert dict(got.dtypes)["bucket"] in ("int", "bigint")
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_vacuum_reclaims_converted_files_after_log_expiry(
+    spark, monkeypatch
+):
+    """Log retention can expire the CONVERT entry itself; the
+    per-version sweep then can't name the converted files, so the
+    orphan sweep must reclaim dead root-level parquet (age-guarded)
+    instead of leaking it forever."""
+    import time as _time
+
+    from delta_lake_platform_spark.sources import managed_table as mt
+
+    monkeypatch.setattr(mt, "_CKPT_INTERVAL", 2)
+    root = tempfile.mkdtemp(prefix="convert_expiry_")
+    d = f"{root}/t"
+    _write_plain_parquet(spark, d)
+    t = ManagedTable.convert(spark, d)
+    converted = sorted(glob.glob(f"{d}/*.parquet"))
+    # Rewrite twice so a checkpoint lands and v0 becomes expirable.
+    for i in range(2):
+        t.create(
+            spark.createDataFrame(
+                [(i, i, i)], "k bigint, bucket bigint, v bigint"
+            ),
+            mode="overwrite",
+        )
+    removed = t.expire_log_entries(older_than_s=0.0)
+    assert 0 in removed, "test needs the CONVERT entry expired"
+    # Age the dead files past the orphan-retention floor.
+    old = _time.time() - 7200
+    for f in converted:
+        os.utime(f, (old, old))
+    t.vacuum(keep_last=1, older_than_s=0)
+    assert not any(os.path.isfile(f) for f in converted), (
+        "expired-conversion originals must not leak"
+    )
+    assert t.read().count() == 1
+    shutil.rmtree(root, ignore_errors=True)

@@ -308,6 +308,11 @@ def test_stream_max_files_per_trigger_chunks_the_backfill(table, spark):
             .option("path", table.path)
             .option("maxFilesPerTrigger", "2")
             .option("streamId", "mft_test")
+            # The engine asks latestOffset before initialOffset ever
+            # runs; assumeFresh lets the FIRST backfill batch be capped
+            # too (we promise no prior checkpoint exists). The sidecar
+            # then carries the position across the restart below.
+            .option("assumeFresh", "true")
             .load()
             .writeStream.foreachBatch(sink)
             .option("checkpointLocation", f"{d}/ckpt")
@@ -540,3 +545,63 @@ def test_stream_tail_partitioned_table(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, t.read().select(*out.columns).collect())
     )
+
+
+def test_capped_restart_without_sidecar_never_replays(table, spark):
+    """Reader-level pin of the exactly-once rule behind streamId: a
+    fresh stream's initialOffset seeds the sidecar, so a LOST sidecar
+    can only mean a restart with an unknown checkpoint position —
+    latestOffset must fall back to an uncapped catch-up (a legacy
+    head offset), never re-pin the snapshot (which would make
+    partitions() replay everything the checkpoint already served)."""
+    from delta_lake_platform_spark.sources.datasource import _TailReader
+
+    opts = {
+        "path": table.path,
+        "maxfilespertrigger": "2",
+        "streamid": "restart_test",
+    }
+    # Fresh stream: initialOffset (possibly on another process's
+    # instance) seeds the sidecar; a DIFFERENT instance's latestOffset
+    # picks it up and caps from the very first batch.
+    a = _TailReader(opts)
+    a.initialOffset()
+    b = _TailReader(opts)
+    off = b.latestOffset()
+    assert "idx" in off and off["snap"] == table.latest_version()
+
+    # Sidecar lost (or capping enabled on a pre-existing stream): a
+    # fresh instance must NOT assume "fresh stream".
+    import os as _os
+
+    _os.remove(
+        _os.path.join(table.path, "_streams", "restart_test.json")
+    )
+    c = _TailReader(opts)
+    off = c.latestOffset()
+    assert off == {"version": table.latest_version()}, (
+        "lost sidecar must degrade to an uncapped catch-up, not a "
+        "snapshot re-pin"
+    )
+
+
+def test_partition_values_ignore_internal_kv_dirs(spark):
+    """data/v=0/... is an internal layout dir, not a hive partition:
+    only DECLARED partition columns may come from path segments (a
+    data column named `v` must never receive the version number)."""
+    from delta_lake_platform_spark.sources.datasource import (
+        _partition_values_of,
+    )
+
+    d = tempfile.mkdtemp(prefix="ds_kv_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(
+        spark.range(0, 10).select(
+            "id", (F.col("id") % 2).alias("bucket")
+        ),
+        partition_by=["bucket"],
+    )
+    f = t._all_data_files(0)[0]
+    assert "data/v=0" in f.replace("\\", "/")
+    vals = _partition_values_of(t, f)
+    assert set(vals) == {"bucket"}, vals

@@ -537,19 +537,22 @@ def test_sql_table_changes_and_history_limit(spark):
     p.sql("DELETE FROM t WHERE k = 2")              # v1
     p.sql("INSERT INTO t (k, s) VALUES (4, 'd')")   # v2
 
-    # table_changes(t, v0, v1): snapshot diff between the versions,
-    # usable as a relation anywhere.
+    # Delta semantics: the start version is INCLUSIVE — commit 1's own
+    # delete is part of table_changes('t', 1, ...).
     rows = p.sql(
-        "SELECT _change_type, k FROM table_changes('t', 0, 2) ORDER BY k"
+        "SELECT _change_type, k FROM table_changes('t', 1, 2) ORDER BY k"
     ).collect()
     assert [(r._change_type, r.k) for r in rows] == [
         ("delete", 2), ("insert", 4),
     ]
-    # Open-ended form diffs against the head; aggregation over it works.
+    # Open-ended form runs to the head; aggregation over it works.
     n = p.sql(
-        "SELECT COUNT(*) AS n FROM table_changes('t', 1)"
+        "SELECT COUNT(*) AS n FROM table_changes('t', 2)"
     ).first()["n"]
-    assert n == 1  # just the insert of k=4
+    assert n == 1  # just commit 2's insert of k=4
+    # Version 0 is the initial snapshot, not a change.
+    with pytest.raises(ValueError, match="start version"):
+        p.sql("SELECT * FROM table_changes('t', 0)")
 
     h = p.sql("DESCRIBE HISTORY t LIMIT 2").collect()
     assert len(h) == 2
@@ -569,9 +572,11 @@ def test_restore_timestamp_as_of(psql):
     assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 2
     # Restore to before the delete via a pre-delete timestamp: use the
     # v0 commit's own timestamp.
-    t0 = psql.tables["accounts"].history()[-1]["timestamp"]
-    # +0.5s: isoformat truncation must not land the cutoff a hair
-    # below v0's own float timestamp (the delete is seconds later).
-    ts0 = datetime.datetime.utcfromtimestamp(t0 + 0.5).isoformat()
+    h = psql.tables["accounts"].history()
+    t0, t1 = h[-1]["timestamp"], h[-2]["timestamp"]  # v0 (create), v1
+    # Midpoint between the two commits: strictly after v0 regardless of
+    # isoformat truncation, strictly before the delete regardless of
+    # how fast the commits landed.
+    ts0 = datetime.datetime.utcfromtimestamp((t0 + t1) / 2).isoformat()
     psql.sql(f"RESTORE accounts TO TIMESTAMP AS OF '{ts0}'")
     assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 3
