@@ -591,3 +591,63 @@ def convert_in_place_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+ROW_TRACKING_ORACLE = """
+WITH surv AS (
+  SELECT doc_id FROM documents WHERE doc_id % 13 <> 0
+),
+appended AS (
+  SELECT doc_id FROM surv WHERE doc_id % 7 = 0
+)
+SELECT
+  ((SELECT COUNT(*) FROM surv) + (SELECT COUNT(*) FROM appended))::BIGINT
+    AS n_rows,
+  ((SELECT COUNT(*) FROM surv) + (SELECT COUNT(*) FROM appended))::BIGINT
+    AS n_distinct_row_ids,
+  ((SELECT COUNT(*) FROM documents) + (SELECT COUNT(*) FROM appended) - 1)::BIGINT
+    AS max_row_id
+"""
+
+_ROW_TRACKING_CACHE: dict[str, str] = {}
+
+
+@register("docs_row_tracking_ledger", ROW_TRACKING_ORACLE)
+def docs_row_tracking_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking end to end on the corpus lifecycle it's scoped for:
+    enable on the documents table (metadata-only backfill), MOR-delete
+    a dedup slice (ids burn, nothing rewritten), append a re-ingested
+    slice (fresh ids above everything ever minted). The ledger
+    invariants the oracle can verify deterministically: every live row
+    has a UNIQUE id, and the maximum id equals total-rows-ever-minted
+    minus one — deletes never free ids, appends never reuse them.
+    (The id VALUES themselves are file-layout-dependent, like Delta's,
+    so the oracle pins the invariants, not the assignment.)"""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.managed_table import ManagedTable
+
+    path = _ROW_TRACKING_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        d = tempfile.mkdtemp(prefix="rowtrack_docs_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        t = ManagedTable(spark, f"{d}/docs")
+        t.create(load_table(spark, sf_dir, "documents"))
+        t.enable_row_tracking()
+        t.delete("doc_id % 13 = 0", rewrite=False)
+        t.append(
+            t.read().filter(F.col("doc_id") % 7 == 0),
+            fast=True,
+        )
+        _ROW_TRACKING_CACHE[sf_dir] = t.path
+        path = t.path
+    t = ManagedTable(spark, path)
+    ids = t.read_row_ids()
+    return ids.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("_row_id").alias("n_distinct_row_ids"),
+        F.max("_row_id").alias("max_row_id"),
+    )

@@ -570,6 +570,15 @@ class _BatchWriter(DataSourceWriter):
                 "foreachBatch with ManagedTable.append (txn_app/"
                 "txn_version for exactly-once) instead"
             )
+        # Row-tracked tables allocate stable row-id bases from a
+        # driver-coordinated mark at commit time; the sink's hand-rolled
+        # commit loop doesn't, so unmarked files would break
+        # read_row_ids. Same refusal shape as identity columns.
+        if t.exists() and t.row_tracking_enabled():
+            raise ValueError(
+                "managed_table sink cannot write to a row-tracked "
+                "table; use foreachBatch with ManagedTable.append"
+            )
         # Generated columns are enforced as implicit CHECK constraints
         # inside ManagedTable.append; the sink's executor-side write
         # path never runs that job, so it must refuse these tables the

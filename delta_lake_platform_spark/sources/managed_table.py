@@ -1263,6 +1263,13 @@ class ManagedTable:
             self._to_physical(batch, rv), self._batch_dir()
         )
         n_new, new_stats = _scan_parquet_footers(local, rel_root=self.path)
+        if self.row_tracking_enabled():
+            # New rows draw stable ids from the high-water mark; the
+            # recorded mark makes concurrent allocations a real
+            # conflict (same rule as identity columns).
+            new_stats, rid_hwm = self._fill_row_bases(new_stats, rv)
+            extra = {**(extra or {}), "rowIdHighWaterMark": rid_hwm}
+            commutes = self._row_id_append_commutes(commutes)
         # Delta-action entry: the batch's own stats + its dir; prior
         # files and the DV pointer carry through replay — commit
         # metadata is O(batch), not O(table). An append never changes
@@ -2012,6 +2019,7 @@ class ManagedTable:
                 )
         else:
             target = self.read()
+        self._check_row_tracking("MERGE")
         if auto_schema_evolution:
             tgt_types = dict(target.dtypes)
             new_cols = [
@@ -2460,6 +2468,7 @@ class ManagedTable:
         O(matched rows), not O(table). This is exactly how Delta updates
         a table with DVs enabled: mark old copies dead, add new copies."""
         self._check_append_only("UPDATE")
+        self._check_row_tracking("UPDATE")
         ident_assigned = sorted(set(self.identity_columns()) & set(set_exprs))
         if ident_assigned:
             raise ValueError(
@@ -2570,6 +2579,8 @@ class ManagedTable:
         self._check_append_only("DELETE")
         rewrite = self._resolve_rewrite(rewrite)
         if rewrite:
+            self._check_row_tracking("COW DELETE (use rewrite=False)")
+        if rewrite:
             if (
                 self.exists()
                 and len(self._all_data_files(self.latest_version())) > 1
@@ -2658,6 +2669,7 @@ class ManagedTable:
         that would CHANGE the column set requires explicit opt-in
         (``overwriteSchema``) — otherwise a typo'd projection silently
         rewrites the table shape for every downstream reader."""
+        self._check_row_tracking("OVERWRITE")
         self._check_append_only("OVERWRITE")
         if self.exists() and not overwrite_schema:
             # Compare names AND types: Delta's overwriteSchema gate also
@@ -2695,6 +2707,7 @@ class ManagedTable:
         deletion vector and the replacement lands as one new batch dir
         — the whole partition reload costs O(slice), the canonical
         daily-reload shape for a date-partitioned 100 TB fact table."""
+        self._check_row_tracking("replaceWhere")
         self._check_append_only("replaceWhere")
         rewrite = self._resolve_rewrite(rewrite)
         table_cols = self.read().columns
@@ -2772,6 +2785,8 @@ class ManagedTable:
         ingest ticks; returns the OPTIMIZE version, or None if under
         both thresholds. This bounds read amplification without giving
         up O(batch) ingest."""
+        if self.row_tracking_enabled():
+            return None  # compaction rewrites files: not under v1 row tracking
         v = self.latest_version()
         entry = self._entry(v) or {}
         n_sources = len(
@@ -2912,6 +2927,9 @@ class ManagedTable:
                     else None
                 ),
             )
+        self._check_row_tracking(
+            "append with merge_schema/fast=False (snapshot rewrite)"
+        )
         new = current.unionByName(df, allowMissingColumns=False)
         return self._commit(
             new, "APPEND", {"numOutputRows": None}, extra=txn_extra
@@ -3225,6 +3243,7 @@ class ManagedTable:
         """OPTIMIZE analogue: rewrite the current snapshot into
         ``target_partitions`` files (small-file compaction). For a
         predicate-scoped rewrite use ``compact_where``."""
+        self._check_row_tracking("OPTIMIZE/compact")
         df = self.read().coalesce(target_partitions)
         return self._commit(df, "OPTIMIZE", {"numOutputRows": None})
 
@@ -3240,6 +3259,7 @@ class ManagedTable:
         materialize any deletion-vector debt they carried. Falls back
         to whole-snapshot OPTIMIZE for single-file tables (and clones
         without resolvable partition roots)."""
+        self._check_row_tracking("OPTIMIZE WHERE")
         if (
             not self.exists()
             or len(self._all_data_files(self.latest_version())) <= 1
@@ -3262,6 +3282,7 @@ class ManagedTable:
         handful of files. Old versions still read their DVs via time
         travel. Returns the committed version, or ``None`` when the
         snapshot has no deletion vector."""
+        self._check_row_tracking("REORG PURGE")
         v = self.latest_version()
         dv_dir = self._state(v)["dv"]
         if dv_dir is None:
@@ -3841,6 +3862,168 @@ class ManagedTable:
             n = df.count()
             marks[col] = nxt + step * (n - 1) if n else nxt - step
         return df, marks
+
+    # -- row tracking (Delta's stable row ids, v1 scope) ---------------------
+    #
+    # Delta's row tracking gives every row a table-lifetime-stable id:
+    # fresh rows draw from a monotone high-water mark; file rewrites
+    # preserve ids by MATERIALIZING them into the rewritten files. This
+    # v1 implements the id model WITHOUT materialization, which fixes
+    # the supported lifecycle to append / COPY INTO / merge-on-read
+    # DELETE — exactly the shape of a training-data corpus (documents
+    # arrive, near-duplicates are DV-deleted, nothing is updated in
+    # place). Operations that rewrite or replace files (UPDATE, MERGE,
+    # COW DELETE, OPTIMIZE/compaction, REORG PURGE, OVERWRITE) are
+    # REFUSED loudly: without materialized ids a rewrite would mint new
+    # identities for old rows, silently breaking every downstream
+    # consumer keyed on them.
+    #
+    # Storage: each data file's stats dict carries
+    # ``__rowIdBase: [base, n_rows]`` — a file's rows are ids
+    # ``base + row_position``. Riding the stats map means replay,
+    # checkpoints, and log retention all carry bases with ZERO extra
+    # plumbing, and the live state alone can reconstruct the high-water
+    # mark even after the allocating entries expired.
+
+    _ROW_BASE_KEY = "__rowIdBase"
+
+    def row_tracking_enabled(self) -> bool:
+        return str(
+            self.properties().get("rowTracking", "false")
+        ).lower() in ("true", "1")
+
+    def _check_row_tracking(self, op: str) -> None:
+        if self.exists() and self.row_tracking_enabled():
+            raise ValueError(
+                f"{op} is not supported on a row-tracked table: without "
+                "materialized row ids a file rewrite would mint new ids "
+                "for existing rows. Supported: append, COPY INTO, "
+                "merge-on-read DELETE (rewrite=False)"
+            )
+
+    def enable_row_tracking(self) -> int:
+        """Enable row tracking, backfilling ids for existing data with
+        ONE metadata commit: every live file is re-added with a
+        ``__rowIdBase`` span (footer row counts; no data touched) —
+        Delta's backfill, minus the materialization pass."""
+        import pyarrow.parquet as pq
+
+        if self.row_tracking_enabled():
+            return self.latest_version()
+        v = self.latest_version()
+        state = self._state(v)
+        add = {}
+        base = 0
+        for rel in sorted(state["files"]):
+            n = pq.ParquetFile(self._abs(rel)).metadata.num_rows
+            add[rel] = {
+                **(state["files"][rel] or {}),
+                self._ROW_BASE_KEY: [base, n],
+            }
+            base += n
+        v_new = self._commit_delta_retry(
+            "ENABLE ROW TRACKING",
+            {"numTrackedRows": base},
+            delta_rows=0,
+            add=add,
+            extra={"rowIdHighWaterMark": base},
+            read_version=v,
+        )
+        self.set_property("rowTracking", "true")
+        return v_new
+
+    def _row_id_hwm(self, version: int) -> int:
+        """Next free row id: the newest recorded mark (O(1) on an
+        append-heavy log), else reconstructed from the live state's
+        base spans — which survives log-entry expiry because removed
+        files cannot exist under the v1 lifecycle (appends and DV
+        deletes only), so the live maximum IS the table maximum."""
+        for v in reversed(self._versions()):
+            if v > version:
+                continue
+            mark = (self._entry(v) or {}).get("rowIdHighWaterMark")
+            if mark is not None:
+                return mark
+        hwm = 0
+        for stats in self._state(version)["files"].values():
+            span = (stats or {}).get(self._ROW_BASE_KEY)
+            if span:
+                hwm = max(hwm, span[0] + span[1])
+        return hwm
+
+    def _fill_row_bases(self, new_stats: dict, read_version: int):
+        """Assign ``__rowIdBase`` spans to a batch's files (sequential
+        from the high-water mark). Returns the augmented stats and the
+        new mark; O(batch files) footer reads."""
+        import pyarrow.parquet as pq
+
+        base = self._row_id_hwm(read_version)
+        out = {}
+        for rel in sorted(new_stats):
+            n = pq.ParquetFile(self._abs(rel)).metadata.num_rows
+            out[rel] = {
+                **(new_stats[rel] or {}),
+                self._ROW_BASE_KEY: [base, n],
+            }
+            base += n
+        return out, base
+
+    def _row_id_append_commutes(self, base=None):
+        """Two appends allocating from the same row-id mark overlap —
+        a real conflict, same rule as identity columns. Any other
+        intervening commit falls back to the blind-append rule."""
+        fallback = base or self._append_commutes_with
+
+        def check(v_from: int, v_to: int) -> bool:
+            for v in range(v_from, v_to + 1):
+                if (self._entry(v) or {}).get(
+                    "rowIdHighWaterMark"
+                ) is not None:
+                    return False
+            return fallback(v_from, v_to)
+
+        return check
+
+    def read_row_ids(self, version: int | None = None) -> DataFrame:
+        """The snapshot with a ``_row_id`` column: table-lifetime-stable
+        ids (``base + file position``), resolved through a broadcast
+        O(#files) map — no shuffle of the data side. DV-deleted rows
+        are gone AND their ids stay burned (positions are physical)."""
+        v = self.latest_version() if version is None else version
+        state = self._state(v)
+        rows = []
+        for rel, stats in state["files"].items():
+            span = (stats or {}).get(self._ROW_BASE_KEY)
+            if span is None:
+                raise ValueError(
+                    f"file {rel} has no row-id base — was data written "
+                    "before enable_row_tracking()? Re-enable to backfill"
+                )
+            # _metadata.file_path renders local files as "file:/abs"
+            # (single slash — Hadoop Path.toString, not an RFC URI).
+            rows.append(("file:" + self._abs(rel), span[0]))
+        tagged = self._scan_version(v, with_positions=True)
+        dv_dir = state["dv"]
+        if dv_dir is not None:
+            tagged = tagged.join(
+                F.broadcast(self._read_dv(dv_dir)),
+                on=["__dv_file", "__dv_pos"],
+                how="left_anti",
+            )
+        cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
+        map_df = self.spark.createDataFrame(
+            rows, "__rt_file string, __rt_base long"
+        )
+        return (
+            tagged.join(
+                F.broadcast(map_df),
+                tagged["__dv_file"] == map_df["__rt_file"],
+            )
+            .select(
+                *cols,
+                (F.col("__rt_base") + F.col("__dv_pos")).alias("_row_id"),
+            )
+        )
 
     # -- generated columns (Delta GENERATED ALWAYS AS (expr)) ----------------
 
