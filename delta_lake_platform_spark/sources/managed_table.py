@@ -838,6 +838,29 @@ class ManagedTable:
         overwrite/restore are refused — the audit-log contract),
         ``bloomFilterColumns`` and ``logRetentionDuration``
         (documented at their use sites)."""
+        if (
+            key == "rowTracking"
+            and str(value).lower() in ("true", "1")
+            and not self.row_tracking_enabled()
+        ):
+            # The property alone would leave existing files without
+            # base spans (read_row_ids would fail on them) — route
+            # through the backfill, which sets the property itself
+            # after committing the spans (so ITS set_property call
+            # sees no unspanned file and passes).
+            if self.exists():
+                files = self._state(self.latest_version())["files"]
+                unspanned = [
+                    rel
+                    for rel, st in files.items()
+                    if not (st or {}).get(self._ROW_BASE_KEY)
+                ]
+                if unspanned:
+                    raise ValueError(
+                        "setting rowTracking=true directly skips the id "
+                        "backfill for existing data; call "
+                        "enable_row_tracking() instead"
+                    )
         props = self.properties()
         props[key] = value
         os.makedirs(self.path, exist_ok=True)

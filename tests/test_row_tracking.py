@@ -170,3 +170,19 @@ def test_stats_pruning_unaffected_by_base_key(spark, table):
     assert kept == []  # outside the data: pruned to nothing
     assert table.read().count() == 100
     assert table.row_count() == 100  # metadata-only COUNT(*) intact
+
+
+def test_property_alone_cannot_skip_backfill(spark):
+    """ALTER TABLE SET TBLPROPERTIES (rowTracking=true) on a table with
+    unspanned data must route the user to enable_row_tracking() — the
+    property alone would leave existing files without id bases."""
+    d = tempfile.mkdtemp(prefix="rowtrack_prop_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.range(5).select("id"))
+    with pytest.raises(ValueError, match="enable_row_tracking"):
+        t.set_property("rowTracking", "true")
+    # The sanctioned path still works (and its own property write
+    # passes because every file now carries a span).
+    t.enable_row_tracking()
+    assert t.row_tracking_enabled()
+    assert len(_ids(t)) == 5
