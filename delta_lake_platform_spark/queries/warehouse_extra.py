@@ -599,12 +599,16 @@ WITH surv AS (
 ),
 appended AS (
   SELECT doc_id FROM surv WHERE doc_id % 7 = 0
+),
+live AS (
+  SELECT doc_id FROM surv
+  WHERE NOT (doc_id % 11 = 3 AND doc_id % 7 <> 0)
+  UNION ALL
+  SELECT doc_id FROM appended
 )
 SELECT
-  ((SELECT COUNT(*) FROM surv) + (SELECT COUNT(*) FROM appended))::BIGINT
-    AS n_rows,
-  ((SELECT COUNT(*) FROM surv) + (SELECT COUNT(*) FROM appended))::BIGINT
-    AS n_distinct_row_ids,
+  (SELECT COUNT(*) FROM live)::BIGINT AS n_rows,
+  (SELECT COUNT(*) FROM live)::BIGINT AS n_distinct_row_ids,
   ((SELECT COUNT(*) FROM documents) + (SELECT COUNT(*) FROM appended) - 1)::BIGINT
     AS max_row_id
 """
@@ -614,15 +618,19 @@ _ROW_TRACKING_CACHE: dict[str, str] = {}
 
 @register("docs_row_tracking_ledger", ROW_TRACKING_ORACLE)
 def docs_row_tracking_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row tracking end to end on the corpus lifecycle it's scoped for:
-    enable on the documents table (metadata-only backfill), MOR-delete
-    a dedup slice (ids burn, nothing rewritten), append a re-ingested
-    slice (fresh ids above everything ever minted). The ledger
-    invariants the oracle can verify deterministically: every live row
-    has a UNIQUE id, and the maximum id equals total-rows-ever-minted
-    minus one — deletes never free ids, appends never reuse them.
-    (The id VALUES themselves are file-layout-dependent, like Delta's,
-    so the oracle pins the invariants, not the assignment.)"""
+    """Row tracking end to end on the corpus lifecycle: enable on the
+    documents table (metadata-only backfill), MOR-delete a dedup slice
+    (ids burn, nothing rewritten), append a re-ingested slice (fresh
+    ids above everything ever minted), then the REWRITE tier — an
+    OPTIMIZE compaction that MATERIALIZES every id into the rewritten
+    files, a MOR quality-flag UPDATE (rewritten rows keep their ids),
+    and a file-level COW delete (survivors keep ids, deleted ids stay
+    burned). The ledger invariants the oracle verifies
+    deterministically: every live row has a UNIQUE id, and the maximum
+    id equals total-rows-ever-minted minus one — deletes never free
+    ids, rewrites never re-mint them. (The id VALUES themselves are
+    file-layout-dependent, like Delta's, so the oracle pins the
+    invariants, not the assignment.)"""
     import atexit
     import os
     import shutil
@@ -642,6 +650,18 @@ def docs_row_tracking_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.read().filter(F.col("doc_id") % 7 == 0),
             fast=True,
         )
+        # Rewrite tier: compaction materializes every live id into the
+        # new files; the MOR update rewrites its rows with their ids;
+        # the COW delete's survivors keep theirs. The predicate keeps
+        # clear of the appended %7 slice so max_row_id (which lives
+        # there) stays deterministic.
+        t.compact(target_partitions=2)
+        t.update(
+            {"lang": "'und'"},
+            condition="doc_id % 17 = 0",
+            rewrite=False,
+        )
+        t.delete("doc_id % 11 = 3 AND doc_id % 7 <> 0", rewrite=True)
         _ROW_TRACKING_CACHE[sf_dir] = t.path
         path = t.path
     t = ManagedTable(spark, path)

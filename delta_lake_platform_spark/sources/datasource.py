@@ -570,15 +570,11 @@ class _BatchWriter(DataSourceWriter):
                 "foreachBatch with ManagedTable.append (txn_app/"
                 "txn_version for exactly-once) instead"
             )
-        # Row-tracked tables allocate stable row-id bases from a
-        # driver-coordinated mark at commit time; the sink's hand-rolled
-        # commit loop doesn't, so unmarked files would break
-        # read_row_ids. Same refusal shape as identity columns.
-        if t.exists() and t.row_tracking_enabled():
-            raise ValueError(
-                "managed_table sink cannot write to a row-tracked "
-                "table; use foreachBatch with ManagedTable.append"
-            )
+        # Row-tracked tables work through this sink: commit() runs on
+        # the DRIVER, so it assigns __rowIdBase spans from the
+        # high-water mark there (per attempt, against the attempt's
+        # predecessor) and engages the row-id commute rule — exactly
+        # what ManagedTable's own incremental commit does.
         # Generated columns are enforced as implicit CHECK constraints
         # inside ManagedTable.append; the sink's executor-side write
         # path never runs that job, so it must refuse these tables the
@@ -600,6 +596,43 @@ class _BatchWriter(DataSourceWriter):
                 self.physical_names = [
                     mapping.get(f.name, f.name) for f in schema.fields
                 ]
+        # Hive-partitioned tables: executors split their rows by the
+        # partition values (captured at plan time) and write one file
+        # per k=v dir — partition columns live in the PATH, not the
+        # file, exactly like ManagedTable's own partitionBy writes.
+        # Restricted to value types whose str() round-trips through
+        # hive path encoding unambiguously.
+        self.partition_spec = t.partition_spec() if t.exists() else []
+        if self.partition_spec:
+            by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+            for c in self.partition_spec:
+                if c not in by_name:
+                    raise ValueError(
+                        f"managed_table sink: partition column {c!r} "
+                        "missing from the batch schema"
+                    )
+                if by_name[c] not in (
+                    "tinyint", "smallint", "int", "bigint", "string", "date"
+                ):
+                    raise ValueError(
+                        "managed_table sink: partition columns must be "
+                        f"int/string/date, got {c}: {by_name[c]}"
+                    )
+
+    @staticmethod
+    def _hive_val(v) -> str:
+        import datetime
+        import re as _re
+
+        if v is None:
+            return "__HIVE_DEFAULT_PARTITION__"
+        s = v.isoformat() if isinstance(v, datetime.date) else str(v)
+        if not _re.fullmatch(r"[A-Za-z0-9_.\-]+", s):
+            raise ValueError(
+                f"managed_table sink: partition value {s!r} needs hive "
+                "path escaping, which this sink does not implement"
+            )
+        return s
 
     def write(self, iterator):
         import pyarrow as pa
@@ -607,11 +640,44 @@ class _BatchWriter(DataSourceWriter):
         import uuid
 
         from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
 
         rows = list(iterator)
         if not rows:
             return _WriteMessage(None, 0)
         names = [f.name for f in self.schema.fields]
+        if self.partition_spec:
+            idx = {n: i for i, n in enumerate(names)}
+            groups: dict[tuple, list] = {}
+            for r in rows:
+                key = tuple(r[idx[c]] for c in self.partition_spec)
+                groups.setdefault(key, []).append(r)
+            data_fields = [
+                f
+                for f in self.schema.fields
+                if f.name not in self.partition_spec
+            ]
+            arrow_schema = to_arrow_schema(StructType(data_fields))
+            for key, grp in groups.items():
+                subdir = os.path.join(
+                    self.staging,
+                    *[
+                        f"{c}={self._hive_val(v)}"
+                        for c, v in zip(self.partition_spec, key)
+                    ],
+                )
+                os.makedirs(subdir, exist_ok=True)
+                cols = {
+                    f.name: [r[idx[f.name]] for r in grp]
+                    for f in data_fields
+                }
+                pq.write_table(
+                    pa.Table.from_pydict(cols, schema=arrow_schema),
+                    os.path.join(
+                        subdir, f"part-{uuid.uuid4().hex}.parquet"
+                    ),
+                )
+            return _WriteMessage(None, len(rows))
         cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
         table = pa.Table.from_pydict(cols, schema=to_arrow_schema(self.schema))
         if self.physical_names is not None:
@@ -630,11 +696,6 @@ class _BatchWriter(DataSourceWriter):
         )
 
         table = ManagedTable(None, self.path)
-        if table.exists() and table.partition_spec():
-            raise ValueError(
-                "managed_table sink cannot write hive-partitioned tables; "
-                "use ManagedTable.append()"
-            )
         if table.constraints():
             raise ValueError(
                 "managed_table sink bypasses Spark-side CHECK validation; "
@@ -670,12 +731,18 @@ class _BatchWriter(DataSourceWriter):
                 # Same protocol gate the library's own commits apply —
                 # the sink writes entries directly and must not bypass.
                 table._check_writer(version - 1)
+            rt = table.exists() and table.row_tracking_enabled()
             if attempt_from is not None and version - 1 >= attempt_from:
                 # Same blind-append rule as ManagedTable appends: a
                 # micro-batch losing the race to a full-snapshot
                 # OVERWRITE or a schema change must NOT be silently
-                # appended on top of the redefined table.
-                if not table._append_commutes_with(attempt_from, version - 1):
+                # appended on top of the redefined table. On a
+                # row-tracked table, a concurrent id allocation is a
+                # real conflict too (overlapping spans).
+                commutes = table._append_commutes_with
+                if rt:
+                    commutes = table._row_id_append_commutes(commutes)
+                if not commutes(attempt_from, version - 1):
                     import shutil
 
                     shutil.rmtree(self.staging, ignore_errors=True)
@@ -692,6 +759,12 @@ class _BatchWriter(DataSourceWriter):
                 # Target taken by a concurrent writer: retry at next v.
                 continue
             _n, stats = _scan_parquet_footers(final, rel_root=self.path)
+            rid_hwm = None
+            if rt:
+                # Fresh rows: positional spans from the mark, computed
+                # against THIS attempt's predecessor (a retry re-runs
+                # this, so a raced-in allocator's mark is respected).
+                stats, rid_hwm = table._fill_row_bases(stats, version - 1)
             if self.overwrite or version == 0:
                 entry = {
                     "version": version,
@@ -699,6 +772,15 @@ class _BatchWriter(DataSourceWriter):
                     "operation": "CREATE OR OVERWRITE",
                     "operationMetrics": {"numOutputRows": n_rows},
                     "fileStats": stats,
+                    # Snapshot schema (the batch's logical schema):
+                    # keeps partitioned snapshots readable through the
+                    # DataSource, which refuses schema-less ones.
+                    "schema": self.schema.jsonValue(),
+                    **(
+                        {"rowIdHighWaterMark": rid_hwm}
+                        if rid_hwm is not None
+                        else {}
+                    ),
                 }
             else:
                 prev = table._entry(version - 1) or {}
@@ -724,6 +806,11 @@ class _BatchWriter(DataSourceWriter):
                     "add": stats,
                     "remove": [],
                     "addPaths": [final],
+                    **(
+                        {"rowIdHighWaterMark": rid_hwm}
+                        if rid_hwm is not None
+                        else {}
+                    ),
                 }
             try:
                 table._write_entry(version, entry)

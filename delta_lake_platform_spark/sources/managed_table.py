@@ -616,7 +616,8 @@ class ManagedTable:
         return sorted(self._abs(rel) for rel in self._state(version)["files"])
 
     def _scan_version(
-        self, version: int, with_positions: bool = False
+        self, version: int, with_positions: bool = False,
+        with_rid: bool = False,
     ) -> DataFrame:
         """One DataFrame over a version's live files (DV not applied).
         Partitioned snapshots without file-level history scan their dir
@@ -630,21 +631,22 @@ class ManagedTable:
         if spec and not state["fileLevel"]:
             return self._scan(
                 state["dirs"], with_positions=with_positions, schema=schema,
-                mapping=mapping,
+                mapping=mapping, with_rid=with_rid,
             )
         files = self._all_data_files(version)
         if not files:  # degenerate: fall back to the dirs (schema anchor)
             return self._scan(
                 state["dirs"], with_positions=with_positions, schema=schema,
-                mapping=mapping,
+                mapping=mapping, with_rid=with_rid,
             )
         if not spec:
             return self._scan(
                 files, with_positions=with_positions, schema=schema,
-                mapping=mapping,
+                mapping=mapping, with_rid=with_rid,
             )
         return self._scan_files_partitioned(
-            files, state["dirs"], with_positions=with_positions, schema=schema
+            files, state["dirs"], with_positions=with_positions,
+            schema=schema, with_rid=with_rid,
         )
 
     def _scan_files_partitioned(
@@ -653,12 +655,22 @@ class ManagedTable:
         dirs: list[str],
         with_positions: bool = False,
         schema: T.StructType | None = None,
+        with_rid: bool = False,
     ) -> DataFrame:
         """Scan an explicit file list of a hive-partitioned snapshot:
         group files by their owning version root and read each group
         with ``basePath`` so partition columns are still derived from
         the path — the piece that lets file-level COW compose with
         partitioning."""
+        if with_rid:
+            if schema is None:
+                raise ValueError(
+                    "materialized row ids require a log-recorded schema"
+                )
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(self._ROW_ID_PHYS, T.LongType(), True)]
+            )
         roots: dict[str, list[str]] = {}
         for f in files:
             roots.setdefault(self._version_root(f, dirs), []).append(f)
@@ -677,7 +689,11 @@ class ManagedTable:
             out = df if out is None else out.unionByName(df)
         order = self._column_order()
         if order:
-            meta = [c for c in ("__dv_file", "__dv_pos") if c in out.columns]
+            meta = [
+                c
+                for c in ("__dv_file", "__dv_pos", self._ROW_ID_PHYS)
+                if c in out.columns
+            ]
             known = [c for c in order if c in out.columns]
             rest = [c for c in out.columns if c not in known and c not in meta]
             out = out.select(*meta, *known, *rest)
@@ -704,7 +720,8 @@ class ManagedTable:
         return True
 
     def _scan_candidates(
-        self, version: int, files: list[str], with_positions: bool = False
+        self, version: int, files: list[str], with_positions: bool = False,
+        with_rid: bool = False,
     ) -> DataFrame:
         """Scan a stats-pruned subset of a version's live files,
         preserving hive partition columns when the table has them."""
@@ -713,10 +730,11 @@ class ManagedTable:
         if not self.partition_spec():
             return self._scan(
                 files, with_positions=with_positions, schema=schema,
-                mapping=state.get("columnMapping"),
+                mapping=state.get("columnMapping"), with_rid=with_rid,
             )
         return self._scan_files_partitioned(
-            files, state["dirs"], with_positions=with_positions, schema=schema
+            files, state["dirs"], with_positions=with_positions,
+            schema=schema, with_rid=with_rid,
         )
 
     def _version_root(self, fpath: str, dirs: list[str]) -> str:
@@ -854,6 +872,7 @@ class ManagedTable:
                     rel
                     for rel, st in files.items()
                     if not (st or {}).get(self._ROW_BASE_KEY)
+                    and not (st or {}).get(self._ROW_MAT_KEY)
                 ]
                 if unspanned:
                     raise ValueError(
@@ -1013,6 +1032,7 @@ class ManagedTable:
         with_positions: bool = False,
         schema: T.StructType | None = None,
         mapping: dict | None = None,
+        with_rid: bool = False,
     ) -> DataFrame:
         """One DataFrame over a version's data dirs. Non-partitioned
         tables scan all dirs as a single relation. Hive-partitioned
@@ -1027,13 +1047,28 @@ class ManagedTable:
         Delta's name mode), files are read with the PHYSICAL schema and
         re-aliased to logical names — a renamed column costs a
         projection, never a rewrite; a stale physical column from a
-        dropped field is simply never selected."""
+        dropped field is simply never selected.
+
+        ``with_rid`` additionally reads the hidden materialized row-id
+        column (``__rid``): files that carry it (rewritten under row
+        tracking) yield the preserved ids, files that don't yield NULL
+        — which is exactly what lets ``_tagged_row_ids`` coalesce with
+        the base-span fallback."""
         mapped = (
             self._mapping_nontrivial(mapping) and schema is not None
         )
         phys_schema = (
             self._physical_schema(schema, mapping) if mapped else schema
         )
+        if with_rid:
+            if phys_schema is None:
+                raise ValueError(
+                    "materialized row ids require a log-recorded schema"
+                )
+            phys_schema = T.StructType(
+                list(phys_schema.fields)
+                + [T.StructField(self._ROW_ID_PHYS, T.LongType(), True)]
+            )
 
         def tag(df: DataFrame) -> DataFrame:
             if not with_positions:
@@ -1047,7 +1082,11 @@ class ManagedTable:
         def to_logical(df: DataFrame) -> DataFrame:
             if not mapped:
                 return df
-            meta = [c for c in ("__dv_file", "__dv_pos") if c in df.columns]
+            meta = [
+                c
+                for c in ("__dv_file", "__dv_pos", self._ROW_ID_PHYS)
+                if c in df.columns
+            ]
             return df.select(
                 *meta,
                 *[
@@ -1065,7 +1104,11 @@ class ManagedTable:
             order = self._column_order()
             if not spec or not order:
                 return df
-            meta = [c for c in ("__dv_file", "__dv_pos") if c in df.columns]
+            meta = [
+                c
+                for c in ("__dv_file", "__dv_pos", self._ROW_ID_PHYS)
+                if c in df.columns
+            ]
             known = [c for c in order if c in df.columns]
             rest = [c for c in df.columns if c not in known and c not in meta]
             return df.select(*meta, *known, *rest)
@@ -1090,20 +1133,27 @@ class ManagedTable:
         version = (self.latest_version() + 1) if self.exists() else 0
         if version > 0:
             self._check_writer(version - 1)
+        # A materialized row-id column rides the data files but is NOT
+        # part of the table's logical schema: strip it from the
+        # recorded schema and mark every written file as id-carrying.
+        materialized = self._ROW_ID_PHYS in df.columns
+        logical_cols = [c for c in df.columns if c != self._ROW_ID_PHYS]
         spec = self.partition_spec()
         if spec and self._column_order() and set(self._column_order()) != set(
-            df.columns
+            logical_cols
         ):
             # Schema evolution (ADD/RENAME/DROP COLUMN): refresh the
             # declared logical order so partitioned reads keep matching
             # what the writer produced.
-            self._set_partition_spec(spec, column_order=list(df.columns))
+            self._set_partition_spec(spec, column_order=logical_cols)
         actual_dir = self._write_data_staged(df, self._local_data_dir(version))
         # One footer pass gives the row count (no Spark job, no plan
         # recompute) AND the per-file min/max stats for data skipping.
         n_rows, file_stats = _scan_parquet_footers(
             actual_dir, rel_root=self.path, spark=self.spark
         )
+        if materialized:
+            file_stats = self._mat_stats(file_stats)
         if "numOutputRows" in metrics and metrics["numOutputRows"] is None:
             metrics["numOutputRows"] = n_rows
         entry = {
@@ -1114,7 +1164,9 @@ class ManagedTable:
             "fileStats": file_stats,
             # Snapshot schema (Delta metadata action): scans read it from
             # the log instead of running a footer-inference job per read.
-            "schema": df.schema.jsonValue(),
+            "schema": df.drop(self._ROW_ID_PHYS).schema.jsonValue()
+            if materialized
+            else df.schema.jsonValue(),
             # A protocol may publish under a writer-unique path; the
             # entry must reference where the data actually landed.
             **(
@@ -1997,6 +2049,15 @@ class ManagedTable:
         the commit costs O(touched + inserted). Incompatible with
         ``auto_schema_evolution`` (widening needs a rewrite)."""
         self._check_append_only("MERGE")
+        rt = self.exists() and self.row_tracking_enabled()
+        if rt and self._ROW_ID_PHYS in (
+            set(clauses.matched_update or {})
+            | set(clauses.not_matched_insert or {})
+        ):
+            raise MergeError(
+                f"MERGE cannot assign the reserved row-id column "
+                f"{self._ROW_ID_PHYS!r}"
+            )
         rewrite = self._resolve_rewrite(rewrite)
         if not rewrite and auto_schema_evolution:
             raise MergeError(
@@ -2017,7 +2078,11 @@ class ManagedTable:
                 file_cow = False  # nothing to keep: full snapshot is simpler
         if not rewrite:
             v_prev = self.latest_version()
-            target = self._scan_version(v_prev, with_positions=True)
+            target = (
+                self._tagged_row_ids(v_prev)
+                if rt
+                else self._scan_version(v_prev, with_positions=True)
+            )
             old_dv_dir = self._state(v_prev)["dv"]
             if old_dv_dir:
                 target = target.join(
@@ -2028,11 +2093,19 @@ class ManagedTable:
         elif file_cow:
             old_dv_dir = self._state(v_prev)["dv"]
             if candidates:
-                target = self._scan_candidates(v_prev, candidates, with_positions=True)
+                target = (
+                    self._tagged_row_ids(v_prev, files=candidates)
+                    if rt
+                    else self._scan_candidates(
+                        v_prev, candidates, with_positions=True
+                    )
+                )
             else:
                 # No file can match: schema-only scan, zero rows.
-                target = self._scan_version(
-                    v_prev, with_positions=True
+                target = (
+                    self._tagged_row_ids(v_prev)
+                    if rt
+                    else self._scan_version(v_prev, with_positions=True)
                 ).filter(F.lit(False))
             if old_dv_dir:
                 target = target.join(
@@ -2041,8 +2114,7 @@ class ManagedTable:
                     how="left_anti",
                 )
         else:
-            target = self.read()
-        self._check_row_tracking("MERGE")
+            target = self._read_with_rid() if rt else self.read()
         if auto_schema_evolution:
             tgt_types = dict(target.dtypes)
             new_cols = [
@@ -2143,6 +2215,7 @@ class ManagedTable:
 
         inserts = None
         id_marks = None
+        rid_mark = None
         if clauses.not_matched_insert is not None:
             idents = self.identity_columns()
             anti = s.join(t, cond, "left_anti").drop("__src")
@@ -2175,6 +2248,15 @@ class ManagedTable:
                         id_col=col,
                         step=spec["step"],
                     ).select(*tcols)
+            rid_hwm0 = None
+            if rt:
+                # Inserted rows are NEW rows: fresh materialized ids
+                # from the high-water mark (matched rows keep theirs —
+                # their __rid rides through the update expressions).
+                rid_hwm0 = self._row_id_hwm(self.latest_version())
+                inserts = self._mint_row_ids(inserts, rid_hwm0).select(
+                    *tcols
+                )
             inserts = inserts.localCheckpoint(eager=False)  # count + write
             n_inserted = inserts.count()
             # Only record a high-water mark (and thereby engage the strict
@@ -2186,6 +2268,8 @@ class ManagedTable:
                     col: nxt + step * (n_inserted - 1)
                     for col, (nxt, step) in id_next.items()
                 }
+            if rid_hwm0 is not None and n_inserted:
+                rid_mark = rid_hwm0 + n_inserted
 
         metrics = {
             "numTargetRowsUpdated": n_updated,
@@ -2209,17 +2293,21 @@ class ManagedTable:
                 inserts,
                 metrics,
                 id_marks=id_marks,
+                rid_mark=rid_mark,
             )
         if rewrite:
             if inserts is not None:
                 new_target = new_target.unionByName(inserts)
+            extra = {}
+            if id_marks:
+                extra["identityHighWaterMark"] = id_marks
+            if rid_mark is not None:
+                extra["rowIdHighWaterMark"] = rid_mark
             return self._commit(
                 new_target,
                 "MERGE",
                 metrics,
-                extra=(
-                    {"identityHighWaterMark": id_marks} if id_marks else None
-                ),
+                extra=extra or None,
             )
 
         # Merge-on-read commit: touched target rows -> DV entries; their
@@ -2240,6 +2328,8 @@ class ManagedTable:
             self._to_physical(batch, v_prev), self._batch_dir()
         )
         _n_batch, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
+        if rt:
+            batch_stats = self._mat_stats(batch_stats)
 
         dv_dir = self._new_dv_dir()
         old_dv_dir = self._state(v_prev)["dv"]
@@ -2262,6 +2352,22 @@ class ManagedTable:
             dv_dir, total_dv = None, 0
 
         metrics["numDeletionVectorRows"] = total_dv
+        extra = {}
+        if id_marks:
+            extra["identityHighWaterMark"] = id_marks
+        if rid_mark is not None:
+            extra["rowIdHighWaterMark"] = rid_mark
+        commutes = (
+            self._identity_append_commutes(
+                id_marks, base=self._adds_only_between
+            )
+            if id_marks
+            else self._adds_only_between
+        )
+        if rid_mark is not None:
+            # Fresh ids were allocated: a concurrent allocator is a
+            # real conflict, same rule as appends.
+            commutes = self._row_id_append_commutes(commutes)
         return self._commit_delta_retry(
             "MERGE (MOR)",
             metrics,
@@ -2270,16 +2376,8 @@ class ManagedTable:
             add_paths=[batch_dir],
             dv=dv_dir,
             read_version=v_prev,
-            extra=(
-                {"identityHighWaterMark": id_marks} if id_marks else None
-            ),
-            commutes=(
-                self._identity_append_commutes(
-                    id_marks, base=self._adds_only_between
-                )
-                if id_marks
-                else None
-            ),
+            extra=extra or None,
+            commutes=commutes,
         )
 
     # Changed-file row selection: below this count the plan embeds an
@@ -2308,6 +2406,7 @@ class ManagedTable:
         inserts: DataFrame | None,
         metrics: dict,
         id_marks: dict | None = None,
+        rid_mark: int | None = None,
     ) -> int:
         """File-level COW commit for MERGE: rewrite ONLY files where a
         row was updated or deleted; every other file stays live through
@@ -2339,12 +2438,16 @@ class ManagedTable:
             )
         if inserts is not None:
             parts.append(inserts)
+        rt = self._ROW_ID_PHYS in tcols
         if not parts:
             # No matched clause and no insert clause: empty batch keeps
             # the commit shape uniform (one zero-row file anchors schema).
-            parts = [
-                self._scan_version(v_prev).select(*tcols).filter(F.lit(False))
-            ]
+            anchor = (
+                self._tagged_row_ids(v_prev)
+                if rt
+                else self._scan_version(v_prev)
+            )
+            parts = [anchor.select(*tcols).filter(F.lit(False))]
         batch = parts[0]
         for p in parts[1:]:
             batch = batch.unionByName(p)
@@ -2355,11 +2458,27 @@ class ManagedTable:
         _n_batch, batch_stats = _scan_parquet_footers(
             batch_dir, rel_root=self.path
         )
+        if rt:
+            batch_stats = self._mat_stats(batch_stats)
         metrics = {
             **metrics,
             "numRewrittenFiles": len(changed),
             "numKeptFiles": n_kept,
         }
+        extra = {}
+        if id_marks:
+            extra["identityHighWaterMark"] = id_marks
+        if rid_mark is not None:
+            extra["rowIdHighWaterMark"] = rid_mark
+        commutes = (
+            self._identity_append_commutes(
+                id_marks, base=self._adds_only_between
+            )
+            if id_marks
+            else self._adds_only_between
+        )
+        if rid_mark is not None:
+            commutes = self._row_id_append_commutes(commutes)
         return self._commit_delta_retry(
             "MERGE",
             metrics,
@@ -2371,16 +2490,8 @@ class ManagedTable:
             remove=[os.path.relpath(f, self.path) for f in sorted(changed)],
             add_paths=[batch_dir],
             read_version=v_prev,
-            extra=(
-                {"identityHighWaterMark": id_marks} if id_marks else None
-            ),
-            commutes=(
-                self._identity_append_commutes(
-                    id_marks, base=self._adds_only_between
-                )
-                if id_marks
-                else None
-            ),
+            extra=extra or None,
+            commutes=commutes,
         )
 
     def _dml_filelevel(
@@ -2400,11 +2511,16 @@ class ManagedTable:
         at 100 TB is the difference between rewriting 3 files and
         30 000."""
         v = self.latest_version()
+        rt = self.row_tracking_enabled()
         all_files = self._all_data_files(v)
         cond = F.coalesce(
             F.expr(condition) if condition else F.lit(True), F.lit(False)
         )
-        tagged = self._scan_version(v, with_positions=True)
+        tagged = (
+            self._tagged_row_ids(v)
+            if rt
+            else self._scan_version(v, with_positions=True)
+        )
         cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
         old_dv_dir = self._state(v)["dv"]
         if old_dv_dir:
@@ -2460,6 +2576,8 @@ class ManagedTable:
             self._to_physical(batch, v), self._batch_dir()
         )
         _n, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
+        if rt:
+            batch_stats = self._mat_stats(batch_stats)
         metrics.update(
             {
                 "numRewrittenFiles": len(changed),
@@ -2491,7 +2609,12 @@ class ManagedTable:
         O(matched rows), not O(table). This is exactly how Delta updates
         a table with DVs enabled: mark old copies dead, add new copies."""
         self._check_append_only("UPDATE")
-        self._check_row_tracking("UPDATE")
+        rt = self.exists() and self.row_tracking_enabled()
+        if rt and self._ROW_ID_PHYS in set_exprs:
+            raise ValueError(
+                f"UPDATE cannot assign the reserved row-id column "
+                f"{self._ROW_ID_PHYS!r}"
+            )
         ident_assigned = sorted(set(self.identity_columns()) & set(set_exprs))
         if ident_assigned:
             raise ValueError(
@@ -2508,7 +2631,7 @@ class ManagedTable:
                 return self._dml_filelevel(
                     "UPDATE", condition, set_exprs=set_exprs
                 )
-            target = self.read()
+            target = self._read_with_rid() if rt else self.read()
             cond = F.expr(condition) if condition else F.lit(True)
             cond = F.coalesce(cond, F.lit(False))
             schema = self._schema_of(self._state(self.latest_version()))
@@ -2533,7 +2656,11 @@ class ManagedTable:
         cond = F.coalesce(
             F.expr(condition) if condition else F.lit(True), F.lit(False)
         )
-        tagged = self._scan_version(v, with_positions=True)
+        tagged = (
+            self._tagged_row_ids(v)
+            if rt
+            else self._scan_version(v, with_positions=True)
+        )
         cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
         old_dv_dir = self._state(v)["dv"]
         if old_dv_dir:
@@ -2564,6 +2691,8 @@ class ManagedTable:
             self._to_physical(rewritten, v), self._batch_dir()
         )
         n_upd, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
+        if rt:
+            batch_stats = self._mat_stats(batch_stats)
 
         dv_dir = self._new_dv_dir()
         new_pos = matched.select("__dv_file", "__dv_pos")
@@ -2602,15 +2731,17 @@ class ManagedTable:
         self._check_append_only("DELETE")
         rewrite = self._resolve_rewrite(rewrite)
         if rewrite:
-            self._check_row_tracking("COW DELETE (use rewrite=False)")
-        if rewrite:
             if (
                 self.exists()
                 and len(self._all_data_files(self.latest_version())) > 1
                 and self._filelevel_ok(self.latest_version())
             ):
                 return self._dml_filelevel("DELETE", condition)
-            target = self.read().localCheckpoint(eager=False)
+            target = (
+                self._read_with_rid()
+                if self.exists() and self.row_tracking_enabled()
+                else self.read()
+            ).localCheckpoint(eager=False)
             cond = F.coalesce(F.expr(condition), F.lit(False))
             n = target.filter(cond).count()
             return self._commit(
@@ -2691,8 +2822,12 @@ class ManagedTable:
         """Replace the table contents. Delta semantics: an overwrite
         that would CHANGE the column set requires explicit opt-in
         (``overwriteSchema``) — otherwise a typo'd projection silently
-        rewrites the table shape for every downstream reader."""
-        self._check_row_tracking("OVERWRITE")
+        rewrites the table shape for every downstream reader.
+
+        On a row-tracked table every overwritten row is a NEW row
+        (Delta semantics: overwrite = delete all + insert all), so the
+        batch is materialized with FRESH ids above the high-water mark
+        — prior ids stay burned forever."""
         self._check_append_only("OVERWRITE")
         if self.exists() and not overwrite_schema:
             # Compare names AND types: Delta's overwriteSchema gate also
@@ -2710,6 +2845,16 @@ class ManagedTable:
                     f"(only in table: {only_cur}, only in batch: {only_new}, "
                     f"type changed: {retyped}); pass overwrite_schema=True"
                 )
+        if self.exists() and self.row_tracking_enabled():
+            hwm = self._row_id_hwm(self.latest_version())
+            minted = self._mint_row_ids(df, hwm)
+            n = minted.count()
+            return self._commit(
+                minted,
+                operation,
+                {"numOutputRows": None},
+                extra={"rowIdHighWaterMark": hwm + n},
+            )
         return self._commit(df, operation, {"numOutputRows": None})
 
     def overwrite_where(
@@ -2729,9 +2874,13 @@ class ManagedTable:
         is the merge-on-read form: the old slice's positions extend the
         deletion vector and the replacement lands as one new batch dir
         — the whole partition reload costs O(slice), the canonical
-        daily-reload shape for a date-partitioned 100 TB fact table."""
-        self._check_row_tracking("replaceWhere")
+        daily-reload shape for a date-partitioned 100 TB fact table.
+
+        Row tracking: kept rows preserve their ids (materialized under
+        COW; untouched files under MOR), replacement rows mint fresh
+        ones — a replaced slice is new data, not an update."""
         self._check_append_only("replaceWhere")
+        rt = self.exists() and self.row_tracking_enabled()
         rewrite = self._resolve_rewrite(rewrite)
         table_cols = self.read().columns
         extra_cols = [c for c in df.columns if c not in table_cols]
@@ -2747,6 +2896,25 @@ class ManagedTable:
                 f"overwrite_where: input rows violate the predicate {condition!r}"
             )
         if rewrite:
+            if rt:
+                kept = self._read_with_rid().filter(
+                    ~F.coalesce(cond, F.lit(False))
+                )
+                hwm = self._row_id_hwm(self.latest_version())
+                minted = self._mint_row_ids(
+                    df.select(*self.read().columns), hwm
+                ).select(*kept.columns)
+                n_new = minted.count()
+                return self._commit(
+                    kept.unionByName(minted),
+                    "REPLACE WHERE",
+                    {
+                        "predicate": condition,
+                        "numOutputRows": None,
+                        "numAddedRows": n_new,
+                    },
+                    extra={"rowIdHighWaterMark": hwm + n_new},
+                )
             kept = self.read().filter(~F.coalesce(cond, F.lit(False)))
             n_new = df.count()
             return self._commit(
@@ -2775,6 +2943,13 @@ class ManagedTable:
             self._to_physical(batch, v), self._batch_dir()
         )
         n_new, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
+        extra = commutes = None
+        if rt:
+            # The replacement slice is all-new rows: positional spans
+            # from the high-water mark, exactly the append path.
+            batch_stats, rid_hwm = self._fill_row_bases(batch_stats, v)
+            extra = {"rowIdHighWaterMark": rid_hwm}
+            commutes = self._row_id_append_commutes(self._adds_only_between)
 
         dv_dir = self._new_dv_dir()
         full_dv = (
@@ -2796,6 +2971,8 @@ class ManagedTable:
             add=batch_stats,
             add_paths=[batch_dir],
             dv=dv_dir,
+            extra=extra,
+            commutes=commutes,
             read_version=v,
         )
 
@@ -2808,8 +2985,6 @@ class ManagedTable:
         ingest ticks; returns the OPTIMIZE version, or None if under
         both thresholds. This bounds read amplification without giving
         up O(batch) ingest."""
-        if self.row_tracking_enabled():
-            return None  # compaction rewrites files: not under v1 row tracking
         v = self.latest_version()
         entry = self._entry(v) or {}
         n_sources = len(
@@ -2950,9 +3125,27 @@ class ManagedTable:
                     else None
                 ),
             )
-        self._check_row_tracking(
-            "append with merge_schema/fast=False (snapshot rewrite)"
-        )
+        if self.row_tracking_enabled():
+            # Snapshot-rewrite append: existing rows keep their ids
+            # (materialized), the new batch mints fresh ones.
+            hwm = self._row_id_hwm(rv)
+            cur_rid = self._read_with_rid(rv)
+            if merge_schema:
+                for c, t in df.dtypes:
+                    if c not in cur_rid.columns:
+                        cur_rid = cur_rid.withColumn(c, F.lit(None).cast(t))
+            minted = self._mint_row_ids(df, hwm)
+            n_new = minted.count()
+            new = cur_rid.unionByName(minted)
+            return self._commit(
+                new,
+                "APPEND",
+                {"numOutputRows": None},
+                extra={
+                    **(txn_extra or {}),
+                    "rowIdHighWaterMark": hwm + n_new,
+                },
+            )
         new = current.unionByName(df, allowMissingColumns=False)
         return self._commit(
             new, "APPEND", {"numOutputRows": None}, extra=txn_extra
@@ -3265,10 +3458,63 @@ class ManagedTable:
     def compact(self, target_partitions: int = 1) -> int:
         """OPTIMIZE analogue: rewrite the current snapshot into
         ``target_partitions`` files (small-file compaction). For a
-        predicate-scoped rewrite use ``compact_where``."""
-        self._check_row_tracking("OPTIMIZE/compact")
-        df = self.read().coalesce(target_partitions)
+        predicate-scoped rewrite use ``compact_where``. On a
+        row-tracked table the rewrite MATERIALIZES each row's id into
+        the output files, so ids survive the layout change.
+
+        On a table with a declared clustering spec (``CLUSTER BY`` /
+        ``set_cluster_by``), OPTIMIZE clusters instead of merely
+        concatenating — Delta's liquid-clustering contract, where the
+        maintenance command and the layout goal are one thing."""
+        ccols = self.cluster_by()
+        if ccols:
+            return self.optimize_zorder(
+                ccols, n_files=max(target_partitions, 8)
+            )
+        src = (
+            self._read_with_rid()
+            if self.exists() and self.row_tracking_enabled()
+            else self.read()
+        )
+        df = src.coalesce(target_partitions)
         return self._commit(df, "OPTIMIZE", {"numOutputRows": None})
+
+    def cluster_by(self) -> list[str]:
+        """Declared clustering columns (``clusterBy`` table property),
+        empty when the table is unclustered."""
+        raw = self.properties().get("clusterBy", "")
+        return [c.strip() for c in str(raw).split(",") if c.strip()]
+
+    def set_cluster_by(self, cols: list[str] | None) -> None:
+        """Declare (or with ``None``/empty, clear) the clustering spec
+        — Delta's ``ALTER TABLE ... CLUSTER BY``. Metadata-only: the
+        NEXT ``compact()``/``OPTIMIZE`` rewrites into Z-ordered files
+        covering compact hyper-rectangles of the declared columns, so
+        footer-stats pruning turns selective on every one of them.
+        Columns must exist and be numeric-castable (the Z-value
+        interleaves normalized integer grids)."""
+        if not cols:
+            props = self.properties()
+            if props.pop("clusterBy", None) is not None:
+                with open(self._properties_path(), "w") as f:
+                    json.dump(props, f)
+            return
+        schema = self._schema_of(self._state(self.latest_version()))
+        if schema is not None:
+            numeric = (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType, T.DecimalType,
+            )
+            for c in cols:
+                if c not in schema.fieldNames():
+                    raise ValueError(f"CLUSTER BY: no such column {c!r}")
+                if not isinstance(schema[c].dataType, numeric):
+                    raise ValueError(
+                        f"CLUSTER BY: column {c!r} has type "
+                        f"{schema[c].dataType.simpleString()}; clustering "
+                        "needs a numeric column (Z-value interleaving)"
+                    )
+        self.set_property("clusterBy", ",".join(cols))
 
     def compact_where(
         self, condition: str, target_partitions: int = 1
@@ -3282,7 +3528,6 @@ class ManagedTable:
         materialize any deletion-vector debt they carried. Falls back
         to whole-snapshot OPTIMIZE for single-file tables (and clones
         without resolvable partition roots)."""
-        self._check_row_tracking("OPTIMIZE WHERE")
         if (
             not self.exists()
             or len(self._all_data_files(self.latest_version())) <= 1
@@ -3305,14 +3550,18 @@ class ManagedTable:
         handful of files. Old versions still read their DVs via time
         travel. Returns the committed version, or ``None`` when the
         snapshot has no deletion vector."""
-        self._check_row_tracking("REORG PURGE")
+        rt = self.row_tracking_enabled()
         v = self.latest_version()
         dv_dir = self._state(v)["dv"]
         if dv_dir is None:
             return None
         if not self._filelevel_ok(v):
             # Unresolvable clone roots: full rewrite (also clears DV).
-            return self._commit(self.read(), "REORG PURGE", {"numOutputRows": None})
+            return self._commit(
+                self._read_with_rid(v) if rt else self.read(),
+                "REORG PURGE",
+                {"numOutputRows": None},
+            )
         dv = self._read_dv(dv_dir)
         per_file = {
             r["__dv_file"]: r["count"]
@@ -3336,7 +3585,11 @@ class ManagedTable:
                 read_version=v,
             )
         changed = {os.path.abspath(_uri_to_path(u)) for u in changed_uris}
-        tagged = self._scan_version(v, with_positions=True)
+        tagged = (
+            self._tagged_row_ids(v)
+            if rt
+            else self._scan_version(v, with_positions=True)
+        )
         cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
         batch = (
             self._restrict_to_files(tagged, changed_uris)
@@ -3349,6 +3602,8 @@ class ManagedTable:
             self._to_physical(batch, v), self._batch_dir()
         )
         _n, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
+        if rt:
+            batch_stats = self._mat_stats(batch_stats)
         return self._commit_delta_retry(
             "REORG PURGE",
             {
@@ -3375,7 +3630,12 @@ class ManagedTable:
         rows, new commit, old version still time-travelable."""
         from .partitioning import zorder_frame
 
-        df = zorder_frame(self.read(), zorder_cols, n_files=n_files)
+        src = (
+            self._read_with_rid()
+            if self.exists() and self.row_tracking_enabled()
+            else self.read()
+        )
+        df = zorder_frame(src, zorder_cols, n_files=n_files)
         return self._commit(
             df, "OPTIMIZE_ZORDER", {"numOutputRows": None, "zorderBy": zorder_cols}
         )
@@ -3401,6 +3661,7 @@ class ManagedTable:
         cutoff = time.time() - older_than_s
         removed = []
         expiring_marks: dict[str, int] = {}
+        expiring_rid: int | None = None
         for v in self._versions():
             if v >= horizon:
                 break
@@ -3410,12 +3671,29 @@ class ManagedTable:
                     entry.get("identityHighWaterMark") or {}
                 ).items():
                     expiring_marks[c] = max(expiring_marks.get(c, mark), mark)
+                rid_mark = entry.get("rowIdHighWaterMark")
+                if rid_mark is not None:
+                    expiring_rid = (
+                        rid_mark
+                        if expiring_rid is None
+                        else max(expiring_rid, rid_mark)
+                    )
                 try:
                     os.remove(self._entry_path(v))
                     removed.append(v)
                 except OSError:
                     pass
         if removed:
+            # Row-id marks recorded only in expired entries become a
+            # persistent floor: after a COW delete removed the peak-id
+            # file, the live state alone under-reconstructs the mark,
+            # and re-minting a burned id would corrupt every consumer
+            # keyed on stable ids.
+            if expiring_rid is not None:
+                prev = self._rowid_floor()
+                if prev is None or expiring_rid > prev:
+                    with open(self._rowid_floor_path(), "w") as f:
+                        json.dump({"floor": expiring_rid}, f)
             # Identity marks recorded only in expired entries must not
             # vanish (deleted peak ids would be re-minted): fold them
             # into the identity metadata as a persistent floor.
@@ -3728,9 +4006,25 @@ class ManagedTable:
         (forward-written as a new commit — history is append-only, so
         the restore itself is auditable and reversible)."""
         self._check_append_only("RESTORE")
-        df = self.read(version)
+        extra = None
+        if self.row_tracking_enabled():
+            try:
+                # Restored rows keep the ids they had at ``version``.
+                df = self._read_with_rid(version)
+            except ValueError:
+                # Pre-tracking snapshot: those rows never had ids —
+                # they re-enter the tracked world as fresh rows (the
+                # live-files-always-resolve invariant must hold).
+                hwm = self._row_id_hwm(self.latest_version())
+                df = self._mint_row_ids(self.read(version), hwm)
+                extra = {"rowIdHighWaterMark": hwm + df.count()}
+        else:
+            df = self.read(version)
         return self._commit(
-            df, "RESTORE", {"restoredVersion": version, "numOutputRows": None}
+            df,
+            "RESTORE",
+            {"restoredVersion": version, "numOutputRows": None},
+            extra=extra,
         )
 
     # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analogue) -------
@@ -3886,53 +4180,73 @@ class ManagedTable:
             marks[col] = nxt + step * (n - 1) if n else nxt - step
         return df, marks
 
-    # -- row tracking (Delta's stable row ids, v1 scope) ---------------------
+    # -- row tracking (Delta's stable row ids) -------------------------------
     #
-    # Delta's row tracking gives every row a table-lifetime-stable id:
-    # fresh rows draw from a monotone high-water mark; file rewrites
-    # preserve ids by MATERIALIZING them into the rewritten files. This
-    # v1 implements the id model WITHOUT materialization, which fixes
-    # the supported lifecycle to append / COPY INTO / merge-on-read
-    # DELETE — exactly the shape of a training-data corpus (documents
-    # arrive, near-duplicates are DV-deleted, nothing is updated in
-    # place). Operations that rewrite or replace files (UPDATE, MERGE,
-    # COW DELETE, OPTIMIZE/compaction, REORG PURGE, OVERWRITE) are
-    # REFUSED loudly: without materialized ids a rewrite would mint new
-    # identities for old rows, silently breaking every downstream
-    # consumer keyed on them.
+    # Delta's row tracking gives every row a table-lifetime-stable id,
+    # via Delta's own two-tier design (delta.enableRowTracking):
     #
-    # Storage: each data file's stats dict carries
-    # ``__rowIdBase: [base, n_rows]`` — a file's rows are ids
-    # ``base + row_position``. Riding the stats map means replay,
-    # checkpoints, and log retention all carry bases with ZERO extra
-    # plumbing, and the live state alone can reconstruct the high-water
-    # mark even after the allocating entries expired.
+    #  * FRESH rows (append / COPY INTO / CTAS) are id'd positionally:
+    #    the file's stats carry ``__rowIdBase: [base, n_rows]`` and a
+    #    row's id is ``base + row_position``. Zero per-row storage.
+    #  * REWRITTEN rows (OPTIMIZE, COW UPDATE/DELETE, MERGE, REORG
+    #    PURGE) keep their ids by MATERIALIZING them into the new file
+    #    as a hidden ``__rid`` column (Delta's materialized row-id
+    #    column); the file's stats carry the ``__rowIdMat`` marker.
+    #    The column is NOT part of the logical schema — normal reads
+    #    (explicit log schema) never see it.
+    #  * REPLACED rows (OVERWRITE, replaceWhere slice, MERGE inserts)
+    #    are new rows: fresh ids above the high-water mark; prior ids
+    #    stay burned forever (DV deletes burn them too).
+    #
+    # Riding the stats map means replay, checkpoints, and log retention
+    # carry both tiers with ZERO extra plumbing. The high-water mark is
+    # the newest minting commit's recorded ``rowIdHighWaterMark``,
+    # reconstructable from the live state (spans + the hidden column's
+    # own footer max) maxed with a persisted floor that log expiry
+    # maintains (_rowid.json) — so burned peaks survive entry expiry
+    # even after a COW delete removed the peak-id file.
 
     _ROW_BASE_KEY = "__rowIdBase"
+    # Stats marker on files whose rows carry MATERIALIZED ids (written
+    # by a rewrite); their hidden on-file column is _ROW_ID_PHYS.
+    _ROW_MAT_KEY = "__rowIdMat"
+    _ROW_ID_PHYS = "__rid"
 
     def row_tracking_enabled(self) -> bool:
         return str(
             self.properties().get("rowTracking", "false")
         ).lower() in ("true", "1")
 
-    def _check_row_tracking(self, op: str) -> None:
-        if self.exists() and self.row_tracking_enabled():
-            raise ValueError(
-                f"{op} is not supported on a row-tracked table: without "
-                "materialized row ids a file rewrite would mint new ids "
-                "for existing rows. Supported: append, COPY INTO, "
-                "merge-on-read DELETE (rewrite=False)"
-            )
+    def _mat_stats(self, stats: dict) -> dict:
+        """Mark every file of a batch as carrying materialized row ids
+        (the footer pass already recorded the hidden column's min/max
+        under its physical name, which doubles as the high-water-mark
+        reconstruction source)."""
+        return {
+            rel: {**(st or {}), self._ROW_MAT_KEY: True}
+            for rel, st in stats.items()
+        }
 
     def enable_row_tracking(self) -> int:
         """Enable row tracking, backfilling ids for existing data with
         ONE metadata commit: every live file is re-added with a
         ``__rowIdBase`` span (footer row counts; no data touched) —
-        Delta's backfill, minus the materialization pass."""
+        Delta's backfill, minus the materialization pass. Later file
+        REWRITES (OPTIMIZE, COW DML, MERGE, PURGE) preserve ids by
+        materializing them into the rewritten files as a hidden
+        ``__rid`` column, exactly Delta's two-tier design: fresh rows
+        are id'd by ``base + position``, rewritten rows by the
+        materialized column."""
         import pyarrow.parquet as pq
 
         if self.row_tracking_enabled():
             return self.latest_version()
+        schema = self._schema_of(self._state(self.latest_version()))
+        if schema is not None and self._ROW_ID_PHYS in schema.fieldNames():
+            raise ValueError(
+                f"column name {self._ROW_ID_PHYS!r} is reserved for the "
+                "materialized row-id column"
+            )
         v = self.latest_version()
         state = self._state(v)
         add = {}
@@ -3955,24 +4269,58 @@ class ManagedTable:
         self.set_property("rowTracking", "true")
         return v_new
 
+    def _rowid_floor_path(self) -> str:
+        return os.path.join(self.path, "_rowid.json")
+
+    def _rowid_floor(self) -> int | None:
+        """Persistent floor for the row-id high-water mark, written by
+        ``expire_log_entries`` when mark-carrying entries age out (same
+        contract as the identity floor): burned peak ids must never be
+        re-minted even after the allocating entry AND the file holding
+        the peak are both gone (log expiry + a COW delete)."""
+        if not os.path.isfile(self._rowid_floor_path()):
+            return None
+        with open(self._rowid_floor_path()) as f:
+            return json.load(f).get("floor")
+
     def _row_id_hwm(self, version: int) -> int:
-        """Next free row id: the newest recorded mark (O(1) on an
-        append-heavy log), else reconstructed from the live state's
-        base spans — which survives log-entry expiry because removed
-        files cannot exist under the v1 lifecycle (appends and DV
-        deletes only), so the live maximum IS the table maximum."""
+        """Next free row id. Resolution order: the newest recorded
+        ``rowIdHighWaterMark`` (only MINTING commits record one, so it
+        is monotone — O(1) on an append-heavy log), else the live
+        state's maximum (base spans for positional files, the hidden
+        column's footer max for materialized files), in both cases
+        maxed with the persisted expiry floor."""
+        floor = self._rowid_floor() or 0
         for v in reversed(self._versions()):
             if v > version:
                 continue
             mark = (self._entry(v) or {}).get("rowIdHighWaterMark")
             if mark is not None:
-                return mark
-        hwm = 0
+                return max(mark, floor)
+        hwm = floor
         for stats in self._state(version)["files"].values():
-            span = (stats or {}).get(self._ROW_BASE_KEY)
+            st = stats or {}
+            span = st.get(self._ROW_BASE_KEY)
             if span:
                 hwm = max(hwm, span[0] + span[1])
+            elif st.get(self._ROW_MAT_KEY):
+                rng = st.get(self._ROW_ID_PHYS)
+                if rng:  # absent only for zero-row files: nothing to protect
+                    hwm = max(hwm, rng[1] + 1)
         return hwm
+
+    def _mint_row_ids(self, df: DataFrame, hwm: int) -> DataFrame:
+        """Materialize FRESH ids onto an all-new-rows batch, allocating
+        ``hwm..hwm+n-1`` with the shuffle-free dense allocator (same
+        machinery as identity columns; which row gets which id is
+        placement-dependent — Delta's contract is uniqueness, not
+        order). The caller must record ``hwm + count`` as the commit's
+        ``rowIdHighWaterMark`` and use the row-id commute rule."""
+        from ..functions.ids import assign_unique_ids
+
+        return assign_unique_ids(
+            df.drop(self._ROW_ID_PHYS), start=hwm, id_col=self._ROW_ID_PHYS
+        )
 
     def _fill_row_bases(self, new_stats: dict, read_version: int):
         """Assign ``__rowIdBase`` spans to a batch's files (sequential
@@ -4007,45 +4355,94 @@ class ManagedTable:
 
         return check
 
-    def read_row_ids(self, version: int | None = None) -> DataFrame:
-        """The snapshot with a ``_row_id`` column: table-lifetime-stable
-        ids (``base + file position``), resolved through a broadcast
-        O(#files) map — no shuffle of the data side. DV-deleted rows
-        are gone AND their ids stay burned (positions are physical)."""
-        v = self.latest_version() if version is None else version
-        state = self._state(v)
-        rows = []
+    def _tagged_row_ids(
+        self, version: int, files: list[str] | None = None
+    ) -> DataFrame:
+        """Position-tagged scan (DV NOT applied) with the row id
+        resolved into a ``__rid`` column: materialized files yield
+        their hidden column, positional files ``base + row position``
+        through a broadcast O(#files) map — no shuffle of the data
+        side. ``files`` restricts to a stats-pruned subset (file-level
+        rewrites). This is the one resolver every consumer — reads and
+        rewrites alike — goes through."""
+        state = self._state(version)
+        sel = (
+            None
+            if files is None
+            else {os.path.abspath(f) for f in files}
+        )
+        span_rows, any_mat = [], False
         for rel, stats in state["files"].items():
-            span = (stats or {}).get(self._ROW_BASE_KEY)
-            if span is None:
+            if sel is not None and os.path.abspath(self._abs(rel)) not in sel:
+                continue
+            st = stats or {}
+            if st.get(self._ROW_MAT_KEY):
+                any_mat = True
+            elif st.get(self._ROW_BASE_KEY) is not None:
+                # _metadata.file_path renders local files as "file:/abs"
+                # (single slash — Hadoop Path.toString, not an RFC URI).
+                span_rows.append(
+                    ("file:" + self._abs(rel), st[self._ROW_BASE_KEY][0])
+                )
+            else:
                 raise ValueError(
                     f"file {rel} has no row-id base — was data written "
                     "before enable_row_tracking()? Re-enable to backfill"
                 )
-            # _metadata.file_path renders local files as "file:/abs"
-            # (single slash — Hadoop Path.toString, not an RFC URI).
-            rows.append(("file:" + self._abs(rel), span[0]))
-        tagged = self._scan_version(v, with_positions=True)
-        dv_dir = state["dv"]
+        if files is None:
+            tagged = self._scan_version(
+                version, with_positions=True, with_rid=any_mat
+            )
+        else:
+            tagged = self._scan_candidates(
+                version, files, with_positions=True, with_rid=any_mat
+            )
+        rid_read = (
+            F.col(self._ROW_ID_PHYS)
+            if any_mat
+            else F.lit(None).cast("long")
+        )
+        keep = [
+            c
+            for c in tagged.columns
+            if c != self._ROW_ID_PHYS
+        ]
+        if span_rows:
+            map_df = self.spark.createDataFrame(
+                span_rows, "__rt_file string, __rt_base long"
+            )
+            tagged = tagged.join(
+                F.broadcast(map_df),
+                tagged["__dv_file"] == map_df["__rt_file"],
+                "left",
+            )
+            rid = F.coalesce(
+                rid_read, F.col("__rt_base") + F.col("__dv_pos")
+            )
+        else:
+            rid = rid_read
+        return tagged.select(*keep, rid.alias(self._ROW_ID_PHYS))
+
+    def _read_with_rid(self, version: int | None = None) -> DataFrame:
+        """The snapshot (DV applied) with ids resolved into ``__rid``
+        — the input every id-preserving full rewrite starts from."""
+        v = self.latest_version() if version is None else version
+        tagged = self._tagged_row_ids(v)
+        dv_dir = self._state(v)["dv"]
         if dv_dir is not None:
             tagged = tagged.join(
                 F.broadcast(self._read_dv(dv_dir)),
                 on=["__dv_file", "__dv_pos"],
                 how="left_anti",
             )
-        cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
-        map_df = self.spark.createDataFrame(
-            rows, "__rt_file string, __rt_base long"
-        )
-        return (
-            tagged.join(
-                F.broadcast(map_df),
-                tagged["__dv_file"] == map_df["__rt_file"],
-            )
-            .select(
-                *cols,
-                (F.col("__rt_base") + F.col("__dv_pos")).alias("_row_id"),
-            )
+        return tagged.drop("__dv_file", "__dv_pos")
+
+    def read_row_ids(self, version: int | None = None) -> DataFrame:
+        """The snapshot with a ``_row_id`` column: table-lifetime-stable
+        ids. DV-deleted rows are gone AND their ids stay burned; file
+        rewrites preserve ids via the materialized hidden column."""
+        return self._read_with_rid(version).withColumnRenamed(
+            self._ROW_ID_PHYS, "_row_id"
         )
 
     # -- generated columns (Delta GENERATED ALWAYS AS (expr)) ----------------

@@ -321,11 +321,12 @@ class PlatformSQL:
 
         m = re.match(
             rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s+LOCATION\s+'([^']+)'"
-            rf"(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?\s+AS\s+(.*)$",
+            rf"(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?"
+            rf"(?:\s+CLUSTER\s+BY\s*\((.*?)\))?\s+AS\s+(.*)$",
             t,
         )
         if m:
-            name, path, pcols, select = m.groups()
+            name, path, pcols, ccols, select = m.groups()
             df = self.sql(select)
             table = ManagedTable(self.spark, path)
             v = table.create(
@@ -334,15 +335,18 @@ class PlatformSQL:
                     [c.strip() for c in pcols.split(",")] if pcols else None
                 ),
             )
+            if ccols:
+                table.set_cluster_by([c.strip() for c in ccols.split(",")])
             self.register(name, table)
             return self._df([{"version": v, "location": path}])
         m = re.match(
             rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s*\((.*)\)\s+"
-            rf"LOCATION\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?$",
+            rf"LOCATION\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?"
+            rf"(?:\s+CLUSTER\s+BY\s*\((.*?)\))?$",
             t,
         )
         if m:
-            name, coldefs, path, pcols = m.groups()
+            name, coldefs, path, pcols, ccols = m.groups()
             fields, idents, gens = [], {}, {}
             for cd in _split_top_level(coldefs):
                 cm = re.match(
@@ -387,6 +391,8 @@ class PlatformSQL:
                 table.set_identity_column(cname, start=istart, step=istep)
             for cname, gexpr in gens.items():
                 table.set_generated_column(cname, gexpr)
+            if ccols:
+                table.set_cluster_by([c.strip() for c in ccols.split(",")])
             self.register(name, table)
             return self._df([{"version": v, "location": path}])
         m = re.match(
@@ -449,6 +455,20 @@ class PlatformSQL:
             value = vq.replace("''", "'") if vq is not None else vbare
             self.tables[name].set_property(key, value)
             return self._df([{"key": key, "value": value}])
+        m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+CLUSTER\s+BY\s+"
+            r"(?:NONE|\((.*?)\))$",
+            t,
+        )
+        if m:
+            name, ccols = m.groups()
+            cols = (
+                [c.strip() for c in ccols.split(",")] if ccols else None
+            )
+            self.tables[name].set_cluster_by(cols)
+            return self._df(
+                [{"clusterBy": ",".join(cols) if cols else "NONE"}]
+            )
         m = re.match(
             rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+"
             rf"({_IDENT})\s+CHECK\s*\((.+)\)$",

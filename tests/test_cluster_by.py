@@ -1,0 +1,95 @@
+"""Liquid-clustering-style CLUSTER BY: a declared clustering spec
+(`clusterBy` table property) that OPTIMIZE honors — the maintenance
+command rewrites into Z-ordered files covering compact
+hyper-rectangles of the declared columns, so footer-stats pruning
+turns selective on EVERY clustered column, not just a sort prefix.
+Delta's CLUSTER BY contract re-expressed over the existing z-order +
+stats-pruning machinery."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.sources.managed_table import ManagedTable
+from delta_lake_platform_spark.sql import PlatformSQL
+
+
+def _mk(spark, n=4000):
+    d = tempfile.mkdtemp(prefix="clusterby_")
+    t = ManagedTable(spark, f"{d}/t")
+    # Two independent uniform dimensions, shuffled so pre-cluster
+    # files span both full domains (no accidental pruning).
+    df = (
+        spark.range(n)
+        .select(
+            (F.hash("id") % 1000).alias("x"),
+            (F.hash(F.col("id") + 7) % 1000).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(8)
+    )
+    t.create(df)
+    return t
+
+
+def test_optimize_clusters_and_prunes_both_dimensions(spark):
+    t = _mk(spark)
+    t.set_cluster_by(["x", "y"])
+    assert t.cluster_by() == ["x", "y"]
+    before = t.read().orderBy("payload").collect()
+    v = t.compact()  # OPTIMIZE on a clustered table clusters
+    assert t.history(1)[0]["operation"] == "OPTIMIZE_ZORDER"
+    assert t.read().orderBy("payload").collect() == before
+    # Narrow slices on EACH dimension now skip most files.
+    for col in ("x", "y"):
+        kept, total = t.prune_files(col, -1000, -900)
+        assert total > 1
+        assert len(kept) < total, f"no pruning on clustered column {col}"
+
+
+def test_sql_create_alter_optimize_roundtrip(spark):
+    d = tempfile.mkdtemp(prefix="clusterby_sql_")
+    sql = PlatformSQL(spark)
+    sql.sql(
+        f"CREATE TABLE ct LOCATION '{d}/ct' CLUSTER BY (x) AS "
+        "SELECT id % 100 AS x, id AS payload FROM range(1000)"
+    )
+    t = sql.tables["ct"]
+    assert t.cluster_by() == ["x"]
+    sql.sql("OPTIMIZE ct")
+    assert t.history(1)[0]["operation"] == "OPTIMIZE_ZORDER"
+    # NONE clears the spec; OPTIMIZE reverts to plain compaction.
+    sql.sql("ALTER TABLE ct CLUSTER BY NONE")
+    assert t.cluster_by() == []
+    sql.sql("OPTIMIZE ct")
+    assert t.history(1)[0]["operation"] == "OPTIMIZE"
+    sql.sql("ALTER TABLE ct CLUSTER BY (x)")
+    assert t.cluster_by() == ["x"]
+
+
+def test_cluster_by_validation(spark):
+    t = _mk(spark, n=100)
+    with pytest.raises(ValueError, match="no such column"):
+        t.set_cluster_by(["nope"])
+    d = tempfile.mkdtemp(prefix="clusterby_str_")
+    ts = ManagedTable(spark, f"{d}/t")
+    ts.create(spark.range(5).select(F.col("id"), F.lit("a").alias("s")))
+    with pytest.raises(ValueError, match="numeric"):
+        ts.set_cluster_by(["s"])
+
+
+def test_clustering_preserves_row_ids(spark):
+    t = _mk(spark, n=500)
+    t.enable_row_tracking()
+    ids = {
+        r["payload"]: r["_row_id"] for r in t.read_row_ids().collect()
+    }
+    t.set_cluster_by(["x", "y"])
+    t.compact()
+    after = {
+        r["payload"]: r["_row_id"] for r in t.read_row_ids().collect()
+    }
+    assert after == ids

@@ -207,11 +207,12 @@ def test_schema_recorded_in_log_and_reads_skip_inference(spark, tmpdir):
     # schema means the reader would fall back to footer inference.
     orig_scan = ManagedTable._scan
 
-    def guarded(self, dirs, with_positions=False, schema=None, mapping=None):
+    def guarded(self, dirs, with_positions=False, schema=None, mapping=None,
+                **kw):
         assert schema is not None, "scan ran without the log schema"
         return orig_scan(
             self, dirs, with_positions=with_positions, schema=schema,
-            mapping=mapping,
+            mapping=mapping, **kw,
         )
 
     ManagedTable._scan = guarded

@@ -160,8 +160,13 @@ def test_batch_writer_append_preserves_deletion_vector(table, spark):
     table.read().write.format("managed_table").option("path", path).mode("overwrite").save()
     t = ManagedTable(spark, path)
     t.delete("k = 1", rewrite=False)
+    # Exact-typed batch: the sink-created table now records its schema
+    # in the log, so the commit-time check (correctly) refuses a batch
+    # whose int-typed literals drift from the table's long columns.
     spark.range(5000, 5010).select(
-        "id", F.lit(1).alias("k"), F.lit(0).alias("v")
+        "id",
+        F.lit(1).cast("bigint").alias("k"),
+        F.lit(0).cast("bigint").alias("v"),
     ).write.format("managed_table").option("path", path).mode("append").save()
     got = t.read()
     # Old k=1 rows stay masked; the appended k=1 rows are visible.
@@ -605,3 +610,76 @@ def test_partition_values_ignore_internal_kv_dirs(spark):
     assert "data/v=0" in f.replace("\\", "/")
     vals = _partition_values_of(t, f)
     assert set(vals) == {"bucket"}, vals
+
+
+def test_sink_partitioned_append_and_overwrite(spark):
+    """Hive-partitioned tables through the SINK: executors split their
+    rows by partition value and write k=v dirs (partition columns live
+    in the path, not the files); appended files carry the exact
+    partition stats so pruning works; overwrite records the schema so
+    the DataSource can read the new snapshot back."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    datasource.register(spark)
+    d = tempfile.mkdtemp(prefix="ds_part_sink_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(
+        spark.range(0, 40).select(
+            "id", (F.col("id") % 3).alias("bucket")
+        ),
+        partition_by=["bucket"],
+    )
+    spark.range(100, 106).select(
+        "id", (F.col("id") % 3).alias("bucket")
+    ).write.format("managed_table").option("path", t.path).mode(
+        "append"
+    ).save()
+    assert t.read().count() == 46
+    got = _load(spark, t)
+    assert (
+        got.filter("bucket = 1").count()
+        == t.read().filter("bucket = 1").count()
+    )
+    # The batch files live under k=v dirs and EXCLUDE the column.
+    batch_files = [
+        f
+        for f in g.glob(f"{t.path}/data/v=1/**/*.parquet", recursive=True)
+        if "bucket=" in f
+    ]
+    assert batch_files
+    assert "bucket" not in pq.read_schema(batch_files[-1]).names
+    # Exact partition stats -> pruning selects only bucket=2 files.
+    kept, total = t.prune_files("bucket", 2, 2)
+    assert kept and len(kept) < total
+
+    spark.range(0, 9).select(
+        "id", (F.col("id") % 3).alias("bucket")
+    ).write.format("managed_table").option("path", t.path).mode(
+        "overwrite"
+    ).save()
+    assert t.read().count() == 9
+    assert _load(spark, t).count() == 9  # schema in log: DS reads it
+    assert dict(_load(spark, t).dtypes)["bucket"] == "bigint"
+
+
+def test_sink_partitioned_rejects_unescapable_values(spark):
+    datasource.register(spark)
+    d = tempfile.mkdtemp(prefix="ds_part_bad_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(
+        spark.createDataFrame([(1, "ok")], "id bigint, tag string"),
+        partition_by=["tag"],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="hive path escaping"):
+        try:
+            spark.createDataFrame(
+                [(2, "has space")], "id bigint, tag string"
+            ).write.format("managed_table").option("path", t.path).mode(
+                "append"
+            ).save()
+        except Exception as e:  # py4j wraps the executor error
+            raise RuntimeError(str(e)) from e

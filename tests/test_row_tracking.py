@@ -1,10 +1,10 @@
-"""Row tracking (Delta's stable row ids, v1 scope): every row gets a
-table-lifetime-stable ``_row_id`` — fresh rows draw from a monotone
-high-water mark, DV deletes burn ids forever, and every operation that
-would rewrite files (which would mint new ids for old rows without
-materialization) is refused loudly. The supported lifecycle —
-append / COPY INTO / merge-on-read DELETE — is exactly a training-data
-corpus's shape."""
+"""Row tracking (Delta's stable row ids): every row gets a
+table-lifetime-stable ``_row_id``. Fresh rows are id'd positionally
+(``__rowIdBase`` span + row position), file REWRITES preserve ids by
+materializing them into the rewritten files as a hidden ``__rid``
+column (Delta's materialized row-id column), and replaced rows mint
+fresh ids above the high-water mark — burned ids never return, even
+across log expiry (the persisted floor)."""
 
 from __future__ import annotations
 
@@ -73,34 +73,170 @@ def test_mor_delete_burns_ids(spark, table):
     assert not (fresh & burned)
 
 
-def test_rewrite_operations_are_refused(spark, table):
-    with pytest.raises(ValueError, match="row-tracked"):
-        table.update({"k": "0"}, condition="id = 1")
-    with pytest.raises(ValueError, match="row-tracked"):
-        table.delete("id = 1", rewrite=True)
-    with pytest.raises(ValueError, match="row-tracked"):
-        table.compact()
-    with pytest.raises(ValueError, match="row-tracked"):
-        table.compact_where("id < 10")
-    with pytest.raises(ValueError, match="row-tracked"):
-        table.reorg_purge()
-    with pytest.raises(ValueError, match="row-tracked"):
-        table.overwrite(table.read())
-    with pytest.raises(ValueError, match="row-tracked"):
-        table.overwrite_where(table.read().limit(1), "id = 0")
-    src = spark.createDataFrame([(1, 9)], "id bigint, k bigint")
-    with pytest.raises(ValueError, match="row-tracked"):
+# -- materialization: rewrites preserve ids --------------------------------
+
+
+def test_compact_materializes_and_preserves_ids(spark, table):
+    table.append(
+        spark.range(1000, 1010).select("id", (F.col("id") % 5).alias("k"))
+    )
+    table.delete("id % 10 = 3", rewrite=False)  # DV debt to materialize
+    before = _ids(table)
+    table.compact(target_partitions=2)
+    assert _ids(table) == before
+    # Normal reads never see the hidden column.
+    assert "__rid" not in table.read().columns
+    assert "_row_id" in table.read_row_ids().columns
+    # The next append still allocates above everything ever minted.
+    table.append(
+        spark.range(5000, 5002).select("id", (F.col("id") % 5).alias("k"))
+    )
+    after = _ids(table)
+    fresh = {rid for k, rid in after.items() if k >= 5000}
+    assert min(fresh) >= 110  # 100 backfilled + 10 appended
+
+
+def test_cow_delete_preserves_survivor_ids(spark, table):
+    before = _ids(table)
+    table.delete("id >= 90", rewrite=True)  # file-level COW
+    after = _ids(table)
+    assert len(after) == 90
+    assert all(after[k] == before[k] for k in after)
+    burned = set(before.values()) - set(after.values())
+    table.append(
+        spark.range(7000, 7003).select("id", (F.col("id") % 5).alias("k"))
+    )
+    fresh = {rid for k, rid in _ids(table).items() if k >= 7000}
+    assert not (fresh & burned)
+
+
+def test_update_preserves_ids_both_modes(spark, table):
+    before = _ids(table)
+    table.update({"k": "99"}, condition="id = 7", rewrite=False)  # MOR
+    table.update({"k": "98"}, condition="id = 8", rewrite=True)  # file COW
+    after = _ids(table)
+    assert after == before
+    rows = {r["id"]: r["k"] for r in table.read().collect()}
+    assert rows[7] == 99 and rows[8] == 98
+
+
+def test_update_cannot_assign_reserved_rid(spark, table):
+    with pytest.raises(ValueError, match="reserved row-id"):
+        table.update({"__rid": "0"}, condition="id = 1")
+
+
+def test_merge_keeps_matched_ids_and_mints_inserts(spark, table):
+    before = _ids(table)
+    src = spark.createDataFrame(
+        [(1, 77), (2, 88), (10_000, 1), (10_001, 2)], "id bigint, k bigint"
+    )
+    clauses = MergeClauses(
+        condition="target.id = updates.id",
+        matched_update={"k": "updates.k"},
+        not_matched_insert={"id": "updates.id", "k": "updates.k"},
+    )
+    table.merge(src, clauses, rewrite=True)  # file-level COW
+    after = _ids(table)
+    assert after[1] == before[1] and after[2] == before[2]
+    fresh = {rid for key, rid in after.items() if key >= 10_000}
+    assert len(fresh) == 2 and min(fresh) >= 100
+    assert len(set(after.values())) == len(after), "duplicate row ids"
+    # And the MOR form on top: matched keeps, insert mints higher still.
+    src2 = spark.createDataFrame(
+        [(1, 70), (20_000, 5)], "id bigint, k bigint"
+    )
+    table.merge(src2, clauses, rewrite=False)
+    final = _ids(table)
+    assert final[1] == before[1]
+    assert final[20_000] > max(fresh)
+    with pytest.raises(Exception, match="reserved row-id"):
         table.merge(
-            src, MergeClauses(condition="target.id = updates.id",
-                              matched_update={"k": "updates.k"})
+            src2,
+            MergeClauses(
+                condition="target.id = updates.id",
+                matched_update={"__rid": "0"},
+            ),
         )
-    with pytest.raises(ValueError, match="row-tracked"):
-        table.append(
-            spark.createDataFrame([(1, 2, 3)], "id bigint, k bigint, extra bigint"),
-            merge_schema=True,
-        )
-    # Auto-compaction silently no-ops instead of raising mid-ingest.
-    assert table.maybe_compact(max_data_dirs=0) is None
+
+
+def test_overwrite_and_replace_where_id_semantics(spark, table):
+    hwm_ids = set(_ids(table).values())
+    table.overwrite_where(
+        spark.createDataFrame([(0, 50), (5, 51)], "id bigint, k bigint"),
+        "id in (0, 5)",
+        rewrite=True,
+    )
+    after = _ids(table)
+    kept_before = {k: v for k, v in after.items() if k not in (0, 5)}
+    # Replaced rows are NEW rows: fresh ids above everything.
+    assert after[0] >= 100 and after[5] >= 100
+    table.overwrite(
+        spark.range(10).select("id", (F.col("id") % 5).alias("k"))
+    )
+    post = _ids(table)
+    assert len(post) == 10
+    assert set(post.values()).isdisjoint(hwm_ids)  # all-new identities
+    assert len(set(post.values())) == 10
+
+
+def test_reorg_purge_and_zorder_preserve_ids(spark, table):
+    table.delete("id % 7 = 0", rewrite=False)
+    before = _ids(table)
+    assert table.reorg_purge() is not None
+    assert _ids(table) == before
+    table.optimize_zorder(["id"], n_files=2)
+    assert _ids(table) == before
+
+
+def test_maybe_compact_now_compacts_and_preserves(spark, table):
+    table.append(
+        spark.range(1000, 1005).select("id", (F.col("id") % 5).alias("k"))
+    )
+    before = _ids(table)
+    assert table.maybe_compact(max_data_dirs=0) is not None
+    assert _ids(table) == before
+
+
+def test_restore_preserves_ids(spark, table):
+    before = _ids(table)
+    v = table.latest_version()
+    table.delete("id < 50", rewrite=True)
+    table.restore(v)
+    assert _ids(table) == before
+
+
+def test_merge_schema_append_materializes_and_mints(spark, table):
+    before = _ids(table)
+    table.append(
+        spark.createDataFrame([(9000, 1, 3)], "id bigint, k bigint, extra bigint"),
+        merge_schema=True,
+    )
+    after = _ids(table)
+    assert all(after[k] == v for k, v in before.items())
+    assert after[9000] >= 100
+    assert "extra" in table.read().columns
+
+
+def test_burned_peak_survives_expiry_via_floor(spark, table, monkeypatch):
+    """COW-delete the peak-id rows, expire the mark-carrying entries:
+    the persisted floor must keep the next mint above the burned peak
+    (the live state alone under-reconstructs after the rewrite)."""
+    from delta_lake_platform_spark.sources import managed_table as mt
+
+    monkeypatch.setattr(mt, "_CKPT_INTERVAL", 2)
+    table.delete("id >= 50", rewrite=True)  # burns ids of peak rows
+    table.delete("id >= 45", rewrite=True)
+    table.delete("id >= 40", rewrite=True)
+    removed = table.expire_log_entries(older_than_s=0.0)
+    assert removed, "test needs expired entries"
+    # No surviving entry records a mark; the floor must carry 100.
+    table.append(
+        spark.range(8000, 8002).select("id", (F.col("id") % 5).alias("k"))
+    )
+    after = _ids(table)
+    fresh = {rid for k, rid in after.items() if k >= 8000}
+    assert min(fresh) >= 100, f"burned ids re-minted: {sorted(fresh)}"
+    assert len(set(after.values())) == len(after)
 
 
 def test_concurrent_row_id_allocation_conflicts(spark, table):
@@ -141,18 +277,28 @@ def test_bases_survive_log_expiry(spark, table, monkeypatch):
     assert all(after[k] == v for k, v in before.items())
 
 
-def test_sink_refuses_row_tracked_table(spark, table):
+def test_sink_appends_to_row_tracked_table(spark, table):
+    """The DataSource sink commits on the driver, so it assigns
+    __rowIdBase spans there like any other append — fresh ids above
+    the mark, old rows untouched."""
     from delta_lake_platform_spark.sources import datasource
 
     datasource.register(spark)
-    df = spark.createDataFrame([(1, 2)], "id bigint, k bigint")
-    with pytest.raises(Exception, match="row-tracked"):
-        try:
-            df.write.format("managed_table").option(
-                "path", table.path
-            ).mode("append").save()
-        except Exception as e:  # py4j wraps the planner error
-            raise RuntimeError(str(e)) from e
+    before = _ids(table)
+    df = spark.createDataFrame([(30_000, 2), (30_001, 3)], "id bigint, k bigint")
+    df.write.format("managed_table").option(
+        "path", table.path
+    ).mode("append").save()
+    after = _ids(table)
+    assert all(after[k] == v for k, v in before.items())
+    fresh = {rid for k, rid in after.items() if k >= 30_000}
+    assert fresh == {100, 101}
+    # The sink's commit recorded the mark: the next table-API append
+    # allocates above it.
+    table.append(
+        spark.range(40_000, 40_001).select("id", (F.col("id") % 5).alias("k"))
+    )
+    assert _ids(table)[40_000] == 102
 
 
 def test_read_row_ids_requires_tracking_metadata(spark):
