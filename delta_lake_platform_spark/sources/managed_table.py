@@ -3278,6 +3278,11 @@ class ManagedTable:
         the reader fills NULLs — no data rewritten, the Delta
         semantics. Legacy histories without a recorded schema fall back
         to the snapshot rewrite (one scan, no shuffle)."""
+        if name == self._ROW_ID_PHYS:
+            raise ValueError(
+                f"column name {self._ROW_ID_PHYS!r} is reserved for the "
+                "materialized row-id column"
+            )
         v = self.latest_version()
         state = self._state(v)
         schema = self._schema_of(state)
@@ -3381,6 +3386,11 @@ class ManagedTable:
         without a recorded schema fall back to the snapshot rewrite.
         Partitioned tables reject renames (partition columns are
         path-encoded; Delta imposes the same restriction)."""
+        if new == self._ROW_ID_PHYS:
+            raise ValueError(
+                f"column name {self._ROW_ID_PHYS!r} is reserved for the "
+                "materialized row-id column"
+            )
         self._guard_dependent_exprs(old, "rename")
         v = self.latest_version()
         state = self._state(v)

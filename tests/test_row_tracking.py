@@ -332,3 +332,41 @@ def test_property_alone_cannot_skip_backfill(spark):
     t.enable_row_tracking()
     assert t.row_tracking_enabled()
     assert len(_ids(t)) == 5
+
+
+def test_partitioned_table_full_lifecycle(spark):
+    """Row tracking composes with hive partitioning: spans on the
+    partitioned create, materialization through MOR update + compact
+    (partitioned rewrites read `__rid` through the dir-root scan with
+    partition discovery)."""
+    d = tempfile.mkdtemp(prefix="rowtrack_part_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(
+        spark.range(60).select(
+            "id", (F.col("id") % 3).alias("bucket")
+        ),
+        partition_by=["bucket"],
+    )
+    t.enable_row_tracking()
+    before = _ids(t)
+    assert len(set(before.values())) == 60
+    t.delete("id % 10 = 9", rewrite=False)  # MOR: burn, no rewrite
+    t.update({"id": "id + 1000"}, condition="id = 5", rewrite=False)
+    t.compact(target_partitions=1)  # materializes through partitionBy
+    after = _ids(t)
+    assert len(after) == 54
+    assert after[1005] == before[5]  # updated row kept its id
+    survivors = {k: v for k, v in before.items() if k % 10 != 9 and k != 5}
+    assert all(after[k] == v for k, v in survivors.items())
+    t.append(
+        spark.range(500, 502).select("id", (F.col("id") % 3).alias("bucket"))
+    )
+    fresh = {rid for k, rid in _ids(t).items() if 500 <= k < 1000}
+    assert min(fresh) >= 60
+
+
+def test_reserved_rid_name_is_refused(spark, table):
+    with pytest.raises(ValueError, match="reserved"):
+        table.alter_add_column("__rid", "bigint")
+    with pytest.raises(ValueError, match="reserved"):
+        table.alter_rename_column("k", "__rid")
