@@ -195,6 +195,13 @@ class MergeClauses:
     # Evaluated BEFORE the update clause, like a Delta merge with the
     # delete clause listed first.
     matched_delete_condition: str | None = None
+    # WHEN NOT MATCHED BY SOURCE (Delta 2.3+): target rows matching NO
+    # source row. Expressions and conditions may reference TARGET
+    # columns only (there is no source row to read — Delta enforces the
+    # same analysis rule). Delete is evaluated before update.
+    by_source_update: dict[str, str] | None = None
+    by_source_update_condition: str | None = None
+    by_source_delete_condition: str | None = None
     # Delta errors when >1 source row matches one target row. The check
     # costs an extra aggregation job; callers that guarantee unique
     # source keys (e.g. the SCD engine after batch dedupe) disable it.
@@ -2053,11 +2060,32 @@ class ManagedTable:
         if rt and self._ROW_ID_PHYS in (
             set(clauses.matched_update or {})
             | set(clauses.not_matched_insert or {})
+            | set(clauses.by_source_update or {})
         ):
             raise MergeError(
                 f"MERGE cannot assign the reserved row-id column "
                 f"{self._ROW_ID_PHYS!r}"
             )
+        has_bysrc = (
+            clauses.by_source_update is not None
+            or clauses.by_source_delete_condition is not None
+        )
+        if has_bysrc:
+            # Delta's analysis rule: a NOT MATCHED BY SOURCE clause has
+            # no source row — referencing the source alias would read
+            # the outer join's null side and silently produce garbage.
+            import re as _re
+
+            for expr_text in [
+                *(clauses.by_source_update or {}).values(),
+                clauses.by_source_update_condition or "",
+                clauses.by_source_delete_condition or "",
+            ]:
+                if _re.search(r"(?i)\bupdates\s*\.", expr_text):
+                    raise MergeError(
+                        "WHEN NOT MATCHED BY SOURCE clauses may reference "
+                        f"target columns only, got {expr_text!r}"
+                    )
         rewrite = self._resolve_rewrite(rewrite)
         if not rewrite and auto_schema_evolution:
             raise MergeError(
@@ -2074,6 +2102,14 @@ class ManagedTable:
             candidates, all_files = self._merge_candidate_files(
                 source, clauses.condition, v_prev
             )
+            if has_bysrc:
+                # NOT MATCHED BY SOURCE touches rows that match NOTHING
+                # — every file can hold one, so candidate pruning by the
+                # source's key range is unsound (Delta scans the full
+                # table for these merges too). The changed-file
+                # selection downstream still bounds the REWRITE to
+                # files with actually-touched rows.
+                candidates = list(all_files)
             if len(all_files) <= 1:
                 file_cow = False  # nothing to keep: full snapshot is simpler
         if not rewrite:
@@ -2126,7 +2162,11 @@ class ManagedTable:
                     *[F.lit(None).cast(dt).alias(c) for c, dt in new_cols],
                 )
         tcols = [c for c in target.columns if c not in ("__dv_file", "__dv_pos")]
-        for clause in (clauses.matched_update, clauses.not_matched_insert):
+        for clause in (
+            clauses.matched_update,
+            clauses.not_matched_insert,
+            clauses.by_source_update,
+        ):
             unknown = set(clause or {}) - set(tcols)
             if unknown:
                 raise MergeError(
@@ -2138,6 +2178,7 @@ class ManagedTable:
             & (
                 set(clauses.matched_update or {})
                 | set(clauses.not_matched_insert or {})
+                | set(clauses.by_source_update or {})
             )
         )
         if ident_assigned:
@@ -2152,7 +2193,12 @@ class ManagedTable:
         cond = F.expr(clauses.condition)
 
         n_updated = n_inserted = n_deleted = 0
-        if clauses.matched_update is not None or clauses.matched_delete_condition:
+        n_bupdated = n_bdeleted = 0
+        if (
+            clauses.matched_update is not None
+            or clauses.matched_delete_condition
+            or has_bysrc
+        ):
             joined = t.join(s, cond, "left_outer").localCheckpoint(eager=False)
             if clauses.check_multi_match:
                 # Delta semantics: >1 source row matching one target row
@@ -2184,15 +2230,40 @@ class ManagedTable:
                 if clauses.matched_update is not None
                 else F.lit(False)
             )
+            # NOT MATCHED BY SOURCE: the left-outer join already yields
+            # the unmatched target rows (null source side) — the same
+            # single join serves all clause families, no second pass
+            # over the target. Delete is evaluated before update.
+            do_bdelete = (
+                ~matched
+                & F.coalesce(
+                    F.expr(clauses.by_source_delete_condition), F.lit(False)
+                )
+                if clauses.by_source_delete_condition
+                else F.lit(False)
+            )
+            bgate = (
+                F.expr(clauses.by_source_update_condition)
+                if clauses.by_source_update_condition
+                else F.lit(True)
+            )
+            do_bupdate = (
+                ~matched & ~do_bdelete & F.coalesce(bgate, F.lit(False))
+                if clauses.by_source_update is not None
+                else F.lit(False)
+            )
             upd = clauses.matched_update or {}
-            upd_exprs = [
-                F.when(do_update, F.expr(upd[c]))
-                .otherwise(F.col(f"target.{c}"))
-                .alias(c)
-                if c in upd
-                else F.col(f"target.{c}").alias(c)
-                for c in tcols
-            ]
+            bupd = clauses.by_source_update or {}
+
+            def _col_expr(c: str):
+                e = F.col(f"target.{c}")
+                if c in bupd:
+                    e = F.when(do_bupdate, F.expr(bupd[c])).otherwise(e)
+                if c in upd:
+                    e = F.when(do_update, F.expr(upd[c])).otherwise(e)
+                return e.alias(c)
+
+            upd_exprs = [_col_expr(c) for c in tcols]
             pos_sel = (
                 []
                 if (rewrite and not file_cow)
@@ -2201,14 +2272,20 @@ class ManagedTable:
             flagged = joined.select(
                 *upd_exprs,
                 *pos_sel,
-                do_update.alias("__upd"),
-                do_delete.alias("__del"),
+                (do_update | do_bupdate).alias("__upd"),
+                (do_delete | do_bdelete).alias("__del"),
+                do_bupdate.alias("__bupd"),
+                do_bdelete.alias("__bdel"),
             ).localCheckpoint(eager=False)
             counts = flagged.select(
-                F.sum(F.col("__upd").cast("long")).alias("u"),
-                F.sum(F.col("__del").cast("long")).alias("d"),
+                F.sum((F.col("__upd") & ~F.col("__bupd")).cast("long")).alias("u"),
+                F.sum((F.col("__del") & ~F.col("__bdel")).cast("long")).alias("d"),
+                F.sum(F.col("__bupd").cast("long")).alias("bu"),
+                F.sum(F.col("__bdel").cast("long")).alias("bd"),
             ).first()
             n_updated, n_deleted = int(counts.u or 0), int(counts.d or 0)
+            n_bupdated, n_bdeleted = int(counts.bu or 0), int(counts.bd or 0)
+            flagged = flagged.drop("__bupd", "__bdel")
             new_target = flagged.filter(~F.col("__del")).drop("__upd", "__del")
         else:
             new_target = target
@@ -2276,12 +2353,16 @@ class ManagedTable:
             "numTargetRowsInserted": n_inserted,
             "numTargetRowsDeleted": n_deleted,
         }
+        if has_bysrc:
+            metrics["numTargetRowsNotMatchedBySourceUpdated"] = n_bupdated
+            metrics["numTargetRowsNotMatchedBySourceDeleted"] = n_bdeleted
         if rewrite and file_cow:
             flagged_df = (
                 flagged
                 if (
                     clauses.matched_update is not None
                     or clauses.matched_delete_condition
+                    or has_bysrc
                 )
                 else None
             )
@@ -2314,7 +2395,11 @@ class ManagedTable:
         # replacements + the inserts -> one new batch dir.
         new_version = v_prev + 1
         parts = []
-        if clauses.matched_update is not None or clauses.matched_delete_condition:
+        if (
+            clauses.matched_update is not None
+            or clauses.matched_delete_condition
+            or has_bysrc
+        ):
             parts.append(flagged.filter(F.col("__upd")).select(*tcols))
         if inserts is not None:
             parts.append(inserts)
@@ -2336,7 +2421,11 @@ class ManagedTable:
         dv_parts = []
         if old_dv_dir:
             dv_parts.append(self._read_dv(old_dv_dir))
-        if clauses.matched_update is not None or clauses.matched_delete_condition:
+        if (
+            clauses.matched_update is not None
+            or clauses.matched_delete_condition
+            or has_bysrc
+        ):
             dv_parts.append(
                 flagged.filter(F.col("__upd") | F.col("__del")).select(
                     "__dv_file", "__dv_pos"
@@ -2371,7 +2460,7 @@ class ManagedTable:
         return self._commit_delta_retry(
             "MERGE (MOR)",
             metrics,
-            delta_rows=n_inserted - n_deleted,
+            delta_rows=n_inserted - n_deleted - n_bdeleted,
             add=batch_stats,
             add_paths=[batch_dir],
             dv=dv_dir,
@@ -2485,6 +2574,7 @@ class ManagedTable:
             delta_rows=(
                 metrics.get("numTargetRowsInserted", 0)
                 - metrics.get("numTargetRowsDeleted", 0)
+                - metrics.get("numTargetRowsNotMatchedBySourceDeleted", 0)
             ),
             add=batch_stats,
             remove=[os.path.relpath(f, self.path) for f in sorted(changed)],
@@ -4013,29 +4103,99 @@ class ManagedTable:
 
     def restore(self, version: int) -> int:
         """Delta RESTORE: make a past snapshot the new current version
-        (forward-written as a new commit — history is append-only, so
-        the restore itself is auditable and reversible)."""
+        as a METADATA-ONLY commit — the new entry re-references the
+        target version's live files (Delta's RESTORE writes add/remove
+        actions, never data; restoring a 100 TB table costs one log
+        write, not a 100 TB rewrite). Forward-written, so history
+        stays append-only and the restore is auditable and reversible.
+
+        Fails with an explicit error when the target's data files were
+        reclaimed by VACUUM (Delta raises the same way — the bytes are
+        gone and no metadata operation can bring them back).
+
+        Row tracking: ids ride IN the copied state (positional spans
+        and materialized ``__rid`` files alike), so restored rows keep
+        the ids they had at ``version`` for free. Files from a
+        PRE-tracking snapshot re-enter as fresh rows: their spans are
+        backfilled from the current high-water mark (footer row counts
+        — still zero data writes)."""
         self._check_append_only("RESTORE")
-        extra = None
+        v_cur = self.latest_version()
+        # Raises past the retained horizon with the retention message.
+        target = self._state(version)
+        missing = [
+            rel
+            for rel in target["files"]
+            if not os.path.isfile(self._abs(rel))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"RESTORE {self.path} to version {version}: "
+                f"{len(missing)} data file(s) of that snapshot were "
+                f"reclaimed by VACUUM (e.g. {missing[0]!r}) — the bytes "
+                "are gone; only versions whose files survive retention "
+                "can be restored"
+            )
+        self._check_writer(v_cur)
+        files = dict(target["files"])
+        extra: dict = {}
         if self.row_tracking_enabled():
-            try:
-                # Restored rows keep the ids they had at ``version``.
-                df = self._read_with_rid(version)
-            except ValueError:
-                # Pre-tracking snapshot: those rows never had ids —
-                # they re-enter the tracked world as fresh rows (the
-                # live-files-always-resolve invariant must hold).
-                hwm = self._row_id_hwm(self.latest_version())
-                df = self._mint_row_ids(self.read(version), hwm)
-                extra = {"rowIdHighWaterMark": hwm + df.count()}
-        else:
-            df = self.read(version)
-        return self._commit(
-            df,
-            "RESTORE",
-            {"restoredVersion": version, "numOutputRows": None},
-            extra=extra,
-        )
+            unspanned = sorted(
+                rel
+                for rel, st in files.items()
+                if not (st or {}).get(self._ROW_BASE_KEY)
+                and not (st or {}).get(self._ROW_MAT_KEY)
+            )
+            if unspanned:
+                import pyarrow.parquet as pq
+
+                base = self._row_id_hwm(v_cur)
+                start = base
+                for rel in unspanned:
+                    n = pq.ParquetFile(self._abs(rel)).metadata.num_rows
+                    files[rel] = {
+                        **(files[rel] or {}),
+                        self._ROW_BASE_KEY: [base, n],
+                    }
+                    base += n
+                if base != start:
+                    extra["rowIdHighWaterMark"] = base
+        # Protocol never downgrades (Delta invariant): carry the max of
+        # the current and target requirements.
+        cur_proto = self._state(v_cur).get("protocol") or {}
+        tgt_proto = target.get("protocol") or {}
+        proto = {
+            k: max(cur_proto.get(k, 1), tgt_proto.get(k, 1))
+            for k in ("minReaderVersion", "minWriterVersion")
+            if max(cur_proto.get(k, 1), tgt_proto.get(k, 1)) > 1
+        }
+        v_new = v_cur + 1
+        entry = {
+            "version": v_new,
+            "timestamp": time.time(),
+            "operation": "RESTORE",
+            "operationMetrics": {
+                "restoredVersion": version,
+                "numOutputRows": self.row_count(version),
+                "numRestoredFiles": len(files),
+                "numRewrittenFiles": 0,
+            },
+            # Self-contained snapshot entry: the target state verbatim.
+            "fileStats": files,
+            "dataPaths": list(target["dirs"]),
+            "deletionVector": target["dv"],
+            "fileLevel": True,
+            "schema": target["schema"],
+            **(
+                {"columnMapping": target["columnMapping"]}
+                if target.get("columnMapping")
+                else {}
+            ),
+            **({"protocol": proto} if proto else {}),
+            **extra,
+        }
+        self._write_entry(v_new, entry)
+        return v_new
 
     # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analogue) -------
 

@@ -107,9 +107,14 @@ def test_optimize_restore_vacuum_detail(psql):
     assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 3
     d = psql.sql("DESCRIBE DETAIL accounts").first()
     assert d.version == 3 and d.lastOperation == "RESTORE"
+    # RESTORE is metadata-only: v3 re-references v0's files, so VACUUM
+    # must NOT reclaim v0's data even though its version is past the
+    # retention horizon (Delta's live-file rule). Only v1's rewrite is
+    # actually dead.
     removed = psql.sql("VACUUM accounts KEEP LAST 2").first().removedVersions
-    assert removed == "[0, 1]"
-    # Time travel to vacuumed versions is gone; recent ones remain.
+    assert removed == "[1]"
+    # v0's snapshot is still readable — its files are the live head.
+    assert psql.sql("SELECT count(*) AS n FROM accounts VERSION AS OF 0").first().n == 3
     assert psql.sql("SELECT count(*) AS n FROM accounts VERSION AS OF 2").first().n == 2
 
 
