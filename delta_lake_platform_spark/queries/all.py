@@ -59,7 +59,12 @@ PRIORITY = [
     "sql_schema_evolution",
     "customers_without_big_orders",
     "rollup_lineitem_status",
-    "union_nation_region_names",
+    # union_nation_region_names rotated out in r5 for
+    # sql_merge_by_source_sync (the new MERGE ... WHEN NOT MATCHED BY
+    # SOURCE clause family, Delta 2.3+); DISTINCT stays driver-covered
+    # by distinct_order_status_priority and the set-ops family remains
+    # locally oracle-swept.
+    "sql_merge_by_source_sync",
     "sql_api_orders_by_nation",
     "scd_hybrid_two_batches",
     "scd_hybrid_two_batches_merge_mode",

@@ -287,3 +287,72 @@ def sql_identity_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+MERGE_BY_SOURCE_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+merged AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment
+              ELSE 'ORPHAN' END AS c_mktsegment,
+         CASE WHEN c_custkey % 3 = 0 THEN cents + 1 ELSE cents END AS cents
+  FROM base
+  WHERE NOT (c_custkey % 3 <> 0 AND c_custkey % 7 = 0)
+)
+SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+_MERGE_BY_SOURCE_CACHE: dict[str, str] = {}
+
+
+@register("sql_merge_by_source_sync", MERGE_BY_SOURCE_ORACLE)
+def sql_merge_by_source_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with WHEN NOT MATCHED BY SOURCE (Delta 2.3+) through the
+    SQL dialect: matched rows update, unmatched-by-source rows are
+    conditionally deleted (every 7th key) and otherwise flagged — the
+    canonical sync-target-to-source shape. One left-outer join serves
+    all clause families; under file-level COW only files containing
+    touched rows are rewritten, which is what keeps a sync merge
+    against a 100 TB dimension bounded by the churn, not the table."""
+    path = _MERGE_BY_SOURCE_CACHE.get(sf_dir)
+    p = PlatformSQL(spark)
+    if path is None or not os.path.isdir(path):
+        d = tempfile.mkdtemp(prefix="merge_bysrc_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        t = ManagedTable(spark, f"{d}/ct")
+        t.create(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey",
+                "c_mktsegment",
+                F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+            )
+        )
+        p.register("ct", t)
+        load_table(spark, sf_dir, "customer").filter(
+            F.col("c_custkey") % 3 == 0
+        ).select(
+            "c_custkey",
+            (F.round(F.col("c_acctbal") * 100).cast("long") + 1).alias("cents"),
+        ).createOrReplaceTempView("ct_src")
+        p.sql(
+            """
+            MERGE INTO ct t USING ct_src s
+            ON t.c_custkey = s.c_custkey
+            WHEN MATCHED THEN UPDATE SET cents = s.cents
+            WHEN NOT MATCHED BY SOURCE AND t.c_custkey % 7 = 0 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_mktsegment = 'ORPHAN'
+            """
+        )
+        _MERGE_BY_SOURCE_CACHE[sf_dir] = t.path
+        path = t.path
+    else:
+        p.register("ct", ManagedTable(spark, path))
+    return p.sql(
+        "SELECT c_mktsegment, COUNT(*) AS n, SUM(cents) AS total_cents "
+        "FROM ct GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )

@@ -114,6 +114,21 @@ class DeltaMergeBuilder:
             values={c: f"updates.{c}" for c in self._source.columns}
         )
 
+    def whenNotMatchedBySourceUpdate(
+        self, condition: str | None = None, set: dict[str, str] | None = None
+    ) -> "DeltaMergeBuilder":
+        """delta-spark 2.3+ fluent clause: target rows matching no
+        source row; expressions may reference target columns only."""
+        self._by_source_update = dict(set or {})
+        self._by_source_update_condition = condition
+        return self
+
+    def whenNotMatchedBySourceDelete(
+        self, condition: str | None = None
+    ) -> "DeltaMergeBuilder":
+        self._by_source_delete_condition = condition or "true"
+        return self
+
     def execute(self) -> None:
         cond = self._table._rewrite_alias(self._condition)
         self._table._last_version = self._table._managed.merge(
@@ -132,6 +147,17 @@ class DeltaMergeBuilder:
                     else None
                 ),
                 not_matched_insert=self._not_matched_insert,
+                by_source_update=getattr(self, "_by_source_update", None),
+                by_source_update_condition=(
+                    self._table._rewrite_alias(self._by_source_update_condition)
+                    if getattr(self, "_by_source_update_condition", None)
+                    else None
+                ),
+                by_source_delete_condition=(
+                    self._table._rewrite_alias(self._by_source_delete_condition)
+                    if getattr(self, "_by_source_delete_condition", None)
+                    else None
+                ),
             ),
         )
 

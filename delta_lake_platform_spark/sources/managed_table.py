@@ -2386,8 +2386,10 @@ class ManagedTable:
                 extra["rowIdHighWaterMark"] = rid_mark
             return self._commit(
                 new_target,
+                # Footer pass fills the count: full-rewrite merges keep
+                # the log's exact row accounting like every other path.
                 "MERGE",
-                metrics,
+                {**metrics, "numOutputRows": None},
                 extra=extra or None,
             )
 

@@ -260,13 +260,35 @@ class PlatformSQL:
         amap = {talias or tname: "target", salias or sname: "updates"}
 
         clauses = MergeClauses(condition=_qualify(on_cond, amap))
-        for not_kw, and_cond, action in re.findall(
-            r"(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
+        for not_kw, by_kw, and_cond, action in re.findall(
+            r"(?is)WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+(?:SOURCE|TARGET))?"
+            r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
             r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)(?=\s+WHEN\s+|\s*$)",
             when_part,
         ):
             cond = _qualify(and_cond, amap) if and_cond.strip() else None
             act = action.strip()
+            by_source = "source" in by_kw.lower()
+            if by_source and not not_kw:
+                raise ValueError("WHEN MATCHED BY SOURCE is not SQL")
+            if not_kw and by_source:
+                # Delta 2.3+: WHEN NOT MATCHED BY SOURCE THEN
+                # UPDATE SET ... | DELETE (target-only expressions).
+                if act.upper() == "DELETE":
+                    clauses.by_source_delete_condition = cond or "true"
+                    continue
+                upd = re.match(r"(?is)UPDATE\s+SET\s+(.*)$", act)
+                if not upd:
+                    raise ValueError(
+                        f"WHEN NOT MATCHED BY SOURCE needs UPDATE/DELETE: {act!r}"
+                    )
+                clauses.by_source_update = {}
+                for assign in _split_top_level(upd.group(1).strip()):
+                    lhs, rhs = assign.split("=", 1)
+                    col = lhs.strip().split(".")[-1]
+                    clauses.by_source_update[col] = _qualify(rhs.strip(), amap)
+                clauses.by_source_update_condition = cond
+                continue
             if not_kw:
                 ins = re.match(r"(?is)INSERT\s+(.*)$", act)
                 if not ins:

@@ -27,6 +27,8 @@ def test_family_representation_in_first_50():
         "scd": "scd_hybrid_two_batches",
         "identity": "scd_surrogate_keys",
         "sql-dml": "sql_dml_pipeline",
+        # r5: MERGE's NOT MATCHED BY SOURCE clause family (Delta 2.3+)
+        "merge-by-source": "sql_merge_by_source_sync",
         "mv": "mv_incremental_orders_by_status",
         # r5: the min/max family representative is the NULL-group-key
         # variant (strict superset of mv_minmax_orders_by_status).

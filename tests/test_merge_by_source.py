@@ -1,0 +1,211 @@
+"""MERGE ... WHEN NOT MATCHED BY SOURCE (Delta 2.3+): target rows that
+match NO source row can be updated or deleted in the same merge — the
+canonical "sync target to source" shape.
+
+Pinned here:
+- Full sync (update matched + insert new + by-source delete) makes the
+  target an exact mirror of the source.
+- The same left-outer join serves all clause families (no second scan);
+  by-source rows land in the deletion vector under MOR and in the
+  changed-file set under file-level COW.
+- File-level COW bounds the REWRITE to files containing touched rows
+  even though candidate pruning is disabled (every file may hold a
+  not-matched row).
+- By-source expressions referencing the source alias raise (Delta's
+  analysis rule — there is no source row to read).
+- Separate metrics: numTargetRowsNotMatchedBySourceUpdated/Deleted;
+  row accounting stays exact through by-source deletes.
+- SQL dialect: WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ... / DELETE.
+- Row tracking: by-source-updated rows keep their stable ids.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.sources.managed_table import (
+    ManagedTable,
+    MergeClauses,
+    MergeError,
+)
+
+# NOTE: the `spark` fixture comes from conftest.py (session-scoped
+# local[8]); defining a module-local one would re-create the singleton
+# with a different parallelism and shift file layouts for every test
+# that runs after this module.
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="merge_bysrc_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk(spark, tdir, n=10, files=1):
+    t = ManagedTable(spark, f"{tdir}/t")
+    df = spark.range(n).selectExpr("id", "id * 10 as v", "'old' as tag")
+    t.create(df.repartition(files) if files > 1 else df.coalesce(1))
+    return t
+
+
+def test_full_sync_mirror(spark, tdir):
+    """update matched + insert new + delete unmatched == mirror."""
+    t = _mk(spark, tdir, n=10)
+    src = spark.range(5, 15).selectExpr("id", "id * 100 as v", "'new' as tag")
+    t.merge(
+        src,
+        MergeClauses(
+            condition="target.id = updates.id",
+            matched_update={"v": "updates.v", "tag": "updates.tag"},
+            not_matched_insert={
+                "id": "updates.id", "v": "updates.v", "tag": "updates.tag"
+            },
+            by_source_delete_condition="true",
+        ),
+    )
+    got = {(r.id, r.v, r.tag) for r in t.read().collect()}
+    assert got == {(i, i * 100, "new") for i in range(5, 15)}
+    m = t.history(1)[0]["operationMetrics"]
+    assert m["numTargetRowsUpdated"] == 5
+    assert m["numTargetRowsInserted"] == 5
+    assert m["numTargetRowsNotMatchedBySourceDeleted"] == 5
+    assert m["numTargetRowsDeleted"] == 0
+    assert t.row_count() == 10  # exact row accounting through the merge
+
+
+def test_by_source_update_with_condition(spark, tdir):
+    t = _mk(spark, tdir, n=10)
+    src = spark.range(0, 5).selectExpr("id", "id as v", "'x' as tag")
+    t.merge(
+        src,
+        MergeClauses(
+            condition="target.id = updates.id",
+            by_source_update={"tag": "'stale'"},
+            by_source_update_condition="target.id < 8",
+        ),
+    )
+    rows = {r.id: r.tag for r in t.read().collect()}
+    assert rows[5] == rows[6] == rows[7] == "stale"
+    assert rows[8] == rows[9] == "old"      # fails the condition
+    assert all(rows[i] == "old" for i in range(5))  # matched: untouched
+    m = t.history(1)[0]["operationMetrics"]
+    assert m["numTargetRowsNotMatchedBySourceUpdated"] == 3
+    assert m["numTargetRowsUpdated"] == 0
+
+
+def test_by_source_mor_uses_deletion_vector(spark, tdir):
+    t = _mk(spark, tdir, n=10)
+    src = spark.range(0, 6).selectExpr("id", "id as v", "'x' as tag")
+    t.merge(
+        src,
+        MergeClauses(
+            condition="target.id = updates.id",
+            by_source_delete_condition="true",
+        ),
+        rewrite=False,
+    )
+    assert t.read().count() == 6
+    m = t.history(1)[0]["operationMetrics"]
+    assert m["numDeletionVectorRows"] == 4
+    assert m["numTargetRowsNotMatchedBySourceDeleted"] == 4
+
+
+def test_by_source_filelevel_bounds_rewrite(spark, tdir):
+    """8-file table, by-source delete hits rows in ONE file's range:
+    only that file is rewritten, the other 7 stay live untouched."""
+    t = ManagedTable(spark, f"{tdir}/t")
+    t.create(
+        spark.range(800)
+        .selectExpr("id", "id * 10 as v", "'old' as tag")
+        .repartitionByRange(8, "id")
+    )
+    # Source covers everything except ids 0..49 — the by-source slice
+    # lives entirely in the first range file.
+    src = spark.range(50, 800).selectExpr("id")
+    t.merge(
+        src,
+        MergeClauses(
+            condition="target.id = updates.id",
+            by_source_delete_condition="true",
+        ),
+    )
+    assert t.read().count() == 750
+    m = t.history(1)[0]["operationMetrics"]
+    assert m["numRewrittenFiles"] == 1
+    assert m["numKeptFiles"] == 7
+
+
+def test_by_source_expr_must_not_reference_source(spark, tdir):
+    t = _mk(spark, tdir)
+    src = spark.range(5).selectExpr("id", "id as v", "'x' as tag")
+    with pytest.raises(MergeError, match="target columns only"):
+        t.merge(
+            src,
+            MergeClauses(
+                condition="target.id = updates.id",
+                by_source_update={"v": "updates.v"},
+            ),
+        )
+
+
+def test_by_source_sql_dialect(spark, tdir):
+    from delta_lake_platform_spark.sql import PlatformSQL
+
+    psql = PlatformSQL(spark)
+    t = _mk(spark, tdir, n=10)
+    psql.register("tgt", t)
+    spark.range(0, 7).selectExpr(
+        "id", "id * 7 as v", "'s' as tag"
+    ).createOrReplaceTempView("src")
+    psql.sql(
+        """
+        MERGE INTO tgt USING src
+        ON tgt.id = src.id
+        WHEN MATCHED THEN UPDATE SET v = src.v
+        WHEN NOT MATCHED BY SOURCE AND tgt.id < 9 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'orphan'
+        """
+    )
+    rows = {r.id: (r.v, r.tag) for r in t.read().collect()}
+    assert set(rows) == {0, 1, 2, 3, 4, 5, 6, 9}
+    assert rows[0] == (0, "old")
+    assert rows[6] == (42, "old")
+    assert rows[9] == (90, "orphan")
+
+
+def test_by_source_row_tracking_preserves_ids(spark, tdir):
+    t = _mk(spark, tdir, n=10)
+    t.enable_row_tracking()
+    before = {r.id: r._row_id for r in t.read_row_ids().collect()}
+    src = spark.range(0, 4).selectExpr("id")
+    t.merge(
+        src,
+        MergeClauses(
+            condition="target.id = updates.id",
+            by_source_update={"tag": "'stale'"},
+        ),
+    )
+    after = {r.id: r._row_id for r in t.read_row_ids().collect()}
+    assert after == before, "by-source updates keep stable row ids"
+
+
+def test_compat_fluent_by_source(spark, tdir):
+    from delta_lake_platform_spark.scd.compat import DeltaTable
+
+    t = _mk(spark, tdir, n=8)
+    dt = DeltaTable.forPath(spark, t.path)
+    src = spark.range(0, 5).selectExpr("id", "id as v", "'m' as tag")
+    (
+        dt.alias("target")
+        .merge(src.alias("updates"), "target.id = updates.id")
+        .whenMatchedUpdate(set={"tag": "updates.tag"})
+        .whenNotMatchedBySourceDelete(condition="target.id >= 7")
+        .whenNotMatchedBySourceUpdate(set={"tag": "'gone'"})
+        .execute()
+    )
+    rows = {r.id: r.tag for r in ManagedTable(spark, t.path).read().collect()}
+    assert set(rows) == {0, 1, 2, 3, 4, 5, 6}
+    assert rows[0] == "m" and rows[5] == rows[6] == "gone"

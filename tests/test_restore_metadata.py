@@ -24,13 +24,11 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
-from delta_lake_platform_spark.session import get_spark
 from delta_lake_platform_spark.sources.managed_table import ManagedTable
 
-
-@pytest.fixture(scope="module")
-def spark():
-    return get_spark(app_name="test-restore-metadata")
+# `spark` comes from conftest.py (session-scoped local[8]) — a
+# module-local fixture would shift the singleton's parallelism and the
+# file layouts every later test module sees.
 
 
 @pytest.fixture()
