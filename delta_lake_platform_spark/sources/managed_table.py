@@ -96,7 +96,24 @@ def _footer_stats_one(fpath: str, data_dir: str) -> tuple[int, dict]:
             if v != "__HIVE_DEFAULT_PARTITION__":
                 pv = _parse_partition_value(v)
                 cols[k] = [pv, pv]
+    # File-level physical metadata (Delta's add-action `size` /
+    # `numRecords`): lets OPTIMIZE pick its small-file candidates and
+    # row-id span fills resolve row counts from the LOG alone — no
+    # per-file re-open on a 10^5-file table.
+    cols["__fileBytes"] = os.path.getsize(fpath)
+    cols["__numRows"] = md.num_rows
     return md.num_rows, cols
+
+
+def _stats_zero_rows(cols: dict) -> bool:
+    """True when a file's stats map proves the file holds no rows: an
+    exact recorded ``__numRows: 0``, or no data-column entry at all (a
+    zero-row parquet file has no row groups, hence no min/max stats —
+    only ``__``-reserved metadata keys can be present)."""
+    n = cols.get("__numRows")
+    if n is not None:
+        return n == 0
+    return not any(not k.startswith("__") for k in cols)
 
 
 # Snapshot size above which the footer pass fans out to executors
@@ -1948,7 +1965,7 @@ class ManagedTable:
         for fname, cols in state["files"].items():
             if cols is None:
                 return None  # stats-less file (clone) could hide the max
-            if not cols:
+            if _stats_zero_rows(cols):
                 continue  # zero-row file (no row groups -> no stats)
             if pcol not in cols:
                 return None  # a file without stats could hide the max
@@ -3079,9 +3096,16 @@ class ManagedTable:
         up O(batch) ingest."""
         v = self.latest_version()
         entry = self._entry(v) or {}
+        # Count the roots holding LIVE files: accumulated dead roots
+        # (batch dirs a later OPTIMIZE emptied) cost readers nothing —
+        # scans read explicit file lists — and must not re-trigger
+        # compaction forever.
+        dirs = self._data_dirs(v)
         n_sources = len(
-            set(self._data_dirs(v))
-            | {os.path.dirname(f) for f in self._referenced_files(v)}
+            {
+                self._version_root(f, dirs)
+                for f in self._all_data_files(v)
+            }
         )
         over_dirs = n_sources > max_data_dirs
         dv_rows = (entry.get("operationMetrics") or {}).get(
@@ -3090,6 +3114,21 @@ class ManagedTable:
         over_dv = max_dv_rows is not None and dv_rows > max_dv_rows
         if not (over_dirs or over_dv):
             return None
+        if over_dv and not over_dirs:
+            # DV debt alone: purge rewrites only the DV-bearing files
+            # and clears the vector — reads stop paying the anti-join,
+            # cold files stay untouched.
+            v2 = self.reorg_purge()
+            if v2 is not None:
+                return v2
+        else:
+            # Too many referenced sources: the accumulated ingest
+            # batches ARE the small-file tier — bin-pack just them.
+            v2 = self.optimize()
+            if v2 is not None:
+                return v2
+        # Nothing for the surgical paths to merge (e.g. one well-sized
+        # file per dir): full compaction restores the bound.
         return self.compact(target_partitions=max(
             1, self.spark.sparkContext.defaultParallelism // 4
         ))
@@ -3581,6 +3620,99 @@ class ManagedTable:
         df = src.coalesce(target_partitions)
         return self._commit(df, "OPTIMIZE", {"numOutputRows": None})
 
+    def optimize(
+        self,
+        target_file_size: int = 128 << 20,
+        min_file_size: int | None = None,
+    ) -> int | None:
+        """Delta OPTIMIZE (bin-packing): rewrite ONLY live files smaller
+        than ``min_file_size`` (default: the target size) into
+        ~``target_file_size``-byte outputs; every already-well-sized
+        file is referenced untouched through the file-level manifest.
+        Candidate selection is metadata-only — the commit log records
+        each file's byte size (``__fileBytes``) — and the rewrite also
+        materializes any deletion-vector debt the rewritten files
+        carried. Returns the committed version, or ``None`` when fewer
+        than two files qualify (nothing to gain from rewriting one).
+
+        This is what OPTIMIZE must mean at 100 TB: the maintenance pass
+        bins yesterday's small ingest files, never the years of
+        already-compacted cold data (``compact()`` remains the explicit
+        full-rewrite API). On a clustered table (``CLUSTER BY``) the
+        rewritten bin is Z-ordered on the clustering columns —
+        incremental liquid clustering: small files join the clustered
+        layout without re-clustering the whole table."""
+        if not self.exists():
+            return None
+        v = self.latest_version()
+        if not self._filelevel_ok(v):
+            return self.compact()  # unresolvable clone roots
+        lim = min_file_size if min_file_size is not None else target_file_size
+        state = self._state(v)
+        candidates: list[str] = []
+        total_bytes = 0
+        for rel, st in state["files"].items():
+            sz = (st or {}).get("__fileBytes")
+            if sz is None:
+                # Legacy entry without recorded sizes: one stat call.
+                try:
+                    sz = os.path.getsize(self._abs(rel))
+                except OSError:
+                    continue
+            if sz < lim:
+                candidates.append(self._abs(rel))
+                total_bytes += sz
+        if len(candidates) < 2:
+            return None
+        rt = self.row_tracking_enabled()
+        tagged = (
+            self._tagged_row_ids(v, files=candidates)
+            if rt
+            else self._scan_candidates(v, candidates, with_positions=True)
+        )
+        cols = [c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")]
+        old_dv_dir = state["dv"]
+        if old_dv_dir:
+            # Materialize the rewritten files' DV debt; their entries in
+            # the carried-forward vector go dangling (match nothing).
+            tagged = tagged.join(
+                F.broadcast(self._read_dv(old_dv_dir)),
+                on=["__dv_file", "__dv_pos"],
+                how="left_anti",
+            )
+        # No verify_constraints: OPTIMIZE moves rows, never changes them.
+        n_bins = max(1, -(-total_bytes // max(target_file_size, 1)))
+        batch = tagged.select(*cols)
+        ccols = self.cluster_by()
+        if ccols:
+            from .partitioning import zorder_frame
+
+            batch = zorder_frame(batch, ccols, n_files=n_bins)
+        else:
+            batch = batch.coalesce(n_bins)
+        batch_dir = self._write_data_staged(
+            self._to_physical(batch, v), self._batch_dir()
+        )
+        _n, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
+        if rt:
+            batch_stats = self._mat_stats(batch_stats)
+        return self._commit_delta_retry(
+            "OPTIMIZE_ZORDER" if ccols else "OPTIMIZE",
+            {
+                "numRewrittenFiles": len(candidates),
+                "numKeptFiles": len(state["files"]) - len(candidates),
+                "numCompactedBytes": total_bytes,
+                **({"zorderBy": ccols} if ccols else {}),
+            },
+            delta_rows=0,
+            add=batch_stats,
+            remove=[
+                os.path.relpath(f, self.path) for f in sorted(candidates)
+            ],
+            add_paths=[batch_dir],
+            read_version=v,
+        )
+
     def cluster_by(self) -> list[str]:
         """Declared clustering columns (``clusterBy`` table property),
         empty when the table is unclustered."""
@@ -3857,7 +3989,16 @@ class ManagedTable:
         live_files: set[str] = set()
         for v in retained:
             state = self._state(v)
-            referenced |= {os.path.normpath(d) for d in state["dirs"]}
+            if not state["files"]:
+                # Empty snapshot: its dirs are the schema anchor the
+                # scan falls back to — protect them by reference. Dirs
+                # of NON-empty retained states are protected through
+                # live_dirs below instead: a delta-action state's dirs
+                # list accumulates every prior root, and a root whose
+                # files a later OPTIMIZE all rewrote must stay
+                # reclaimable (Delta's live-file rule, not a
+                # referenced-once-live-forever rule).
+                referenced |= {os.path.normpath(d) for d in state["dirs"]}
             if state["dv"]:
                 referenced_dvs.add(os.path.normpath(state["dv"]))
             live_files.update(self._abs(rel) for rel in state["files"])
@@ -4496,14 +4637,17 @@ class ManagedTable:
 
     def _fill_row_bases(self, new_stats: dict, read_version: int):
         """Assign ``__rowIdBase`` spans to a batch's files (sequential
-        from the high-water mark). Returns the augmented stats and the
-        new mark; O(batch files) footer reads."""
-        import pyarrow.parquet as pq
-
+        from the high-water mark). Row counts come from the stats the
+        footer pass just recorded (``__numRows``); only legacy stats
+        maps pay a per-file footer re-read."""
         base = self._row_id_hwm(read_version)
         out = {}
         for rel in sorted(new_stats):
-            n = pq.ParquetFile(self._abs(rel)).metadata.num_rows
+            n = (new_stats[rel] or {}).get("__numRows")
+            if n is None:
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(self._abs(rel)).metadata.num_rows
             out[rel] = {
                 **(new_stats[rel] or {}),
                 self._ROW_BASE_KEY: [base, n],

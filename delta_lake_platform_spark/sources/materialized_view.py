@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .managed_table import ManagedTable
+from .managed_table import ManagedTable, _stats_zero_rows
 
 
 def _ns_cond(lhs: str, rhs: str, cols) -> "F.Column":
@@ -575,7 +575,7 @@ class MaterializedJoinAggView:
                 stats = f0[rel] if rel in f0 else f1[rel]
                 if stats is None:
                     return None  # stats-less contributor: exact path
-                if not stats:
+                if _stats_zero_rows(stats):
                     continue  # zero-row file: contributes no rows
                 s = stats.get(pk0 if rel in f0 else pk1)
                 if s is None:

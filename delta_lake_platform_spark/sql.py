@@ -629,7 +629,13 @@ class PlatformSQL:
                 # matching rows are rewritten (file-level manifest).
                 v = table.compact_where(where)
             else:
-                v = table.compact()
+                # Delta semantics: bare OPTIMIZE bin-packs the small
+                # files only; full rewrite only when there is nothing
+                # to bin (single-file table) so the statement always
+                # commits a version.
+                v = table.optimize()
+                if v is None:
+                    v = table.compact()
             return self._df([{"version": v, "operation": table.history(1)[0]["operation"]}])
         m = re.match(
             rf"(?is)^REORG\s+TABLE\s+({_IDENT})\s+APPLY\s*\(\s*PURGE\s*\)$",

@@ -288,12 +288,20 @@ def test_maybe_compact_bounds_read_amplification(table, spark):
     assert table.maybe_compact(max_data_dirs=16) is None   # under threshold
     v = table.maybe_compact(max_data_dirs=3)
     assert v is not None
-    assert len(table._data_dirs(v)) == 1
+    # All live files collapsed into one root (accumulated dead batch
+    # dirs in the entry's dataPaths cost readers nothing).
+    live_roots = {
+        os.path.dirname(f) for f in table._all_data_files(v)
+    }
+    assert len(live_roots) == 1
+    assert table.maybe_compact(max_data_dirs=3) is None  # trigger reset
     assert table.read().count() == 1005
-    # DV-size trigger.
+    # DV-size trigger: routed to REORG PURGE (only DV-bearing files
+    # rewritten), whose entry records an explicit deletionVector clear.
     table.delete("bucket = 1", rewrite=False)
     assert table.maybe_compact(max_data_dirs=16, max_dv_rows=50) is not None
-    assert "deletionVector" not in table._entry(table.latest_version())
+    assert table._state(table.latest_version())["dv"] is None
+    assert table.read().filter("bucket = 1").count() == 0
 
 
 def test_enable_deletion_vectors_property_switches_dml_default(table):
