@@ -671,3 +671,75 @@ def docs_row_tracking_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("_row_id").alias("n_distinct_row_ids"),
         F.max("_row_id").alias("max_row_id"),
     )
+
+
+BINPACK_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(price_cents)::BIGINT AS sum_price_cents
+FROM b
+WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("optimize_binpack_orders", BINPACK_ORACLE)
+def optimize_binpack_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-aware OPTIMIZE end to end (Delta bin-packing): a compacted
+    base file plus three small ingest appends, a scattered MOR delete,
+    then OPTIMIZE with the base file's own size as the small-file
+    threshold — the log's recorded per-file byte sizes select exactly
+    the three ingest files (metadata-only, no table scan), the rewrite
+    bins them into one file and materializes their DV debt, and the
+    base file survives BY REFERENCE (the commit metrics hard-pin
+    kept=1). At 100 TB this is the difference between a maintenance
+    pass and a full-table rewrite. The final aggregate must see
+    through the new layout exactly (oracle recomputes from scratch)."""
+    import shutil
+    import tempfile
+
+    from ..sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="binpack_")
+    t = ManagedTable(spark, f"{d}/orders_binpack")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    t.create(src.filter(F.col("o_orderkey") % 5 != 0).coalesce(1))
+    for r in (0, 5, 10):  # three small ingest batches (the %5==0 slice)
+        t.append(
+            src.filter(F.col("o_orderkey") % 15 == r).coalesce(1), fast=True
+        )
+    t.delete("o_orderkey % 7 = 0", rewrite=False)  # scattered DV debt
+    base_rel, base_stats = max(
+        t._state(t.latest_version())["files"].items(),
+        key=lambda kv: (kv[1] or {}).get("__fileBytes", 0),
+    )
+    v = t.optimize(min_file_size=base_stats["__fileBytes"])
+    met = (t._entry(v) or {}).get("operationMetrics", {})
+    if v is None or met.get("numKeptFiles") != 1:
+        raise AssertionError(
+            f"bin-packing must keep exactly the base file, got {met}"
+        )
+    if base_rel not in t._state(v)["files"]:
+        raise AssertionError("the base file must survive by reference")
+    out = (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("price_cents").alias("sum_price_cents"),
+        )
+        .orderBy("o_orderstatus")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
