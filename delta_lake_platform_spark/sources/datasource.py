@@ -228,6 +228,19 @@ class _TailReader(DataSourceStreamReader):
         # appends of versions >= v (no snapshot) — resuming a pipeline
         # at a known log position.
         self.starting_version = options.get("startingversion")
+        # Delta's startingTimestamp: begin at the earliest commit AT or
+        # AFTER the given ISO timestamp (mutually exclusive with
+        # startingVersion, like Delta). A timestamp before the first
+        # commit starts from version 0; one past the head raises.
+        self.starting_timestamp = options.get("startingtimestamp")
+        if (
+            self.starting_version is not None
+            and self.starting_timestamp is not None
+        ):
+            raise ValueError(
+                "managed_table tail: specify startingVersion OR "
+                "startingTimestamp, not both"
+            )
         # assumeFresh=true: the caller PROMISES this stream has no
         # prior checkpoint, so a missing position sidecar means
         # "genuinely fresh" and the cap applies from the very first
@@ -282,6 +295,29 @@ class _TailReader(DataSourceStreamReader):
         current snapshot, then the tail). startingVersion overrides;
         offsets mean "fully served through version v", so starting AT
         version v is offset v-1."""
+        if self.starting_timestamp is not None:
+            from datetime import datetime, timezone
+
+            cutoff = (
+                datetime.fromisoformat(self.starting_timestamp)
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+            )
+            at_or_after = [
+                h["version"]
+                for h in self.table.history()
+                if h["timestamp"] >= cutoff
+            ]
+            if not at_or_after:
+                raise ValueError(
+                    f"startingTimestamp {self.starting_timestamp!r} is "
+                    "after the table's latest commit — a stream cannot "
+                    "begin past the head"
+                )
+            # Offsets mean "fully served through v": beginning AT
+            # version v is offset v-1; v=0 degrades to snapshot-start.
+            sv = min(at_or_after)
+            return {"version": sv - 1} if sv > 0 else {"version": -1}
         if self.starting_version is None:
             return {"version": -1}
         if str(self.starting_version).lower() == "latest":

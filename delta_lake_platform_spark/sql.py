@@ -243,6 +243,23 @@ class PlatformSQL:
             raise ValueError(f"no commit of {name} at or before {ts!r}")
         return max(versions)
 
+    def _earliest_version_at_or_after(self, name: str, ts: str) -> int:
+        """Earliest version committed at or after ``ts`` (Delta's CDF
+        starting-timestamp rule)."""
+        from datetime import datetime, timezone
+
+        cutoff = (
+            datetime.fromisoformat(ts).replace(tzinfo=timezone.utc).timestamp()
+        )
+        versions = [
+            h["version"]
+            for h in self.tables[name].history()
+            if h["timestamp"] >= cutoff
+        ]
+        if not versions:
+            raise ValueError(f"no commit of {name} at or after {ts!r}")
+        return min(versions)
+
     def _merge(self, text: str) -> DataFrame:
         m = re.match(
             rf"(?is)\s*MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?"
@@ -764,24 +781,43 @@ class PlatformSQL:
         # v0 itself made are returned), so it maps to the snapshot diff
         # (v0-1) -> v1. Version 0 is the initial snapshot, not a
         # change — read the table (or time-travel) for it.
-        def tc(m2):
-            name, v0, v1 = m2.group(1), int(m2.group(2)), m2.group(3)
+        def _tc_view(name: str, v0: int, v1: int | None) -> str:
             if v0 < 1:
                 raise ValueError(
                     "table_changes: start version must be >= 1 (version "
                     "0 is the initial snapshot — read the table VERSION "
                     "AS OF 0 instead)"
                 )
-            view = f"{name}__changes_{v0}_{v1 or 'head'}"
+            view = f"{name}__changes_{v0}_{'head' if v1 is None else v1}"
             self.tables[name].change_feed(
-                v0 - 1, int(v1) if v1 else None
+                v0 - 1, v1
             ).createOrReplaceTempView(view)
             return view
+
+        def tc(m2):
+            name, v0, v1 = m2.group(1), int(m2.group(2)), m2.group(3)
+            return _tc_view(name, v0, int(v1) if v1 else None)
 
         t = re.sub(
             rf"(?is)\btable_changes\s*\(\s*'?({_IDENT})'?\s*,\s*(\d+)"
             r"(?:\s*,\s*(\d+))?\s*\)",
             tc,
+            t,
+        )
+
+        # Timestamp forms (Delta CDF): the start maps to the EARLIEST
+        # commit at or after it, the end to the LATEST commit at or
+        # before it — both inclusive, like the version form.
+        def tc_ts(m2):
+            name, ts0, ts1 = m2.group(1), m2.group(2), m2.group(3)
+            v0 = self._earliest_version_at_or_after(name, ts0)
+            v1 = self._version_at_timestamp(name, ts1) if ts1 else None
+            return _tc_view(name, v0, v1)
+
+        t = re.sub(
+            rf"(?is)\btable_changes\s*\(\s*'?({_IDENT})'?\s*,\s*"
+            r"'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)",
+            tc_ts,
             t,
         )
 

@@ -683,3 +683,60 @@ def test_sink_partitioned_rejects_unescapable_values(spark):
             ).save()
         except Exception as e:  # py4j wraps the executor error
             raise RuntimeError(str(e)) from e
+
+
+def test_stream_starting_timestamp(table, spark):
+    """startingTimestamp: the stream begins at the earliest commit AT
+    or AFTER the timestamp — here, between v0 and v1, so the snapshot
+    never flows and both appends do."""
+    import datetime
+
+    table.append(spark.range(1000, 1010).select(  # v1
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+    ))
+    table.append(spark.range(2000, 2005).select(  # v2
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+    ))
+    ts = {e["version"]: e["timestamp"] for e in table.history()}
+    mid01 = datetime.datetime.utcfromtimestamp(
+        (ts[0] + ts[1]) / 2
+    ).isoformat()
+    d = tempfile.mkdtemp(prefix="ds_sts_")
+    batches: list[int] = []
+    q = (
+        spark.readStream.format("managed_table")
+        .option("path", table.path)
+        .option("startingTimestamp", mid01)
+        .load()
+        .writeStream.foreachBatch(lambda df, e: batches.append(df.count()))
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert sum(batches) == 15  # v1 + v2 appends; snapshot skipped
+
+
+def test_stream_starting_timestamp_validation(table, spark):
+    import datetime
+
+    from delta_lake_platform_spark.sources.datasource import _TailReader
+
+    future = (
+        datetime.datetime.now() + datetime.timedelta(days=1)
+    ).isoformat()
+    r = _TailReader({"path": table.path, "startingtimestamp": future})
+    with pytest.raises(ValueError, match="after the table's latest"):
+        r._initial_off()
+    with pytest.raises(ValueError, match="not both"):
+        _TailReader(
+            {
+                "path": table.path,
+                "startingtimestamp": future,
+                "startingversion": "1",
+            }
+        )
+    # A timestamp before the first commit = snapshot-start semantics.
+    past = datetime.datetime.utcfromtimestamp(0).isoformat()
+    r2 = _TailReader({"path": table.path, "startingtimestamp": past})
+    assert r2._initial_off() == {"version": -1}

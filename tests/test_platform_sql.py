@@ -585,3 +585,39 @@ def test_restore_timestamp_as_of(psql):
     ts0 = datetime.datetime.utcfromtimestamp((t0 + t1) / 2).isoformat()
     psql.sql(f"RESTORE accounts TO TIMESTAMP AS OF '{ts0}'")
     assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 3
+
+
+def test_table_changes_timestamp_forms(psql):
+    import datetime
+
+    psql.sql("DELETE FROM accounts WHERE id = 1")        # v1
+    psql.sql("INSERT INTO accounts VALUES (4, 'dave', 400)")  # v2
+    h = psql.tables["accounts"].history()
+    ts = {e["version"]: e["timestamp"] for e in h}
+    mid01 = datetime.datetime.utcfromtimestamp(
+        (ts[0] + ts[1]) / 2
+    ).isoformat()
+    mid12 = datetime.datetime.utcfromtimestamp(
+        (ts[1] + ts[2]) / 2
+    ).isoformat()
+    # Start timestamp -> earliest commit at-or-after it (v1..head).
+    got = psql.sql(
+        f"SELECT _change_type, id FROM table_changes('accounts', '{mid01}') "
+        "ORDER BY id"
+    ).collect()
+    assert [(r._change_type, r.id) for r in got] == [
+        ("delete", 1),
+        ("insert", 4),
+    ]
+    # Two timestamps: inclusive window v1..v1.
+    got = psql.sql(
+        "SELECT _change_type, id FROM "
+        f"table_changes('accounts', '{mid01}', '{mid12}') ORDER BY id"
+    ).collect()
+    assert [(r._change_type, r.id) for r in got] == [("delete", 1)]
+    # A start past the head raises with a clear message.
+    future = (
+        datetime.datetime.now() + datetime.timedelta(days=1)
+    ).isoformat()
+    with pytest.raises(ValueError, match="at or after"):
+        psql.sql(f"SELECT * FROM table_changes('accounts', '{future}')")
