@@ -4210,12 +4210,156 @@ class ManagedTable:
             entry["fileLevel"] = True
             entry["dataPaths"] = list(state["dirs"])
             entry["dataFiles"] = self._all_data_files(src_version)
+        # Carry the source's footer stats (rekeyed to the clone's
+        # root): data skipping and size-aware OPTIMIZE work on the
+        # clone without re-reading a single footer.
+        if any(st is not None for st in state["files"].values()):
+            entry["fileStats"] = {
+                os.path.relpath(self._abs(rel), target_path): st
+                for rel, st in state["files"].items()
+            }
+        # Snapshot metadata travels with the clone: without the schema
+        # every clone read pays an inference job, and without the
+        # column mapping a clone of a renamed source would expose the
+        # stale PHYSICAL column names (wrong logical view). The
+        # protocol carries so reader gates (columnMapping, DVs) still
+        # apply to the clone's files.
+        if state.get("schema") is not None:
+            entry["schema"] = state["schema"]
+        if state.get("columnMapping"):
+            entry["columnMapping"] = state["columnMapping"]
+        if state.get("protocol"):
+            entry["protocol"] = state["protocol"]
         if state["dv"]:
             # The clone must see the source's merge-on-read deletes too,
             # or vanished rows would resurrect in the clone.
             entry["deletionVector"] = state["dv"]
         if spec:
             target._set_partition_spec(spec, column_order=self._column_order())
+        target._write_entry(0, entry)
+        return target
+
+    def deep_clone(self, target_path: str) -> "ManagedTable":
+        """Delta DEEP CLONE: an independent copy of the current
+        snapshot. Clean live files are COPIED byte-for-byte (no Spark
+        rewrite — their footer stats, row-id spans, and materialized
+        id columns carry over verbatim); files carrying deletion-vector
+        debt are the only ones rewritten, materializing their deletes
+        so the clone starts vector-free. Table-local metadata
+        (properties, constraints, identity/generated specs, row-id
+        floor) travels too. After this, the source's VACUUM and
+        lifecycle can never touch the clone — the independence shallow
+        clones trade away."""
+        import shutil
+
+        src_version = self.latest_version()
+        target = ManagedTable(self.spark, target_path)
+        if target.exists():
+            raise FileExistsError(target_path)
+        state = self._state(src_version)
+        spec = self.partition_spec()
+        if spec:
+            target._set_partition_spec(spec, column_order=self._column_order())
+        # Which files carry DV debt (the only ones needing a rewrite):
+        # the work list comes from the sidecar itself, like REORG PURGE.
+        dv_files: set[str] = set()
+        if state["dv"]:
+            dv = self._read_dv(state["dv"])
+            dv_files = {
+                os.path.abspath(_uri_to_path(r["__dv_file"]))
+                for r in dv.select("__dv_file").distinct().collect()
+            }
+        dirs = state["dirs"]
+        dest_root = os.path.join(target.path, "data", "v=0")
+        copied_stats: dict[str, dict | None] = {}
+        rewrite_abs: list[str] = []
+        for i, rel in enumerate(sorted(state["files"])):
+            src_abs = self._abs(rel)
+            if os.path.abspath(src_abs) in dv_files:
+                rewrite_abs.append(src_abs)
+                continue
+            # Keep the hive k=v segments below the owning root so the
+            # copied layout still encodes the partition values.
+            root = self._version_root(src_abs, dirs)
+            sub = os.path.relpath(os.path.dirname(src_abs), root)
+            dest_dir = (
+                dest_root
+                if sub in (".", "")
+                else os.path.join(dest_root, sub)
+            )
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(
+                dest_dir, f"c{i:05d}-{os.path.basename(src_abs)}"
+            )
+            shutil.copyfile(src_abs, dest)
+            copied_stats[os.path.relpath(dest, target.path)] = (
+                state["files"][rel]
+            )
+        data_paths = [dest_root]
+        if rewrite_abs:
+            rt = self.row_tracking_enabled()
+            tagged = (
+                self._tagged_row_ids(src_version, files=rewrite_abs)
+                if rt
+                else self._scan_candidates(
+                    src_version, rewrite_abs, with_positions=True
+                )
+            )
+            cols = [
+                c for c in tagged.columns if c not in ("__dv_file", "__dv_pos")
+            ]
+            batch = tagged.join(
+                F.broadcast(self._read_dv(state["dv"])),
+                on=["__dv_file", "__dv_pos"],
+                how="left_anti",
+            ).select(*cols)
+            batch_dir = target._write_data_staged(
+                self._to_physical(batch, src_version), target._batch_dir()
+            )
+            _n, batch_stats = _scan_parquet_footers(
+                batch_dir, rel_root=target.path
+            )
+            if rt:
+                batch_stats = self._mat_stats(batch_stats)
+            copied_stats.update(batch_stats)
+            data_paths.append(batch_dir)
+        # Table-local metadata sidecars travel with a DEEP clone.
+        for p in (
+            self._properties_path(),
+            self._constraints_path(),
+            self._identity_path(),
+            self._generated_path(),
+            self._rowid_floor_path(),
+        ):
+            if os.path.isfile(p):
+                shutil.copyfile(
+                    p, os.path.join(target.path, os.path.basename(p))
+                )
+        entry = {
+            "version": 0,
+            "timestamp": time.time(),
+            "operation": "DEEP CLONE",
+            "operationMetrics": {
+                "sourcePath": self.path,
+                "sourceVersion": src_version,
+                "numCopiedFiles": sum(
+                    1
+                    for k in copied_stats
+                    if k.startswith(os.path.join("data", "v=0"))
+                ),
+                "numRewrittenFiles": len(rewrite_abs),
+                "numOutputRows": self.row_count(src_version),
+            },
+            "fileStats": copied_stats,
+            "dataPaths": data_paths,
+            "fileLevel": True,
+        }
+        if state.get("schema") is not None:
+            entry["schema"] = state["schema"]
+        if state.get("columnMapping"):
+            entry["columnMapping"] = state["columnMapping"]
+        if state.get("protocol"):
+            entry["protocol"] = state["protocol"]
         target._write_entry(0, entry)
         return target
 

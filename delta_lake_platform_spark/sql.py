@@ -435,13 +435,18 @@ class PlatformSQL:
             self.register(name, table)
             return self._df([{"version": v, "location": path}])
         m = re.match(
-            rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+"
+            rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s+(SHALLOW|DEEP)\s+CLONE\s+"
             rf"({_IDENT})\s+LOCATION\s+'([^']+)'$",
             t,
         )
         if m:
-            name, src, path = m.groups()
-            table = self.tables[src].clone(path)
+            name, kind, src, path = m.groups()
+            src_table = self.tables[src]
+            table = (
+                src_table.deep_clone(path)
+                if kind.upper() == "DEEP"
+                else src_table.clone(path)
+            )
             self.register(name, table)
             return self._df(
                 [{"version": 0, "location": path, "source": src}]
