@@ -788,9 +788,23 @@ class ManagedTable:
         than overwrite its commit (Delta-style optimistic concurrency;
         the loser retries on a fresh read of the table). Every
         ``_CKPT_INTERVAL``-th commit also writes a consolidated state
-        checkpoint and advances the ``_last_checkpoint`` pointer."""
+        checkpoint and advances the ``_last_checkpoint`` pointer.
+
+        Commit timestamps are forced MONOTONE non-decreasing across
+        versions (Delta's in-commit-timestamps contract): every
+        timestamp-based resolution — ``TIMESTAMP AS OF``, CDF
+        timestamp windows, ``startingTimestamp`` — assumes version
+        order and time order agree, which a backwards clock step would
+        otherwise silently break."""
         from .commit_protocol import CommitError
 
+        if version > 0 and "timestamp" in entry:
+            try:
+                prev_ts = (self._entry(version - 1) or {}).get("timestamp")
+            except Exception:
+                prev_ts = None
+            if prev_ts is not None and entry["timestamp"] <= prev_ts:
+                entry = {**entry, "timestamp": prev_ts + 1e-3}
         try:
             self._protocol.create_entry(
                 self._entry_path(version), json.dumps(entry)
@@ -3735,18 +3749,21 @@ class ManagedTable:
             return
         schema = self._schema_of(self._state(self.latest_version()))
         if schema is not None:
-            numeric = (
+            orderable = (
                 T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                T.FloatType, T.DoubleType, T.DecimalType,
+                T.FloatType, T.DoubleType, T.DecimalType, T.StringType,
+                T.DateType, T.TimestampType, T.TimestampNTZType,
+                T.BooleanType,
             )
             for c in cols:
                 if c not in schema.fieldNames():
                     raise ValueError(f"CLUSTER BY: no such column {c!r}")
-                if not isinstance(schema[c].dataType, numeric):
+                if not isinstance(schema[c].dataType, orderable):
                     raise ValueError(
                         f"CLUSTER BY: column {c!r} has type "
                         f"{schema[c].dataType.simpleString()}; clustering "
-                        "needs a numeric column (Z-value interleaving)"
+                        "needs an orderable scalar column (numeric, "
+                        "string, date/timestamp, or boolean)"
                     )
         self.set_property("clusterBy", ",".join(cols))
 

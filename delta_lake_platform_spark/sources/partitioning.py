@@ -54,23 +54,55 @@ def _zvalue(
     return reduce(lambda a, x: a.bitwiseOR(x), terms).alias("__zvalue")
 
 
+def z_surrogate(df: DataFrame, col: str) -> Column:
+    """Order-preserving NUMERIC surrogate for a Z-order column — what
+    lets OPTIMIZE ZORDER BY / CLUSTER BY accept strings, dates, and
+    timestamps like Delta does. Strings map to their first 7 UTF-8
+    bytes read as a base-16 integer (lexicographic prefix order
+    preserved; 56 bits keeps the value positive in a long); temporal
+    types map to epoch seconds. The surrogate only drives LAYOUT —
+    collisions past the prefix merely co-locate similar keys, which is
+    the point."""
+    t = dict(df.dtypes)[col]
+    if t == "string":
+        return F.expr(
+            f"conv(substring(hex(encode({col}, 'UTF-8')) || "
+            "'00000000000000', 1, 14), 16, 10)"
+        ).cast("double")
+    if t == "date" or t.startswith("timestamp"):
+        return F.col(col).cast("timestamp").cast("double")
+    if t == "boolean":
+        return F.col(col).cast("int").cast("double")
+    return F.col(col).cast("double")
+
+
 def zorder_frame(
     df: DataFrame, zorder_cols: Sequence[str], n_files: int = 8
 ) -> DataFrame:
     """Return df reordered by Z-value across ``n_files`` range
     partitions (each written file covers a compact hyper-rectangle of
     the key space -> min/max stats prune on every dimension). One extra
-    min/max aggregation pass computes the normalization ranges."""
-    row = df.agg(
-        *[F.min(c).alias(f"min_{c}") for c in zorder_cols],
-        *[F.max(c).alias(f"max_{c}") for c in zorder_cols],
+    min/max aggregation pass computes the normalization ranges.
+    Non-numeric columns Z-order through order-preserving surrogates
+    (``z_surrogate``)."""
+    surr = {c: f"__zs_{i}" for i, c in enumerate(zorder_cols)}
+    df2 = df.select(
+        "*", *[z_surrogate(df, c).alias(surr[c]) for c in zorder_cols]
+    )
+    row = df2.agg(
+        *[F.min(surr[c]).alias(f"min_{surr[c]}") for c in zorder_cols],
+        *[F.max(surr[c]).alias(f"max_{surr[c]}") for c in zorder_cols],
     ).first()
-    ranges = {
-        c: (float(row[f"min_{c}"]), float(row[f"max_{c}"])) for c in zorder_cols
-    }
-    with_z = df.withColumn("__z", _zvalue(zorder_cols, ranges))
+    ranges = {}
+    for c in zorder_cols:
+        lo, hi = row[f"min_{surr[c]}"], row[f"max_{surr[c]}"]
+        # An all-NULL column contributes a constant (no layout signal).
+        ranges[surr[c]] = (
+            (float(lo), float(hi)) if lo is not None else (0.0, 1.0)
+        )
+    with_z = df2.withColumn("__z", _zvalue(list(surr.values()), ranges))
     return (
         with_z.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", *surr.values())
     )

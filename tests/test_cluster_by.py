@@ -76,9 +76,41 @@ def test_cluster_by_validation(spark):
         t.set_cluster_by(["nope"])
     d = tempfile.mkdtemp(prefix="clusterby_str_")
     ts = ManagedTable(spark, f"{d}/t")
-    ts.create(spark.range(5).select(F.col("id"), F.lit("a").alias("s")))
-    with pytest.raises(ValueError, match="numeric"):
-        ts.set_cluster_by(["s"])
+    ts.create(
+        spark.range(5).select(
+            F.col("id"),
+            F.lit("a").alias("s"),
+            F.array(F.lit(1)).alias("arr"),
+        )
+    )
+    ts.set_cluster_by(["s"])  # strings cluster via the UTF-8 surrogate
+    with pytest.raises(ValueError, match="orderable"):
+        ts.set_cluster_by(["arr"])
+
+
+def test_string_clustering_prunes(spark):
+    """CLUSTER BY on a string column: the Z-order surrogate (first
+    UTF-8 bytes) makes footer stats selective on string prefixes."""
+    d = tempfile.mkdtemp(prefix="clusterby_strz_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(
+        spark.range(4000)
+        .select(
+            F.concat(
+                F.lit("user_"),
+                F.lpad((F.col("id") % 500).cast("string"), 4, "0"),
+            ).alias("name"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(8)
+    )
+    t.set_cluster_by(["name"])
+    before = t.read().orderBy("payload").collect()
+    t.compact()
+    assert t.read().orderBy("payload").collect() == before
+    kept, total = t.prune_files("name", "user_0000", "user_0049")
+    assert total > 1
+    assert len(kept) < total, "no pruning on the clustered string column"
 
 
 def test_clustering_preserves_row_ids(spark):

@@ -167,3 +167,30 @@ def test_parse_duration_formats():
     assert _parse_duration_s("3600") == 3600.0
     assert _parse_duration_s(None) is None
     assert _parse_duration_s("garbage") is None
+
+
+def test_commit_timestamps_are_monotone(spark):
+    """In-commit-timestamps contract: a backwards clock step must not
+    produce a version whose timestamp precedes its predecessor's —
+    TIMESTAMP AS OF / CDF windows / startingTimestamp all assume
+    version order and time order agree."""
+    import tempfile
+    import time as _time
+    from unittest import mock
+
+    from delta_lake_platform_spark.sources import managed_table as mt
+
+    d = tempfile.mkdtemp(prefix="ict_")
+    t = mt.ManagedTable(spark, f"{d}/t")
+    t.create(spark.range(5))
+    real_time = _time.time
+    skewed = real_time() - 3600  # clock stepped back an hour
+
+    with mock.patch.object(mt.time, "time", lambda: skewed):
+        t.append(spark.range(5, 8), fast=True)
+    ts = {e["version"]: e["timestamp"] for e in t.history()}
+    assert ts[1] > ts[0]
+    # And a normal commit after the skewed one keeps ascending.
+    t.append(spark.range(8, 9), fast=True)
+    ts = {e["version"]: e["timestamp"] for e in t.history()}
+    assert ts[2] > ts[1]
