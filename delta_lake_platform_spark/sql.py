@@ -599,6 +599,35 @@ class PlatformSQL:
         m = re.match(rf"(?is)^DESCRIBE\s+DETAIL\s+({_IDENT})$", t)
         if m:
             return self._detail(m.group(1))
+        m = re.match(rf"(?is)^DESCRIBE\s+(?:TABLE\s+)?({_IDENT})$", t)
+        if m:
+            name = m.group(1)
+            table = self.tables[name]
+            df = table.read()
+            spec = set(table.partition_spec() or [])
+            ccols = set(table.cluster_by())
+            idents = set(table.identity_columns())
+            gens = set(table.generated_columns() or {})
+            rows = []
+            for c, dt in df.dtypes:
+                tags = [
+                    tag
+                    for tag, hit in (
+                        ("partition", c in spec),
+                        ("cluster", c in ccols),
+                        ("identity", c in idents),
+                        ("generated", c in gens),
+                    )
+                    if hit
+                ]
+                rows.append(
+                    {
+                        "col_name": c,
+                        "data_type": dt,
+                        "comment": ", ".join(tags),
+                    }
+                )
+            return self._df(rows)
         m = re.match(
             rf"(?is)^VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+HOURS)?"
             r"(?:\s+KEEP\s+LAST\s+(\d+))?(\s+DRY\s+RUN)?$",

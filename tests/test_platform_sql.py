@@ -621,3 +621,21 @@ def test_table_changes_timestamp_forms(psql):
     ).isoformat()
     with pytest.raises(ValueError, match="at or after"):
         psql.sql(f"SELECT * FROM table_changes('accounts', '{future}')")
+
+
+def test_describe_table(psql, spark):
+    rows = {r.col_name: r for r in psql.sql("DESCRIBE TABLE accounts").collect()}
+    assert set(rows) == {"id", "name", "balance"}
+    assert rows["id"].data_type == "bigint"
+    # Partition / cluster tags surface in the comment column.
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="desc_sql_")
+    psql.sql(
+        f"CREATE TABLE dt LOCATION '{d}/dt' PARTITIONED BY (p) AS "
+        "SELECT id, id % 4 AS p FROM range(40)"
+    )
+    psql.sql("ALTER TABLE dt CLUSTER BY (id)")
+    rows = {r.col_name: r for r in psql.sql("DESCRIBE dt").collect()}
+    assert rows["p"].comment == "partition"
+    assert rows["id"].comment == "cluster"
