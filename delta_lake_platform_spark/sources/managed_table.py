@@ -4451,12 +4451,14 @@ class ManagedTable:
                 and not (st or {}).get(self._ROW_MAT_KEY)
             )
             if unspanned:
-                import pyarrow.parquet as pq
-
                 base = self._row_id_hwm(v_cur)
                 start = base
                 for rel in unspanned:
-                    n = pq.ParquetFile(self._abs(rel)).metadata.num_rows
+                    n = (files[rel] or {}).get("__numRows")
+                    if n is None:  # legacy stats: one footer read
+                        import pyarrow.parquet as pq
+
+                        n = pq.ParquetFile(self._abs(rel)).metadata.num_rows
                     files[rel] = {
                         **(files[rel] or {}),
                         self._ROW_BASE_KEY: [base, n],
@@ -4726,7 +4728,9 @@ class ManagedTable:
         add = {}
         base = 0
         for rel in sorted(state["files"]):
-            n = pq.ParquetFile(self._abs(rel)).metadata.num_rows
+            n = (state["files"][rel] or {}).get("__numRows")
+            if n is None:  # legacy stats: one footer read
+                n = pq.ParquetFile(self._abs(rel)).metadata.num_rows
             add[rel] = {
                 **(state["files"][rel] or {}),
                 self._ROW_BASE_KEY: [base, n],
