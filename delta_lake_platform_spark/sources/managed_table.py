@@ -525,9 +525,39 @@ class ManagedTable:
                 "protocol": entry.get("protocol") or state.get("protocol"),
             }
             self._state_cache[entry["version"]] = state
+        if chain:
+            state = {**state, "dirs": self._live_dirs_only(state)}
         self._check_reader(state)
         self._state_cache[version] = state
         return state
+
+    def _live_dirs_only(self, state: dict) -> list[str]:
+        """Delta-action replay accumulates every prior root in the
+        dirs list; drop (and dedupe) roots holding no live file so
+        ``_data_dirs``, vacuum's reference set, and the auto-compaction
+        trigger stay O(live roots) instead of growing monotonically
+        with history. Empty snapshots keep their dirs — they are the
+        scan's schema anchor."""
+        files = state["files"]
+        dirs = state["dirs"]
+        if not files or len(dirs) <= 1:
+            return dirs
+        live: set[str] = set()
+        for rel in files:
+            d = os.path.dirname(os.path.normpath(self._abs(rel)))
+            while d not in live:
+                live.add(d)
+                nd = os.path.dirname(d)
+                if nd == d:
+                    break
+                d = nd
+        out, seen = [], set()
+        for d in dirs:
+            nd = os.path.normpath(d)
+            if nd in live and nd not in seen:
+                seen.add(nd)
+                out.append(d)
+        return out or dirs
 
     def _check_reader(self, state: dict) -> None:
         proto = state.get("protocol") or {}
