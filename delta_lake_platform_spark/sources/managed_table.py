@@ -3728,10 +3728,17 @@ class ManagedTable:
         n_bins = max(1, -(-total_bytes // max(target_file_size, 1)))
         batch = tagged.select(*cols)
         ccols = self.cluster_by()
+        spec = self.partition_spec()
         if ccols:
             from .partitioning import zorder_frame
 
             batch = zorder_frame(batch, ccols, n_files=n_bins)
+        elif spec:
+            # Hive layout: co-locate each partition's rows in one task
+            # so partitionBy emits ~one file per partition per bin — a
+            # global coalesce would give every task a slice of every
+            # partition and re-fragment what OPTIMIZE just merged.
+            batch = batch.repartition(n_bins, *[F.col(c) for c in spec])
         else:
             batch = batch.coalesce(n_bins)
         batch_dir = self._write_data_staged(
