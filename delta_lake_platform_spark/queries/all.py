@@ -112,7 +112,14 @@ PRIORITY = [
     "docs_lang_id",
     "docs_pii_redaction",
     "docs_train_split",
-    "docs_pack_sequences",
+    # docs_pack_sequences rotated out in r5 session 11 for
+    # optimize_binpack_orders (the new size-aware OPTIMIZE: log-driven
+    # small-file candidate selection, file-level bin-pack commit, DV
+    # materialization — metrics hard-pinned in-query). Curation keeps
+    # three driver representatives (train_split, contamination,
+    # curation_pipeline — the last one CONTAINS sequence packing);
+    # pack_sequences stays locally oracle-swept and benched.
+    "optimize_binpack_orders",
     "docs_benchmark_contamination",
     "docs_curation_pipeline",
     "docs_exact_dedup",

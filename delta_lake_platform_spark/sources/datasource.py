@@ -218,6 +218,13 @@ class _TailReader(DataSourceStreamReader):
         # catch-up, and the cap engages from the second trigger on.
         mft = options.get("maxfilespertrigger")
         self.max_files = max(1, int(mft)) if mft is not None else None
+        # Delta's maxBytesPerTrigger: a SOFT byte cap — each trigger
+        # serves at least one file, then stops once the budget is
+        # spent. Composable with maxFilesPerTrigger (whichever budget
+        # exhausts first ends the batch).
+        mbt = options.get("maxbytespertrigger")
+        self.max_bytes = max(1, int(mbt)) if mbt is not None else None
+        self._capped = self.max_files is not None or self.max_bytes is not None
         self.stream_id = options.get("streamid")
         self._last_planned = None  # most recent offset handed to Spark
         self._unit_cache: dict = {}  # (v, v_snap) -> [_FilePartition]
@@ -345,7 +352,7 @@ class _TailReader(DataSourceStreamReader):
         # needs assumeFresh for its very first batch to be capped).
         off = self._initial_off()
         self._last_planned = off
-        if self.stream_id and self.max_files is not None:
+        if self.stream_id and self._capped:
             self._save_pos(off)
         return off
 
@@ -434,7 +441,7 @@ class _TailReader(DataSourceStreamReader):
     def latestOffset(self):
         head = self.table.latest_version()
         self._check_schema_unchanged(head)
-        if self.max_files is None:
+        if not self._capped:
             return {"version": head}
         last = self._last_planned
         if last is None and self.stream_id:
@@ -470,12 +477,36 @@ class _TailReader(DataSourceStreamReader):
             # repeat the previous offset verbatim so Spark sees no
             # progress and plans no batch.
             return dict(last)
-        budget = self.max_files
-        while budget > 0 and cur_v <= head:
-            n = len(self._unit_files(cur_v, v_snap))
-            take = min(budget, n - cur_i)
-            cur_i += take
-            budget -= take
+        fbudget = self.max_files
+        bbudget = self.max_bytes
+        took = 0
+        exhausted = False
+        while not exhausted and cur_v <= head:
+            unit = self._unit_files(cur_v, v_snap)
+            n = len(unit)
+            while cur_i < n:
+                if fbudget is not None and fbudget <= 0:
+                    exhausted = True
+                    break
+                sz = 0
+                if bbudget is not None:
+                    try:
+                        sz = os.path.getsize(unit[cur_i].file_path)
+                    except OSError:
+                        sz = 0
+                    # Soft max (Delta): serve at least one file per
+                    # trigger, then stop once the byte budget is spent.
+                    if took > 0 and sz > bbudget:
+                        exhausted = True
+                        break
+                if fbudget is not None:
+                    fbudget -= 1
+                if bbudget is not None:
+                    bbudget -= sz
+                cur_i += 1
+                took += 1
+            if exhausted:
+                break
             if cur_i >= n and cur_v < head:
                 cur_v, cur_i = cur_v + 1, 0
             elif cur_i >= n:

@@ -740,3 +740,65 @@ def test_stream_starting_timestamp_validation(table, spark):
     past = datetime.datetime.utcfromtimestamp(0).isoformat()
     r2 = _TailReader({"path": table.path, "startingtimestamp": past})
     assert r2._initial_off() == {"version": -1}
+
+
+@pytest.mark.parametrize("byte_cap", [1, 2000, 10**9])
+def test_byte_capped_offset_walk_partitions_the_uncapped_set(
+    table, spark, byte_cap
+):
+    """maxBytesPerTrigger: same exactly-once partition invariant as the
+    file cap — the walk serves the uncapped set with no dupes/gaps —
+    plus the soft-max rule: every chunk fits the byte budget OR is a
+    single file (a file larger than the budget must still flow)."""
+    import os as _os
+
+    from delta_lake_platform_spark.sources.datasource import _TailReader
+
+    table.append(spark.range(1000, 1020).select(
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(2), fast=True)
+    table.append(spark.range(2000, 2005).select(
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
+    ).coalesce(1), fast=True)
+
+    def walk(opts):
+        r = _TailReader({"path": table.path, **opts})
+        prev = r.initialOffset()
+        served = []
+        for _ in range(200):
+            cur = r.latestOffset()
+            if cur == prev:
+                break
+            served.append([p.file_path for p in r.partitions(prev, cur)])
+            prev = cur
+        else:
+            raise AssertionError("offset walk did not converge")
+        return served
+
+    uncapped = [f for chunk in walk({}) for f in chunk]
+    chunks = walk({"maxbytespertrigger": str(byte_cap)})
+    capped = [f for chunk in chunks for f in chunk]
+    assert sorted(capped) == sorted(uncapped)
+    assert len(capped) == len(set(capped)), "a file was served twice"
+    for c in chunks:
+        assert (
+            len(c) == 1
+            or sum(_os.path.getsize(f) for f in c) <= byte_cap
+        ), chunks
+
+
+def test_byte_and_file_caps_compose(table, spark):
+    """Both caps set: whichever budget exhausts first ends the batch."""
+    from delta_lake_platform_spark.sources.datasource import _TailReader
+
+    r = _TailReader(
+        {
+            "path": table.path,
+            "maxfilespertrigger": "2",
+            "maxbytespertrigger": str(10**9),
+        }
+    )
+    prev = r.initialOffset()
+    cur = r.latestOffset()
+    parts = r.partitions(prev, cur)
+    assert len(parts) <= 2  # the file budget binds

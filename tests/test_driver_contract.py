@@ -50,7 +50,12 @@ def test_family_representation_in_first_50():
         "sketches": "events_heavy_hitter_users",
         "grouped-udf": "events_value_mad_grouped_udf",
         "text": "docs_token_stats",
-        "curation": "docs_pack_sequences",
+        # r5 s11: curation's driver signal rides on train_split +
+        # contamination + curation_pipeline (the pipeline CONTAINS
+        # sequence packing); docs_pack_sequences rotated out for the
+        # size-aware OPTIMIZE family below.
+        "curation": "docs_curation_pipeline",
+        "optimize-binpack": "optimize_binpack_orders",
         "contamination": "docs_benchmark_contamination",
         "dedup-exact": "docs_exact_dedup",
         "dedup-minhash": "docs_minhash_neardup",
