@@ -359,25 +359,44 @@ class PlatformSQL:
         t = text.strip().rstrip(";")
 
         m = re.match(
-            rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s+LOCATION\s+'([^']+)'"
+            rf"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})"
+            rf"\s+LOCATION\s+'([^']+)'"
             rf"(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?"
             rf"(?:\s+CLUSTER\s+BY\s*\((.*?)\))?\s+AS\s+(.*)$",
             t,
         )
         if m:
-            name, path, pcols, ccols, select = m.groups()
+            replace, name, path, pcols, ccols, select = m.groups()
             df = self.sql(select)
             table = ManagedTable(self.spark, path)
-            v = table.create(
-                df,
-                partition_by=(
-                    [c.strip() for c in pcols.split(",")] if pcols else None
-                ),
-            )
+            if replace and table.exists():
+                # Delta's CREATE OR REPLACE: a forward-written overwrite
+                # commit — prior versions stay time-travelable.
+                v = table.overwrite(
+                    df, overwrite_schema=True, operation="REPLACE TABLE"
+                )
+            else:
+                v = table.create(
+                    df,
+                    partition_by=(
+                        [c.strip() for c in pcols.split(",")]
+                        if pcols
+                        else None
+                    ),
+                )
             if ccols:
                 table.set_cluster_by([c.strip() for c in ccols.split(",")])
             self.register(name, table)
             return self._df([{"version": v, "location": path}])
+        m = re.match(
+            rf"(?is)^TRUNCATE\s+TABLE\s+({_IDENT})$", t
+        )
+        if m:
+            name = m.group(1)
+            table = self.tables[name]
+            n = table.row_count() or table.read().count()
+            v = table.delete("true")
+            return self._df([{"version": v, "numRemovedRows": n}])
         m = re.match(
             rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s*\((.*)\)\s+"
             rf"LOCATION\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?"

@@ -639,3 +639,30 @@ def test_describe_table(psql, spark):
     rows = {r.col_name: r for r in psql.sql("DESCRIBE dt").collect()}
     assert rows["p"].comment == "partition"
     assert rows["id"].comment == "cluster"
+
+
+def test_create_or_replace_and_truncate(psql):
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cor_sql_")
+    psql.sql(
+        f"CREATE TABLE rep LOCATION '{d}/rep' AS "
+        "SELECT id, id * 2 AS v FROM range(10)"
+    )
+    # REPLACE: new shape, forward-written — version 0 still readable.
+    psql.sql(
+        f"CREATE OR REPLACE TABLE rep LOCATION '{d}/rep' AS "
+        "SELECT id, CAST(id AS STRING) AS s FROM range(4)"
+    )
+    assert psql.sql("SELECT count(*) AS n FROM rep").first().n == 4
+    assert psql.tables["rep"].read().columns == ["id", "s"]
+    assert psql.sql(
+        "SELECT count(*) AS n FROM rep VERSION AS OF 0"
+    ).first().n == 10
+    out = psql.sql("TRUNCATE TABLE rep").first()
+    assert out.numRemovedRows == 4
+    assert psql.sql("SELECT count(*) AS n FROM rep").first().n == 0
+    # History intact: the pre-truncate snapshot still reads.
+    assert psql.sql(
+        "SELECT count(*) AS n FROM rep VERSION AS OF 1"
+    ).first().n == 4
