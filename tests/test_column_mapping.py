@@ -287,7 +287,9 @@ def test_random_evolution_sequence_matches_model(spark, seed):
         )
 
     for _ in range(14):
-        op = rng.choice(["append", "delete", "rename", "drop", "add"])
+        op = rng.choice(
+            ["append", "delete", "rename", "drop", "add", "optimize"]
+        )
         cols = [c for c in model.columns if c != "id"]
         if op == "append":
             rows = pd.DataFrame(
@@ -335,6 +337,11 @@ def test_random_evolution_sequence_matches_model(spark, seed):
             next_col += 1
             t.alter_add_column(new, "bigint")
             model[new] = None
+        elif op == "optimize":
+            # Size-aware bin-packing is content-neutral: it must hold
+            # the model equality through any interleaving of schema
+            # evolution, column mapping, and DV debt.
+            t.optimize(min_file_size=1 << 30)
         else:
             continue
         check()

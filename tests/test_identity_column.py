@@ -222,7 +222,9 @@ def test_identity_unique_under_mixed_ops(spark):
     seen: set[int] = set()
     hwm = 0
     for step in range(10):
-        op = rng.choice(["append", "append", "delete", "purge", "compact"])
+        op = rng.choice(
+            ["append", "append", "delete", "purge", "compact", "optimize"]
+        )
         if op == "append":
             n = rng.randint(1, 5)
             t.append(_batch(spark, [f"s{step}_{i}" for i in range(n)]))
@@ -238,6 +240,8 @@ def test_identity_unique_under_mixed_ops(spark):
             t.reorg_purge()  # None when no DV — fine
         elif op == "compact" and t.read().count() > 0:
             t.compact()
+        elif op == "optimize":
+            t.optimize(min_file_size=1 << 30)  # None when <2 files — fine
     live = [r["id"] for r in t.read().collect()]
     assert len(live) == len(set(live))
 
