@@ -370,3 +370,68 @@ def test_reserved_rid_name_is_refused(spark, table):
         table.alter_add_column("__rid", "bigint")
     with pytest.raises(ValueError, match="reserved"):
         table.alter_rename_column("k", "__rid")
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_random_lifecycle_never_reuses_or_loses_ids(spark, seed):
+    """Fuzz the whole id lifecycle: appends, MOR and COW deletes,
+    updates, bin-pack OPTIMIZE, z-order, and purge interleave randomly.
+    Invariants after every step: live ids unique; a surviving row keeps
+    the id it had; a vanished id NEVER returns on a later row."""
+    import random
+
+    rng = random.Random(seed)
+    d = tempfile.mkdtemp(prefix=f"rowtrack_fuzz{seed}_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(
+        spark.range(0, 40).select("id", (F.col("id") % 5).alias("k"))
+    )
+    t.enable_row_tracking()
+    prev = _ids(t)
+    burned: set[int] = set()
+    next_key = 1000
+    for step in range(12):
+        op = rng.choice(
+            [
+                "append", "append", "mor_delete", "cow_delete",
+                "update", "optimize", "zorder", "purge",
+            ]
+        )
+        if op == "append":
+            n = rng.randint(1, 6)
+            t.append(
+                spark.range(next_key, next_key + n).select(
+                    "id", (F.col("id") % 5).alias("k")
+                ),
+                fast=True,
+            )
+            next_key += n
+        elif op == "mor_delete" and t.read().count() > 1:
+            t.delete(f"id % 7 = {rng.randint(0, 6)}", rewrite=False)
+        elif op == "cow_delete" and t.read().count() > 1:
+            t.delete(f"id % 11 = {rng.randint(0, 10)}", rewrite=True)
+        elif op == "update" and t.read().count() > 0:
+            t.update({"k": "k + 100"}, f"id % 5 = {rng.randint(0, 4)}")
+        elif op == "optimize":
+            t.optimize(min_file_size=1 << 30)
+        elif op == "zorder" and t.read().count() > 1:
+            t.optimize_zorder(["id"], n_files=2)
+        elif op == "purge":
+            t.reorg_purge()
+        else:
+            continue
+        cur = _ids(t)
+        rids = list(cur.values())
+        assert len(rids) == len(set(rids)), f"step {step}: duplicate id"
+        for key, rid in cur.items():
+            if key in prev:
+                assert rid == prev[key], (
+                    f"step {step} ({op}): row {key} changed id "
+                    f"{prev[key]} -> {rid}"
+                )
+            else:
+                assert rid not in burned, (
+                    f"step {step} ({op}): burned id {rid} re-minted"
+                )
+        burned |= {r for k, r in prev.items() if k not in cur}
+        prev = cur
