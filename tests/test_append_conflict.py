@@ -360,3 +360,46 @@ def test_threaded_mixed_appends_and_mor_deletes_stay_consistent(spark, tmpdir):
         assert not (gone & set(got_ids)), f"delete at {pivot} lost rows"
     # Log row accounting matches the actual data.
     assert t.row_count() == len(got_ids)
+
+
+def test_optimize_racing_a_blind_append_commits(spark, tmpdir):
+    """Bin-pack OPTIMIZE removes only its candidate files; a blind
+    append that landed in the read-commit window adds disjoint files —
+    commutes, entry retried alone, appended rows untouched."""
+    path = f"{tmpdir}/t"
+    b = ManagedTable(spark, path)
+    b.create(_batch(spark, 0, 10).coalesce(1))
+    b.append(_batch(spark, 50, 60).coalesce(1), fast=True)
+
+    proto = _RacingProtocol(
+        lambda: b.append(_batch(spark, 200, 210).coalesce(1), fast=True)
+    )
+    a = ManagedTable(spark, path, protocol=proto)
+    v = a.optimize(min_file_size=1 << 30)
+    assert v == 3  # lost version 2 to the append, re-committed at 3
+    assert proto.publishes == 1  # compacted batch written exactly once
+    assert sorted(r.id for r in b.read().collect()) == (
+        list(range(0, 10)) + list(range(50, 60)) + list(range(200, 210))
+    )
+    # The racing append's rows survive even though OPTIMIZE rewrote
+    # every file IT had read.
+    assert b.read().filter("id >= 200").count() == 10
+
+
+def test_optimize_racing_a_dml_conflicts(spark, tmpdir):
+    """A DML that rewrote (or DV-masked) files OPTIMIZE also read is a
+    real conflict — committing the compacted copies would resurrect
+    the deleted rows."""
+    path = f"{tmpdir}/t"
+    b = ManagedTable(spark, path)
+    b.create(_batch(spark, 0, 10).coalesce(1))
+    b.append(_batch(spark, 50, 60).coalesce(1), fast=True)
+
+    proto = _RacingProtocol(lambda: b.delete("id < 3", rewrite=False))
+    a = ManagedTable(spark, path, protocol=proto)
+    with pytest.raises(ConcurrentWriteError):
+        a.optimize(min_file_size=1 << 30)
+    # The winner's delete holds: rows stay gone.
+    assert sorted(r.id for r in b.read().collect()) == (
+        list(range(3, 10)) + list(range(50, 60))
+    )
