@@ -1206,6 +1206,16 @@ class ManagedTable:
         # recorded schema and mark every written file as id-carrying.
         materialized = self._ROW_ID_PHYS in df.columns
         logical_cols = [c for c in df.columns if c != self._ROW_ID_PHYS]
+        reserved = [c for c in logical_cols if c.startswith("__")]
+        if reserved:
+            # The "__" namespace belongs to the engine: position tags
+            # (__dv_file/__dv_pos), the materialized row-id column,
+            # and per-file stats keys (__fileBytes/__numRows/
+            # __rowIdBase). A user column there would collide with one
+            # of them somewhere down the lifecycle — refuse up front.
+            raise ValueError(
+                f"column names {reserved} use the reserved '__' prefix"
+            )
         spec = self.partition_spec()
         if spec and self._column_order() and set(self._column_order()) != set(
             logical_cols
@@ -3453,10 +3463,9 @@ class ManagedTable:
         the reader fills NULLs — no data rewritten, the Delta
         semantics. Legacy histories without a recorded schema fall back
         to the snapshot rewrite (one scan, no shuffle)."""
-        if name == self._ROW_ID_PHYS:
+        if name.startswith("__"):
             raise ValueError(
-                f"column name {self._ROW_ID_PHYS!r} is reserved for the "
-                "materialized row-id column"
+                f"column name {name!r} uses the reserved '__' prefix"
             )
         v = self.latest_version()
         state = self._state(v)
@@ -3561,10 +3570,9 @@ class ManagedTable:
         without a recorded schema fall back to the snapshot rewrite.
         Partitioned tables reject renames (partition columns are
         path-encoded; Delta imposes the same restriction)."""
-        if new == self._ROW_ID_PHYS:
+        if new.startswith("__"):
             raise ValueError(
-                f"column name {self._ROW_ID_PHYS!r} is reserved for the "
-                "materialized row-id column"
+                f"column name {new!r} uses the reserved '__' prefix"
             )
         self._guard_dependent_exprs(old, "rename")
         v = self.latest_version()

@@ -165,3 +165,26 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         assert got == expected and expected > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_reserved_column_namespace_rejected(spark):
+    """'__' belongs to the engine (position tags, materialized row id,
+    stats keys) — a user column there would collide somewhere down the
+    lifecycle, so creation and evolution refuse it up front."""
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="reserved_")
+    t = ManagedTable(spark, f"{d}/t")
+    with pytest.raises(ValueError, match="reserved '__' prefix"):
+        t.create(spark.range(3).select("id", F.lit(1).alias("__fileBytes")))
+    t.create(spark.range(3).select("id"))
+    with pytest.raises(ValueError, match="reserved"):
+        t.alter_add_column("__dv_file", "string")
+    t.alter_add_column("v", "bigint")
+    with pytest.raises(ValueError, match="reserved"):
+        t.alter_rename_column("v", "__numRows")
