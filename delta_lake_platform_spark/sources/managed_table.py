@@ -3772,6 +3772,47 @@ class ManagedTable:
             read_version=v,
         )
 
+    def maintain(
+        self,
+        target_file_size: int = 128 << 20,
+        max_dv_rows: int = 10_000,
+        vacuum_keep_last: int = 2,
+        vacuum_older_than_s: float = 7 * 24 * 3600.0,
+        log_retention_s: float | None = None,
+    ) -> dict:
+        """The nightly maintenance pass, as one call: bin-pack the
+        small-file tier (``optimize``), purge deletion-vector debt past
+        ``max_dv_rows`` (``reorg_purge``), expire log entries below the
+        checkpoint horizon (honoring the ``logRetentionDuration``
+        property unless ``log_retention_s`` overrides), and VACUUM dead
+        data under the live-file rule. Every step is O(its own debt),
+        never O(table) — the whole pass on a quiet 100 TB table is a
+        handful of metadata reads and zero rewrites. Returns a summary
+        of what each step did."""
+        out: dict = {}
+        out["optimized"] = self.optimize(target_file_size=target_file_size)
+        dv_rows = 0
+        v = self.latest_version()
+        dv_dir = self._state(v)["dv"]
+        if dv_dir:
+            dv_rows = self._read_dv(dv_dir).count()
+        out["purged"] = (
+            self.reorg_purge() if dv_rows > max_dv_rows else None
+        )
+        retention = log_retention_s
+        if retention is None:
+            raw = self.properties().get("logRetentionDuration")
+            retention = _parse_duration_s(raw) if raw else None
+        out["expiredEntries"] = (
+            self.expire_log_entries(retention)
+            if retention is not None
+            else []
+        )
+        out["vacuumedVersions"] = self.vacuum(
+            keep_last=vacuum_keep_last, older_than_s=vacuum_older_than_s
+        )
+        return out
+
     def cluster_by(self) -> list[str]:
         """Declared clustering columns (``clusterBy`` table property),
         empty when the table is unclustered."""

@@ -681,18 +681,28 @@ class PlatformSQL:
                 [{"createtab_stmt": self._show_create(name)}]
             )
         m = re.match(
-            rf"(?is)^OPTIMIZE\s+({_IDENT})(?:\s+WHERE\s+(.*?))?"
+            rf"(?is)^OPTIMIZE\s+({_IDENT})(?:\s+(FULL))?(?:\s+WHERE\s+(.*?))?"
             r"(?:\s+ZORDER\s+BY\s*\((.*?)\))?$",
             t,
         )
         if m:
-            name, where, zcols = m.groups()
+            name, full, where, zcols = m.groups()
             table = self.tables[name]
             if where and zcols:
                 raise ValueError(
                     "OPTIMIZE ... WHERE and ZORDER BY cannot be combined"
                 )
-            if zcols:
+            if full:
+                # Delta's OPTIMIZE FULL: re-cluster EVERYTHING (bare
+                # OPTIMIZE on a clustered table is incremental — only
+                # the small-file tier joins the clustered layout).
+                ccols = table.cluster_by()
+                if not ccols:
+                    raise ValueError(
+                        "OPTIMIZE FULL requires a CLUSTER BY spec"
+                    )
+                v = table.optimize_zorder(ccols)
+            elif zcols:
                 v = table.optimize_zorder([c.strip() for c in zcols.split(",")])
             elif where:
                 # Predicate-scoped compaction: only files holding

@@ -125,3 +125,25 @@ def test_clustering_preserves_row_ids(spark):
         r["payload"]: r["_row_id"] for r in t.read_row_ids().collect()
     }
     assert after == ids
+
+
+def test_sql_optimize_full_reclusters(spark):
+    """OPTIMIZE FULL: re-cluster EVERYTHING (bare OPTIMIZE on a
+    clustered table is incremental — only small files join the
+    layout)."""
+    d = tempfile.mkdtemp(prefix="clusterby_full_")
+    sql = PlatformSQL(spark)
+    sql.sql(
+        f"CREATE TABLE cf LOCATION '{d}/cf' CLUSTER BY (x) AS "
+        "SELECT id % 100 AS x, id AS payload FROM range(2000)"
+    )
+    t = sql.tables["cf"]
+    before = {r.payload for r in t.read().collect()}
+    out = sql.sql("OPTIMIZE cf FULL")
+    assert t.history(1)[0]["operation"] == "OPTIMIZE_ZORDER"
+    assert {r.payload for r in t.read().collect()} == before
+    import pytest as _pytest
+
+    sql.sql("ALTER TABLE cf CLUSTER BY NONE")
+    with _pytest.raises(ValueError, match="CLUSTER BY"):
+        sql.sql("OPTIMIZE cf FULL")

@@ -171,3 +171,26 @@ def test_sql_optimize_binpacks(spark):
     # A second OPTIMIZE finds a single file: still commits (full path).
     out2 = sql.sql("OPTIMIZE ob").first()
     assert out2.operation == "OPTIMIZE"
+
+
+def test_maintain_composite_pass(spark):
+    """maintain(): the nightly job in one call — bin-pack, purge DV
+    debt past the threshold, expire old log entries, vacuum dead data.
+    Each step O(its own debt); a quiet table is a no-op summary."""
+    t = _mk(spark, prefix="maintain_")
+    t.create(spark.range(100).select("id").coalesce(1))
+    for i in range(3):
+        t.append(spark.range(1000 + i * 10, 1010 + i * 10).select("id"))
+    t.delete("id % 3 = 0", rewrite=False)
+    before = {r["id"] for r in t.read().collect()}
+    out = t.maintain(max_dv_rows=5, vacuum_older_than_s=0.0)
+    assert out["optimized"] is not None
+    # Optimize already materialized every candidate file's DV debt and
+    # the kept base file's vector may remain under the threshold logic;
+    # content is what matters:
+    assert {r["id"] for r in t.read().collect()} == before
+    # Quiet second pass: nothing left to do.
+    out2 = t.maintain(max_dv_rows=5, vacuum_older_than_s=0.0)
+    assert out2["optimized"] is None
+    assert out2["purged"] is None
+    assert {r["id"] for r in t.read().collect()} == before
