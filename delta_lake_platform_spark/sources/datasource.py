@@ -183,6 +183,32 @@ class _SnapshotReader(DataSourceReader):
     def __init__(self, options):
         self.table = _table_from_options(options)
         v = options.get("version")
+        ts = options.get("timestampasof")
+        if v is not None and ts is not None:
+            raise ValueError(
+                "managed_table: specify version OR timestampAsOf, not both"
+            )
+        if ts is not None:
+            # Delta's timestampAsOf: the latest commit at or before the
+            # ISO timestamp (commit timestamps are monotone by the
+            # in-commit-timestamps rule, so this is well-defined).
+            from datetime import datetime, timezone
+
+            cutoff = (
+                datetime.fromisoformat(ts)
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+            )
+            at_or_before = [
+                h["version"]
+                for h in self.table.history()
+                if h["timestamp"] <= cutoff
+            ]
+            if not at_or_before:
+                raise ValueError(
+                    f"timestampAsOf {ts!r} precedes the table's first commit"
+                )
+            v = max(at_or_before)
         self.version = int(v) if v is not None else self.table.latest_version()
         self.arrow_schema = _log_arrow_schema(self.table, self.version)
 

@@ -802,3 +802,24 @@ def test_byte_and_file_caps_compose(table, spark):
     cur = r.latestOffset()
     parts = r.partitions(prev, cur)
     assert len(parts) <= 2  # the file budget binds
+
+
+def test_batch_read_timestamp_as_of(table, spark):
+    import datetime
+
+    table.delete("k = 1")  # v1
+    ts = {e["version"]: e["timestamp"] for e in table.history()}
+    mid = datetime.datetime.utcfromtimestamp(
+        (ts[0] + ts[1]) / 2
+    ).isoformat()
+    got = _load(spark, table, timestampAsOf=mid)
+    assert got.count() == 200  # pre-delete snapshot
+    future = (
+        datetime.datetime.now() + datetime.timedelta(days=1)
+    ).isoformat()
+    assert _load(spark, table, timestampAsOf=future).count() == table.read().count()
+    past = datetime.datetime.utcfromtimestamp(0).isoformat()
+    with pytest.raises(Exception, match="precedes"):
+        _load(spark, table, timestampAsOf=past).count()
+    with pytest.raises(Exception, match="not both"):
+        _load(spark, table, timestampAsOf=future, version="0").count()
