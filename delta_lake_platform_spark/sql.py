@@ -542,6 +542,24 @@ class PlatformSQL:
             self.tables[name].add_constraint(cname, expr)
             return self._df([{"constraint": cname, "check": expr}])
         m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+"
+            rf"({_IDENT})\s+(SET|DROP)\s+NOT\s+NULL$",
+            t,
+        )
+        if m:
+            name, col, action = m.groups()
+            cname = f"{col}_not_null"
+            if action.upper() == "SET":
+                # Delta's NOT NULL: validated against the current
+                # snapshot, enforced on every later write — sugar over
+                # the CHECK machinery.
+                self.tables[name].add_constraint(cname, f"{col} IS NOT NULL")
+            else:
+                self.tables[name].drop_constraint(cname)
+            return self._df(
+                [{"column": col, "notNull": action.upper() == "SET"}]
+            )
+        m = re.match(
             rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+"
             rf"({_IDENT})$",
             t,

@@ -666,3 +666,25 @@ def test_create_or_replace_and_truncate(psql):
     assert psql.sql(
         "SELECT count(*) AS n FROM rep VERSION AS OF 1"
     ).first().n == 4
+
+
+def test_not_null_constraint_sugar(psql, spark):
+    psql.sql("ALTER TABLE accounts ALTER COLUMN name SET NOT NULL")
+    t = psql.tables["accounts"]
+    assert t.constraints()["name_not_null"] == "name IS NOT NULL"
+    with pytest.raises(Exception):
+        t.append(
+            spark.createDataFrame(
+                [(9, None, 0)], "id long, name string, balance long"
+            )
+        )
+    psql.sql("ALTER TABLE accounts ALTER COLUMN name DROP NOT NULL")
+    assert "name_not_null" not in t.constraints()
+    # Setting NOT NULL on a column with existing NULLs fails upfront.
+    t.append(
+        spark.createDataFrame(
+            [(9, None, 0)], "id long, name string, balance long"
+        )
+    )
+    with pytest.raises(Exception):
+        psql.sql("ALTER TABLE accounts ALTER COLUMN name SET NOT NULL")
