@@ -405,7 +405,7 @@ class PlatformSQL:
         )
         if m:
             name, coldefs, path, pcols, ccols = m.groups()
-            fields, idents, gens = [], {}, {}
+            fields, idents, gens, notnulls = [], {}, {}, []
             for cd in _split_top_level(coldefs):
                 cm = re.match(
                     rf"(?is)^\s*({_IDENT})\s+([A-Za-z0-9_]+"
@@ -416,6 +416,10 @@ class PlatformSQL:
                     raise ValueError(f"cannot parse column definition {cd!r}")
                 cname, ctype, rest = cm.groups()
                 fields.append(f"{cname} {ctype}")
+                nn = re.match(r"(?is)^(.*?)\s*NOT\s+NULL$", rest)
+                if nn:
+                    notnulls.append(cname)
+                    rest = nn.group(1).strip()
                 if not rest:
                     continue
                 im = re.match(
@@ -449,6 +453,10 @@ class PlatformSQL:
                 table.set_identity_column(cname, start=istart, step=istep)
             for cname, gexpr in gens.items():
                 table.set_generated_column(cname, gexpr)
+            for cname in notnulls:
+                table.add_constraint(
+                    f"{cname}_not_null", f"{cname} IS NOT NULL"
+                )
             if ccols:
                 table.set_cluster_by([c.strip() for c in ccols.split(",")])
             self.register(name, table)

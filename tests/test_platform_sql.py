@@ -688,3 +688,21 @@ def test_not_null_constraint_sugar(psql, spark):
     )
     with pytest.raises(Exception):
         psql.sql("ALTER TABLE accounts ALTER COLUMN name SET NOT NULL")
+
+
+def test_create_table_not_null_coldef(psql, spark):
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="nn_sql_")
+    psql.sql(
+        f"CREATE TABLE nn (id BIGINT NOT NULL, v STRING) "
+        f"LOCATION '{d}/nn'"
+    )
+    t = psql.tables["nn"]
+    assert t.constraints()["id_not_null"] == "id IS NOT NULL"
+    psql.sql("INSERT INTO nn VALUES (1, 'a')")
+    with pytest.raises(Exception):
+        t.append(
+            spark.createDataFrame([(None, "x")], "id bigint, v string")
+        )
+    assert psql.sql("SELECT count(*) AS n FROM nn").first().n == 1
