@@ -435,3 +435,30 @@ def test_random_lifecycle_never_reuses_or_loses_ids(spark, seed):
                 )
         burned |= {r for k, r in prev.items() if k not in cur}
         prev = cur
+
+
+def test_burned_peak_survives_optimize_and_expiry(spark, table, monkeypatch):
+    """MOR-delete the peak-id rows, then OPTIMIZE (materializes the
+    survivors and DROPS the span files whose spans covered the burned
+    peak), then expire the mark-carrying entries: the floor must still
+    keep the next mint above the peak."""
+    from delta_lake_platform_spark.sources import managed_table as mt
+
+    monkeypatch.setattr(mt, "_CKPT_INTERVAL", 2)
+    peak = max(_ids(table).values())
+    table.delete("id >= 90", rewrite=False)  # burn the peak ids (DV)
+    v = table.optimize(min_file_size=1 << 30)
+    assert v is not None  # spans gone, survivors materialized
+    live_max = max(_ids(table).values())
+    assert live_max < peak  # the peak id is now invisible to the state
+    table.compact()  # push the mark-carrying entries below the horizon
+    table.compact()
+    removed = table.expire_log_entries(older_than_s=0.0)
+    assert removed, "test needs expired entries"
+    table.append(
+        spark.range(9100, 9103).select("id", (F.col("id") % 5).alias("k"))
+    )
+    after = _ids(table)
+    fresh = {rid for k, rid in after.items() if k >= 9100}
+    assert min(fresh) > peak, f"burned peak {peak} re-minted: {sorted(fresh)}"
+    assert len(set(after.values())) == len(after)
