@@ -3191,13 +3191,28 @@ class ManagedTable:
         """DESCRIBE DETAIL analogue: table-level metadata from the
         commit log + current data files (no data scan)."""
         v = self.latest_version()
+        state = self._state(v)
         files = self._all_data_files(v)
         entry = self.history(1)[0]
+
+        def _size(rel: str, st: dict | None) -> int:
+            # Recorded at commit time for new entries; one stat call
+            # only for legacy stats maps.
+            sz = (st or {}).get("__fileBytes")
+            if sz is not None:
+                return sz
+            try:
+                return os.path.getsize(self._abs(rel))
+            except OSError:
+                return 0
+
         return {
             "location": self.path,
             "version": v,
             "numFiles": len(files),
-            "sizeInBytes": sum(os.path.getsize(f) for f in files),
+            "sizeInBytes": sum(
+                _size(rel, st) for rel, st in state["files"].items()
+            ),
             "numRows": entry.get("operationMetrics", {}).get("numOutputRows"),
             "numDeletionVectorRows": entry.get("operationMetrics", {}).get(
                 "numDeletionVectorRows", 0
