@@ -4291,13 +4291,18 @@ class ManagedTable:
                     pass
         return removed
 
-    def clone(self, target_path: str) -> "ManagedTable":
+    def clone(
+        self, target_path: str, version: int | None = None
+    ) -> "ManagedTable":
         """Delta SHALLOW CLONE: a new table whose version 0 references
-        this table's current snapshot files through a ``dataPath`` log
+        this table's snapshot files (``version`` — Delta's CLONE ...
+        VERSION AS OF — or the head) through a ``dataPath`` log
         pointer — zero bytes copied. Subsequent writes to the clone land
         under its own path (copy-on-write divergence), and the clone's
         VACUUM never touches the source's files."""
-        src_version = self.latest_version()
+        src_version = (
+            self.latest_version() if version is None else version
+        )
         target = ManagedTable(self.spark, target_path)
         if target.exists():
             raise FileExistsError(target_path)
@@ -4357,9 +4362,12 @@ class ManagedTable:
         target._write_entry(0, entry)
         return target
 
-    def deep_clone(self, target_path: str) -> "ManagedTable":
-        """Delta DEEP CLONE: an independent copy of the current
-        snapshot. Clean live files are COPIED byte-for-byte (no Spark
+    def deep_clone(
+        self, target_path: str, version: int | None = None
+    ) -> "ManagedTable":
+        """Delta DEEP CLONE: an independent copy of a snapshot (the
+        head, or ``version`` — Delta's CLONE ... VERSION AS OF).
+        Clean live files are COPIED byte-for-byte (no Spark
         rewrite — their footer stats, row-id spans, and materialized
         id columns carry over verbatim); files carrying deletion-vector
         debt are the only ones rewritten, materializing their deletes
@@ -4370,7 +4378,9 @@ class ManagedTable:
         clones trade away."""
         import shutil
 
-        src_version = self.latest_version()
+        src_version = (
+            self.latest_version() if version is None else version
+        )
         target = ManagedTable(self.spark, target_path)
         if target.exists():
             raise FileExistsError(target_path)

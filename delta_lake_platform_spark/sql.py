@@ -463,16 +463,18 @@ class PlatformSQL:
             return self._df([{"version": v, "location": path}])
         m = re.match(
             rf"(?is)^CREATE\s+TABLE\s+({_IDENT})\s+(SHALLOW|DEEP)\s+CLONE\s+"
-            rf"({_IDENT})\s+LOCATION\s+'([^']+)'$",
+            rf"({_IDENT})(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+            rf"\s+LOCATION\s+'([^']+)'$",
             t,
         )
         if m:
-            name, kind, src, path = m.groups()
+            name, kind, src, ver, path = m.groups()
             src_table = self.tables[src]
+            v = int(ver) if ver is not None else None
             table = (
-                src_table.deep_clone(path)
+                src_table.deep_clone(path, version=v)
                 if kind.upper() == "DEEP"
-                else src_table.clone(path)
+                else src_table.clone(path, version=v)
             )
             self.register(name, table)
             return self._df(

@@ -115,3 +115,32 @@ def test_deep_clone_sql_and_divergence(spark):
     assert sql.sql("SELECT count(*) AS n FROM src").first().n == 50
     with pytest.raises(FileExistsError):
         sql.sql(f"CREATE TABLE dc2 DEEP CLONE src LOCATION '{d}/dc'")
+
+
+def test_clone_version_as_of(spark):
+    from delta_lake_platform_spark.sql import PlatformSQL
+
+    d = tempfile.mkdtemp(prefix="clone_vao_")
+    sql = PlatformSQL(spark)
+    sql.sql(
+        f"CREATE TABLE src2 LOCATION '{d}/src' AS "
+        "SELECT id FROM range(30)"
+    )
+    sql.sql("DELETE FROM src2 WHERE id >= 10")  # v1
+    t = sql.tables["src2"]
+    # Python API: both clone kinds accept a version.
+    c_old = t.clone(f"{d}/shallow0", version=0)
+    assert c_old.read().count() == 30
+    dc_old = t.deep_clone(f"{d}/deep0", version=0)
+    assert dc_old.read().count() == 30
+    # SQL form.
+    sql.sql(
+        f"CREATE TABLE dvao DEEP CLONE src2 VERSION AS OF 0 "
+        f"LOCATION '{d}/dvao'"
+    )
+    assert sql.sql("SELECT count(*) AS n FROM dvao").first().n == 30
+    sql.sql(
+        f"CREATE TABLE svao SHALLOW CLONE src2 VERSION AS OF 1 "
+        f"LOCATION '{d}/svao'"
+    )
+    assert sql.sql("SELECT count(*) AS n FROM svao").first().n == 10
