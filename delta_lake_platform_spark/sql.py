@@ -370,6 +370,16 @@ class PlatformSQL:
             df = self.sql(select)
             table = ManagedTable(self.spark, path)
             if replace and table.exists():
+                new_spec = (
+                    [c.strip() for c in pcols.split(",")] if pcols else []
+                )
+                if new_spec != (table.partition_spec() or []):
+                    raise ValueError(
+                        "CREATE OR REPLACE cannot change the partition "
+                        f"spec of {name} (existing "
+                        f"{table.partition_spec() or []}, requested "
+                        f"{new_spec}); DROP and recreate instead"
+                    )
                 # Delta's CREATE OR REPLACE: a forward-written overwrite
                 # commit — prior versions stay time-travelable.
                 v = table.overwrite(
