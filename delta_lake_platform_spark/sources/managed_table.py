@@ -190,14 +190,20 @@ class TableFeatureError(Exception):
 
 
 # Protocol versions THIS library can read/write. 1 = base tables,
-# 2 = column mapping, 3 = deletion vectors (loose mirror of Delta's
-# ladder). Tables record a protocol bump the first time a commit uses
-# a feature beyond the table's current level.
+# 2 = column mapping, 3 = deletion vectors, writer-4 = row tracking
+# (loose mirror of Delta's ladder). Tables record a protocol bump the
+# first time a commit uses a feature beyond the table's current level.
 SUPPORTED_READER_VERSION = 3
-SUPPORTED_WRITER_VERSION = 3
+SUPPORTED_WRITER_VERSION = 4
 _FEATURE_PROTOCOL = {
     "columnMapping": (2, 2),
     "deletionVectors": (3, 3),
+    # Row tracking is a WRITER feature: readers never see the hidden
+    # column (explicit log schemas) and spans are plain stats
+    # metadata, but a writer unaware of the feature would rewrite
+    # files WITHOUT preserving ids — every consumer keyed on stable
+    # ids corrupts. Readers stay at their current requirement.
+    "rowTracking": (1, 4),
 }
 
 
@@ -4847,12 +4853,18 @@ class ManagedTable:
                 self._ROW_BASE_KEY: [base, n],
             }
             base += n
+        extra: dict = {"rowIdHighWaterMark": base}
+        bump = self._protocol_bump(v, "rowTracking")
+        if bump:
+            # Writer-feature gate: a legacy writer rewriting files
+            # would drop the ids this commit just assigned.
+            extra["protocol"] = bump
         v_new = self._commit_delta_retry(
             "ENABLE ROW TRACKING",
             {"numTrackedRows": base},
             delta_rows=0,
             add=add,
-            extra={"rowIdHighWaterMark": base},
+            extra=extra,
             read_version=v,
         )
         self.set_property("rowTracking", "true")

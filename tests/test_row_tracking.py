@@ -462,3 +462,13 @@ def test_burned_peak_survives_optimize_and_expiry(spark, table, monkeypatch):
     fresh = {rid for k, rid in after.items() if k >= 9100}
     assert min(fresh) > peak, f"burned peak {peak} re-minted: {sorted(fresh)}"
     assert len(set(after.values())) == len(after)
+
+
+def test_enable_row_tracking_bumps_writer_protocol(spark, table):
+    """Row tracking is a writer feature: a legacy writer rewriting
+    files would drop the ids, so the backfill commit records writer
+    version 4 (readers unaffected — they never see the hidden
+    column)."""
+    proto = table._state(table.latest_version()).get("protocol") or {}
+    assert proto.get("minWriterVersion", 1) >= 4
+    assert proto.get("minReaderVersion", 1) <= 3
