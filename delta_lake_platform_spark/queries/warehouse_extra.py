@@ -743,3 +743,71 @@ def optimize_binpack_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+CLONE_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(price_cents)::BIGINT AS sum_price_cents
+FROM b
+WHERE o_orderkey % 26 <> 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("deep_clone_orders", CLONE_ORACLE)
+def deep_clone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP CLONE end to end: a table whose deletion-vector debt lives
+    only in its second ingest slice is cloned — the first slice's
+    files are byte-copied (commit metrics hard-pin copied >= 1, i.e.
+    clean files were NOT rewritten), the DV-bearing files are
+    rewritten with their deletes materialized, and the SOURCE IS THEN
+    DELETED FROM DISK: the aggregate must come entirely from the
+    clone's own bytes (the independence shallow clones trade away).
+    Oracle recomputes from scratch."""
+    import shutil
+    import tempfile
+
+    from ..sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="deep_clone_q_")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    src = ManagedTable(spark, f"{d}/src")
+    # Odd keys in the create, even keys appended as separate files:
+    # the delete below only ever hits the appended slice, so the
+    # create's files provably stay clean (byte-copy path).
+    src.create(base.filter(F.col("o_orderkey") % 2 == 1).coalesce(2))
+    src.append(
+        base.filter(F.col("o_orderkey") % 2 == 0).coalesce(2), fast=True
+    )
+    src.delete("o_orderkey % 26 = 0", rewrite=False)  # even keys only
+    clone = src.deep_clone(f"{d}/clone")
+    met = (clone._entry(0) or {}).get("operationMetrics", {})
+    if not met.get("numCopiedFiles") or clone._state(0)["dv"] is not None:
+        raise AssertionError(
+            f"deep clone must byte-copy clean files and start "
+            f"vector-free, got {met}"
+        )
+    shutil.rmtree(src.path, ignore_errors=True)  # clone must not care
+    out = (
+        clone.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("price_cents").alias("sum_price_cents"),
+        )
+        .orderBy("o_orderstatus")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
