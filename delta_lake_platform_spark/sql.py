@@ -260,6 +260,74 @@ class PlatformSQL:
             raise ValueError(f"no commit of {name} at or after {ts!r}")
         return min(versions)
 
+    @staticmethod
+    def _fold_matched_clauses(
+        clauses: "MergeClauses",
+        seq: list[tuple[str, str | None, dict | None]],
+    ) -> None:
+        """Fold an ORDERED list of WHEN MATCHED clauses into the
+        engine's single-clause fields. One clause maps directly; for
+        several, Delta's first-match-wins semantics compile to pure SQL
+        — each clause's gate is its own condition AND NOT any earlier
+        clause's, updates become per-column CASE chains, delete is the
+        OR of gated delete terms — so the multi-clause form runs
+        through the same driver-verified merge machinery with zero
+        engine changes. Like Delta, every non-final clause must carry a
+        condition (an unconditional one makes the rest unreachable)."""
+        if not seq:
+            return
+        for kind, cond, _ in seq[:-1]:
+            if cond is None:
+                raise ValueError(
+                    "when there are multiple WHEN MATCHED clauses, only "
+                    f"the last may omit its condition (the {kind} clause "
+                    "without one makes later clauses unreachable)"
+                )
+        if len(seq) == 1:
+            kind, cond, assigns = seq[0]
+            if kind == "delete":
+                clauses.matched_delete_condition = cond or "true"
+            else:
+                clauses.matched_update = assigns
+                clauses.matched_condition = cond
+            return
+        all_cols = sorted(
+            {c for kind, _, a in seq if kind == "update" for c in a}
+        )
+        fired: list[str] = []
+        delete_terms: list[str] = []
+        update_terms: list[str] = []
+        chains: dict[str, list[tuple[str, str]]] = {c: [] for c in all_cols}
+        for kind, cond, assigns in seq:
+            c = cond or "true"
+            gate = f"({c})"
+            if fired:
+                gate += " AND " + " AND ".join(
+                    f"NOT ({p})" for p in fired
+                )
+            if kind == "delete":
+                delete_terms.append(f"({gate})")
+            else:
+                update_terms.append(f"({gate})")
+                for col in all_cols:
+                    chains[col].append(
+                        (gate, assigns.get(col, f"target.{col}"))
+                    )
+            fired.append(c)
+        clauses.matched_delete_condition = (
+            " OR ".join(delete_terms) if delete_terms else None
+        )
+        if update_terms:
+            clauses.matched_condition = " OR ".join(update_terms)
+            clauses.matched_update = {
+                col: "CASE "
+                + " ".join(
+                    f"WHEN {g} THEN ({e})" for g, e in chains[col]
+                )
+                + f" ELSE target.{col} END"
+                for col in all_cols
+            }
+
     def _merge(self, text: str) -> DataFrame:
         m = re.match(
             rf"(?is)\s*MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?"
@@ -277,6 +345,7 @@ class PlatformSQL:
         amap = {talias or tname: "target", salias or sname: "updates"}
 
         clauses = MergeClauses(condition=_qualify(on_cond, amap))
+        matched_seq: list[tuple[str, str | None, dict | None]] = []
         for not_kw, by_kw, and_cond, action in re.findall(
             r"(?is)WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+(?:SOURCE|TARGET))?"
             r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
@@ -332,7 +401,7 @@ class PlatformSQL:
                     ]
                     clauses.not_matched_insert = dict(zip(cols, vals))
             elif act.upper() == "DELETE":
-                clauses.matched_delete_condition = cond or "true"
+                matched_seq.append(("delete", cond, None))
             else:
                 upd = re.match(r"(?is)UPDATE\s+SET\s+(.*)$", act)
                 if not upd:
@@ -340,16 +409,17 @@ class PlatformSQL:
                 body = upd.group(1).strip()
                 if body == "*":
                     tcols = set(self.tables[tname].read().columns)
-                    clauses.matched_update = {
+                    assigns = {
                         c: f"updates.{c}" for c in source.columns if c in tcols
                     }
                 else:
-                    clauses.matched_update = {}
+                    assigns = {}
                     for assign in _split_top_level(body):
                         lhs, rhs = assign.split("=", 1)
                         col = lhs.strip().split(".")[-1]
-                        clauses.matched_update[col] = _qualify(rhs.strip(), amap)
-                clauses.matched_condition = cond
+                        assigns[col] = _qualify(rhs.strip(), amap)
+                matched_seq.append(("update", cond, assigns))
+        self._fold_matched_clauses(clauses, matched_seq)
         v = table.merge(source, clauses)
         return self._df([{"version": v, **table.history(1)[0]["operationMetrics"]}])
 

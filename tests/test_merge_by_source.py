@@ -209,3 +209,82 @@ def test_compat_fluent_by_source(spark, tdir):
     rows = {r.id: r.tag for r in ManagedTable(spark, t.path).read().collect()}
     assert set(rows) == {0, 1, 2, 3, 4, 5, 6}
     assert rows[0] == "m" and rows[5] == rows[6] == "gone"
+
+
+# -- multiple WHEN MATCHED clauses (Delta first-match-wins) ---------------
+
+
+def _multi_setup(spark):
+    from delta_lake_platform_spark.sql import PlatformSQL
+
+    d = tempfile.mkdtemp(prefix="multimatch_")
+    sql = PlatformSQL(spark)
+    sql.sql(
+        f"CREATE TABLE mt LOCATION '{d}/mt' AS "
+        "SELECT id, CAST(id * 10 AS BIGINT) AS v, "
+        "CAST('keep' AS STRING) AS tag FROM range(10)"
+    )
+    src = spark.range(0, 10).selectExpr(
+        "id", "CAST(id % 3 AS BIGINT) AS bucket"
+    )
+    src.createOrReplaceTempView("mup")
+    return sql
+
+
+def test_multiple_when_matched_first_match_wins(spark):
+    sql = _multi_setup(spark)
+    sql.sql(
+        "MERGE INTO mt USING mup ON mt.id = mup.id "
+        "WHEN MATCHED AND mup.bucket = 0 THEN UPDATE SET tag = 'zero' "
+        "WHEN MATCHED AND mup.bucket = 1 THEN UPDATE SET tag = 'one', v = mt.v + 1 "
+        "WHEN MATCHED THEN DELETE"
+    )
+    got = {
+        r.id: (r.tag, r.v)
+        for r in sql.sql("SELECT id, tag, v FROM mt").collect()
+    }
+    # bucket 2 rows (2, 5, 8) fell through to DELETE.
+    assert set(got) == {0, 3, 6, 9, 1, 4, 7}
+    for i in (0, 3, 6, 9):
+        assert got[i] == ("zero", i * 10)
+    for i in (1, 4, 7):
+        assert got[i] == ("one", i * 10 + 1)
+
+
+def test_delete_clause_order_is_respected(spark):
+    sql = _multi_setup(spark)
+    # DELETE listed FIRST takes priority over the later catch-all
+    # update — written order, not a fixed delete-first rule.
+    sql.sql(
+        "MERGE INTO mt USING mup ON mt.id = mup.id "
+        "WHEN MATCHED AND mup.bucket = 2 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET tag = 'upd'"
+    )
+    got = {r.id: r.tag for r in sql.sql("SELECT id, tag FROM mt").collect()}
+    assert set(got) == {0, 1, 3, 4, 6, 7, 9}
+    assert all(tag == "upd" for tag in got.values())
+
+
+def test_update_priority_over_later_delete(spark):
+    sql = _multi_setup(spark)
+    sql.sql(
+        "MERGE INTO mt USING mup ON mt.id = mup.id AND mt.id < 6 "
+        "WHEN MATCHED AND mup.bucket = 1 THEN UPDATE SET tag = 'one' "
+        "WHEN MATCHED AND mup.bucket <= 1 THEN DELETE"
+    )
+    got = {r.id: r.tag for r in sql.sql("SELECT id, tag FROM mt").collect()}
+    # ids 1, 4 updated (bucket 1 wins before the delete); 0, 3 deleted
+    # (bucket 0); 2, 5 (bucket 2) and unmatched ids >= 6 untouched.
+    assert set(got) == {1, 4, 2, 5, 6, 7, 8, 9}
+    assert got[1] == "one" and got[4] == "one"
+    assert got[2] == "keep" and got[8] == "keep"
+
+
+def test_non_final_unconditional_clause_raises(spark):
+    sql = _multi_setup(spark)
+    with pytest.raises(ValueError, match="only\\s+the last may omit"):
+        sql.sql(
+            "MERGE INTO mt USING mup ON mt.id = mup.id "
+            "WHEN MATCHED THEN UPDATE SET tag = 'a' "
+            "WHEN MATCHED AND mup.bucket = 1 THEN DELETE"
+        )
