@@ -213,6 +213,10 @@ class MergeClauses:
     matched_update: dict[str, str] | None = None
     matched_condition: str | None = None
     not_matched_insert: dict[str, str] | None = None
+    # Gate on the insert side (Delta's WHEN NOT MATCHED AND <cond>):
+    # unmatched source rows failing it are simply ignored. May
+    # reference source columns only (there is no target row).
+    not_matched_condition: str | None = None
     # whenMatchedDelete: matched rows passing this predicate (over
     # target./updates. columns; "true" for unconditional) are removed.
     # Evaluated BEFORE the update clause, like a Delta merge with the
@@ -2373,6 +2377,12 @@ class ManagedTable:
         if clauses.not_matched_insert is not None:
             idents = self.identity_columns()
             anti = s.join(t, cond, "left_anti").drop("__src")
+            if clauses.not_matched_condition:
+                anti = anti.filter(
+                    F.coalesce(
+                        F.expr(clauses.not_matched_condition), F.lit(False)
+                    )
+                )
             inserts = anti.select(
                 *[
                     F.expr(clauses.not_matched_insert[c]).alias(c)

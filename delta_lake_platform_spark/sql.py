@@ -328,6 +328,52 @@ class PlatformSQL:
                 for col in all_cols
             }
 
+    @staticmethod
+    def _fold_insert_clauses(
+        clauses: "MergeClauses",
+        seq: list[tuple[str | None, dict]],
+    ) -> None:
+        """Fold ordered WHEN NOT MATCHED [AND <cond>] THEN INSERT
+        clauses: one unconditional clause maps directly; conditional /
+        multiple clauses compile first-match-wins to the engine's
+        single insert (gate = own condition AND NOT earlier ones,
+        values as per-column CASE chains, the overall condition ORs the
+        gates — unmatched source rows failing every gate are ignored,
+        Delta's rule). Only the last clause may omit its condition."""
+        if not seq:
+            return
+        for cond, _ in seq[:-1]:
+            if cond is None:
+                raise ValueError(
+                    "when there are multiple WHEN NOT MATCHED clauses, "
+                    "only the last may omit its condition"
+                )
+        if len(seq) == 1:
+            cond, assigns = seq[0]
+            clauses.not_matched_insert = assigns
+            clauses.not_matched_condition = cond
+            return
+        all_cols = sorted({c for _, a in seq for c in a})
+        fired: list[str] = []
+        gates: list[str] = []
+        chains: dict[str, list[tuple[str, str]]] = {c: [] for c in all_cols}
+        for cond, assigns in seq:
+            c = cond or "true"
+            gate = f"({c})"
+            if fired:
+                gate += " AND " + " AND ".join(f"NOT ({p})" for p in fired)
+            gates.append(f"({gate})")
+            for col in all_cols:
+                chains[col].append((gate, assigns.get(col, "NULL")))
+            fired.append(c)
+        clauses.not_matched_condition = " OR ".join(gates)
+        clauses.not_matched_insert = {
+            col: "CASE "
+            + " ".join(f"WHEN {g} THEN ({e})" for g, e in chains[col])
+            + " END"
+            for col in all_cols
+        }
+
     def _merge(self, text: str) -> DataFrame:
         m = re.match(
             rf"(?is)\s*MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?"
@@ -346,6 +392,7 @@ class PlatformSQL:
 
         clauses = MergeClauses(condition=_qualify(on_cond, amap))
         matched_seq: list[tuple[str, str | None, dict | None]] = []
+        insert_seq: list[tuple[str | None, dict]] = []
         for not_kw, by_kw, and_cond, action in re.findall(
             r"(?is)WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+(?:SOURCE|TARGET))?"
             r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
@@ -380,14 +427,8 @@ class PlatformSQL:
                 if not ins:
                     raise ValueError(f"WHEN NOT MATCHED needs INSERT: {act!r}")
                 body = ins.group(1).strip()
-                if cond is not None:
-                    raise ValueError(
-                        "WHEN NOT MATCHED AND <cond> is not supported"
-                    )
                 if body == "*":
-                    clauses.not_matched_insert = {
-                        c: f"updates.{c}" for c in source.columns
-                    }
+                    assigns = {c: f"updates.{c}" for c in source.columns}
                 else:
                     cv = re.match(
                         r"(?is)\((.*?)\)\s*VALUES\s*\((.*)\)\s*$", body
@@ -399,7 +440,8 @@ class PlatformSQL:
                         _qualify(v.strip(), amap)
                         for v in _split_top_level(cv.group(2))
                     ]
-                    clauses.not_matched_insert = dict(zip(cols, vals))
+                    assigns = dict(zip(cols, vals))
+                insert_seq.append((cond, assigns))
             elif act.upper() == "DELETE":
                 matched_seq.append(("delete", cond, None))
             else:
@@ -420,6 +462,7 @@ class PlatformSQL:
                         assigns[col] = _qualify(rhs.strip(), amap)
                 matched_seq.append(("update", cond, assigns))
         self._fold_matched_clauses(clauses, matched_seq)
+        self._fold_insert_clauses(clauses, insert_seq)
         v = table.merge(source, clauses)
         return self._df([{"version": v, **table.history(1)[0]["operationMetrics"]}])
 

@@ -288,3 +288,51 @@ def test_non_final_unconditional_clause_raises(spark):
             "WHEN MATCHED THEN UPDATE SET tag = 'a' "
             "WHEN MATCHED AND mup.bucket = 1 THEN DELETE"
         )
+
+
+def test_conditional_not_matched_insert(spark):
+    sql = _multi_setup(spark)
+    big = spark.range(0, 20).selectExpr(
+        "id", "CAST(id % 3 AS BIGINT) AS bucket"
+    )
+    big.createOrReplaceTempView("mups")
+    # Only unmatched source rows passing the gate are inserted.
+    sql.sql(
+        "MERGE INTO mt USING mups ON mt.id = mups.id "
+        "WHEN NOT MATCHED AND mups.bucket = 0 THEN "
+        "INSERT (id, v, tag) VALUES (mups.id, mups.id * 100, 'new')"
+    )
+    got = {r.id: r.tag for r in sql.sql("SELECT id, tag FROM mt").collect()}
+    inserted = {i for i, tag in got.items() if tag == "new"}
+    assert inserted == {12, 15, 18}  # unmatched (>=10) AND bucket 0
+    assert len(got) == 13
+
+
+def test_multiple_not_matched_inserts_first_match_wins(spark):
+    sql = _multi_setup(spark)
+    big = spark.range(8, 16).selectExpr(
+        "id", "CAST(id % 2 AS BIGINT) AS bucket"
+    )
+    big.createOrReplaceTempView("mupm")
+    sql.sql(
+        "MERGE INTO mt USING mupm ON mt.id = mupm.id "
+        "WHEN NOT MATCHED AND mupm.bucket = 0 THEN "
+        "INSERT (id, v, tag) VALUES (mupm.id, 0, 'even') "
+        "WHEN NOT MATCHED THEN "
+        "INSERT (id, v, tag) VALUES (mupm.id, 1, 'odd')"
+    )
+    got = {
+        r.id: (r.tag, r.v)
+        for r in sql.sql("SELECT id, tag, v FROM mt WHERE id >= 10").collect()
+    }
+    assert got == {
+        10: ("even", 0), 12: ("even", 0), 14: ("even", 0),
+        11: ("odd", 1), 13: ("odd", 1), 15: ("odd", 1),
+    }
+    with pytest.raises(ValueError, match="only the last may omit"):
+        sql.sql(
+            "MERGE INTO mt USING mupm ON mt.id = mupm.id "
+            "WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (mupm.id, 0, 'a') "
+            "WHEN NOT MATCHED AND mupm.bucket = 0 THEN "
+            "INSERT (id, v, tag) VALUES (mupm.id, 1, 'b')"
+        )
