@@ -101,12 +101,8 @@ class DeltaMergeBuilder:
     def whenNotMatchedInsert(
         self, condition: str | None = None, values: dict[str, str] | None = None
     ) -> "DeltaMergeBuilder":
-        if condition is not None:
-            raise NotImplementedError(
-                "whenNotMatchedInsert(condition=...) is not supported by "
-                "the ManagedTable merge; the reference flow never uses it"
-            )
         self._not_matched_insert = dict(values or {})
+        self._not_matched_condition = condition
         return self
 
     def whenNotMatchedInsertAll(self) -> "DeltaMergeBuilder":
@@ -147,6 +143,11 @@ class DeltaMergeBuilder:
                     else None
                 ),
                 not_matched_insert=self._not_matched_insert,
+                not_matched_condition=(
+                    self._table._rewrite_alias(self._not_matched_condition)
+                    if getattr(self, "_not_matched_condition", None)
+                    else None
+                ),
                 by_source_update=getattr(self, "_by_source_update", None),
                 by_source_update_condition=(
                     self._table._rewrite_alias(self._by_source_update_condition)

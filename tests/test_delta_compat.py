@@ -232,3 +232,33 @@ def test_managed_table_still_served_when_no_delta_log(spark, tmpdir):
     dt = DeltaTable.forPath(spark, f"{tmpdir}/mt")
     assert isinstance(dt, DeltaTable)
     assert dt.toDF().count() == 4
+
+
+def test_fluent_conditional_insert(spark):
+    import tempfile
+
+    from delta_lake_platform_spark.scd.compat import DeltaTable
+
+    d = tempfile.mkdtemp(prefix="compat_condins_")
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    mt = ManagedTable(spark, f"{d}/t")
+    mt.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    dt = DeltaTable.forPath(spark, f"{d}/t")
+    src = spark.createDataFrame(
+        [(2, "b2"), (3, "c"), (4, "d")], "id long, v string"
+    ).alias("updates")
+    (
+        dt.alias("target")
+        .merge(src, "target.id = updates.id")
+        .whenMatchedUpdate(set={"v": "updates.v"})
+        .whenNotMatchedInsert(
+            condition="updates.id % 2 = 1",
+            values={"id": "updates.id", "v": "updates.v"},
+        )
+        .execute()
+    )
+    got = {r.id: r.v for r in mt.read().collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}  # id 4 failed the gate
