@@ -192,13 +192,9 @@ class _SnapshotReader(DataSourceReader):
             # Delta's timestampAsOf: the latest commit at or before the
             # ISO timestamp (commit timestamps are monotone by the
             # in-commit-timestamps rule, so this is well-defined).
-            from datetime import datetime, timezone
+            from .managed_table import iso_to_epoch_utc
 
-            cutoff = (
-                datetime.fromisoformat(ts)
-                .replace(tzinfo=timezone.utc)
-                .timestamp()
-            )
+            cutoff = iso_to_epoch_utc(ts)
             at_or_before = [
                 h["version"]
                 for h in self.table.history()
@@ -329,13 +325,9 @@ class _TailReader(DataSourceStreamReader):
         offsets mean "fully served through version v", so starting AT
         version v is offset v-1."""
         if self.starting_timestamp is not None:
-            from datetime import datetime, timezone
+            from .managed_table import iso_to_epoch_utc
 
-            cutoff = (
-                datetime.fromisoformat(self.starting_timestamp)
-                .replace(tzinfo=timezone.utc)
-                .timestamp()
-            )
+            cutoff = iso_to_epoch_utc(self.starting_timestamp)
             at_or_after = [
                 h["version"]
                 for h in self.table.history()
@@ -520,17 +512,20 @@ class _TailReader(DataSourceStreamReader):
                         sz = os.path.getsize(unit[cur_i].file_path)
                     except OSError:
                         sz = 0
-                    # Soft max (Delta): serve at least one file per
-                    # trigger, then stop once the byte budget is spent.
-                    if took > 0 and sz > bbudget:
-                        exhausted = True
-                        break
                 if fbudget is not None:
                     fbudget -= 1
                 if bbudget is not None:
                     bbudget -= sz
                 cur_i += 1
                 took += 1
+                # Soft max (Delta's admission rule): a file is admitted
+                # whenever bytes-so-far are still under the budget, so
+                # the CROSSING file lands in this batch rather than
+                # being deferred; stop once the cumulative size has
+                # reached/exceeded the cap.
+                if bbudget is not None and bbudget <= 0:
+                    exhausted = True
+                    break
             if exhausted:
                 break
             if cur_i >= n and cur_v < head:

@@ -240,6 +240,20 @@ class MergeClauses:
 _CKPT_INTERVAL = 10
 
 
+def iso_to_epoch_utc(ts: str) -> float:
+    """Parse an ISO-8601 timestamp string to epoch seconds, treating a
+    NAIVE input as UTC while HONORING an explicit offset when present
+    ('2026-08-15T10:00:00+02:00' is 08:00 UTC, not 10:00). A blanket
+    ``replace(tzinfo=utc)`` would silently overwrite explicit offsets —
+    a wrong-version time travel."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(ts)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
 def _parse_duration_s(text: str | None) -> float | None:
     """Parse Delta-style duration strings ('interval 30 days',
     '168 hours', '3600' seconds) to seconds; None if absent/invalid."""
@@ -4373,10 +4387,49 @@ class ManagedTable:
             # The clone must see the source's merge-on-read deletes too,
             # or vanished rows would resurrect in the clone.
             entry["deletionVector"] = state["dv"]
+        self._stamp_hwm_marks(entry, src_version)
+        # Table-local metadata travels with a shallow clone too (Delta
+        # clones copy table properties/constraints/column specs) —
+        # without the properties file a clone of a row-tracked table
+        # would silently stop maintaining ids.
+        self._copy_metadata_sidecars(target)
         if spec:
             target._set_partition_spec(spec, column_order=self._column_order())
         target._write_entry(0, entry)
         return target
+
+    def _copy_metadata_sidecars(self, target: "ManagedTable") -> None:
+        import shutil
+
+        os.makedirs(target.path, exist_ok=True)
+        for p in (
+            self._properties_path(),
+            self._constraints_path(),
+            self._identity_path(),
+            self._generated_path(),
+            self._rowid_floor_path(),
+        ):
+            if os.path.isfile(p):
+                shutil.copyfile(
+                    p, os.path.join(target.path, os.path.basename(p))
+                )
+
+    def _stamp_hwm_marks(self, entry: dict, src_version: int) -> None:
+        """Stamp the source's row-id / identity high-water marks into a
+        clone's v0 entry. Without this, ids burned on the source only
+        via log entries the clone drops (a COW delete of the peak-id
+        rows records the mark in the SOURCE log alone) would be
+        re-minted on the clone — violating the burned-forever stable-id
+        contract."""
+        if self.row_tracking_enabled():
+            entry["rowIdHighWaterMark"] = self._row_id_hwm(src_version)
+        id_marks = {}
+        for col in self.identity_columns():
+            m = self._identity_hwm(col, src_version)
+            if m is not None:
+                id_marks[col] = m
+        if id_marks:
+            entry["identityHighWaterMark"] = id_marks
 
     def deep_clone(
         self, target_path: str, version: int | None = None
@@ -4468,17 +4521,7 @@ class ManagedTable:
             copied_stats.update(batch_stats)
             data_paths.append(batch_dir)
         # Table-local metadata sidecars travel with a DEEP clone.
-        for p in (
-            self._properties_path(),
-            self._constraints_path(),
-            self._identity_path(),
-            self._generated_path(),
-            self._rowid_floor_path(),
-        ):
-            if os.path.isfile(p):
-                shutil.copyfile(
-                    p, os.path.join(target.path, os.path.basename(p))
-                )
+        self._copy_metadata_sidecars(target)
         entry = {
             "version": 0,
             "timestamp": time.time(),
@@ -4504,6 +4547,7 @@ class ManagedTable:
             entry["columnMapping"] = state["columnMapping"]
         if state.get("protocol"):
             entry["protocol"] = state["protocol"]
+        self._stamp_hwm_marks(entry, src_version)
         target._write_entry(0, entry)
         return target
 
@@ -4733,6 +4777,13 @@ class ManagedTable:
         idents[col] = {"start": int(start), "step": int(step)}
         with open(self._identity_path(), "w") as f:
             json.dump(idents, f)
+
+    def clear_identity_columns(self) -> None:
+        """Drop every identity-column spec (CREATE OR REPLACE resets
+        table metadata to the new definition — specs the statement does
+        not re-declare do not survive the replace)."""
+        if os.path.isfile(self._identity_path()):
+            os.remove(self._identity_path())
 
     def _identity_hwm(self, col: str, version: int):
         """Monotone high-water mark: the newest commit's recorded
@@ -5097,6 +5148,12 @@ class ManagedTable:
         gen[col] = expr
         with open(self._generated_path(), "w") as f:
             json.dump(gen, f)
+
+    def clear_generated_columns(self) -> None:
+        """Drop every generated-column spec (see
+        ``clear_identity_columns`` — CREATE OR REPLACE semantics)."""
+        if os.path.isfile(self._generated_path()):
+            os.remove(self._generated_path())
 
     def _fill_generated(self, df: DataFrame, read_version: int) -> DataFrame:
         """Compute absent generated columns on an incoming batch

@@ -229,11 +229,9 @@ class PlatformSQL:
     def _version_at_timestamp(self, name: str, ts: str) -> int:
         """Latest version committed at or before ``ts`` (Delta's
         TIMESTAMP AS OF), from commit-log timestamps alone."""
-        from datetime import datetime, timezone
+        from .sources.managed_table import iso_to_epoch_utc
 
-        cutoff = (
-            datetime.fromisoformat(ts).replace(tzinfo=timezone.utc).timestamp()
-        )
+        cutoff = iso_to_epoch_utc(ts)
         versions = [
             h["version"]
             for h in self.tables[name].history()
@@ -246,11 +244,9 @@ class PlatformSQL:
     def _earliest_version_at_or_after(self, name: str, ts: str) -> int:
         """Earliest version committed at or after ``ts`` (Delta's CDF
         starting-timestamp rule)."""
-        from datetime import datetime, timezone
+        from .sources.managed_table import iso_to_epoch_utc
 
-        cutoff = (
-            datetime.fromisoformat(ts).replace(tzinfo=timezone.utc).timestamp()
-        )
+        cutoff = iso_to_epoch_utc(ts)
         versions = [
             h["version"]
             for h in self.tables[name].history()
@@ -302,8 +298,11 @@ class PlatformSQL:
             c = cond or "true"
             gate = f"({c})"
             if fired:
+                # NOT(NULL) is NULL; a NULL earlier condition must read
+                # as "not satisfied" (Delta falls through to the next
+                # clause), so coalesce each negated term to false.
                 gate += " AND " + " AND ".join(
-                    f"NOT ({p})" for p in fired
+                    f"NOT coalesce(({p}), false)" for p in fired
                 )
             if kind == "delete":
                 delete_terms.append(f"({gate})")
@@ -361,7 +360,10 @@ class PlatformSQL:
             c = cond or "true"
             gate = f"({c})"
             if fired:
-                gate += " AND " + " AND ".join(f"NOT ({p})" for p in fired)
+                # See _fold_matched_clauses: NULL conditions fall through.
+                gate += " AND " + " AND ".join(
+                    f"NOT coalesce(({p}), false)" for p in fired
+                )
             gates.append(f"({gate})")
             for col in all_cols:
                 chains[col].append((gate, assigns.get(col, "NULL")))
@@ -493,8 +495,19 @@ class PlatformSQL:
                         f"{table.partition_spec() or []}, requested "
                         f"{new_spec}); DROP and recreate instead"
                     )
-                # Delta's CREATE OR REPLACE: a forward-written overwrite
-                # commit — prior versions stay time-travelable.
+                # Delta's CREATE OR REPLACE is also a metadata RESET:
+                # specs the new definition does not re-declare
+                # (clusterBy, CHECK constraints, identity, generated
+                # columns) do not survive it — cleared BEFORE the write
+                # so the old constraints cannot gate the new data. The
+                # CLUSTER BY clause, when present, is re-applied below.
+                table.set_cluster_by(None)
+                for cname in list(table.constraints()):
+                    table.drop_constraint(cname)
+                table.clear_identity_columns()
+                table.clear_generated_columns()
+                # ... and a forward-written overwrite commit — prior
+                # versions stay time-travelable.
                 v = table.overwrite(
                     df, overwrite_schema=True, operation="REPLACE TABLE"
                 )

@@ -748,8 +748,9 @@ def test_byte_capped_offset_walk_partitions_the_uncapped_set(
 ):
     """maxBytesPerTrigger: same exactly-once partition invariant as the
     file cap — the walk serves the uncapped set with no dupes/gaps —
-    plus the soft-max rule: every chunk fits the byte budget OR is a
-    single file (a file larger than the budget must still flow)."""
+    plus Delta's soft-max admission rule: a file is admitted whenever
+    bytes-so-far are under the budget, so a chunk may exceed the cap by
+    exactly its last (crossing) file, never more."""
     import os as _os
 
     from delta_lake_platform_spark.sources.datasource import _TailReader
@@ -781,10 +782,38 @@ def test_byte_capped_offset_walk_partitions_the_uncapped_set(
     assert sorted(capped) == sorted(uncapped)
     assert len(capped) == len(set(capped)), "a file was served twice"
     for c in chunks:
-        assert (
-            len(c) == 1
-            or sum(_os.path.getsize(f) for f in c) <= byte_cap
-        ), chunks
+        # Everything BEFORE the crossing file was under budget; the
+        # crossing file itself is included (Delta's admission rule).
+        assert sum(_os.path.getsize(f) for f in c[:-1]) < byte_cap, chunks
+
+
+def test_byte_cap_includes_the_crossing_file(table, spark):
+    """The file that crosses the remaining byte budget lands in the
+    CURRENT batch (Delta admits while bytes-so-far < cap); deferring it
+    to the next trigger would systematically undershoot the budget."""
+    import os as _os
+
+    from delta_lake_platform_spark.sources.datasource import _TailReader
+
+    # Serve order comes from an uncapped walk, not directory order.
+    r0 = _TailReader({"path": table.path})
+    files = [
+        p.file_path
+        for p in r0.partitions(r0.initialOffset(), r0.latestOffset())
+    ]
+    assert len(files) >= 2
+    sizes = [_os.path.getsize(f) for f in files]
+    # Budget: strictly more than the first file, less than first+second
+    # — under the admission rule both land in batch one.
+    cap = sizes[0] + 1
+    assert cap < sizes[0] + sizes[1]
+    r = _TailReader({"path": table.path, "maxbytespertrigger": str(cap)})
+    prev = r.initialOffset()
+    cur = r.latestOffset()
+    parts = r.partitions(prev, cur)
+    assert len(parts) == 2, "crossing file was deferred to the next trigger"
+    got = sum(_os.path.getsize(p.file_path) for p in parts)
+    assert got > cap  # the batch crossed the cap by its last file
 
 
 def test_byte_and_file_caps_compose(table, spark):

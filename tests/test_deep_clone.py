@@ -144,3 +144,58 @@ def test_clone_version_as_of(spark):
         f"LOCATION '{d}/svao'"
     )
     assert sql.sql("SELECT count(*) AS n FROM svao").first().n == 10
+
+
+def test_clone_carries_burned_row_id_mark(spark):
+    """Ids burned on the source ONLY via log entries (a COW delete of
+    the peak-id row leaves the mark in the source log the clone drops)
+    must stay burned on the clone: the clone's v0 entry carries
+    rowIdHighWaterMark, so appends never re-mint a source-burned id."""
+    d, t = _mk(spark, "burnmark_")
+    t.create(spark.range(100).selectExpr("id", "id * 2 AS v"))
+    t.enable_row_tracking()
+    all_ids = {r["_row_id"] for r in t.read_row_ids().collect()}
+    peak_owner = next(
+        r["id"]
+        for r in t.read_row_ids().collect()
+        if r["_row_id"] == max(all_ids)
+    )
+    t.delete(f"id = {peak_owner}", rewrite=True)  # COW: burns the peak id
+    survivors = {r["_row_id"] for r in t.read_row_ids().collect()}
+    assert max(survivors) < max(all_ids)
+    for c in (
+        t.deep_clone(f"{d}/deep"),
+        t.clone(f"{d}/shallow"),
+    ):
+        assert c._entry(0).get("rowIdHighWaterMark") is not None
+        assert c.row_tracking_enabled()  # properties sidecar travelled
+        c.append(spark.range(500, 505).selectExpr("id", "id * 2 AS v"))
+        minted = {
+            r["_row_id"] for r in c.read_row_ids().collect()
+        } - survivors
+        assert max(all_ids) not in minted, "burned peak id re-minted"
+        assert min(minted) > max(all_ids)
+
+
+def test_clone_carries_identity_high_water_mark(spark):
+    d, t = _mk(spark, "identmark_")
+    t.create(
+        spark.range(10).selectExpr("id", "CAST(NULL AS BIGINT) AS acct")
+        .limit(0)
+    )
+    t.set_identity_column("acct", start=1)
+    t.append(spark.range(10).selectExpr("id"))
+    peak = max(r["acct"] for r in t.read().collect())
+    owner = next(r["id"] for r in t.read().collect() if r["acct"] == peak)
+    t.delete(f"id = {owner}", rewrite=True)  # burn the peak identity id
+    assert max(r["acct"] for r in t.read().collect()) < peak
+    for c in (
+        t.deep_clone(f"{d}/deep"),
+        t.clone(f"{d}/shallow"),
+    ):
+        marks = c._entry(0).get("identityHighWaterMark")
+        assert marks and marks["acct"] >= peak
+        c.append(spark.range(100, 103).selectExpr("id"))
+        vals = [r["acct"] for r in c.read().collect()]
+        assert len(vals) == len(set(vals))
+        assert sum(1 for v in vals if v == peak) == 0, "peak id re-minted"

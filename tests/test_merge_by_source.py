@@ -336,3 +336,62 @@ def test_multiple_not_matched_inserts_first_match_wins(spark):
             "WHEN NOT MATCHED AND mupm.bucket = 0 THEN "
             "INSERT (id, v, tag) VALUES (mupm.id, 1, 'b')"
         )
+
+
+def test_null_condition_falls_through_to_later_clause(spark):
+    """A NULL first-clause condition must read as NOT-satisfied (Delta
+    falls through to the next clause). A raw NOT(cond) gate turns
+    NULL into NULL and poisons every later clause's gate, so the row
+    silently matches nothing — this pins the coalesce fix."""
+    from delta_lake_platform_spark.sql import PlatformSQL
+
+    d = tempfile.mkdtemp(prefix="nullclause_")
+    sql = PlatformSQL(spark)
+    sql.sql(
+        f"CREATE TABLE nt LOCATION '{d}/nt' AS "
+        "SELECT id, CAST('keep' AS STRING) AS tag FROM range(6)"
+    )
+    spark.sql(
+        "SELECT id, CASE WHEN id % 2 = 0 THEN NULL "
+        "ELSE CAST(id AS BIGINT) END AS x FROM range(6)"
+    ).createOrReplaceTempView("nsrc")
+    sql.sql(
+        "MERGE INTO nt USING nsrc ON nt.id = nsrc.id "
+        "WHEN MATCHED AND nsrc.x > 5 THEN UPDATE SET tag = 'big' "
+        "WHEN MATCHED AND nsrc.x > 2 THEN UPDATE SET tag = 'mid' "
+        "WHEN MATCHED THEN UPDATE SET tag = 'rest'"
+    )
+    got = {r.id: r.tag for r in sql.sql("SELECT id, tag FROM nt").collect()}
+    # Even ids carry x = NULL: both conditions are NULL -> fall through
+    # to the unconditional clause, exactly like Delta.
+    assert got == {
+        0: "rest", 2: "rest", 4: "rest",
+        1: "rest", 3: "mid", 5: "mid",
+    }
+
+
+def test_null_condition_falls_through_on_insert_clauses(spark):
+    from delta_lake_platform_spark.sql import PlatformSQL
+
+    d = tempfile.mkdtemp(prefix="nullins_")
+    sql = PlatformSQL(spark)
+    sql.sql(
+        f"CREATE TABLE ni LOCATION '{d}/ni' AS "
+        "SELECT id, CAST('seed' AS STRING) AS tag FROM range(2)"
+    )
+    spark.sql(
+        "SELECT id, CASE WHEN id % 2 = 0 THEN NULL "
+        "ELSE CAST(id AS BIGINT) END AS x FROM range(6)"
+    ).createOrReplaceTempView("nisrc")
+    sql.sql(
+        "MERGE INTO ni USING nisrc ON ni.id = nisrc.id "
+        "WHEN NOT MATCHED AND nisrc.x > 3 THEN "
+        "INSERT (id, tag) VALUES (nisrc.id, 'gated') "
+        "WHEN NOT MATCHED THEN INSERT (id, tag) VALUES (nisrc.id, 'fall')"
+    )
+    got = {r.id: r.tag for r in sql.sql("SELECT id, tag FROM ni").collect()}
+    # ids 2, 4 carry x = NULL -> must land via the fall-through insert.
+    assert got == {
+        0: "seed", 1: "seed",
+        2: "fall", 4: "fall", 3: "fall", 5: "gated",
+    }

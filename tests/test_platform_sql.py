@@ -706,3 +706,72 @@ def test_create_table_not_null_coldef(psql, spark):
             spark.createDataFrame([(None, "x")], "id bigint, v string")
         )
     assert psql.sql("SELECT count(*) AS n FROM nn").first().n == 1
+
+
+def test_create_or_replace_resets_table_metadata(psql, spark):
+    """Delta's CREATE OR REPLACE resets table metadata to the NEW
+    definition: an omitted CLUSTER BY clears the old clustering spec,
+    and constraints / identity / generated specs not re-declared do
+    not survive the replace."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cor_reset_")
+    psql.sql(
+        f"CREATE TABLE rmeta LOCATION '{d}/rmeta' "
+        "CLUSTER BY (id) AS SELECT id, id * 2 AS v FROM range(10)"
+    )
+    t = psql.tables["rmeta"]
+    t.add_constraint("v_pos", "v >= 0")
+    t.set_generated_column("v", "id * 2")
+    assert t.properties().get("clusterBy") == "id"
+    psql.sql(
+        f"CREATE OR REPLACE TABLE rmeta LOCATION '{d}/rmeta' AS "
+        "SELECT id, CAST(-1 AS BIGINT) AS v FROM range(3)"
+    )
+    assert t.properties().get("clusterBy") is None
+    assert t.constraints() == {}
+    assert t.generated_columns() == {}
+    assert t.identity_columns() == {}
+    # The old specs are really gone: rows violating them now commit.
+    t.append(spark.createDataFrame([(99, -5)], "id long, v long"))
+    assert t.read().filter("v = -5").count() == 1
+    # A re-declared CLUSTER BY survives the reset.
+    psql.sql(
+        f"CREATE OR REPLACE TABLE rmeta LOCATION '{d}/rmeta' "
+        "CLUSTER BY (id) AS SELECT id, id * 2 AS v FROM range(3)"
+    )
+    assert t.properties().get("clusterBy") == "id"
+
+
+def test_timestamp_as_of_honors_explicit_offset(psql):
+    """A tz-aware TIMESTAMP AS OF must be interpreted at its OWN
+    offset: '...T10:00+02:00' is 08:00 UTC. Overwriting the offset
+    with UTC resolves a version 2 hours off."""
+    from delta_lake_platform_spark.sources.managed_table import (
+        iso_to_epoch_utc,
+    )
+
+    assert iso_to_epoch_utc("2026-08-15T10:00:00+02:00") == iso_to_epoch_utc(
+        "2026-08-15T08:00:00"
+    )
+    assert iso_to_epoch_utc("2026-08-15T08:00:00") == iso_to_epoch_utc(
+        "2026-08-15T08:00:00+00:00"
+    )
+    # End to end: pick the cutoff between v0 and v1 expressed at +02:00;
+    # naive-as-UTC parsing of the same instant must agree.
+    import datetime as dt
+
+    t = psql.tables["accounts"]
+    v0_ts = t.history()[-1]["timestamp"]
+    t.append(
+        psql.spark.createDataFrame([(7, "g", 5)],
+                                   "id long, name string, balance long")
+    )
+    v1_ts = t.history(1)[0]["timestamp"]
+    cutoff = (v0_ts + v1_ts) / 2
+    aware = dt.datetime.fromtimestamp(
+        cutoff, dt.timezone(dt.timedelta(hours=2))
+    ).isoformat()
+    assert "+02:00" in aware
+    assert psql._version_at_timestamp("accounts", aware) == 0
+    assert psql._earliest_version_at_or_after("accounts", aware) == 1
