@@ -68,7 +68,13 @@ PRIORITY = [
     "sql_api_orders_by_nation",
     "scd_hybrid_two_batches",
     "scd_hybrid_two_batches_merge_mode",
-    "scd_change_feed_day2",
+    # scd_change_feed_day2 rotated out in r6 for cdc_per_commit_orders:
+    # the round's new per-commit CDC feature (enableChangeDataFeed cdc
+    # files on UPDATE/DELETE/MERGE, appends served from add actions,
+    # _commit_version/_commit_timestamp metadata — debt item (d)). The
+    # NET change-feed family stays covered by the MV refresh paths it
+    # feeds and by the local oracle sweep.
+    "cdc_per_commit_orders",
     "scd_time_travel_day1",
     "scd_surrogate_keys",
     # customer_dense_ids rotated out in r5 (dense-id assignment stays

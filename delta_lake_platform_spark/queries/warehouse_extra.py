@@ -811,3 +811,94 @@ def deep_clone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+CDC_PER_COMMIT_ORACLE = """
+WITH upd AS (
+  SELECT o_totalprice FROM orders
+  WHERE o_orderstatus = 'F' AND o_custkey % 50 = 0
+),
+del AS (
+  SELECT o_totalprice FROM orders
+  WHERE o_orderpriority = '5-LOW' AND o_custkey % 25 = 1
+),
+ins AS (
+  SELECT o_totalprice FROM orders WHERE o_custkey % 40 = 3
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS commit_version,
+         'update_preimage' AS change_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         ROUND(SUM(o_totalprice), 2) AS total_price
+  FROM upd
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), 'update_postimage', CAST(COUNT(*) AS BIGINT),
+         ROUND(SUM(o_totalprice + 1000.0), 2)
+  FROM upd
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'delete', CAST(COUNT(*) AS BIGINT),
+         ROUND(SUM(o_totalprice), 2)
+  FROM del
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT),
+         ROUND(SUM(o_totalprice), 2)
+  FROM ins
+)
+ORDER BY commit_version, change_type
+"""
+
+
+@register("cdc_per_commit_orders", CDC_PER_COMMIT_ORACLE)
+def cdc_per_commit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-commit CDC end to end (Delta's delta.enableChangeDataFeed):
+    a CDF-enabled orders table takes an UPDATE (file-level COW), a
+    disjoint MOR DELETE, and an APPEND; table_changes_per_commit then
+    serves one row per change per commit — the DML commits from their
+    recorded cdc FILES (hard-pinned below: reading changes must never
+    re-scan rewritten data files), the append straight from its add
+    actions. The update targets o_custkey % 50 = 0 and the delete
+    % 25 = 1 — provably disjoint — so the oracle reconstructs every
+    change class directly from the base table."""
+    import shutil
+    import tempfile
+
+    from ..sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="cdc_pc_")
+    t = ManagedTable(spark, f"{d}/orders_cdc")
+    t.create(load_table(spark, sf_dir, "orders"))
+    t.set_property("enableChangeDataFeed", "true")
+    t.update(
+        {"o_totalprice": "o_totalprice + 1000.0"},
+        "o_orderstatus = 'F' AND o_custkey % 50 = 0",
+        rewrite=True,
+    )  # v1
+    t.delete(
+        "o_orderpriority = '5-LOW' AND o_custkey % 25 = 1", rewrite=False
+    )  # v2 (deletion-vector path)
+    base = load_table(spark, sf_dir, "orders")
+    t.append(
+        base.filter("o_custkey % 40 = 3").withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+        )
+    )  # v3
+    for v in (1, 2):
+        if not (t._entry(v) or {}).get("cdcPath"):
+            raise AssertionError(f"DML commit v{v} recorded no cdc file")
+    if (t._entry(3) or {}).get("cdcPath"):
+        raise AssertionError("append must not write a cdc file")
+    out = (
+        t.table_changes_per_commit(1, 3)
+        .groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("commit_version", "change_type")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -2287,6 +2287,8 @@ class ManagedTable:
         s = source.withColumn("__src", F.lit(1)).alias("updates")
         cond = F.expr(clauses.condition)
 
+        cdf_on = self.exists() and self.cdf_enabled()
+        cdc_parts: list[DataFrame] = []
         n_updated = n_inserted = n_deleted = 0
         n_bupdated = n_bdeleted = 0
         if (
@@ -2380,6 +2382,35 @@ class ManagedTable:
             ).first()
             n_updated, n_deleted = int(counts.u or 0), int(counts.d or 0)
             n_bupdated, n_bdeleted = int(counts.bu or 0), int(counts.bd or 0)
+            if cdf_on:
+                # Preimages come off the SAME checkpointed join the
+                # merge itself consumed; postimages are the updated
+                # rows of ``flagged`` — no second pass over the target.
+                pre_cols = [
+                    F.col(f"target.{c}").alias(c)
+                    for c in tcols
+                    if not c.startswith("__")
+                ]
+                if n_updated or n_bupdated:
+                    cdc_parts.append(
+                        joined.filter(do_update | do_bupdate)
+                        .select(*pre_cols)
+                        .withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
+                    )
+                    cdc_parts.append(
+                        self._cdc_frame(
+                            flagged.filter(F.col("__upd")),
+                            "update_postimage",
+                        )
+                    )
+                if n_deleted or n_bdeleted:
+                    cdc_parts.append(
+                        joined.filter(do_delete | do_bdelete)
+                        .select(*pre_cols)
+                        .withColumn("_change_type", F.lit("delete"))
+                    )
             flagged = flagged.drop("__bupd", "__bdel")
             new_target = flagged.filter(~F.col("__del")).drop("__upd", "__del")
         else:
@@ -2448,7 +2479,10 @@ class ManagedTable:
                 }
             if rid_hwm0 is not None and n_inserted:
                 rid_mark = rid_hwm0 + n_inserted
+            if cdf_on and n_inserted:
+                cdc_parts.append(self._cdc_frame(inserts, "insert"))
 
+        cdc = self._write_cdc(cdc_parts)
         metrics = {
             "numTargetRowsUpdated": n_updated,
             "numTargetRowsInserted": n_inserted,
@@ -2476,11 +2510,12 @@ class ManagedTable:
                 metrics,
                 id_marks=id_marks,
                 rid_mark=rid_mark,
+                cdc=cdc,
             )
         if rewrite:
             if inserts is not None:
                 new_target = new_target.unionByName(inserts)
-            extra = {}
+            extra = dict(cdc)
             if id_marks:
                 extra["identityHighWaterMark"] = id_marks
             if rid_mark is not None:
@@ -2544,7 +2579,7 @@ class ManagedTable:
             dv_dir, total_dv = None, 0
 
         metrics["numDeletionVectorRows"] = total_dv
-        extra = {}
+        extra = dict(cdc)
         if id_marks:
             extra["identityHighWaterMark"] = id_marks
         if rid_mark is not None:
@@ -2599,6 +2634,7 @@ class ManagedTable:
         metrics: dict,
         id_marks: dict | None = None,
         rid_mark: int | None = None,
+        cdc: dict | None = None,
     ) -> int:
         """File-level COW commit for MERGE: rewrite ONLY files where a
         row was updated or deleted; every other file stays live through
@@ -2657,7 +2693,7 @@ class ManagedTable:
             "numRewrittenFiles": len(changed),
             "numKeptFiles": n_kept,
         }
-        extra = {}
+        extra = dict(cdc or {})
         if id_marks:
             extra["identityHighWaterMark"] = id_marks
         if rid_mark is not None:
@@ -2735,10 +2771,18 @@ class ManagedTable:
         kept_files = [f for f in all_files if os.path.abspath(f) not in changed]
 
         touched = self._restrict_to_files(tagged, changed_uris)
+        cdc_parts: list[DataFrame] = []
+        cdf_on = self.cdf_enabled()
         if op == "DELETE":
             batch = touched.filter(~F.col("__match")).select(*cols)
             metrics = {"numDeletedRows": n_matched}
             delta_rows = -n_matched
+            if cdf_on:
+                cdc_parts = [
+                    self._cdc_frame(
+                        touched.filter(F.col("__match")), "delete"
+                    )
+                ]
         elif op == "UPDATE":
             se = set_exprs or {}
             schema = self._schema_of(self._state(v))
@@ -2758,6 +2802,20 @@ class ManagedTable:
             )
             metrics = {"numUpdatedRows": n_matched}
             delta_rows = 0
+            if cdf_on:
+                m = touched.filter(F.col("__match"))
+                cdc_parts = [
+                    self._cdc_frame(m, "update_preimage"),
+                    self._cdc_frame(
+                        m.select(
+                            *[
+                                upd_col(c) if c in se else F.col(c)
+                                for c in cols
+                            ]
+                        ),
+                        "update_postimage",
+                    ),
+                ]
         else:  # OPTIMIZE WHERE: same rows, compacted layout
             batch = touched.select(*cols)
             if coalesce is not None:
@@ -2785,6 +2843,7 @@ class ManagedTable:
             remove=[os.path.relpath(f, self.path) for f in sorted(changed)],
             add_paths=[batch_dir],
             read_version=v,
+            extra=self._write_cdc(cdc_parts) or None,
         )
 
     def update(
@@ -2843,7 +2902,26 @@ class ManagedTable:
                 ]
             )
             n = target.filter(cond).count()
-            return self._commit(out, "UPDATE", {"numUpdatedRows": n})
+            cdc = {}
+            if self.exists() and self.cdf_enabled():
+                pre = target.filter(cond).localCheckpoint(eager=False)
+                # upd_col's when(cond) is true on every pre row, so the
+                # same projection yields the postimage.
+                post = pre.select(
+                    *[
+                        upd_col(c) if c in set_exprs else F.col(c)
+                        for c in target.columns
+                    ]
+                )
+                cdc = self._write_cdc(
+                    [
+                        self._cdc_frame(pre, "update_preimage"),
+                        self._cdc_frame(post, "update_postimage"),
+                    ]
+                )
+            return self._commit(
+                out, "UPDATE", {"numUpdatedRows": n}, extra=cdc or None
+            )
 
         v = self.latest_version()
         cond = F.coalesce(
@@ -2897,6 +2975,16 @@ class ManagedTable:
         dv_dir = self._write_dv(full_dv, dv_dir, old_dv_dir)
         total_dv, _ = _scan_parquet_footers(dv_dir)
 
+        cdc = (
+            self._write_cdc(
+                [
+                    self._cdc_frame(matched, "update_preimage"),
+                    self._cdc_frame(rewritten, "update_postimage"),
+                ]
+            )
+            if self.cdf_enabled()
+            else {}
+        )
         return self._commit_delta_retry(
             "UPDATE (MOR)",
             {
@@ -2908,6 +2996,7 @@ class ManagedTable:
             add_paths=[batch_dir],
             dv=dv_dir,
             read_version=v,
+            extra=cdc or None,
         )
 
     def delete(self, condition: str, rewrite: bool | None = None) -> int:
@@ -2937,8 +3026,18 @@ class ManagedTable:
             ).localCheckpoint(eager=False)
             cond = F.coalesce(F.expr(condition), F.lit(False))
             n = target.filter(cond).count()
+            cdc = (
+                self._write_cdc(
+                    [self._cdc_frame(target.filter(cond), "delete")]
+                )
+                if self.exists() and self.cdf_enabled()
+                else {}
+            )
             return self._commit(
-                target.filter(~cond), "DELETE", {"numDeletedRows": n}
+                target.filter(~cond),
+                "DELETE",
+                {"numDeletedRows": n},
+                extra=cdc or None,
             )
         v = self.latest_version()
         entry = self._entry(v)
@@ -2951,6 +3050,11 @@ class ManagedTable:
                 F.broadcast(old_dv), on=["__dv_file", "__dv_pos"], how="left_anti"
             )
         new_pos = tagged.filter(cond).select("__dv_file", "__dv_pos")
+        cdc = (
+            self._write_cdc([self._cdc_frame(tagged.filter(cond), "delete")])
+            if self.cdf_enabled()
+            else {}
+        )
         new_version = v + 1
         dv_dir = self._new_dv_dir()
         # Each DV commit writes the COMPLETE vector (prior ∪ new), so no
@@ -2996,6 +3100,7 @@ class ManagedTable:
                 delta_rows=-(total_dv - prior_dv),
                 dv=dv_dir,
                 read_version=v,
+                extra=cdc or None,
             )
         # Legacy chain without the metric: footer-derived count, single
         # attempt (a retry could not recompute it against a new head).
@@ -3004,6 +3109,7 @@ class ManagedTable:
             "DELETE (DV)",
             {**dv_metrics, "numOutputRows": n_data - total_dv},
             dv=dv_dir,
+            extra=cdc or None,
         )
 
     def overwrite(
@@ -3089,6 +3195,25 @@ class ManagedTable:
                 f"overwrite_where: input rows violate the predicate {condition!r}"
             )
         if rewrite:
+            # replaceWhere under CDF: the old slice is deleted, the
+            # replacement inserted (a reload is new data, not updates).
+            cdc = (
+                self._write_cdc(
+                    [
+                        self._cdc_frame(
+                            self.read().filter(
+                                F.coalesce(cond, F.lit(False))
+                            ),
+                            "delete",
+                        ),
+                        self._cdc_frame(
+                            df.select(*table_cols), "insert"
+                        ),
+                    ]
+                )
+                if self.cdf_enabled()
+                else {}
+            )
             if rt:
                 kept = self._read_with_rid().filter(
                     ~F.coalesce(cond, F.lit(False))
@@ -3106,7 +3231,7 @@ class ManagedTable:
                         "numOutputRows": None,
                         "numAddedRows": n_new,
                     },
-                    extra={"rowIdHighWaterMark": hwm + n_new},
+                    extra={"rowIdHighWaterMark": hwm + n_new, **cdc},
                 )
             kept = self.read().filter(~F.coalesce(cond, F.lit(False)))
             n_new = df.count()
@@ -3114,6 +3239,7 @@ class ManagedTable:
                 kept.unionByName(df.select(*self.read().columns)),
                 "REPLACE WHERE",
                 {"predicate": condition, "numOutputRows": None, "numAddedRows": n_new},
+                extra=cdc or None,
             )
 
         v = self.latest_version()
@@ -3130,18 +3256,31 @@ class ManagedTable:
             "__dv_file", "__dv_pos"
         )
         batch = df.select(*cols)
+        cdc = (
+            self._write_cdc(
+                [
+                    self._cdc_frame(
+                        tagged.filter(F.coalesce(cond, F.lit(False))),
+                        "delete",
+                    ),
+                    self._cdc_frame(batch, "insert"),
+                ]
+            )
+            if self.cdf_enabled()
+            else {}
+        )
         self.verify_constraints(batch)
         new_version = v + 1
         batch_dir = self._write_data_staged(
             self._to_physical(batch, v), self._batch_dir()
         )
         n_new, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
-        extra = commutes = None
+        extra, commutes = (cdc or None), None
         if rt:
             # The replacement slice is all-new rows: positional spans
             # from the high-water mark, exactly the append path.
             batch_stats, rid_hwm = self._fill_row_bases(batch_stats, v)
-            extra = {"rowIdHighWaterMark": rid_hwm}
+            extra = {"rowIdHighWaterMark": rid_hwm, **cdc}
             commutes = self._row_id_append_commutes(self._adds_only_between)
 
         dv_dir = self._new_dv_dir()
@@ -4060,6 +4199,17 @@ class ManagedTable:
                         if expiring_rid is None
                         else max(expiring_rid, rid_mark)
                     )
+                if entry.get("cdcPath"):
+                    # The expiring entry is the only reference to its
+                    # CDC files — reclaim them with it.
+                    import shutil
+
+                    cdcd = os.path.normpath(self._abs(entry["cdcPath"]))
+                    root = os.path.normpath(self.path)
+                    if (cdcd + os.sep).startswith(
+                        root + os.sep
+                    ) and os.path.isdir(cdcd):
+                        shutil.rmtree(cdcd, ignore_errors=True)
                 try:
                     os.remove(self._entry_path(v))
                     removed.append(v)
@@ -4178,6 +4328,17 @@ class ManagedTable:
                 if os.path.isdir(dvd) and dvd not in referenced_dvs:
                     if not dry_run:
                         shutil.rmtree(dvd)
+            # Per-commit CDC files are owned solely by their version
+            # (uuid-named, never cross-referenced): reclaim with it. A
+            # later table_changes_per_commit over this version raises
+            # "was vacuumed" — Delta's contract for vacuumed CDF data.
+            if entry.get("cdcPath"):
+                cdcd = os.path.normpath(self._abs(entry["cdcPath"]))
+                if (cdcd + os.sep).startswith(
+                    table_root + os.sep
+                ) and os.path.isdir(cdcd):
+                    if not dry_run:
+                        shutil.rmtree(cdcd)
             data_removed = False
             own_dirs = (
                 [self._local_data_dir(v)]
@@ -5388,3 +5549,177 @@ class ManagedTable:
             )
             .alias("_change_type"),
         )
+
+    # -- change data feed: per-commit CDC files (Delta's
+    # delta.enableChangeDataFeed) ------------------------------------------
+
+    def cdf_enabled(self) -> bool:
+        """True when the table records per-commit change files. Both
+        the bare and the Delta-prefixed property spellings work."""
+        p = self.properties()
+        val = p.get(
+            "enableChangeDataFeed", p.get("delta.enableChangeDataFeed", "false")
+        )
+        return str(val).lower() in ("true", "1")
+
+    def _cdc_frame(self, df: DataFrame, change_type: str) -> DataFrame:
+        """Logical rows of ``df`` (engine ``__``-columns stripped)
+        tagged with ``_change_type``."""
+        cols = [c for c in df.columns if not c.startswith("__")]
+        return df.select(*cols).withColumn("_change_type", F.lit(change_type))
+
+    def _write_cdc(self, parts: list[DataFrame]) -> dict:
+        """Write a DML commit's change rows (union of pre-tagged
+        frames) under ``_change_data/`` — uuid-named like batch dirs,
+        so retried commits and racing writers never contend — and
+        return the ``{"cdcPath": rel}`` entry extra. {} when CDF is
+        off for this table or the commit captured nothing. The cost
+        model is Delta's: a 1-row update in a 1 GB file adds a 1-row
+        cdc file, so CDF readers never re-scan rewritten data files."""
+        if not parts:
+            return {}
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        d = os.path.join(
+            self.path, "_change_data", f"cdc-{uuid.uuid4().hex[:12]}"
+        )
+        out.write.parquet(d)
+        return {"cdcPath": os.path.relpath(d, self.path)}
+
+    # Commits that cannot change the table's logical rows: data layout
+    # (OPTIMIZE family, DV materialization), snapshot references
+    # (clones, CONVERT), and schema-only commits. table_changes_per_
+    # commit skips them without a Spark job.
+    _CDC_NOCHANGE_OPS = frozenset(
+        {
+            "OPTIMIZE",
+            "OPTIMIZE_ZORDER",
+            "OPTIMIZE WHERE",
+            "REORG PURGE",
+            "CLONE",
+            "DEEP CLONE",
+            "CONVERT",
+            "ADD COLUMN",
+            "RENAME COLUMN",
+            "DROP COLUMN",
+            "ALTER COLUMN TYPE",
+            "SET TBLPROPERTIES",
+            "ENABLE ROW TRACKING",
+        }
+    )
+    _CDC_APPEND_OPS = frozenset({"APPEND", "COPY INTO"})
+
+    def table_changes_per_commit(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        key_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Delta's ``table_changes``: one row per change per COMMIT over
+        ``[from_version, to_version]`` with ``_change_type`` /
+        ``_commit_version`` / ``_commit_timestamp``. Unlike
+        ``change_feed`` (the NET span diff this engine has always
+        served), intra-span churn is visible: a row inserted then
+        deleted inside the span appears as both changes.
+
+        Per-commit sources, cheapest first:
+        - a recorded ``cdcPath`` (DML under ``enableChangeDataFeed``)
+          is read directly — O(changed rows), never a re-scan of the
+          rewritten files;
+        - append-family commits are served from their ADDED files
+          (Delta reads the add actions too — insert-only commits never
+          write cdc files);
+        - layout/schema-only commits contribute nothing;
+        - anything else (legacy DML without CDC, OVERWRITE, RESTORE)
+          falls back to an exact per-commit snapshot diff, where Delta
+          would raise "change data was not recorded" — strictly more
+          useful, same rows a cdc file would have held (modulo
+          update pre/post pairing, which needs ``key_cols`` there).
+
+        Column drift inside the span is aligned to the END version's
+        logical schema (columns added later read NULL for earlier
+        commits, like Delta's CDF with its end-schema rule)."""
+        to_v = self.latest_version() if to_version is None else to_version
+        if from_version > to_v:
+            raise ValueError(
+                f"table_changes_per_commit: from_version {from_version} "
+                f"> to_version {to_v}"
+            )
+        parts: list[DataFrame] = []
+        for v in range(from_version, to_v + 1):
+            entry = self._entry(v)
+            if entry is None:
+                # Expired below the checkpoint horizon: the change data
+                # for this commit is unrecoverable — same contract as
+                # Delta reading a vacuumed CDF range.
+                raise ValueError(
+                    f"table_changes_per_commit: version {v} has no log "
+                    "entry (expired); start at a retained version"
+                )
+            op = entry.get("operation", "")
+            if entry.get("cdcPath"):
+                d = self._abs(entry["cdcPath"])
+                if not os.path.isdir(d):
+                    raise ValueError(
+                        f"change data of version {v} was vacuumed; "
+                        "start at a younger version"
+                    )
+                changes = self.spark.read.parquet(d)
+            elif v == 0 or op in self._CDC_APPEND_OPS:
+                # Added-file scan: the add actions ARE the change rows.
+                prev = (
+                    set(self._all_data_files(v - 1)) if v > 0 else set()
+                )
+                added = [
+                    f for f in self._all_data_files(v) if f not in prev
+                ]
+                if not added:
+                    continue
+                changes = self._cdc_frame(
+                    self._scan_candidates(v, added), "insert"
+                )
+            elif op in self._CDC_NOCHANGE_OPS or (
+                entry.get("logMode") == "delta"
+                and not entry.get("add")
+                and not entry.get("remove")
+                and "deletionVector" not in entry
+            ):
+                continue  # layout/schema/property-only: no logical change
+            else:
+                changes = self.change_feed(v - 1, v, key_cols=key_cols)
+            parts.append(
+                changes.withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                ).withColumn(
+                    # From the epoch directly — session-timezone-proof.
+                    "_commit_timestamp",
+                    F.timestamp_seconds(F.lit(float(entry["timestamp"]))),
+                )
+            )
+        if not parts:
+            # Typed empty frame: end-version logical schema + CDC cols.
+            return self._cdc_frame(
+                self._scan_version(to_v).filter(F.lit(False)), "insert"
+            ).withColumn("_commit_version", F.lit(0).cast("long")).withColumn(
+                "_commit_timestamp", F.lit(None).cast("timestamp")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        # End-schema alignment: project to the end version's logical
+        # columns (+ CDC metadata), dropping columns that no longer
+        # exist and nulling ones older commits had not seen.
+        cdc_meta = ("_change_type", "_commit_version", "_commit_timestamp")
+        end_schema = self._schema_of(self._state(to_v))
+        end_cols = [
+            f
+            for f in (
+                end_schema.fieldNames()
+                if end_schema is not None
+                else out.columns
+            )
+            if not f.startswith("__") and f not in cdc_meta
+        ]
+        keep = [c for c in end_cols if c in out.columns] + list(cdc_meta)
+        return out.select(*keep)

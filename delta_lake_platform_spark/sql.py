@@ -1001,6 +1001,29 @@ class PlatformSQL:
             if n is not None:
                 return self._df([{alias or "count(1)": n}])
 
+        # Per-commit CDC (Delta's actual table_changes shape): one row
+        # per change per COMMIT with _commit_version/_commit_timestamp,
+        # served from recorded cdc files / add actions / exact
+        # per-commit diffs. Start version 0 = initial snapshot as
+        # inserts, like Delta.
+        def tc_pc(m2):
+            name, v0, v1 = m2.group(1), int(m2.group(2)), m2.group(3)
+            view = (
+                f"{name}__cchanges_{v0}_"
+                f"{'head' if v1 is None else v1}"
+            )
+            self.tables[name].table_changes_per_commit(
+                v0, int(v1) if v1 else None
+            ).createOrReplaceTempView(view)
+            return view
+
+        t = re.sub(
+            rf"(?is)\btable_changes_per_commit\s*\(\s*'?({_IDENT})'?\s*,"
+            r"\s*(\d+)(?:\s*,\s*(\d+))?\s*\)",
+            tc_pc,
+            t,
+        )
+
         # Delta's CDF table-valued function: table_changes('t', v0[, v1])
         # becomes a temp view over ManagedTable.change_feed — usable
         # anywhere a relation is (joins, CTEs, aggregates). Delta

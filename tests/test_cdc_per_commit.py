@@ -1,0 +1,266 @@
+"""Per-commit CDC (Delta's delta.enableChangeDataFeed).
+
+Contract pinned here:
+- DML commits on a CDF-enabled table record change files under
+  _change_data/ (uuid-named, entry-referenced via cdcPath) holding the
+  commit's change ROWS — a 1-row update in a big file costs a 1-row
+  cdc file, and CDF readers never re-scan rewritten data files.
+- table_changes_per_commit serves one row per change per commit with
+  _change_type/_commit_version/_commit_timestamp: cdc files first,
+  append-family commits straight from their ADDED files (never a cdc
+  write), layout/schema-only commits contribute nothing, and anything
+  unrecorded falls back to an exact per-commit snapshot diff (where
+  Delta would error).
+- Netting: summing the per-commit stream over a span reproduces the
+  NET change_feed diff; intra-span churn is visible per-commit and
+  invisible net — the distinction debt item (d) called out.
+- VACUUM reclaims a vacuumed version's cdc dir; reading it then
+  raises, like Delta's vacuumed-CDF contract.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+
+def _mk(spark, n=20, cdf=True, prefix="cdc_"):
+    d = tempfile.mkdtemp(prefix=prefix)
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(
+        spark.range(n).selectExpr(
+            "id", "id * 10 AS v", "CAST('a' AS STRING) AS tag"
+        )
+    )
+    if cdf:
+        t.set_property("enableChangeDataFeed", "true")
+    return d, t
+
+
+def _changes(t, v0, v1=None, **kw):
+    rows = t.table_changes_per_commit(v0, v1, **kw).collect()
+    return sorted(
+        (r["_commit_version"], r["_change_type"], r["id"]) for r in rows
+    )
+
+
+def test_cow_delete_writes_and_serves_cdc(spark):
+    d, t = _mk(spark)
+    t.delete("id < 3", rewrite=True)  # v1
+    entry = t._entry(1)
+    assert entry.get("cdcPath"), "CDF-enabled DELETE must record a cdc file"
+    assert os.path.isdir(t._abs(entry["cdcPath"]))
+    assert _changes(t, 1) == [(1, "delete", i) for i in range(3)]
+    # _commit_timestamp is populated and matches the entry.
+    row = t.table_changes_per_commit(1).first()
+    assert row["_commit_timestamp"] is not None
+
+
+def test_dv_delete_writes_cdc(spark):
+    d, t = _mk(spark)
+    t.delete("id >= 18", rewrite=False)  # v1, DV
+    assert t._entry(1).get("cdcPath")
+    assert _changes(t, 1) == [(1, "delete", 18), (1, "delete", 19)]
+
+
+def test_update_pre_and_postimages_cow_and_mor(spark):
+    for rewrite in (True, False):
+        d, t = _mk(spark, prefix=f"cdcu_{rewrite}_")
+        t.update({"v": "v + 1"}, "id = 7", rewrite=rewrite)  # v1
+        got = t.table_changes_per_commit(1).collect()
+        by_type = {r["_change_type"]: r for r in got}
+        assert set(by_type) == {"update_preimage", "update_postimage"}
+        assert by_type["update_preimage"]["v"] == 70
+        assert by_type["update_postimage"]["v"] == 71
+        assert all(r["id"] == 7 for r in got)
+
+
+def test_merge_emits_all_change_types(spark):
+    from delta_lake_platform_spark.sources.managed_table import MergeClauses
+
+    d, t = _mk(spark, n=10)
+    src = spark.range(8, 14).selectExpr(
+        "id", "id * 100 AS v", "CAST('m' AS STRING) AS tag"
+    )
+    clauses = MergeClauses(
+        condition="target.id = updates.id",
+        matched_update={"v": "updates.v"},
+        matched_condition="target.id = 8",
+        matched_delete_condition="target.id = 9",
+        not_matched_insert={
+            "id": "updates.id", "v": "updates.v", "tag": "updates.tag"
+        },
+    )
+    t.merge(src, clauses)  # v1
+    got = _changes(t, 1)
+    assert got == [
+        (1, "delete", 9),
+        (1, "insert", 10),
+        (1, "insert", 11),
+        (1, "insert", 12),
+        (1, "insert", 13),
+        (1, "update_postimage", 8),
+        (1, "update_preimage", 8),
+    ]
+    pre = [
+        r
+        for r in t.table_changes_per_commit(1).collect()
+        if r["_change_type"] == "update_preimage"
+    ][0]
+    assert pre["v"] == 80  # original value, not the updated one
+
+
+def test_replace_where_is_delete_plus_insert(spark):
+    for rewrite in (True, False):
+        d, t = _mk(spark, n=10, prefix=f"cdcrw_{rewrite}_")
+        repl = spark.range(5, 8).selectExpr(
+            "id", "id * 1000 AS v", "CAST('r' AS STRING) AS tag"
+        )
+        t.overwrite_where(repl, "id >= 5", rewrite=rewrite)  # v1
+        got = _changes(t, 1)
+        assert got == [
+            *[(1, "delete", i) for i in range(5, 10)],
+            *[(1, "insert", i) for i in range(5, 8)],
+        ]
+
+
+def test_appends_served_from_add_actions_without_cdc_file(spark):
+    d, t = _mk(spark)
+    t.append(spark.range(100, 103).selectExpr(
+        "id", "id * 10 AS v", "CAST('n' AS STRING) AS tag"
+    ))  # v1
+    assert not (t._entry(1) or {}).get("cdcPath")
+    assert _changes(t, 1) == [(1, "insert", i) for i in (100, 101, 102)]
+    # Version 0 serves the initial snapshot as inserts, like Delta.
+    first = _changes(t, 0, 0)
+    assert first == [(0, "insert", i) for i in range(20)]
+
+
+def test_optimize_contributes_nothing(spark):
+    d, t = _mk(spark)
+    t.append(spark.range(100, 110).selectExpr(
+        "id", "id * 10 AS v", "CAST('n' AS STRING) AS tag"
+    ))  # v1
+    t.compact()  # v2: OPTIMIZE — layout only
+    assert _changes(t, 2) == []
+
+
+def test_per_commit_nets_to_the_span_diff(spark):
+    """Applying the per-commit stream over a span reproduces the NET
+    change_feed: inserts minus deletes (update pre/post count as
+    delete+insert) — the netting-layer relationship debt (d) asked
+    for. Intra-span churn is visible per-commit only."""
+    d, t = _mk(spark)
+    t.append(spark.range(50, 53).selectExpr(
+        "id", "id * 10 AS v", "CAST('c' AS STRING) AS tag"
+    ))  # v1: churn rows in
+    t.delete("id >= 50", rewrite=True)  # v2: churn rows out
+    t.update({"v": "v + 5"}, "id = 1", rewrite=True)  # v3
+
+    pc = t.table_changes_per_commit(1, 3).collect()
+    # Churn IS visible per-commit: 50-52 appear as insert AND delete.
+    churn = [r for r in pc if r["id"] == 50]
+    assert {r["_change_type"] for r in churn} == {"insert", "delete"}
+
+    # Net the stream: +1 for insert/update_postimage, -1 for
+    # delete/update_preimage, per full row image.
+    net: dict[tuple, int] = {}
+    for r in pc:
+        key = (r["id"], r["v"], r["tag"])
+        w = 1 if r["_change_type"] in ("insert", "update_postimage") else -1
+        net[key] = net.get(key, 0) + w
+    survived = sorted(k for k, n in net.items() if n > 0)
+    removed = sorted(k for k, n in net.items() if n < 0)
+
+    feed = t.change_feed(0, 3).collect()
+    feed_ins = sorted(
+        (r["id"], r["v"], r["tag"])
+        for r in feed
+        if r["_change_type"] == "insert"
+    )
+    feed_del = sorted(
+        (r["id"], r["v"], r["tag"])
+        for r in feed
+        if r["_change_type"] == "delete"
+    )
+    assert survived == feed_ins
+    assert removed == feed_del
+
+
+def test_cdf_off_falls_back_to_exact_diff(spark):
+    d, t = _mk(spark, cdf=False)
+    t.delete("id < 2", rewrite=True)  # v1: NO cdc file recorded
+    assert not (t._entry(1) or {}).get("cdcPath")
+    # Delta raises here; we serve the exact per-commit diff instead.
+    assert _changes(t, 1) == [(1, "delete", 0), (1, "delete", 1)]
+
+
+def test_vacuumed_cdc_raises(spark):
+    d, t = _mk(spark)
+    t.delete("id < 3", rewrite=True)  # v1
+    t.update({"v": "v + 1"}, "id = 10", rewrite=True)  # v2
+    t.append(spark.range(200, 201).selectExpr(
+        "id", "id * 10 AS v", "CAST('z' AS STRING) AS tag"
+    ))  # v3
+    cdc_dir = t._abs(t._entry(1)["cdcPath"])
+    t.vacuum(keep_last=2)  # reclaims v1 (and its cdc dir)
+    assert not os.path.isdir(cdc_dir)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.table_changes_per_commit(1, 1).collect()
+    # Younger versions still serve.
+    assert _changes(t, 3) == [(3, "insert", 200)]
+
+
+def test_schema_alignment_across_add_column(spark):
+    d, t = _mk(spark, n=3)
+    t.delete("id = 0", rewrite=True)  # v1: cdc in the OLD schema
+    t.alter_add_column("extra", "string")  # v2: schema-only
+    t.append(
+        spark.createDataFrame(
+            [(30, 300, "a", "x")], "id long, v long, tag string, extra string"
+        )
+    )  # v3
+    got = t.table_changes_per_commit(1, 3)
+    assert "extra" in got.columns  # end-version schema
+    rows = {(r["id"], r["_change_type"]): r for r in got.collect()}
+    assert rows[(0, "delete")]["extra"] is None  # pre-column commit
+    assert rows[(30, "insert")]["extra"] == "x"
+    assert _changes(t, 2, 2) == []  # the ADD COLUMN commit itself
+
+
+def test_sql_table_changes_per_commit(spark):
+    from delta_lake_platform_spark.sql import PlatformSQL
+
+    d, t = _mk(spark, n=6)
+    sql = PlatformSQL(spark)
+    sql.register("cdct", t)
+    sql.sql("DELETE FROM cdct WHERE id < 2")  # v1
+    sql.sql("UPDATE cdct SET v = v + 1 WHERE id = 4")  # v2
+    out = sql.sql(
+        "SELECT _commit_version, _change_type, id "
+        "FROM table_changes_per_commit('cdct', 1, 2) "
+        "ORDER BY _commit_version, _change_type, id"
+    ).collect()
+    assert [(r[0], r[1], r[2]) for r in out] == [
+        (1, "delete", 0),
+        (1, "delete", 1),
+        (2, "update_postimage", 4),
+        (2, "update_preimage", 4),
+    ]
+
+
+def test_cdc_columns_stay_logical_on_row_tracked_table(spark):
+    d, t = _mk(spark)
+    t.enable_row_tracking()
+    t.delete("id = 5", rewrite=True)
+    df = t.table_changes_per_commit(t.latest_version())
+    assert [c for c in df.columns if c.startswith("__")] == []
+    assert set(df.columns) == {
+        "id", "v", "tag", "_change_type", "_commit_version",
+        "_commit_timestamp",
+    }
