@@ -315,6 +315,9 @@ class ManagedTable:
         # (exclusive create), so entries can only be appended — the
         # cache is invalidated on every commit through this handle.
         self._state_cache: dict[int, dict] = {}
+        # (rid_mark, identity_marks) per version — immutable once a
+        # version's entry exists, so no invalidation needed.
+        self._marks_cache: dict[int, tuple] = {}
 
     # -- log helpers --------------------------------------------------------
 
@@ -592,6 +595,58 @@ class ManagedTable:
                 f"{SUPPORTED_READER_VERSION}); upgrade before reading"
             )
 
+    def _checkpoint_marks(self, version: int):
+        """The high-water marks a checkpoint at ``version`` folded, or
+        None when there is no checkpoint there / it predates mark
+        folding (legacy — the caller keeps walking entries). Reads only
+        the parquet FOOTER schema metadata: no data pages."""
+        pq_path = os.path.join(self._ckpt_dir, f"{version}.parquet")
+        if not os.path.isfile(pq_path):
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            meta = json.loads(
+                pq.read_schema(pq_path).metadata[b"snapshot"].decode()
+            )
+        except Exception:
+            return None
+        if "hwmMarks" not in meta:
+            return None
+        hm = meta["hwmMarks"] or {}
+        return hm.get("rowId"), (hm.get("identity") or {})
+
+    def _newest_marks(self, version: int) -> tuple[int | None, dict]:
+        """Newest recorded ``rowIdHighWaterMark`` and per-column
+        identity marks at or below ``version``. The walk descends
+        entries only to the nearest mark-folding checkpoint, whose
+        footer meta summarizes everything older — O(commits since
+        checkpoint), closing the O(retained-entries) worst case of the
+        mark walks when no minting commit is recent (NOTES debt (e))."""
+        if version in self._marks_cache:
+            return self._marks_cache[version]
+        rid: int | None = None
+        ids: dict[str, int] = {}
+        cur = version
+        while cur >= 0:
+            ck = self._checkpoint_marks(cur)
+            if ck is not None:
+                if rid is None:
+                    rid = ck[0]
+                for c, m in ck[1].items():
+                    ids.setdefault(c, m)
+                break
+            entry = self._entry(cur)
+            if entry is None:
+                break  # expired below the horizon: floors cover the rest
+            if rid is None and entry.get("rowIdHighWaterMark") is not None:
+                rid = entry["rowIdHighWaterMark"]
+            for c, m in (entry.get("identityHighWaterMark") or {}).items():
+                ids.setdefault(c, m)
+            cur -= 1
+        self._marks_cache[version] = (rid, ids)
+        return rid, ids
+
     def _write_checkpoint(self, version: int) -> None:
         """Write the consolidated state checkpoint + advance the
         ``_last_checkpoint`` pointer (never backwards — a slow writer
@@ -623,6 +678,7 @@ class ManagedTable:
                 ),
             }
         )
+        rid_mark, id_marks = self._newest_marks(version)
         meta = {
             "version": version,
             "dirs": state["dirs"],
@@ -631,6 +687,11 @@ class ManagedTable:
             "schema": state.get("schema"),
             "columnMapping": state.get("columnMapping"),
             "protocol": state.get("protocol"),
+            # Fold the newest row-id / identity high-water marks so the
+            # mark walks terminate here instead of scanning every
+            # retained entry (incremental: this lookup itself stops at
+            # the PREVIOUS checkpoint).
+            "hwmMarks": {"rowId": rid_mark, "identity": id_marks},
         }
         table = table.replace_schema_metadata(
             {b"snapshot": json.dumps(meta).encode()}
@@ -4948,18 +5009,12 @@ class ManagedTable:
 
     def _identity_hwm(self, col: str, version: int):
         """Monotone high-water mark: the newest commit's recorded
-        ``identityHighWaterMark`` (stops at the first identity append —
-        O(1) on an append-heavy log) maxed with the snapshot's footer-
-        stats column max (seeds from pre-identity data; deleted peak
-        ids stay burned because the recorded mark never decreases)."""
-        recorded = None
-        for v in reversed(self._versions()):
-            if v > version:
-                continue
-            marks = (self._entry(v) or {}).get("identityHighWaterMark")
-            if marks and col in marks:
-                recorded = marks[col]
-                break
+        ``identityHighWaterMark`` (stops at the first identity append,
+        or at the nearest mark-folding checkpoint) maxed with the
+        snapshot's footer-stats column max (seeds from pre-identity
+        data; deleted peak ids stay burned because the recorded mark
+        never decreases)."""
+        recorded = self._newest_marks(version)[1].get(col)
         stat = self.column_max(col, version)
         # Floor persisted by expire_log_entries when the mark-carrying
         # entries aged out of the log (see there).
@@ -5109,17 +5164,15 @@ class ManagedTable:
     def _row_id_hwm(self, version: int) -> int:
         """Next free row id. Resolution order: the newest recorded
         ``rowIdHighWaterMark`` (only MINTING commits record one, so it
-        is monotone — O(1) on an append-heavy log), else the live
-        state's maximum (base spans for positional files, the hidden
-        column's footer max for materialized files), in both cases
-        maxed with the persisted expiry floor."""
+        is monotone; the walk terminates at the nearest mark-folding
+        checkpoint — O(commits since checkpoint) worst case), else the
+        live state's maximum (base spans for positional files, the
+        hidden column's footer max for materialized files), in both
+        cases maxed with the persisted expiry floor."""
         floor = self._rowid_floor() or 0
-        for v in reversed(self._versions()):
-            if v > version:
-                continue
-            mark = (self._entry(v) or {}).get("rowIdHighWaterMark")
-            if mark is not None:
-                return max(mark, floor)
+        mark = self._newest_marks(version)[0]
+        if mark is not None:
+            return max(mark, floor)
         hwm = floor
         for stats in self._state(version)["files"].values():
             st = stats or {}

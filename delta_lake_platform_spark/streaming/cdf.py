@@ -45,10 +45,20 @@ class ChangeFeedStream:
         checkpoint_dir: str,
         key_cols: list[str] | None = None,
         max_versions_per_batch: int | None = None,
+        per_commit: bool = False,
     ):
+        """``per_commit=True`` is Delta's actual readChangeFeed row
+        shape: each batch carries one row per change per COMMIT
+        (served from recorded cdc files / add actions — see
+        ``ManagedTable.table_changes_per_commit``) with real
+        ``_commit_version``/``_commit_timestamp`` values, so intra-
+        batch churn stays visible to the consumer. The default serves
+        the NET batch diff — cheaper when the sink only needs the
+        batch's cumulative effect (the MV-refresh contract)."""
         self.table = table
         self.key_cols = key_cols
         self.max_versions = max_versions_per_batch
+        self.per_commit = per_commit
         self._offset_path = os.path.join(checkpoint_dir, "cdf_offset.json")
         os.makedirs(checkpoint_dir, exist_ok=True)
 
@@ -83,22 +93,34 @@ class ChangeFeedStream:
             if cur is None:
                 # initial load: the base snapshot is one insert batch
                 to_v = 0 if self.max_versions else head
-                batch = (
-                    self.table.read(to_v)
-                    .withColumn("_change_type", F.lit("insert"))
-                )
+                if self.per_commit:
+                    batch = self.table.table_changes_per_commit(
+                        0, to_v, key_cols=self.key_cols
+                    )
+                else:
+                    batch = (
+                        self.table.read(to_v)
+                        .withColumn("_change_type", F.lit("insert"))
+                    )
             else:
                 to_v = (
                     min(cur + self.max_versions, head)
                     if self.max_versions
                     else head
                 )
-                batch = self.table.change_feed(
-                    cur, to_version=to_v, key_cols=self.key_cols
-                )
-            sink(
-                batch.withColumn("_commit_version", F.lit(to_v)), cur if cur is not None else -1, to_v
-            )
+                if self.per_commit:
+                    batch = self.table.table_changes_per_commit(
+                        cur + 1, to_v, key_cols=self.key_cols
+                    )
+                else:
+                    batch = self.table.change_feed(
+                        cur, to_version=to_v, key_cols=self.key_cols
+                    )
+            if not self.per_commit:
+                # Net batches carry the batch-end version; per-commit
+                # rows already carry their REAL commit version.
+                batch = batch.withColumn("_commit_version", F.lit(to_v))
+            sink(batch, cur if cur is not None else -1, to_v)
             self._advance(to_v)  # commit the offset AFTER the sink ran
             batches += 1
 

@@ -264,3 +264,41 @@ def test_cdc_columns_stay_logical_on_row_tracked_table(spark):
         "id", "v", "tag", "_change_type", "_commit_version",
         "_commit_timestamp",
     }
+
+
+def test_change_feed_stream_per_commit_mode(spark):
+    """ChangeFeedStream(per_commit=True): Delta's readChangeFeed row
+    shape — real per-commit versions, intra-batch churn visible (the
+    net mode would cancel an insert-then-delete inside one batch)."""
+    from delta_lake_platform_spark.streaming.cdf import ChangeFeedStream
+
+    d, t = _mk(spark, n=4)
+    ckpt = os.path.join(d, "ckpt")
+    stream = ChangeFeedStream(t, ckpt, per_commit=True)
+    seen: list = []
+    stream.process_available(
+        lambda df, fv, tv: seen.append(
+            sorted(
+                (r["_commit_version"], r["_change_type"], r["id"])
+                for r in df.collect()
+            )
+        )
+    )
+    assert seen[0] == [(0, "insert", i) for i in range(4)]
+
+    t.append(spark.range(10, 11).selectExpr(
+        "id", "id * 10 AS v", "CAST('x' AS STRING) AS tag"
+    ))  # v1: churn in
+    t.delete("id = 10", rewrite=True)  # v2: churn out
+    stream.process_available(
+        lambda df, fv, tv: seen.append(
+            sorted(
+                (r["_commit_version"], r["_change_type"], r["id"])
+                for r in df.collect()
+            )
+        )
+    )
+    # One batch covering v1..v2, churn visible with REAL versions.
+    assert seen[1] == [(1, "insert", 10), (2, "delete", 10)]
+    # Caught up; restart resumes from the durable offset.
+    assert stream.process_available(lambda *a: None) == 0

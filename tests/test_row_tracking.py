@@ -472,3 +472,51 @@ def test_enable_row_tracking_bumps_writer_protocol(spark, table):
     proto = table._state(table.latest_version()).get("protocol") or {}
     assert proto.get("minWriterVersion", 1) >= 4
     assert proto.get("minReaderVersion", 1) <= 3
+
+
+def test_hwm_mark_folds_into_checkpoint_meta(spark):
+    """NOTES debt (e): the row-id/identity mark walk terminates at the
+    nearest mark-folding checkpoint instead of scanning every retained
+    entry. Pinned by (a) the checkpoint meta carrying hwmMarks equal to
+    the brute-force entry walk, and (b) _newest_marks never touching an
+    entry below the checkpoint once one exists."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hwmfold_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.set_property("checkpointInterval", "4")
+    t.create(spark.range(10).selectExpr("id", "id AS v"))
+    t.enable_row_tracking()  # v1: minting commit records the mark
+    for i in range(4):  # v2..v5: non-minting DML / layout churn
+        t.update({"v": "v + 1"}, f"id = {i}", rewrite=True)
+    head = t.latest_version()
+    assert head >= 4  # a checkpoint at v4 exists
+    marks = t._checkpoint_marks(4)
+    assert marks is not None, "checkpoint must fold hwmMarks"
+    # Brute-force newest-mark walk over ALL entries for comparison.
+    brute = None
+    for v in range(4, -1, -1):
+        m = (t._entry(v) or {}).get("rowIdHighWaterMark")
+        if m is not None:
+            brute = m
+            break
+    assert marks[0] == brute == 10
+    # The walk stops at the checkpoint: poison every entry read below
+    # it and confirm _newest_marks(head) never needs them.
+    t2 = ManagedTable(spark, f"{d}/t")
+    real_entry = t2._entry
+
+    def guarded(v):
+        if v < 4:
+            raise AssertionError(f"walk descended below the checkpoint: {v}")
+        return real_entry(v)
+
+    t2._entry = guarded
+    rid, _ids = t2._newest_marks(head)
+    assert rid == 10
+    # End to end: appends after the fold still mint above the mark.
+    t.append(spark.range(100, 103).selectExpr("id", "id AS v"))
+    ids = [r["_row_id"] for r in t.read_row_ids().collect()]
+    assert len(ids) == len(set(ids))
