@@ -215,6 +215,272 @@ class _SnapshotReader(DataSourceReader):
         return _read_file_batches(partition, self.arrow_schema)
 
 
+class _CDCPartition(InputPartition):
+    def __init__(
+        self,
+        file_path: str,
+        insert: bool,
+        version: int,
+        ts: float,
+        partition_values: dict | None = None,
+    ):
+        self.file_path = file_path
+        # True: an ADD-action file served as _change_type='insert';
+        # False: a recorded cdc file that already carries _change_type.
+        self.insert = insert
+        self.version = version
+        self.ts = ts
+        self.partition_values = partition_values or {}
+
+
+class _CDCReaderCore:
+    """Shared partition-planning / file-reading core of the CDF batch
+    and stream readers (Delta's ``readChangeFeed`` option).
+
+    Scale contract: every partition is ONE parquet file — a recorded
+    cdc file (O(changed rows), written by DML under
+    ``enableChangeDataFeed``) or an append's add file. No executor
+    ever re-scans rewritten data files, and the driver never runs a
+    diff job: commits without recorded change data RAISE, exactly
+    Delta's "change data was not recorded" contract (the richer
+    driver-side fallback lives in ``table_changes_per_commit``)."""
+
+    def __init__(self, table: ManagedTable, pinned_version: int):
+        self.table = table
+        self._pinned = pinned_version
+        state = table._state(pinned_version)
+        logical = table._schema_of(state)
+        if logical is None:
+            raise ValueError(
+                "readChangeFeed needs a schema-in-log table (legacy "
+                "histories: use ManagedTable.table_changes_per_commit)"
+            )
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self.logical_names = [f.name for f in logical.fields]
+        full = T.StructType(
+            list(logical.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.TimestampType()),
+            ]
+        )
+        self.spark_schema = full
+        self.arrow_schema = to_arrow_schema(full)
+        # Add-action files carry PHYSICAL column names (column mapping
+        # keeps them stable across renames); cdc files carry LOGICAL.
+        self.physical_names = [
+            f.name
+            for f in ManagedTable._physical_schema(
+                logical, state.get("columnMapping")
+            ).fields
+        ]
+
+    def version_partitions(self, v: int) -> list[_CDCPartition]:
+        entry = self.table._entry(v)
+        if entry is None:
+            raise RuntimeError(
+                f"readChangeFeed: version {v} has no log entry (expired)"
+            )
+        ts = float(entry.get("timestamp", 0.0))
+        op = entry.get("operation", "")
+        if entry.get("cdcPath"):
+            d = self.table._abs(entry["cdcPath"])
+            if not os.path.isdir(d):
+                raise RuntimeError(
+                    f"readChangeFeed: change data of version {v} was "
+                    "vacuumed"
+                )
+            import glob as _glob
+
+            return [
+                _CDCPartition(f, False, v, ts)
+                for f in sorted(
+                    _glob.glob(os.path.join(d, "**", "*.parquet"),
+                               recursive=True)
+                )
+            ]
+        if v == 0 or op in ManagedTable._CDC_APPEND_OPS:
+            prev = (
+                set(self.table._all_data_files(v - 1)) if v > 0 else set()
+            )
+            hive = bool(self.table.partition_spec())
+            return [
+                _CDCPartition(
+                    f,
+                    True,
+                    v,
+                    ts,
+                    _partition_values_of(self.table, f) if hive else None,
+                )
+                for f in self.table._all_data_files(v)
+                if f not in prev
+            ]
+        if op in ManagedTable._CDC_NOCHANGE_OPS or (
+            entry.get("logMode") == "delta"
+            and not entry.get("add")
+            and not entry.get("remove")
+            and "deletionVector" not in entry
+        ):
+            return []
+        raise RuntimeError(
+            f"readChangeFeed: version {v} ({op!r}) recorded no change "
+            "data — set enableChangeDataFeed before DML, or read "
+            "through table_changes_per_commit"
+        )
+
+    def read_partition(self, part: _CDCPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(part.file_path)
+        n = tbl.num_rows
+        # Add-action files store physical names: rename to logical so
+        # the alignment below finds them (cdc files are logical-named).
+        if part.insert and self.physical_names != self.logical_names:
+            ren = dict(zip(self.physical_names, self.logical_names))
+            tbl = tbl.rename_columns(
+                [ren.get(c, c) for c in tbl.column_names]
+            )
+        cols = []
+        for field in self.arrow_schema:
+            if field.name == "_change_type":
+                if part.insert:
+                    cols.append(
+                        pa.array(["insert"] * n, type=pa.string()).cast(
+                            field.type
+                        )
+                    )
+                else:
+                    cols.append(
+                        tbl.column("_change_type").cast(field.type)
+                    )
+            elif field.name == "_commit_version":
+                cols.append(
+                    pa.array([part.version] * n, type=pa.int64()).cast(
+                        field.type
+                    )
+                )
+            elif field.name == "_commit_timestamp":
+                cols.append(
+                    pa.array(
+                        [int(part.ts * 1_000_000)] * n,
+                        type=pa.timestamp("us", tz="UTC"),
+                    ).cast(field.type)
+                )
+            elif field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            elif field.name in part.partition_values:
+                sval = part.partition_values[field.name]
+                if sval is None:
+                    cols.append(pa.nulls(n, type=field.type))
+                else:
+                    cols.append(
+                        pa.array([sval] * n, type=pa.string()).cast(
+                            field.type
+                        )
+                    )
+            else:
+                # Column added after this commit: end-schema NULL fill.
+                cols.append(pa.nulls(n, type=field.type))
+        yield from pa.Table.from_arrays(
+            cols, schema=self.arrow_schema
+        ).to_batches()
+
+
+class _CDCSnapshotReader(DataSourceReader):
+    """Batch CDF read (Delta's ``spark.read ... .option("readChangeFeed",
+    "true").option("startingVersion", v)``): every change between
+    startingVersion and endingVersion (default head), one file per
+    partition."""
+
+    def __init__(self, options):
+        self.table = _table_from_options(options)
+        sv = options.get("startingversion")
+        if sv is None:
+            raise ValueError(
+                "readChangeFeed batch read requires startingVersion"
+            )
+        self.v0 = int(sv)
+        ev = options.get("endingversion")
+        self.v1 = int(ev) if ev is not None else self.table.latest_version()
+        self.core = _CDCReaderCore(self.table, self.v1)
+
+    def partitions(self):
+        return [
+            p
+            for v in range(self.v0, self.v1 + 1)
+            for p in self.core.version_partitions(v)
+        ]
+
+    def read(self, partition: _CDCPartition):
+        return self.core.read_partition(partition)
+
+
+class _CDCTailReader(DataSourceStreamReader):
+    """Streaming CDF tail (Delta's ``readStream ... .option(
+    "readChangeFeed", "true")``): offsets are commit versions; each
+    micro-batch serves the change rows of the commits in (start, end].
+    Default start is the log head (a CDC consumer wants NEW changes);
+    ``startingVersion`` rewinds — 0 serves the initial snapshot as
+    inserts first, like Delta."""
+
+    def __init__(self, options):
+        self.table = _table_from_options(options)
+        if options.get("startingtimestamp") is not None:
+            raise ValueError(
+                "readChangeFeed: use startingVersion (timestamps are "
+                "supported on the batch table_changes forms)"
+            )
+        self.starting_version = options.get("startingversion")
+        head = self.table.latest_version()
+        self.core = _CDCReaderCore(self.table, head)
+        self._pinned_schema_json = json.dumps(
+            self.table._state(head).get("schema"), sort_keys=True
+        )
+
+    def initialOffset(self):
+        if self.starting_version is None or (
+            str(self.starting_version).lower() == "latest"
+        ):
+            return {"version": self.table.latest_version()}
+        sv = int(self.starting_version)
+        head = self.table.latest_version()
+        if sv > head + 1:
+            raise ValueError(
+                f"startingVersion {sv} exceeds the table's latest "
+                f"version {head}"
+            )
+        return {"version": sv - 1}
+
+    def latestOffset(self):
+        return {"version": self.table.latest_version()}
+
+    def partitions(self, start, end):
+        s, e = start["version"], end["version"]
+        cur = json.dumps(
+            self.table._state(e).get("schema"), sort_keys=True
+        )
+        if cur != self._pinned_schema_json:
+            raise RuntimeError(
+                "readChangeFeed: table schema changed since the stream "
+                "started — restart the stream to pick up the new schema"
+            )
+        return [
+            p
+            for v in range(s + 1, e + 1)
+            for p in self.core.version_partitions(v)
+        ]
+
+    def read(self, partition: _CDCPartition):
+        return self.core.read_partition(partition)
+
+    def commit(self, end):
+        pass
+
+
 class _TailReader(DataSourceStreamReader):
     def __init__(self, options):
         self.table = _table_from_options(options)
@@ -925,6 +1191,13 @@ class ManagedTableDataSource(DataSource):
     def name(cls):
         return "managed_table"
 
+    @staticmethod
+    def _cdf_requested(options) -> bool:
+        return str(options.get("readchangefeed", "false")).lower() in (
+            "true",
+            "1",
+        )
+
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
         import pyarrow.parquet as pq
@@ -932,6 +1205,8 @@ class ManagedTableDataSource(DataSource):
         table = _table_from_options(self.options)
         v = self.options.get("version")
         version = int(v) if v is not None else table.latest_version()
+        if self._cdf_requested(self.options):
+            return _CDCReaderCore(table, version).spark_schema
         # The log is the schema authority (metadata-only ADD COLUMN /
         # type widening make mixed physical file schemas a normal
         # state — the first file's footer may be stale and narrow).
@@ -955,9 +1230,13 @@ class ManagedTableDataSource(DataSource):
         raise ValueError(f"no data files in {table.path}")
 
     def reader(self, schema):
+        if self._cdf_requested(self.options):
+            return _CDCSnapshotReader(self.options)
         return _SnapshotReader(self.options)
 
     def streamReader(self, schema):
+        if self._cdf_requested(self.options):
+            return _CDCTailReader(self.options)
         return _TailReader(self.options)
 
     def writer(self, schema, overwrite: bool):

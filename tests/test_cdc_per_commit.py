@@ -302,3 +302,122 @@ def test_change_feed_stream_per_commit_mode(spark):
     assert seen[1] == [(1, "insert", 10), (2, "delete", 10)]
     # Caught up; restart resumes from the durable offset.
     assert stream.process_available(lambda *a: None) == 0
+
+
+def _register_ds(spark):
+    from delta_lake_platform_spark.sources import datasource
+
+    datasource.register(spark)
+
+
+def test_datasource_batch_read_change_feed(spark):
+    """spark.read.format('managed_table').option('readChangeFeed',
+    'true'): every partition is ONE parquet file (a cdc file or an
+    append's add file) — no executor re-scan of rewritten data files,
+    no driver diff jobs."""
+    _register_ds(spark)
+    d, t = _mk(spark, n=8)
+    t.update({"v": "v + 1"}, "id = 2", rewrite=True)  # v1
+    t.delete("id = 5", rewrite=False)  # v2
+    t.append(spark.range(20, 22).selectExpr(
+        "id", "id * 10 AS v", "CAST('n' AS STRING) AS tag"
+    ))  # v3
+    got = (
+        spark.read.format("managed_table")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    assert set(got.columns) == {
+        "id", "v", "tag", "_change_type", "_commit_version",
+        "_commit_timestamp",
+    }
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in got.collect()
+    )
+    assert rows == [
+        (1, "update_postimage", 2, 21),
+        (1, "update_preimage", 2, 20),
+        (2, "delete", 5, 50),
+        (3, "insert", 20, 200),
+        (3, "insert", 21, 210),
+    ]
+    # endingVersion bounds the span.
+    n = (
+        spark.read.format("managed_table")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("endingVersion", "2")
+        .load()
+        .count()
+    )
+    assert n == 3
+
+
+def test_datasource_cdf_raises_on_unrecorded_commit(spark):
+    _register_ds(spark)
+    d, t = _mk(spark, n=4, cdf=False)
+    t.update({"v": "v + 1"}, "id = 1", rewrite=True)  # v1: no cdc file
+    df = (
+        spark.read.format("managed_table")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    with pytest.raises(Exception, match="recorded no change data"):
+        df.collect()
+
+
+def test_datasource_cdf_logical_names_after_rename(spark):
+    """Add-action files carry PHYSICAL column names under column
+    mapping; the CDF reader must re-expose logical ones."""
+    _register_ds(spark)
+    d, t = _mk(spark, n=3)
+    t.alter_rename_column("v", "val")  # schema-only commit
+    t.append(spark.range(7, 8).selectExpr(
+        "id", "id * 10 AS val", "CAST('n' AS STRING) AS tag"
+    ))
+    head = t.latest_version()
+    got = (
+        spark.read.format("managed_table")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(head))
+        .load()
+    )
+    assert "val" in got.columns and "v" not in got.columns
+    r = got.first()
+    assert (r["id"], r["val"], r["_change_type"]) == (7, 70, "insert")
+
+
+def test_datasource_streaming_change_feed(spark, tmp_path):
+    _register_ds(spark)
+    d, t = _mk(spark, n=3)
+    t.delete("id = 0", rewrite=True)  # v1
+    q = (
+        spark.readStream.format("managed_table")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdc_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in spark.sql("SELECT * FROM cdc_stream_sink").collect()
+    )
+    assert rows == [
+        (0, "insert", 0),
+        (0, "insert", 1),
+        (0, "insert", 2),
+        (1, "delete", 0),
+    ]
