@@ -505,3 +505,68 @@ def embedding_neardup_pairs(
             cosine_similarity(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b")), 6
         ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+# --- semantic dedup (SemDeDup) -----------------------------------------------
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.97,
+    n_clusters: int = 16,
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic near-dup
+    pruning over an embedding column — the training-data curation step
+    that removes *semantically* redundant documents exact/minhash
+    dedup cannot see.
+
+    Algorithm, exactly the paper's shape: assign every vector to a
+    spherical k-means cluster (fitted on a deterministic sample via
+    the IVF machinery), then WITHIN each cluster greedily keep docs in
+    ascending-id order, dropping a doc when its cosine to an already-
+    KEPT doc in the cluster reaches ``threshold``. Ascending-id greedy
+    makes the kept set deterministic across partitionings and file
+    layouts. Cross-cluster near-dups are deliberately not compared —
+    the SemDeDup approximation that makes the cost model work.
+
+    Scale shape: one Arrow-batched BLAS pass for assignment, ONE
+    shuffle on ``centroid_id``, then a per-cluster gram-matrix greedy
+    inside ``applyInPandas`` — O(|c|^2) flops per cluster, bounded by
+    choosing ``n_clusters ~ n / target_cluster_size`` (the paper runs
+    ~100k clusters at LAION scale for the same reason). No global
+    pairwise pass exists anywhere.
+
+    Returns the KEPT rows (``id_col`` only — join back for payloads).
+    """
+    import numpy as np  # noqa: F401  (executor-side import in the UDF)
+
+    from .similarity import ivf_assign, train_ivf_centroids
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, vec_col=vec_col, n_centroids=n_clusters
+        )
+    assigned = ivf_assign(
+        df.select(id_col, vec_col), vec_col=vec_col, centroids=centroids
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        kept_idx: list[int] = []
+        kept = np.empty((0, x.shape[1]))
+        for i in range(len(pdf)):
+            if kept.shape[0] == 0 or float((kept @ x[i]).max()) < threshold:
+                kept = np.vstack([kept, x[i]])
+                kept_idx.append(i)
+        return pdf.iloc[kept_idx][[id_col]]
+
+    id_type = dict(df.dtypes)[id_col]
+    return assigned.groupBy("centroid_id").applyInPandas(
+        prune, schema=f"{id_col} {id_type}"
+    )

@@ -621,3 +621,43 @@ def docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     count rides along as a broadcast 1-row aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     return text.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
+# --- semantic dedup (SemDeDup) ------------------------------------------------
+
+SEMANTIC_DEDUP_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 4 = 0
+)
+SELECT a.vec_id
+FROM corpus a
+WHERE NOT EXISTS (
+  SELECT 1 FROM corpus b
+  WHERE b.vec_id < a.vec_id
+    AND list_cosine_similarity(
+          a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.97
+)
+ORDER BY vec_id
+"""
+
+
+@register("embeddings_semantic_dedup", SEMANTIC_DEDUP_ORACLE)
+def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end to end: cluster the embedding space (fitted
+    spherical k-means), greedily keep ascending-id docs within each
+    cluster, drop anything within cosine 0.97 of a kept doc. On this
+    corpus the only >= 0.97 pairs are the planted exact copies (max
+    natural pairwise cosine ~0.51), and identical vectors always share
+    a cluster, so the within-cluster approximation is EXACT here — the
+    oracle reconstructs the kept set by brute-force NOT EXISTS. Every
+    original survives; every planted copy dies."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 4 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    corpus = emb.unionByName(planted)
+    return dedup.semantic_dedup(
+        corpus, id_col="vec_id", vec_col="embedding", threshold=0.97
+    ).orderBy("vec_id")

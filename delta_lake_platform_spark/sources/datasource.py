@@ -302,7 +302,14 @@ class _CDCReaderCore:
                                recursive=True)
                 )
             ]
-        if v == 0 or op in ManagedTable._CDC_APPEND_OPS:
+        if v == 0 or (
+            op in ManagedTable._CDC_APPEND_OPS
+            and entry.get("logMode") == "delta"
+        ):
+            # Incremental entries only: a slow/merge-schema append
+            # re-lands the whole snapshot, so its files hold old rows
+            # too — that shape falls through to the raise below
+            # (executors cannot run the diff fallback).
             prev = (
                 set(self.table._all_data_files(v - 1)) if v > 0 else set()
             )

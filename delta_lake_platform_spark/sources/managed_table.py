@@ -5719,8 +5719,15 @@ class ManagedTable:
                         "start at a younger version"
                     )
                 changes = self.spark.read.parquet(d)
-            elif v == 0 or op in self._CDC_APPEND_OPS:
+            elif v == 0 or (
+                op in self._CDC_APPEND_OPS
+                and entry.get("logMode") == "delta"
+            ):
                 # Added-file scan: the add actions ARE the change rows.
+                # Only sound for INCREMENTAL entries (and the initial
+                # snapshot): a slow/merge-schema append re-lands the
+                # whole snapshot, so its "added files" hold old rows
+                # too — those take the diff fallback below.
                 prev = (
                     set(self._all_data_files(v - 1)) if v > 0 else set()
                 )

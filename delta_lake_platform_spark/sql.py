@@ -1024,6 +1024,29 @@ class PlatformSQL:
             t,
         )
 
+        # Timestamp forms, same resolution rules as the net feed's:
+        # start -> earliest commit at or after, end -> latest at or
+        # before, both inclusive.
+        def tc_pc_ts(m2):
+            name, ts0, ts1 = m2.group(1), m2.group(2), m2.group(3)
+            v0 = self._earliest_version_at_or_after(name, ts0)
+            v1 = self._version_at_timestamp(name, ts1) if ts1 else None
+            view = (
+                f"{name}__cchanges_{v0}_"
+                f"{'head' if v1 is None else v1}"
+            )
+            self.tables[name].table_changes_per_commit(
+                v0, v1
+            ).createOrReplaceTempView(view)
+            return view
+
+        t = re.sub(
+            rf"(?is)\btable_changes_per_commit\s*\(\s*'?({_IDENT})'?\s*,"
+            r"\s*'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)",
+            tc_pc_ts,
+            t,
+        )
+
         # Delta's CDF table-valued function: table_changes('t', v0[, v1])
         # becomes a temp view over ManagedTable.change_feed — usable
         # anywhere a relation is (joins, CTEs, aggregates). Delta

@@ -421,3 +421,175 @@ def test_datasource_streaming_change_feed(spark, tmp_path):
         (0, "insert", 2),
         (1, "delete", 0),
     ]
+
+
+# -- property: the per-commit stream NETS to the span feed over any
+# DML sequence, COW or MoR ------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PREDS = ["tag = 'a'", "id % 7 = 3", "v > 150", "id < 4"]
+_SETS = [{"v": "v + 100"}, {"v": "0 - v"}]
+
+_CDC_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("delete"), st.sampled_from(range(len(_PREDS))),
+                  st.booleans()),
+        st.tuples(st.just("update"), st.sampled_from(range(len(_SETS))),
+                  st.booleans()),
+        st.tuples(st.just("append"), st.sampled_from(range(3)),
+                  st.booleans()),
+        st.tuples(st.just("merge"), st.sampled_from(range(2)),
+                  st.booleans()),
+        st.tuples(st.just("compact"), st.just(0), st.just(False)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _cdc_base(spark):
+    return spark.range(0, 30).selectExpr(
+        "id", "id * 10 AS v",
+        "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS tag",
+    )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_CDC_OPS)
+def test_per_commit_stream_nets_to_span_feed_property(spark, ops):
+    """For ANY DML sequence (COW or MoR per op) on a CDF-enabled
+    table, netting the per-commit CDC stream reproduces the NET span
+    feed exactly — the netting-layer contract of debt item (d), held
+    across every capture path at once."""
+    from delta_lake_platform_spark.sources.managed_table import MergeClauses
+
+    d = tempfile.mkdtemp(prefix="cdc_prop_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(_cdc_base(spark))
+    t.set_property("enableChangeDataFeed", "true")
+    for kind, i, mor in ops:
+        if kind == "delete":
+            t.delete(_PREDS[i], rewrite=not mor)
+        elif kind == "update":
+            t.update(_SETS[i], _PREDS[(i + 1) % len(_PREDS)],
+                     rewrite=not mor)
+        elif kind == "append":
+            lo = 100 + 10 * i
+            t.append(spark.range(lo, lo + 5).selectExpr(
+                "id", "id * 10 AS v", "'b' AS tag"
+            ), fast=mor)
+        elif kind == "merge":
+            src = spark.range(2 * i, 2 * i + 20, 3).selectExpr(
+                "id", "id + 1000 AS nv"
+            )
+            t.merge(
+                src,
+                MergeClauses(
+                    condition="target.id = updates.id",
+                    matched_update={"v": "updates.nv"},
+                    matched_delete_condition=(
+                        "updates.nv % 2 = 1" if i == 1 else None
+                    ),
+                    not_matched_insert={
+                        "id": "updates.id",
+                        "v": "updates.nv",
+                        "tag": "'m'",
+                    },
+                ),
+                rewrite=not mor,
+            )
+        else:
+            t.compact(target_partitions=2)
+    head = t.latest_version()
+    net: dict[tuple, int] = {}
+    for r in t.table_changes_per_commit(1, head).collect():
+        key = (r["id"], r["v"], r["tag"])
+        w = 1 if r["_change_type"] in ("insert", "update_postimage") else -1
+        net[key] = net.get(key, 0) + w
+    got_ins = sorted(
+        k for k, n in net.items() for _ in range(n) if n > 0
+    )
+    got_del = sorted(
+        k for k, n in net.items() for _ in range(-n) if n < 0
+    )
+    feed = t.change_feed(0, head).collect()
+    want_ins = sorted(
+        (r["id"], r["v"], r["tag"]) for r in feed
+        if r["_change_type"] == "insert"
+    )
+    want_del = sorted(
+        (r["id"], r["v"], r["tag"]) for r in feed
+        if r["_change_type"] == "delete"
+    )
+    assert got_ins == want_ins and got_del == want_del, f"after {ops}"
+
+
+def test_cdc_survives_conflict_retry(spark):
+    """A DV delete with CDF on that loses the version race to a blind
+    append retries the ENTRY alone — its cdc file (written before the
+    race) stays referenced by the re-aimed entry, and the per-commit
+    feed serves both commits correctly."""
+
+    def _interleave_on(table, method_name, action):
+        orig = getattr(table, method_name)
+        state = {"fired": False}
+
+        def wrapper(*args, **kwargs):
+            if not state["fired"]:
+                state["fired"] = True
+                action()
+            return orig(*args, **kwargs)
+
+        setattr(table, method_name, wrapper)
+
+    d, t = _mk(spark, n=10)
+    b = ManagedTable(spark, t.path)
+    _interleave_on(
+        t,
+        "_write_dv",
+        lambda: b.append(
+            spark.range(200, 203).selectExpr(
+                "id", "id * 10 AS v", "CAST('z' AS STRING) AS tag"
+            ),
+            fast=True,
+        ),
+    )
+    v = t.delete("id < 2", rewrite=False)
+    assert v == 2  # create(0), interloper append(1), delete re-aimed(2)
+    assert t._entry(2).get("cdcPath"), "retried entry lost its cdcPath"
+    assert _changes(t, 1, 2) == [
+        (1, "insert", 200),
+        (1, "insert", 201),
+        (1, "insert", 202),
+        (2, "delete", 0),
+        (2, "delete", 1),
+    ]
+
+
+def test_sql_table_changes_per_commit_timestamp_forms(spark):
+    import datetime as dt
+
+    from delta_lake_platform_spark.sql import PlatformSQL
+
+    d, t = _mk(spark, n=4)
+    sql = PlatformSQL(spark)
+    sql.register("cdcts", t)
+    sql.sql("DELETE FROM cdcts WHERE id = 0")  # v1
+    sql.sql("DELETE FROM cdcts WHERE id = 1")  # v2
+    h = {e["version"]: e["timestamp"] for e in t.history()}
+    mid = dt.datetime.fromtimestamp(
+        (h[1] + h[2]) / 2, dt.timezone.utc
+    ).isoformat()
+    # Start at the earliest commit at-or-after mid -> v2 only.
+    out = sql.sql(
+        f"SELECT _commit_version, id FROM "
+        f"table_changes_per_commit('cdcts', '{mid}') ORDER BY id"
+    ).collect()
+    assert [(r[0], r[1]) for r in out] == [(2, 1)]

@@ -67,3 +67,56 @@ def test_simhash_identical_docs_guarded(spark):
     )
     assert pairs.count() == 4999
     assert time.perf_counter() - t0 < 120
+
+
+def test_semantic_dedup_greedy_keep_first(spark):
+    """SemDeDup kept-set semantics: ascending-id greedy against the
+    KEPT set — in a chain a~b, b~c with a!~c, b dies (near kept a) but
+    c SURVIVES (compared to kept a only, not to dropped b). Identical
+    vectors always share a cluster, so planted copies die
+    deterministically."""
+    import math
+
+    from delta_lake_platform_spark.operators.dedup import semantic_dedup
+
+    # 2-d unit vectors at controlled angles: 0deg, 10deg, 20deg and a
+    # far-away one. cos(10deg)=0.985 >= 0.97, cos(20deg)=0.940 < 0.97.
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [(1, v(0)), (2, v(10)), (3, v(20)), (4, v(180))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, threshold=0.97, n_clusters=2
+        ).collect()
+    )
+    # 2 dies against kept 1; 3 survives (cos to 1 is 0.94, and 2 was
+    # dropped so it never blocks); 4 is its own cluster/far away.
+    assert kept == [1, 3, 4]
+
+
+def test_semantic_dedup_drops_exact_copies_keeps_originals(spark):
+    from delta_lake_platform_spark.operators.dedup import semantic_dedup
+
+    base = spark.range(40).selectExpr(
+        "id AS vec_id",
+        # Trig-spread directions: for integer id gaps d >= 1 the
+        # pairwise cosine (cos d + cos 2d)/2 stays < 0.98 — well under
+        # the 0.999 threshold, so only exact copies collide.
+        "array(cos(cast(id AS double)), sin(cast(id AS double)), "
+        "cos(2 * cast(id AS double)), sin(2 * cast(id AS double))) "
+        "AS embedding",
+    )
+    copies = base.filter("vec_id % 5 = 0").withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            base.unionByName(copies), threshold=0.999, n_clusters=4
+        ).collect()
+    )
+    assert kept == list(range(40))
