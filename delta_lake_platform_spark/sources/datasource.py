@@ -442,6 +442,23 @@ class _CDCTailReader(DataSourceStreamReader):
                 "supported on the batch table_changes forms)"
             )
         self.starting_version = options.get("startingversion")
+        # Bounded catch-up (Delta's maxFilesPerTrigger analogue at
+        # version granularity): a consumer resuming far behind the head
+        # drains in batches of at most N commits instead of one giant
+        # task wave. The Python API gives latestOffset no start, so the
+        # reader carries its own planner position.
+        mvt = options.get("maxversionspertrigger")
+        self.max_versions = max(1, int(mvt)) if mvt is not None else None
+        self._planned: int | None = None
+        # Same Python-API limitation (and same contract) as the file
+        # tail: the engine may ask latestOffset before initialOffset
+        # ever runs, so an unknown-position stream's first batch is an
+        # uncapped catch-up. assumeFresh=true promises there is no
+        # prior checkpoint, letting the cap engage from batch one.
+        if str(options.get("assumefresh", "false")).lower() in ("true", "1"):
+            sv = options.get("startingversion")
+            if sv is not None and str(sv).lower() != "latest":
+                self._planned = int(sv) - 1
         head = self.table.latest_version()
         self.core = _CDCReaderCore(self.table, head)
         self._pinned_schema_json = json.dumps(
@@ -460,13 +477,25 @@ class _CDCTailReader(DataSourceStreamReader):
                 f"startingVersion {sv} exceeds the table's latest "
                 f"version {head}"
             )
-        return {"version": sv - 1}
+        off = {"version": sv - 1}
+        self._planned = off["version"]
+        return off
 
     def latestOffset(self):
-        return {"version": self.table.latest_version()}
+        head = self.table.latest_version()
+        if self.max_versions is None or self._planned is None:
+            self._planned = head
+            return {"version": head}
+        nxt = min(self._planned + self.max_versions, head)
+        self._planned = nxt
+        return {"version": nxt}
 
     def partitions(self, start, end):
         s, e = start["version"], end["version"]
+        # Keep the planner position honest across checkpoint restarts
+        # (Spark replans from its own offsets; ours must not lag).
+        if self._planned is None or self._planned < e:
+            self._planned = e
         cur = json.dumps(
             self.table._state(e).get("schema"), sort_keys=True
         )

@@ -5692,7 +5692,13 @@ class ManagedTable:
 
         Column drift inside the span is aligned to the END version's
         logical schema (columns added later read NULL for earlier
-        commits, like Delta's CDF with its end-schema rule)."""
+        commits, like Delta's CDF with its end-schema rule).
+
+        Plan-size note: the span unions one frame per commit, so a
+        10^4-commit span builds a 10^4-way union on the driver. For
+        wide spans prefer the DataSource form (``spark.read.format(
+        "managed_table").option("readChangeFeed", "true")``), which
+        plans one flat partition list (one file each) instead."""
         to_v = self.latest_version() if to_version is None else to_version
         if from_version > to_v:
             raise ValueError(

@@ -593,3 +593,44 @@ def test_sql_table_changes_per_commit_timestamp_forms(spark):
         f"table_changes_per_commit('cdcts', '{mid}') ORDER BY id"
     ).collect()
     assert [(r[0], r[1]) for r in out] == [(2, 1)]
+
+
+def test_cdf_stream_max_versions_per_trigger(spark, tmp_path):
+    """Bounded CDF catch-up: with maxVersionsPerTrigger=1 a consumer
+    starting 3 commits behind drains in 3 one-commit offset steps, not
+    one giant wave — and the union of steps equals the uncapped set.
+    (Driven through the reader API directly, like the file tail's
+    capped-walk tests — availableNow snapshots a single offset.)"""
+    from delta_lake_platform_spark.sources.datasource import _CDCTailReader
+
+    d, t = _mk(spark, n=4)
+    for i in range(3):
+        t.delete(f"id = {i}", rewrite=True)  # v1..v3
+
+    r = _CDCTailReader({
+        "path": t.path,
+        "startingversion": "1",
+        "maxversionspertrigger": "1",
+        "assumefresh": "true",
+    })
+    prev = r.initialOffset()
+    steps = []
+    for _ in range(10):
+        cur = r.latestOffset()
+        if cur == prev:
+            break
+        parts = r.partitions(prev, cur)
+        steps.append(
+            sorted(
+                (p.version, p.file_path) for p in parts
+            )
+        )
+        prev = cur
+    assert [sorted({v for v, _ in s}) for s in steps] == [[1], [2], [3]]
+
+    # Uncapped reader over the same span serves the same files.
+    r2 = _CDCTailReader({"path": t.path, "startingversion": "1"})
+    allparts = r2.partitions({"version": 0}, {"version": 3})
+    assert sorted((p.version, p.file_path) for p in allparts) == sorted(
+        x for s in steps for x in s
+    )
