@@ -254,3 +254,50 @@ def bpe_pair_counts(
         .orderBy(F.desc("pair_count"), "pair")
         .limit(top_k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping character-window chunks (the
+    RAG-indexing shape: embed each chunk, retrieve by chunk, join back
+    by ``id_col``). Chunk ``i`` covers ``[i*stride, i*stride +
+    chunk_size)`` with ``stride = chunk_size - overlap``; every
+    document yields at least one chunk (empty/short docs produce one).
+
+    Pure JVM expression tree — ``sequence`` + ``explode`` +
+    ``substring``, whole-stage-codegen friendly, no UDF, no shuffle:
+    one narrow stage regardless of corpus size, so at 100 TB the cost
+    is exactly the scan plus the (chunked) write."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(
+            (F.length(text_col).cast("double") - F.lit(overlap))
+            / F.lit(stride)
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        n_chunks.cast("long").alias("n_chunks"),
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("long") - 1)).alias(
+            "chunk_id"
+        ),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "chunk_id",
+        "n_chunks",
+        F.col(text_col)
+        .substr(
+            F.col("chunk_id").cast("int") * F.lit(stride) + F.lit(1),
+            F.lit(chunk_size),
+        )
+        .alias("chunk_text"),
+    )

@@ -661,3 +661,53 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(
         corpus, id_col="vec_id", vec_col="embedding", threshold=0.97
     ).orderBy("vec_id")
+
+
+# --- RAG chunking --------------------------------------------------------------
+
+CHUNK_ORACLE = """
+WITH params AS (SELECT 500 AS size, 100 AS ov, 400 AS stride),
+nums AS (
+  -- constant bound (DuckDB generate_series takes constants only):
+  -- fixture docs are < 600 chars, 64 windows covers 25x that.
+  SELECT i FROM generate_series(0, 63) AS t(i)
+),
+counted AS (
+  SELECT d.doc_id, d.text,
+         GREATEST(1, CAST(CEIL((length(d.text) - p.ov) / (1.0 * p.stride))
+                          AS BIGINT)) AS n_chunks,
+         p.size, p.stride
+  FROM documents d, params p
+),
+chunked AS (
+  SELECT c.doc_id, n.i AS chunk_id, c.n_chunks,
+         substr(c.text, CAST(n.i AS INT) * c.stride + 1, c.size)
+           AS chunk_text
+  FROM counted c JOIN nums n ON n.i < c.n_chunks
+)
+SELECT doc_id, chunk_id, n_chunks,
+       CAST(length(chunk_text) AS BIGINT) AS chunk_len,
+       md5(chunk_text) AS chunk_md5
+FROM chunked
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("docs_rag_chunks", CHUNK_ORACLE)
+def docs_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking end to end: overlapping 500-char windows with
+    stride 400 over every document — pure JVM sequence/explode/substr,
+    no UDF, no shuffle (one narrow stage at any corpus size). The
+    oracle regenerates every window with generate_series + substr and
+    matches md5 per chunk, so boundaries are pinned byte-exactly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = text.chunk_documents(
+        docs, chunk_size=500, overlap=100
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunks",
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")

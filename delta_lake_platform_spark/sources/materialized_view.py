@@ -620,13 +620,20 @@ class MaterializedJoinAggView:
         if base._bloom_index(version) is not None:
             # Only worth a Spark job when an index exists; cap the
             # collected set so a wide delta never floods the driver.
+            # ONE job collects the distinct key TUPLES, probing blooms
+            # on EVERY join key (r4 #7's remainder: first-key-only
+            # probing left composite-key files unpruned).
             cap = 128
-            key = self.on[0]
-            rows = delta.select(key).distinct().limit(cap + 1).collect()
+            rows = (
+                delta.select(*self.on).distinct().limit(cap + 1).collect()
+            )
             if len(rows) <= cap:  # provably the COMPLETE distinct set
-                vals = [r[0] for r in rows if r[0] is not None]
-                if vals:
-                    eq_values = {key: vals}
+                eq_values = {}
+                for i, key in enumerate(self.on):
+                    vals = list({r[i] for r in rows if r[i] is not None})
+                    if vals:
+                        eq_values[key] = vals
+                eq_values = eq_values or None
         return base.read_pruned_multi(ranges, eq_values, version=version)
 
     def _delta_frame(

@@ -78,3 +78,39 @@ def test_domain_mixture_repeat_bounds(spark):
 
     kept = curation.domain_mixture(df, weight=F.lit(0.5)).count()
     assert 0 < kept < 300
+
+
+def test_chunk_documents_boundaries_and_plan(spark):
+    """RAG chunking: windows are byte-exact ([i*stride, i*stride+size)),
+    every doc yields >= 1 chunk (empty/short included), consecutive
+    chunks overlap by exactly `overlap` chars, and the plan contains NO
+    exchange — chunking is a narrow map at any corpus size."""
+    from delta_lake_platform_spark.operators.text import chunk_documents
+
+    rows = [
+        (1, "abcdefghij"),          # 10 chars -> 3 chunks at size 4/stride 3
+        (2, "xy"),                  # shorter than one window -> 1 chunk
+        (3, ""),                    # empty -> 1 empty chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=4, overlap=1)
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunks)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): ("abcd", 3),
+        (1, 1): ("defg", 3),
+        (1, 2): ("ghij", 3),
+        (2, 0): ("xy", 1),
+        (3, 0): ("", 1),
+    }
+    # Overlap invariant: chunk i's tail == chunk i+1's head.
+    assert got[(1, 0)][0][-1] == got[(1, 1)][0][0]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap must be smaller"):
+        chunk_documents(df, chunk_size=4, overlap=4)

@@ -781,3 +781,74 @@ def test_dirty_recompute_hint_presence_tracks_threshold(spark):
     )._jdf.queryExecution().analyzed().toString()
     assert "broadcast" in plan_small.lower()
     assert "broadcast" not in plan_big.lower()
+
+
+def test_pruned_base_probes_blooms_on_every_join_key(spark):
+    """The delta-join base prune probes blooms on EVERY join key from
+    one distinct-tuple job (r4 #7's remainder was first-key-only
+    probing): the spy sees both keys' value sets, and the composite
+    probe keeps strictly fewer files than the first key alone on an
+    interleaved layout where only k2's bloom discriminates."""
+    from delta_lake_platform_spark.sources.materialized_view import (
+        MaterializedJoinAggView,
+    )
+
+    d = tempfile.mkdtemp(prefix="dlp_mvbloom2_")
+    left = ManagedTable(spark, f"{d}/fact")
+    left.create(
+        spark.range(40).select(
+            (F.col("id") % 3).alias("k1"),
+            F.col("id").alias("k2"),
+            F.lit(1).alias("val"),
+        )
+    )
+    right = ManagedTable(spark, f"{d}/dim")
+    # k1 interleaves identically across every file (range prune and k1
+    # bloom keep everything); k2 values are file-disjoint mod buckets.
+    right.create(
+        spark.range(4000)
+        .select(
+            # id%3 cycles WITHIN every id%8 bucket, so k1 interleaves
+            # across all files and neither range nor bloom prunes it.
+            (F.col("id") % 3).alias("k1"),
+            F.col("id").alias("k2"),
+            (F.col("id") % 8).alias("bucket"),
+            F.lit("g").alias("grp"),
+        )
+        .repartition(8, "bucket")
+        .drop("bucket")
+    )
+    right.build_bloom_index(["k1", "k2"])
+    mv = MaterializedJoinAggView(
+        left, right, f"{d}/mv", on=["k1", "k2"], group_cols=["grp"],
+        sum_cols=["val"],
+    )
+    delta = spark.createDataFrame([(1, 16, 1)], "k1 long, k2 long, w int")
+
+    captured = {}
+    orig = right.read_pruned_multi
+
+    def spy(ranges, eq_values=None, version=None):
+        captured["ranges"] = ranges
+        captured["eq"] = eq_values
+        return orig(ranges, eq_values, version=version)
+
+    right.read_pruned_multi = spy
+    out = mv._pruned_base(right, right.latest_version(), delta)
+    assert out is not None
+    assert set(captured["ranges"]) == {"k1", "k2"}
+    assert captured["eq"] is not None and set(captured["eq"]) == {"k1", "k2"}
+
+    # Functional: k2's bloom prunes where k1 alone cannot.
+    v = right.latest_version()
+    kept_k1, total = right.prune_files_multi(
+        {"k1": (1, 1)}, eq_values={"k1": [1]}, version=v
+    )
+    kept_both, _ = right.prune_files_multi(
+        {"k1": (1, 1), "k2": (16, 16)},
+        eq_values={"k1": [1], "k2": [16]},
+        version=v,
+    )
+    assert total >= 2 and len(kept_k1) == total  # k1 discriminates nothing
+    assert len(kept_both) < len(kept_k1)
+    assert [r.k2 for r in out.collect()] == [16]
