@@ -219,18 +219,24 @@ class _CDCPartition(InputPartition):
     def __init__(
         self,
         file_path: str,
-        insert: bool,
+        change_type: str | None,
         version: int,
         ts: float,
         partition_values: dict | None = None,
+        deleted_rows: tuple[int, ...] = (),
     ):
         self.file_path = file_path
-        # True: an ADD-action file served as _change_type='insert';
-        # False: a recorded cdc file that already carries _change_type.
-        self.insert = insert
+        # 'insert' / 'delete': a data file served whole as that change
+        # type (add actions of appends; remove/add actions of full
+        # rewrites). None: a recorded cdc file that already carries its
+        # own _change_type column.
+        self.change_type = change_type
         self.version = version
         self.ts = ts
         self.partition_values = partition_values or {}
+        # DV positions of the SOURCE snapshot: rows already dead before
+        # the commit must not be re-reported.
+        self.deleted_rows = deleted_rows
 
 
 class _CDCReaderCore:
@@ -296,7 +302,7 @@ class _CDCReaderCore:
             import glob as _glob
 
             return [
-                _CDCPartition(f, False, v, ts)
+                _CDCPartition(f, None, v, ts)
                 for f in sorted(
                     _glob.glob(os.path.join(d, "**", "*.parquet"),
                                recursive=True)
@@ -307,9 +313,9 @@ class _CDCReaderCore:
             and entry.get("logMode") == "delta"
         ):
             # Incremental entries only: a slow/merge-schema append
-            # re-lands the whole snapshot, so its files hold old rows
-            # too — that shape falls through to the raise below
-            # (executors cannot run the diff fallback).
+            # re-lands the whole snapshot — that shape is served by the
+            # full-rewrite branch below... except an append's old rows
+            # are NOT deletes, so it falls through to the raise.
             prev = (
                 set(self.table._all_data_files(v - 1)) if v > 0 else set()
             )
@@ -317,7 +323,7 @@ class _CDCReaderCore:
             return [
                 _CDCPartition(
                     f,
-                    True,
+                    "insert",
                     v,
                     ts,
                     _partition_values_of(self.table, f) if hive else None,
@@ -332,6 +338,23 @@ class _CDCReaderCore:
             and "deletionVector" not in entry
         ):
             return []
+        if op in ManagedTable._CDC_REPLACE_OPS and v > 0:
+            # Remove/add-action serving for full-snapshot rewrites
+            # (Delta's rule): every pre-image row (minus rows a DV had
+            # already killed) is a delete, every new row an insert.
+            return [
+                _CDCPartition(
+                    p.file_path, "delete", v, ts,
+                    p.partition_values, p.deleted_rows,
+                )
+                for p in _snapshot_partitions(self.table, v - 1)
+            ] + [
+                _CDCPartition(
+                    p.file_path, "insert", v, ts,
+                    p.partition_values, p.deleted_rows,
+                )
+                for p in _snapshot_partitions(self.table, v)
+            ]
         raise RuntimeError(
             f"readChangeFeed: version {v} ({op!r}) recorded no change "
             "data — set enableChangeDataFeed before DML, or read "
@@ -343,10 +366,17 @@ class _CDCReaderCore:
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(part.file_path)
+        if part.deleted_rows:
+            dead = set(part.deleted_rows)
+            keep = [i for i in range(tbl.num_rows) if i not in dead]
+            tbl = tbl.take(pa.array(keep, type=pa.int64()))
         n = tbl.num_rows
-        # Add-action files store physical names: rename to logical so
-        # the alignment below finds them (cdc files are logical-named).
-        if part.insert and self.physical_names != self.logical_names:
+        # Data files store physical names: rename to logical so the
+        # alignment below finds them (cdc files are logical-named).
+        if (
+            part.change_type is not None
+            and self.physical_names != self.logical_names
+        ):
             ren = dict(zip(self.physical_names, self.logical_names))
             tbl = tbl.rename_columns(
                 [ren.get(c, c) for c in tbl.column_names]
@@ -354,11 +384,11 @@ class _CDCReaderCore:
         cols = []
         for field in self.arrow_schema:
             if field.name == "_change_type":
-                if part.insert:
+                if part.change_type is not None:
                     cols.append(
-                        pa.array(["insert"] * n, type=pa.string()).cast(
-                            field.type
-                        )
+                        pa.array(
+                            [part.change_type] * n, type=pa.string()
+                        ).cast(field.type)
                     )
                 else:
                     cols.append(

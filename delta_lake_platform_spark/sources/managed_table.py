@@ -5662,6 +5662,15 @@ class ManagedTable:
         }
     )
     _CDC_APPEND_OPS = frozenset({"APPEND", "COPY INTO"})
+    # Full-snapshot rewrites: Delta's CDF serves these from the
+    # remove/add actions directly — EVERY pre-image row is a delete and
+    # every new row an insert, even when values are equal (overwrite =
+    # delete all + insert all). No cdc file is ever written for them:
+    # it would be table-sized.
+    _CDC_REPLACE_OPS = frozenset(
+        {"WRITE", "OVERWRITE", "CREATE OR OVERWRITE", "REPLACE TABLE",
+         "RESTORE"}
+    )
 
     def table_changes_per_commit(
         self,
@@ -5752,6 +5761,14 @@ class ManagedTable:
                 and "deletionVector" not in entry
             ):
                 continue  # layout/schema/property-only: no logical change
+            elif op in self._CDC_REPLACE_OPS:
+                # Remove/add-action serving (Delta's rule for full
+                # rewrites): all old rows delete + all new rows insert.
+                changes = self._cdc_frame(self.read(v - 1), "delete")
+                changes = changes.unionByName(
+                    self._cdc_frame(self.read(v), "insert"),
+                    allowMissingColumns=True,
+                )
             else:
                 changes = self.change_feed(v - 1, v, key_cols=key_cols)
             parts.append(

@@ -634,3 +634,50 @@ def test_cdf_stream_max_versions_per_trigger(spark, tmp_path):
     assert sorted((p.version, p.file_path) for p in allparts) == sorted(
         x for s in steps for x in s
     )
+
+
+def test_overwrite_served_as_remove_add_actions(spark):
+    """Full-snapshot rewrites (OVERWRITE / REPLACE TABLE / RESTORE)
+    serve Delta's remove/add rule: EVERY pre-image row is a delete and
+    every new row an insert — even rows with equal values — and rows a
+    DV had already killed are not re-reported. Works on both reader
+    paths; no table-sized cdc file is ever written."""
+    _register_ds(spark)
+    d, t = _mk(spark, n=5)
+    t.delete("id = 4", rewrite=False)  # v1: DV kills id 4 pre-overwrite
+    t.overwrite(spark.range(2).selectExpr(
+        "id + 100 AS id", "id AS v", "CAST('o' AS STRING) AS tag"
+    ))  # v2: full rewrite
+    assert not (t._entry(2) or {}).get("cdcPath")
+    got = _changes(t, 2)
+    assert got == [
+        *[(2, "delete", i) for i in range(4)],  # id 4 already dead
+        (2, "insert", 100),
+        (2, "insert", 101),
+    ]
+    # DataSource path serves the same rows (one file per partition).
+    ds = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in spark.read.format("managed_table")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")
+        .load()
+        .collect()
+    )
+    assert ds == got
+
+
+def test_restore_served_as_remove_add_actions(spark):
+    d, t = _mk(spark, n=3)
+    t.delete("id = 0", rewrite=True)  # v1
+    t.restore(0)  # v2: full-snapshot restore — id 0 comes back
+    rows = _changes(t, 2)
+    assert (2, "insert", 0) in rows
+    assert {ct for _, ct, _ in rows} == {"delete", "insert"}
+    # Net effect of the restore commit == change_feed over it.
+    net = {}
+    for v, ct, i in rows:
+        net[i] = net.get(i, 0) + (1 if ct == "insert" else -1)
+    assert {i for i, n in net.items() if n > 0} == {0}
+    assert not {i for i, n in net.items() if n < 0}
