@@ -356,3 +356,65 @@ def sql_merge_by_source_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c_mktsegment, COUNT(*) AS n, SUM(cents) AS total_cents "
         "FROM ct GROUP BY c_mktsegment ORDER BY c_mktsegment"
     )
+
+
+COLUMN_DEFAULTS_ORACLE = """
+WITH src AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN 'direct' ELSE 'web' END
+           AS channel,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+ins AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 4 = 0 THEN channel ELSE 'unknown' END
+           AS channel,
+         CASE WHEN c_custkey % 4 = 0 THEN cents ELSE 0 END AS cents
+  FROM src
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM ins
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@register("sql_column_defaults", COLUMN_DEFAULTS_ORACLE)
+def sql_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULT values end to end (Delta's defaultColumns):
+    CREATE TABLE declares channel/cents defaults, a quarter of the
+    customers insert with full columns, the rest insert only their
+    key and take the declared defaults; SET DEFAULT mid-stream is NOT
+    used here so the oracle stays a pure CASE reconstruction."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = _tempfile.mkdtemp(prefix="sql_defaults_")
+    p = PlatformSQL(spark)
+    p.sql(
+        f"CREATE TABLE cdef (c_custkey BIGINT, "
+        f"channel STRING DEFAULT 'unknown', "
+        f"cents BIGINT DEFAULT 0) LOCATION '{d}/cdef'"
+    )
+    t = p.tables["cdef"]
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("direct"))
+        .otherwise(F.lit("web"))
+        .alias("channel"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    # Full-column inserts for a quarter; key-only for the rest — the
+    # engine fills the omitted columns from the declared defaults.
+    t.append(src.filter(F.col("c_custkey") % 4 == 0))
+    t.append(
+        src.filter(F.col("c_custkey") % 4 != 0).select("c_custkey")
+    )
+    out = p.sql(
+        "SELECT channel, COUNT(*) AS n, SUM(cents) AS total_cents "
+        "FROM cdef GROUP BY channel ORDER BY channel"
+    ).localCheckpoint()
+    _shutil.rmtree(d, ignore_errors=True)
+    return out

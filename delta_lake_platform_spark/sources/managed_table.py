@@ -3508,6 +3508,7 @@ class ManagedTable:
         # this point must fail the append, not be silently built on.
         rv = self.latest_version()
         current = self.read(rv)
+        df = self._fill_defaults(df, rv)
         df, id_marks = self._fill_identity(df, rv)
         df = self._fill_generated(df, rv)
         if id_marks:
@@ -4629,6 +4630,7 @@ class ManagedTable:
             self._constraints_path(),
             self._identity_path(),
             self._generated_path(),
+            self._defaults_path(),
             self._rowid_floor_path(),
         ):
             if os.path.isfile(p):
@@ -5368,6 +5370,79 @@ class ManagedTable:
         ``clear_identity_columns`` — CREATE OR REPLACE semantics)."""
         if os.path.isfile(self._generated_path()):
             os.remove(self._generated_path())
+
+    # -- column DEFAULT values (Delta's defaultColumns writer feature) -------
+
+    def _defaults_path(self) -> str:
+        return os.path.join(self.path, "_defaults.json")
+
+    def column_defaults(self) -> dict[str, str]:
+        """``{col: sql_expr}`` for every column with a DEFAULT. A batch
+        that OMITS a defaulted column gets the expression evaluated per
+        row at write time (Delta's rule: defaults fill missing values
+        on ingest — they never rewrite existing data, and dropping a
+        default changes future writes only)."""
+        if not os.path.isfile(self._defaults_path()):
+            return {}
+        with open(self._defaults_path()) as f:
+            return json.load(f)
+
+    def set_column_default(self, col: str, expr: str) -> None:
+        """Declare ``col DEFAULT (expr)`` — Delta's ``ALTER COLUMN
+        SET DEFAULT``. The column must exist and must not be identity
+        or generated (those own their values); the expression must
+        analyze against the table schema."""
+        state = self._state(self.latest_version())
+        schema = self._schema_of(state)
+        if schema is None or col not in schema.fieldNames():
+            raise ValueError(f"no column {col!r} on {self.path}")
+        if col in self.identity_columns():
+            raise ValueError(
+                f"{col!r} is GENERATED ALWAYS AS IDENTITY — it cannot "
+                "also carry a DEFAULT"
+            )
+        if col in self.generated_columns():
+            raise ValueError(
+                f"{col!r} is a generated column — it cannot also carry "
+                "a DEFAULT"
+            )
+        # Analysis check: a typo'd default must fail HERE, not on the
+        # first unlucky append.
+        self.read().limit(0).select(F.expr(expr)).schema
+        defaults = self.column_defaults()
+        defaults[col] = expr
+        with open(self._defaults_path(), "w") as f:
+            json.dump(defaults, f)
+
+    def drop_column_default(self, col: str) -> None:
+        defaults = self.column_defaults()
+        if col not in defaults:
+            raise ValueError(f"no DEFAULT on column {col!r} of {self.path}")
+        del defaults[col]
+        with open(self._defaults_path(), "w") as f:
+            json.dump(defaults, f)
+
+    def clear_column_defaults(self) -> None:
+        """CREATE OR REPLACE semantics — see clear_identity_columns."""
+        if os.path.isfile(self._defaults_path()):
+            os.remove(self._defaults_path())
+
+    def _fill_defaults(self, df: DataFrame, read_version: int) -> DataFrame:
+        """Fill defaulted columns a batch omitted. Row-level
+        expressions over the batch's own columns are allowed (like
+        generated columns); the value is cast to the column's declared
+        type (store-assignment)."""
+        defaults = self.column_defaults()
+        todo = [c for c in defaults if c not in df.columns]
+        if not todo:
+            return df
+        schema = self._schema_of(self._state(read_version))
+        for c in todo:
+            e = F.expr(defaults[c])
+            if schema is not None and c in schema.fieldNames():
+                e = e.cast(schema[c].dataType)
+            df = df.withColumn(c, e)
+        return df
 
     def _fill_generated(self, df: DataFrame, read_version: int) -> DataFrame:
         """Compute absent generated columns on an incoming batch

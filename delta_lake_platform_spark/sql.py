@@ -506,6 +506,7 @@ class PlatformSQL:
                     table.drop_constraint(cname)
                 table.clear_identity_columns()
                 table.clear_generated_columns()
+                table.clear_column_defaults()
                 # ... and a forward-written overwrite commit — prior
                 # versions stay time-travelable.
                 v = table.overwrite(
@@ -542,6 +543,7 @@ class PlatformSQL:
         if m:
             name, coldefs, path, pcols, ccols = m.groups()
             fields, idents, gens, notnulls = [], {}, {}, []
+            defaults: dict[str, str] = {}
             for cd in _split_top_level(coldefs):
                 cm = re.match(
                     rf"(?is)^\s*({_IDENT})\s+([A-Za-z0-9_]+"
@@ -576,6 +578,10 @@ class PlatformSQL:
                 if gm:
                     gens[cname] = gm.group(1).strip()
                     continue
+                dm = re.match(r"(?is)^DEFAULT\s+(.+)$", rest)
+                if dm:
+                    defaults[cname] = dm.group(1).strip()
+                    continue
                 raise ValueError(f"cannot parse column definition {cd!r}")
             empty = self.spark.createDataFrame([], ", ".join(fields))
             table = ManagedTable(self.spark, path)
@@ -589,6 +595,8 @@ class PlatformSQL:
                 table.set_identity_column(cname, start=istart, step=istep)
             for cname, gexpr in gens.items():
                 table.set_generated_column(cname, gexpr)
+            for cname, dexpr in defaults.items():
+                table.set_column_default(cname, dexpr)
             for cname in notnulls:
                 table.add_constraint(
                     f"{cname}_not_null", f"{cname} IS NOT NULL"
@@ -705,6 +713,24 @@ class PlatformSQL:
             return self._df(
                 [{"column": col, "notNull": action.upper() == "SET"}]
             )
+        m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+"
+            rf"({_IDENT})\s+SET\s+DEFAULT\s+(.+)$",
+            t,
+        )
+        if m:
+            name, col, expr = m.groups()
+            self.tables[name].set_column_default(col, expr.strip())
+            return self._df([{"column": col, "default": expr.strip()}])
+        m = re.match(
+            rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+"
+            rf"({_IDENT})\s+DROP\s+DEFAULT$",
+            t,
+        )
+        if m:
+            name, col = m.groups()
+            self.tables[name].drop_column_default(col)
+            return self._df([{"column": col, "defaultDropped": True}])
         m = re.match(
             rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+"
             rf"({_IDENT})$",
