@@ -415,6 +415,7 @@ def connected_components(
     labels = vertices.select(F.col(id_col).alias("vid")).withColumn(
         "label", F.col("vid")
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.vid)
@@ -439,7 +440,20 @@ def connected_components(
         )
         labels = flagged.drop("__chg")
         if flagged.filter(F.col("__chg")).isEmpty():
+            converged = True
             break
+    if not converged:
+        # A component whose diameter exceeds max_iter would silently
+        # come back as SPLIT clusters — at 100 TB a long duplicate
+        # chain (A~B~C~...) is realistic, and an unflagged under-merge
+        # corrupts the dedup downstream. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components: label propagation did not converge "
+            f"within max_iter={max_iter} iterations ({n_edges} edges); "
+            f"some components are still merging. Raise max_iter (the "
+            f"graph diameter bounds the rounds needed) or raise "
+            f"small_graph_edges to take the union-find path."
+        )
     return labels.select(
         F.col("vid").alias(id_col), F.col("label").alias("cluster_id")
     )

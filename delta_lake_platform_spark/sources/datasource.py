@@ -85,15 +85,30 @@ def _partition_values_of(table: ManagedTable, fpath: str) -> dict:
     return vals
 
 
+def _apply_deletion_vector(table, deleted_rows):
+    """Drop DV-marked row positions with a vectorized boolean mask.
+
+    A per-row ``i not in dead`` comprehension costs O(rows) interpreted
+    Python per file read — a 1M-row file with one deleted row would pay
+    ~1M iterations; the numpy mask is a single vectorized scatter +
+    Arrow-side filter regardless of file size.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    mask = np.ones(table.num_rows, dtype=bool)
+    idx = np.fromiter(deleted_rows, dtype=np.int64)
+    mask[idx[idx < table.num_rows]] = False
+    return table.filter(pa.array(mask))
+
+
 def _read_file_batches(part: _FilePartition, schema_info=None) -> Iterator:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pq.read_table(part.file_path)
     if part.deleted_rows:
-        dead = set(part.deleted_rows)
-        keep = [i for i in range(table.num_rows) if i not in dead]
-        table = table.take(pa.array(keep, type=pa.int64()))
+        table = _apply_deletion_vector(table, part.deleted_rows)
     if schema_info is not None:
         arrow_schema, logical_names = schema_info
         if table.schema != arrow_schema:
@@ -367,9 +382,7 @@ class _CDCReaderCore:
 
         tbl = pq.read_table(part.file_path)
         if part.deleted_rows:
-            dead = set(part.deleted_rows)
-            keep = [i for i in range(tbl.num_rows) if i not in dead]
-            tbl = tbl.take(pa.array(keep, type=pa.int64()))
+            tbl = _apply_deletion_vector(tbl, part.deleted_rows)
         n = tbl.num_rows
         # Data files store physical names: rename to logical so the
         # alignment below finds them (cdc files are logical-named).
@@ -442,7 +455,22 @@ class _CDCSnapshotReader(DataSourceReader):
             )
         self.v0 = int(sv)
         ev = options.get("endingversion")
-        self.v1 = int(ev) if ev is not None else self.table.latest_version()
+        head = self.table.latest_version()
+        self.v1 = int(ev) if ev is not None else head
+        # Delta's CDF batch read raises on inverted or out-of-range
+        # windows (endBeforeStartVersionInCDC / version-out-of-range)
+        # rather than silently returning zero rows — a silent empty
+        # result masks caller typos in startingVersion.
+        if self.v0 > head + 1:
+            raise ValueError(
+                f"readChangeFeed: startingVersion ({self.v0}) is beyond "
+                f"the table head ({head})"
+            )
+        if self.v0 > self.v1:
+            raise ValueError(
+                f"readChangeFeed: endingVersion ({self.v1}) must not be "
+                f"less than startingVersion ({self.v0})"
+            )
         self.core = _CDCReaderCore(self.table, self.v1)
 
     def partitions(self):

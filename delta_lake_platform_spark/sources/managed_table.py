@@ -4512,6 +4512,33 @@ class ManagedTable:
                         shutil.rmtree(p, ignore_errors=True)
                 except OSError:
                     pass
+        # Orphaned CDC dirs: _write_cdc stages _change_data/cdc-* BEFORE
+        # the DML commit, so a failed/abandoned commit leaves a dir no
+        # entry's cdcPath references — and repeated failed CDF DML
+        # would leak disk unboundedly. Same orphan rule as staging
+        # dirs: referenced by NO version (live entries only; expired
+        # entries' dirs were already reclaimed with their version),
+        # older than the uncommitted-file retention floor.
+        cdc_root = os.path.join(self.path, "_change_data")
+        if os.path.isdir(cdc_root):
+            referenced_cdc = set()
+            for v in versions:
+                e = self._entry(v) or {}
+                if e.get("cdcPath"):
+                    referenced_cdc.add(
+                        os.path.normpath(self._abs(e["cdcPath"]))
+                    )
+            for name in os.listdir(cdc_root):
+                p = os.path.join(cdc_root, name)
+                if not name.startswith("cdc-") or not os.path.isdir(p):
+                    continue
+                if os.path.normpath(p) in referenced_cdc:
+                    continue
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
         # Converted-in-place files live at the TABLE ROOT (or its k=v
         # subdirs), outside data/ and dv/. Once the CONVERT entry ages
         # out via log retention the per-version sweep can't name them;

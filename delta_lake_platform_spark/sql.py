@@ -26,6 +26,7 @@ view first).
 from __future__ import annotations
 
 import json
+import os
 import re
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -501,17 +502,49 @@ class PlatformSQL:
                 # columns) do not survive it — cleared BEFORE the write
                 # so the old constraints cannot gate the new data. The
                 # CLUSTER BY clause, when present, is re-applied below.
+                # Delta's REPLACE is transactional, so a FAILED
+                # overwrite (bad data, IO error) must leave the prior
+                # definition intact: snapshot the metadata sidecars and
+                # restore them if the commit does not land.
+                sidecar_snapshot = {}
+                for sp in (
+                    table._properties_path(),
+                    table._constraints_path(),
+                    table._identity_path(),
+                    table._generated_path(),
+                    table._defaults_path(),
+                ):
+                    if os.path.isfile(sp):
+                        with open(sp, "rb") as f:
+                            sidecar_snapshot[sp] = f.read()
                 table.set_cluster_by(None)
                 for cname in list(table.constraints()):
                     table.drop_constraint(cname)
                 table.clear_identity_columns()
                 table.clear_generated_columns()
                 table.clear_column_defaults()
-                # ... and a forward-written overwrite commit — prior
-                # versions stay time-travelable.
-                v = table.overwrite(
-                    df, overwrite_schema=True, operation="REPLACE TABLE"
-                )
+                try:
+                    # ... and a forward-written overwrite commit —
+                    # prior versions stay time-travelable.
+                    v = table.overwrite(
+                        df,
+                        overwrite_schema=True,
+                        operation="REPLACE TABLE",
+                    )
+                except BaseException:
+                    for sp in (
+                        table._properties_path(),
+                        table._constraints_path(),
+                        table._identity_path(),
+                        table._generated_path(),
+                        table._defaults_path(),
+                    ):
+                        if sp in sidecar_snapshot:
+                            with open(sp, "wb") as f:
+                                f.write(sidecar_snapshot[sp])
+                        elif os.path.isfile(sp):
+                            os.remove(sp)
+                    raise
             else:
                 v = table.create(
                     df,
@@ -554,35 +587,52 @@ class PlatformSQL:
                     raise ValueError(f"cannot parse column definition {cd!r}")
                 cname, ctype, rest = cm.groups()
                 fields.append(f"{cname} {ctype}")
-                nn = re.match(r"(?is)^(.*?)\s*NOT\s+NULL$", rest)
-                if nn:
-                    notnulls.append(cname)
-                    rest = nn.group(1).strip()
-                if not rest:
-                    continue
-                im = re.match(
-                    r"(?is)^GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
-                    r"(?:\s*\(\s*START\s+WITH\s+(\d+)"
-                    r"(?:\s+INCREMENT\s+BY\s+(\d+))?\s*\))?$",
-                    rest,
-                )
-                if im:
-                    idents[cname] = (
-                        int(im.group(1) or 1),
-                        int(im.group(2) or 1),
+                # Post-type clauses may appear in ANY order and combine
+                # ('cents BIGINT DEFAULT 0 NOT NULL', 'NOT NULL DEFAULT
+                # 0') — consume them one at a time rather than matching
+                # the whole tail at once, so a DEFAULT expression stops
+                # before a following clause keyword instead of
+                # swallowing it.
+                while rest:
+                    nn = re.match(r"(?is)^NOT\s+NULL\b\s*(.*)$", rest)
+                    if nn:
+                        notnulls.append(cname)
+                        rest = nn.group(1).strip()
+                        continue
+                    im = re.match(
+                        r"(?is)^GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+                        r"(?:\s*\(\s*START\s+WITH\s+(\d+)"
+                        r"(?:\s+INCREMENT\s+BY\s+(\d+))?\s*\))?\s*(.*)$",
+                        rest,
                     )
-                    continue
-                gm = re.match(
-                    r"(?is)^GENERATED\s+ALWAYS\s+AS\s*\((.*)\)$", rest
-                )
-                if gm:
-                    gens[cname] = gm.group(1).strip()
-                    continue
-                dm = re.match(r"(?is)^DEFAULT\s+(.+)$", rest)
-                if dm:
-                    defaults[cname] = dm.group(1).strip()
-                    continue
-                raise ValueError(f"cannot parse column definition {cd!r}")
+                    if im:
+                        idents[cname] = (
+                            int(im.group(1) or 1),
+                            int(im.group(2) or 1),
+                        )
+                        rest = im.group(3).strip()
+                        continue
+                    gm = re.match(
+                        r"(?is)^GENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*$",
+                        rest,
+                    )
+                    if gm:
+                        gens[cname] = gm.group(1).strip()
+                        rest = ""
+                        continue
+                    dm = re.match(
+                        r"(?is)^DEFAULT\s+(.+?)"
+                        r"(?=\s+NOT\s+NULL\b|\s+GENERATED\s+ALWAYS\b|$)"
+                        r"\s*(.*)$",
+                        rest,
+                    )
+                    if dm:
+                        defaults[cname] = dm.group(1).strip()
+                        rest = dm.group(2).strip()
+                        continue
+                    raise ValueError(
+                        f"cannot parse column definition {cd!r}"
+                    )
             empty = self.spark.createDataFrame([], ", ".join(fields))
             table = ManagedTable(self.spark, path)
             v = table.create(
