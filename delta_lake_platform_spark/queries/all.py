@@ -65,7 +65,12 @@ PRIORITY = [
     # by distinct_order_status_priority and the set-ops family remains
     # locally oracle-swept.
     "sql_merge_by_source_sync",
-    "sql_api_orders_by_nation",
+    # sql_api_orders_by_nation rotated out in r7 for sql_column_defaults
+    # (the r6 column-DEFAULT feature: DEFAULT coldefs in CREATE TABLE,
+    # default-filled INSERT column lists, ALTER ... SET DEFAULT). The
+    # SQL DDL+query family stays driver-covered by sql_schema_evolution
+    # / sql_identity_accounts / sql_dml_pipeline; still locally swept.
+    "sql_column_defaults",
     "scd_hybrid_two_batches",
     "scd_hybrid_two_batches_merge_mode",
     # scd_change_feed_day2 rotated out in r6 for cdc_per_commit_orders:
@@ -114,7 +119,12 @@ PRIORITY = [
     # PII) and tf-idf stays locally oracle-swept.
     "convert_in_place_orders",
     "docs_token_stats",
-    "docs_quality_score",
+    # docs_quality_score rotated out in r7 for docs_rag_chunks (the r6
+    # RAG chunking operator: pure-JVM sequence/explode/substr windowed
+    # chunks with overlap). Text analysis keeps three driver reps
+    # (token stats, lang-id, PII) and quality scoring stays exercised
+    # inside docs_curation_pipeline; still locally swept.
+    "docs_rag_chunks",
     "docs_lang_id",
     "docs_pii_redaction",
     "docs_train_split",
@@ -130,7 +140,13 @@ PRIORITY = [
     "docs_curation_pipeline",
     "docs_exact_dedup",
     "docs_minhash_neardup",
-    "docs_simhash_identical_pairs",
+    # docs_simhash_identical_pairs rotated out in r7 for
+    # embeddings_semantic_dedup (the r6 SemDeDup operator: k-means
+    # clustering + per-cluster cosine pruning). The bucketed-candidate
+    # machinery SimHash rides on stays driver-covered by
+    # docs_minhash_neardup / embeddings_neardup_lsh; still locally
+    # swept.
+    "embeddings_semantic_dedup",
     "docs_dedup_clusters",
     "embeddings_neardup_lsh",
     "ann_cosine_topk",

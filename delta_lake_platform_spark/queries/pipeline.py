@@ -467,32 +467,55 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- ANN: IVF approximate top-k (rows-only: centroid hash not in DuckDB) ----
+# --- ANN: IVF / PQ approximate top-k (deterministic full oracles) -----------
+#
+# Both run over the planted-copy corpus (see the recall section below):
+# each query's TRUE top-5 is its 5 exact copies (cosine 1.0 vs natural
+# max ~0.51), both operators tie-break by neighbor_id ascending, and
+# self-matches are excluded — so the full (query_id, neighbor_id, rank)
+# result is a provable constant, hash-oracled in SQL. Any regression in
+# centroid assignment, probe join, PQ encoding, ADC lookup, shortlist
+# re-rank, or the tie-break shows as a hash mismatch, not just a recall
+# drop. Cosine is projected away: its exact float is the one
+# non-provable artifact (1.0 within fp error).
+
+_ANN_TOPK_ORACLE = """
+SELECT q.vec_id AS query_id,
+       q.vec_id * 100 + 2000000 + t.j AS neighbor_id,
+       CAST(t.j + 1 AS BIGINT) AS rank
+FROM embeddings q CROSS JOIN (SELECT UNNEST([0,1,2,3,4]) AS j) t
+WHERE q.vec_id < 10
+ORDER BY query_id, rank
+"""
 
 
-@register("ann_ivf_topk")
+@register("ann_ivf_topk", _ANN_TOPK_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed approximate top-k (scale path). No SQL oracle: the
-    centroid assignment depends on xxhash64, which DuckDB lacks; recall
-    vs brute force is asserted in tests/test_similarity.py instead."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(queries, emb, k=5, nprobe=4).orderBy(
-        "query_id", "rank"
+    """IVF-probed approximate top-k (scale path): corpus filtered to
+    the nprobe nearest centroid cells before any distance math. An
+    exact copy assigns to the query's own argmax centroid — the first
+    probe — so the planted top-5 is reached under ANY centroid set."""
+    queries, corpus = _planted_ann_corpus(spark, sf_dir)
+    return (
+        similarity.ivf_topk(queries, corpus, k=5, nprobe=4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
     )
 
 
-@register("ann_pq_topk")
+@register("ann_pq_topk", _ANN_TOPK_ORACLE)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (ADC + exact re-rank of the shortlist).
-    No SQL oracle: codebooks come from sampled k-means; recall vs brute
-    force is asserted in tests/test_similarity.py instead. The corpus
-    scan ships m=8 one-byte codes per row instead of 64 floats — the
-    32x byte cut that makes billion-vector search shuffleable."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.pq_topk(queries, emb, k=5, rerank_factor=8).orderBy(
-        "query_id", "rank"
+    An exact copy's codes minimize every per-subspace distance (global-
+    min ADC), so the copies survive the shortlist and the exact re-rank
+    pins their ranks. The corpus scan ships m=8 one-byte codes per row
+    instead of 64 floats — the 32x byte cut that makes billion-vector
+    search shuffleable."""
+    queries, corpus = _planted_ann_corpus(spark, sf_dir)
+    return (
+        similarity.pq_topk(queries, corpus, k=5, rerank_factor=8)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
     )
 
 
@@ -711,3 +734,69 @@ def docs_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("chunk_text").cast("long").alias("chunk_len"),
         F.md5("chunk_text").alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# --- corpus line-level dedup (CCNet/RefinedWeb boilerplate removal) ----------
+
+LINE_DEDUP_ORACLE = """
+WITH built AS (
+  SELECT doc_id,
+    'subscribe to our newsletter' || chr(10)
+    || CASE WHEN doc_id % 5 = 0 THEN 'flash sale today' || chr(10) ELSE '' END
+    || text || chr(10) || 'copyright 2026 example corp' AS text2
+  FROM documents
+),
+split AS (
+  SELECT doc_id, string_split(text2, chr(10)) AS ls FROM built
+),
+lines AS (
+  SELECT doc_id, ls[t.ord] AS line, t.ord AS ord
+  FROM split, LATERAL UNNEST(range(1, LEN(ls) + 1)) AS t(ord)
+),
+hot AS (
+  SELECT trim(line) AS norm
+  FROM lines WHERE trim(line) <> ''
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 2
+),
+kept AS (
+  SELECT l.doc_id, l.ord, l.line
+  FROM lines l LEFT JOIN hot h ON trim(l.line) = h.norm
+  WHERE h.norm IS NULL
+)
+SELECT doc_id,
+       md5(string_agg(line, chr(10) ORDER BY ord)) AS text_md5,
+       COUNT(*)::BIGINT AS n_lines_kept
+FROM kept
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("docs_line_dedup", LINE_DEDUP_ORACLE)
+def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (r7, text.py::dedup_corpus_lines —
+    CCNet/RefinedWeb boilerplate removal): every document gets a
+    planted newsletter header and copyright footer, every fifth a
+    promo line; lines shared by more than 2 documents are stripped
+    from ALL documents while each unique body line survives. The
+    oracle recomputes the rule by line text; the Spark side shuffles
+    8-byte line hashes instead — a hash-policy divergence would
+    mismatch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("subscribe to our newsletter\n"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("flash sale today\n")
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.lit("\ncopyright 2026 example corp"),
+        ).alias("text"),
+    )
+    out = text.dedup_corpus_lines(built, max_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_deduped")).alias("text_md5"),
+        "n_lines_kept",
+    ).orderBy("doc_id")

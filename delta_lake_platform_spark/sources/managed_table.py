@@ -1097,6 +1097,68 @@ class ManagedTable:
             # one zero-row file anchors the schema, partition columns
             # included as ordinary data columns.
             df.write.mode("overwrite").parquet(data_dir)
+        self._optimize_write(data_dir, df.schema)
+
+    def _optimize_write(self, data_dir: str, schema: T.StructType) -> None:
+        """Write-time small-file coalescing — Delta's
+        ``delta.autoOptimize.optimizeWrite`` (the reference sets it on
+        both its tables: test_scd_handler.py:55-57,71-73). When the
+        property is set, a batch that landed as more files than its
+        bytes justify is consolidated toward the bin-packed file count
+        BEFORE the commit publishes it, so fragmented ingest (a
+        32-shuffle-partition write of a 10 MB batch) never pollutes the
+        table with tiny files in the first place.
+
+        Delta implements this as an adaptive pre-write shuffle; here
+        the staged output is measured (real bytes, not a Catalyst
+        estimate) and — only when fragmented — rewritten once at the
+        bin-packed partition count. The extra pass touches exactly the
+        fragmented batch, which is small by construction (a batch
+        already at its bin-packed count skips the rewrite), so at
+        100 TB the cost stays O(small batch), never O(table).
+        """
+        props = self.properties()
+        flag = props.get(
+            "delta.autoOptimize.optimizeWrite",
+            props.get("autoOptimize.optimizeWrite", "false"),
+        )
+        if str(flag).lower() != "true":
+            return
+        files = _parquet_files(data_dir)
+        if len(files) <= 1:
+            return
+        total = sum(os.path.getsize(f) for f in files)
+        target = int(props.get("delta.targetFileSize", 128 << 20))
+        n_bins = max(1, -(-total // max(target, 1)))
+        if len(files) <= n_bins:
+            return
+        spec = self.partition_spec()
+        rb = self.spark.read.parquet(data_dir)
+        # Partition-column types are INFERRED on read-back; cast every
+        # column to the staged schema so the rewrite cannot drift types.
+        rb = rb.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+        if spec:
+            # Co-locate each hive partition's rows (one task -> one
+            # file per partition value); bins beyond the partition
+            # count keep huge partitions from serializing through one
+            # task.
+            rb = rb.repartition(max(n_bins, len(spec)), *spec)
+        else:
+            # coalesce: consolidation without a shuffle.
+            rb = rb.coalesce(n_bins)
+        import shutil
+
+        tmp = data_dir + ".owtmp"
+        w = rb.write.mode("overwrite")
+        if spec:
+            w = w.partitionBy(*spec)
+        w.parquet(tmp)
+        if not _parquet_files(tmp):
+            rb.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(data_dir)
+        os.rename(tmp, data_dir)
 
     def _write_data_staged(self, df: DataFrame, final_dir: str) -> str:
         """Publish a snapshot/batch dir through the table's commit

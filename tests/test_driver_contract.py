@@ -60,6 +60,12 @@ def test_family_representation_in_first_50():
         "dedup-exact": "docs_exact_dedup",
         "dedup-minhash": "docs_minhash_neardup",
         "dedup-clusters": "docs_dedup_clusters",
+        # r7: the three round-6 headline operators join the driver-50
+        # (VERDICT r6 next-round #1) — SemDeDup semantic dedup, RAG
+        # chunking, and column DEFAULTs.
+        "dedup-semantic": "embeddings_semantic_dedup",
+        "rag-chunking": "docs_rag_chunks",
+        "column-defaults": "sql_column_defaults",
         "ann-bruteforce": "ann_cosine_topk",
         "ann-ivf": "ann_ivf_recall",
         "ann-pq": "ann_pq_recall",

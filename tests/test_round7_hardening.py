@@ -215,3 +215,79 @@ def test_vacuum_reclaims_orphaned_cdc_dirs(spark):
     os.makedirs(fresh)
     t.vacuum(keep_last=10)
     assert os.path.isdir(fresh)
+
+
+# --- delta.autoOptimize.optimizeWrite ----------------------------------------
+
+def _parquet_count(d):
+    out = []
+    for root, _dirs, files in os.walk(d):
+        out += [f for f in files if f.endswith(".parquet")]
+    return len(out)
+
+
+def test_optimize_write_coalesces_fragmented_append(spark):
+    d = tempfile.mkdtemp(prefix="r7_ow_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(spark.range(100).selectExpr("id", "id AS v"))
+    t.set_property("delta.autoOptimize.optimizeWrite", "true")
+    v = t.append(
+        spark.range(100, 2100).selectExpr("id", "id AS v").repartition(16)
+    )
+    added = (t._entry(v) or {}).get("addPaths") or []
+    assert added, "fast append must record its batch dir"
+    n_files = sum(_parquet_count(t._abs(p)) for p in added)
+    # 16 fragments of a few-KB batch bin-pack to ONE file.
+    assert n_files == 1, f"optimizeWrite left {n_files} files"
+    assert t.read().count() == 2100
+    assert t.read().agg(F.sum("id")).first()[0] == sum(range(2100))
+
+
+def test_optimize_write_off_leaves_fragments(spark):
+    d = tempfile.mkdtemp(prefix="r7_ow_off_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(spark.range(100).selectExpr("id", "id AS v"))
+    v = t.append(
+        spark.range(100, 2100).selectExpr("id", "id AS v").repartition(16)
+    )
+    added = (t._entry(v) or {}).get("addPaths") or []
+    assert sum(_parquet_count(t._abs(p)) for p in added) == 16
+
+
+def test_optimize_write_partitioned_overwrite(spark):
+    d = tempfile.mkdtemp(prefix="r7_ow_part_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(
+        spark.range(100).selectExpr("id", "id % 3 AS k", "id AS v"),
+        partition_by=["k"],
+    )
+    t.set_property("delta.autoOptimize.optimizeWrite", "true")
+    t.overwrite(
+        spark.range(300).selectExpr("id", "id % 3 AS k", "id AS v")
+        .repartition(16)
+    )
+    # One file per hive partition (3 values), not 16 x 3 fragments.
+    snap = t.read()
+    assert snap.count() == 300
+    assert snap.groupBy("k").count().count() == 3
+    n_files = _parquet_count(t._local_data_dir(t.latest_version()))
+    assert n_files == 3, f"expected 3 packed files, found {n_files}"
+
+
+def test_optimize_write_property_roundtrips_via_sql(spark):
+    p = PlatformSQL(spark)
+    d = tempfile.mkdtemp(prefix="r7_ow_sql_")
+    p.sql(f"CREATE TABLE ow (id BIGINT, v BIGINT) LOCATION '{d}/ow'")
+    p.sql(
+        "ALTER TABLE ow SET TBLPROPERTIES "
+        "('delta.autoOptimize.optimizeWrite' = 'true')"
+    )
+    props = {
+        r["key"]: r["value"]
+        for r in p.sql("SHOW TBLPROPERTIES ow").collect()
+    }
+    assert props["delta.autoOptimize.optimizeWrite"] == "true"
+    t = p.tables["ow"]
+    v = t.append(spark.range(500).selectExpr("id", "id AS v").repartition(8))
+    added = (t._entry(v) or {}).get("addPaths") or []
+    assert sum(_parquet_count(t._abs(p2)) for p2 in added) == 1
