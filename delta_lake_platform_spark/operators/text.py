@@ -301,3 +301,53 @@ def chunk_documents(
         )
         .alias("chunk_text"),
     )
+
+
+def dedup_corpus_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+) -> DataFrame:
+    """Corpus-level LINE deduplication (CCNet / RefinedWeb boilerplate
+    removal): a line whose normalized form appears in more than
+    ``max_docs`` DISTINCT documents is removed from every document —
+    navigation bars, cookie banners, and copyright footers repeat
+    across millions of pages and would otherwise dominate the training
+    mix. Blank lines are exempt (they carry structure, not content).
+
+    Returns one row per input document: ``(id_col, text_deduped,
+    n_lines_kept)`` with surviving lines rejoined in original order.
+
+    Scale shape: posexplode -> one groupBy on the 64-bit line hash
+    (NOT the line text — the frequency shuffle ships 8-byte keys) ->
+    broadcast-eligible anti-join of hot lines -> one groupBy(doc) to
+    reassemble. Everything is built-in JVM expressions; cost is
+    O(total lines) with no all-pairs stage, so 100 TB is three
+    shuffles of narrow rows. 64-bit hashing can in principle collide
+    two distinct lines (CCNet accepts the same risk); collisions only
+    ever REMOVE a line, never corrupt one.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__h", F.xxhash64(F.trim(F.col("__line"))))
+    hot = (
+        lines.filter(F.trim(F.col("__line")) != "")
+        .groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") > max_docs)
+        .select("__h")
+    )
+    kept = lines.join(hot, "__h", "left_anti")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(ordered, lambda x: x["__line"]), "\n"
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
