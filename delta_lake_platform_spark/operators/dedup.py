@@ -364,9 +364,13 @@ def connected_components(
       the vertex->component map back as ONE join. Replaces O(diameter)
       Spark jobs with one collect + one broadcast join; 2M edges is
       ~32 MB on the driver.
-    - **Large graph**: label propagation — every iteration each vertex
-      takes the min of its own and its neighbors' labels; converges in
-      O(diameter) iterations, one edge join + groupBy each.
+    - **Large graph**: alternating large-star/small-star rounds
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      2014) — converges in O(log n) rounds regardless of component
+      DIAMETER, so a 100 TB near-dup graph with million-long duplicate
+      chains needs ~30 rounds, not a million. ``max_iter`` bounds the
+      rounds; exhausting it raises instead of silently emitting split
+      clusters.
     """
     edges = (
         pairs.selectExpr(f"id_a as src", f"id_b as dst")
@@ -412,50 +416,84 @@ def connected_components(
                 F.coalesce(F.col("__root"), F.col(id_col)).alias("cluster_id"),
             )
         )
-    labels = vertices.select(F.col(id_col).alias("vid")).withColumn(
-        "label", F.col("vid")
+    # Alternating-star rounds. Invariant entering each round: `cur` is
+    # a DIRECTED edge list pointing larger -> smaller (src > dst),
+    # deduped; at the fixed point every non-root points straight at its
+    # component's minimum id.
+    cur = (
+        edges.filter(F.col("src") > F.col("dst"))
+        .distinct()
+        .localCheckpoint()
     )
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.vid)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
+        # -- large-star: symmetrize, then for each center u link every
+        #    LARGER neighbor to min(N(u) ∪ {u}).
+        sym = cur.unionByName(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        # One checkpointed frame carries both the new labels and the
-        # did-anything-change flag, so convergence detection is a tiny
-        # aggregate over materialized data instead of a re-join.
-        flagged = (
-            labels.join(neighbor_min, labels.vid == neighbor_min.src, "left_outer")
+        mn = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("__nm"))
+            .select("src", F.least("__nm", F.col("src")).alias("__m"))
+        )
+        ls = (
+            sym.join(mn, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # -- small-star: neighbors are all smaller now; re-hang each
+        #    center u and its neighbors off min(N(u) ∪ {u}).
+        mn2 = ls.groupBy("src").agg(F.min("dst").alias("__m"))
+        ss = (
+            ls.join(mn2, "src")
             .select(
-                "vid",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
-                    "__chg"
-                ),
+                F.col("dst").alias("src"), F.col("__m").alias("dst")
             )
+            .unionByName(
+                mn2.select(F.col("src"), F.col("__m").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .distinct()
             .localCheckpoint()  # truncate the iterative lineage
         )
-        labels = flagged.drop("__chg")
-        if flagged.filter(F.col("__chg")).isEmpty():
+        # Fixed point: the round changed nothing (set equality — counts
+        # alone can alias two different edge sets of the same size).
+        if (
+            ss.count() == cur.count()
+            and ss.exceptAll(cur).isEmpty()
+        ):
             converged = True
+            cur = ss
             break
+        cur = ss
     if not converged:
-        # A component whose diameter exceeds max_iter would silently
-        # come back as SPLIT clusters — at 100 TB a long duplicate
-        # chain (A~B~C~...) is realistic, and an unflagged under-merge
-        # corrupts the dedup downstream. Fail loudly instead.
+        # Exhausting the round budget would silently come back as
+        # SPLIT clusters — an unflagged under-merge corrupts the dedup
+        # downstream. The alternating-star rounds needed are
+        # O(log n), so max_iter=20 covers ~10^6-node components;
+        # fail loudly rather than emit a wrong answer.
         raise RuntimeError(
-            f"connected_components: label propagation did not converge "
-            f"within max_iter={max_iter} iterations ({n_edges} edges); "
-            f"some components are still merging. Raise max_iter (the "
-            f"graph diameter bounds the rounds needed) or raise "
+            f"connected_components: alternating-star contraction did "
+            f"not converge within max_iter={max_iter} rounds "
+            f"({n_edges} edges). Raise max_iter (rounds needed grow "
+            f"with log of the largest component) or raise "
             f"small_graph_edges to take the union-find path."
         )
-    return labels.select(
-        F.col("vid").alias(id_col), F.col("label").alias("cluster_id")
+    labels = cur.groupBy("src").agg(F.min("dst").alias("__root"))
+    return (
+        vertices.select(id_col)
+        .join(labels, vertices[id_col] == labels.src, "left_outer")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__root"), F.col(id_col)).alias("cluster_id"),
+        )
     )
 
 
