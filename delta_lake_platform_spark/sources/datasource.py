@@ -239,6 +239,7 @@ class _CDCPartition(InputPartition):
         ts: float,
         partition_values: dict | None = None,
         deleted_rows: tuple[int, ...] = (),
+        rename: dict | None = None,
     ):
         self.file_path = file_path
         # 'insert' / 'delete': a data file served whole as that change
@@ -252,6 +253,11 @@ class _CDCPartition(InputPartition):
         # DV positions of the SOURCE snapshot: rows already dead before
         # the commit must not be re-reported.
         self.deleted_rows = deleted_rows
+        # cdc files carry the LOGICAL names as of their commit; when a
+        # RENAME sits between the commit and the read's end version,
+        # this maps old-logical -> end-logical (via stable physical
+        # names). None/{} when no drift.
+        self.rename = rename or {}
 
 
 class _CDCReaderCore:
@@ -316,8 +322,14 @@ class _CDCReaderCore:
                 )
             import glob as _glob
 
+            v_schema = self.table._schema_of(self.table._state(v))
+            ren = self.table._logical_rename_map(
+                v_schema.fieldNames() if v_schema is not None else [],
+                v,
+                self._pinned,
+            )
             return [
-                _CDCPartition(f, None, v, ts)
+                _CDCPartition(f, None, v, ts, rename=ren)
                 for f in sorted(
                     _glob.glob(os.path.join(d, "**", "*.parquet"),
                                recursive=True)
@@ -385,7 +397,9 @@ class _CDCReaderCore:
             tbl = _apply_deletion_vector(tbl, part.deleted_rows)
         n = tbl.num_rows
         # Data files store physical names: rename to logical so the
-        # alignment below finds them (cdc files are logical-named).
+        # alignment below finds them. cdc files are logical-named AS OF
+        # their commit — part.rename carries the old->end logical map
+        # when a RENAME sits inside the read window.
         if (
             part.change_type is not None
             and self.physical_names != self.logical_names
@@ -393,6 +407,10 @@ class _CDCReaderCore:
             ren = dict(zip(self.physical_names, self.logical_names))
             tbl = tbl.rename_columns(
                 [ren.get(c, c) for c in tbl.column_names]
+            )
+        elif part.change_type is None and part.rename:
+            tbl = tbl.rename_columns(
+                [part.rename.get(c, c) for c in tbl.column_names]
             )
         cols = []
         for field in self.arrow_schema:

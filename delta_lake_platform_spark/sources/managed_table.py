@@ -5836,6 +5836,41 @@ class ManagedTable:
          "RESTORE"}
     )
 
+    def _logical_rename_map(
+        self, cols, v_from: int, v_to: int
+    ) -> dict[str, str]:
+        """Map version ``v_from``'s logical column names to version
+        ``v_to``'s, through the STABLE physical names column mapping
+        guarantees. A cdc file (or snapshot frame) produced before a
+        RENAME carries the old logical names; serving it under the end
+        version's schema needs old-logical -> physical -> new-logical,
+        not a NULL-fill. Only drifted names appear in the result."""
+        m_from = self._state(v_from).get("columnMapping") or {}
+        m_to = self._state(v_to).get("columnMapping") or {}
+        if not m_from and not m_to:
+            return {}
+        inv_to = {p: l for l, p in m_to.items()}
+        meta = {"_change_type", "_commit_version", "_commit_timestamp"}
+        ren = {}
+        for c in cols:
+            if c in meta:
+                continue
+            phys = m_from.get(c, c)
+            end = inv_to.get(phys, phys)
+            if end != c:
+                ren[c] = end
+        return ren
+
+    def _rename_logical_span(
+        self, df: DataFrame, v_from: int, v_to: int
+    ) -> DataFrame:
+        ren = self._logical_rename_map(df.columns, v_from, v_to)
+        if not ren:
+            return df
+        return df.select(
+            *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
+        )
+
     def table_changes_per_commit(
         self,
         from_version: int,
@@ -5897,7 +5932,11 @@ class ManagedTable:
                         f"change data of version {v} was vacuumed; "
                         "start at a younger version"
                     )
-                changes = self.spark.read.parquet(d)
+                # cdc files carry the LOGICAL names as of their commit;
+                # a RENAME later in the span would otherwise NULL them.
+                changes = self._rename_logical_span(
+                    self.spark.read.parquet(d), v, to_v
+                )
             elif v == 0 or (
                 op in self._CDC_APPEND_OPS
                 and entry.get("logMode") == "delta"
@@ -5915,8 +5954,12 @@ class ManagedTable:
                 ]
                 if not added:
                     continue
-                changes = self._cdc_frame(
-                    self._scan_candidates(v, added), "insert"
+                changes = self._rename_logical_span(
+                    self._cdc_frame(
+                        self._scan_candidates(v, added), "insert"
+                    ),
+                    v,
+                    to_v,
                 )
             elif op in self._CDC_NOCHANGE_OPS or (
                 entry.get("logMode") == "delta"
@@ -5928,13 +5971,21 @@ class ManagedTable:
             elif op in self._CDC_REPLACE_OPS:
                 # Remove/add-action serving (Delta's rule for full
                 # rewrites): all old rows delete + all new rows insert.
-                changes = self._cdc_frame(self.read(v - 1), "delete")
+                # Each snapshot is renamed to the end schema BEFORE the
+                # union so a rename inside the span can't fork columns.
+                changes = self._rename_logical_span(
+                    self._cdc_frame(self.read(v - 1), "delete"), v - 1, to_v
+                )
                 changes = changes.unionByName(
-                    self._cdc_frame(self.read(v), "insert"),
+                    self._rename_logical_span(
+                        self._cdc_frame(self.read(v), "insert"), v, to_v
+                    ),
                     allowMissingColumns=True,
                 )
             else:
-                changes = self.change_feed(v - 1, v, key_cols=key_cols)
+                changes = self._rename_logical_span(
+                    self.change_feed(v - 1, v, key_cols=key_cols), v, to_v
+                )
             parts.append(
                 changes.withColumn(
                     "_commit_version", F.lit(v).cast("long")

@@ -681,3 +681,118 @@ def test_restore_served_as_remove_add_actions(spark):
         net[i] = net.get(i, 0) + (1 if ct == "insert" else -1)
     assert {i for i, n in net.items() if n > 0} == {0}
     assert not {i for i, n in net.items() if n < 0}
+
+
+# --- r7 cross-hardening: CDC x column-mapping x schema evolution -------------
+#
+# The interaction matrix VERDICT r6 #6 called out: a RENAME between two
+# DMLs, a type-widening mid-window, and a per-commit stream across a
+# REPLACE — each read back value-exact through the CDF surfaces.
+
+
+def test_cdf_across_rename_between_two_dmls(spark):
+    """DML -> RENAME -> DML, then one readChangeFeed window across
+    both: every change row (incl. the PRE-rename commit's, whose cdc
+    file and data files carry the old physical name) must surface
+    under the POST-rename logical name with exact values."""
+    import tests.test_datasource  # noqa: F401  (datasource registered below)
+    from delta_lake_platform_spark.sources import datasource as _ds
+
+    _ds.register(spark)
+    d, t = _mk(spark, n=5)
+    t.delete("id = 1", rewrite=True)          # v1: pre-rename DML
+    t.alter_rename_column("v", "val")         # v2: schema-only
+    t.update({"val": "val + 1"}, "id = 2")    # v3: post-rename DML
+    got = (
+        spark.read.format("managed_table")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    assert "val" in got.columns and "v" not in got.columns
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["val"])
+        for r in got.collect()
+    )
+    assert rows == [
+        (1, "delete", 1, 10),
+        (3, "update_postimage", 2, 21),
+        (3, "update_preimage", 2, 20),
+    ]
+
+
+def test_cdf_across_type_widening_mid_window(spark):
+    """DML -> widen v int->bigint -> DML: one CDF window across the
+    widening serves every row at the WIDENED type with exact values
+    (pre-widening cdc/data files are physically INT32)."""
+    from delta_lake_platform_spark.sources import datasource as _ds
+
+    _ds.register(spark)
+    d = tempfile.mkdtemp(prefix="cdc_widen_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(spark.range(4).selectExpr("id", "CAST(id * 10 AS INT) AS v"))
+    t.set_property("enableChangeDataFeed", "true")
+    t.delete("id = 0", rewrite=True)          # v1: narrow-typed cdc file
+    t.alter_widen_column("v", "bigint")       # v2: metadata-only
+    t.append(
+        spark.createDataFrame([(9, 3_000_000_000)], "id long, v long")
+    )                                          # v3: value needs 64 bits
+    got = (
+        spark.read.format("managed_table")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    assert dict(got.dtypes)["v"] == "bigint"
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in got.collect()
+    )
+    assert rows == [(1, "delete", 0, 0), (3, "insert", 9, 3_000_000_000)]
+    # The per-commit table API agrees.
+    api_rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in t.table_changes_per_commit(1, 3).collect()
+    )
+    assert api_rows == rows
+
+
+def test_per_commit_stream_across_replace(spark):
+    """A per-commit CDF stream whose window crosses a REPLACE TABLE
+    commit serves the full-snapshot rewrite as remove/add actions
+    (Delta's rule), value-exact, one batch per commit."""
+    from delta_lake_platform_spark.streaming.cdf import ChangeFeedStream
+
+    d, t = _mk(spark, n=3)                     # rows 0,1,2 (v=0,10,20)
+    ckpt = os.path.join(d, "ckpt")
+    stream = ChangeFeedStream(t, ckpt, per_commit=True,
+                              max_versions_per_batch=1)
+    stream._advance(0)                         # start after the create
+    t.append(spark.range(5, 6).selectExpr(
+        "id", "id * 10 AS v", "CAST('a' AS STRING) AS tag"
+    ))                                         # v1
+    t.overwrite(
+        spark.range(100, 102).selectExpr(
+            "id", "id * 10 AS v", "CAST('r' AS STRING) AS tag"
+        ),
+        operation="REPLACE TABLE",
+    )                                          # v2: full rewrite
+    batches = []
+    n = stream.process_available(
+        lambda b, v0, v1: batches.append(sorted(
+            (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+            for r in b.collect()
+        ))
+    )
+    assert n == 2
+    assert batches[0] == [(1, "insert", 5, 50)]
+    assert batches[1] == [
+        (2, "delete", 0, 0),
+        (2, "delete", 1, 10),
+        (2, "delete", 2, 20),
+        (2, "delete", 5, 50),
+        (2, "insert", 100, 1000),
+        (2, "insert", 101, 1010),
+    ]
