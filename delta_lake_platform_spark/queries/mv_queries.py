@@ -293,3 +293,72 @@ def mv_nullkey_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+MV_STREAM_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+after AS (
+  SELECT o_orderkey, o_orderstatus,
+         price_cents + CASE WHEN o_orderkey % 11 = 0 THEN 5 ELSE 0 END
+           AS price_cents
+  FROM b WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, price_cents
+  FROM b WHERE o_orderkey % 13 = 0
+)
+SELECT o_orderstatus,
+  COUNT(*)::BIGINT AS n_rows,
+  SUM(price_cents)::BIGINT AS sum_price_cents
+FROM after
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("mv_stream_maintained_orders", MV_STREAM_ORACLE)
+def mv_stream_maintained_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV maintained by a PER-COMMIT change-feed stream (r7,
+    streaming/cdf.py::mv_maintain_stream): the base mutates across
+    three DML commits (UPDATE, MOR DELETE, APPEND) while a
+    ChangeFeedStream(per_commit=True) folds each commit window into
+    the view exactly once — interleaved mid-history and catching up
+    over a backlog. The oracle is the from-scratch recompute, so any
+    double-fold, missed window, or wrong per-commit sign
+    hash-mismatches."""
+    from ..streaming.cdf import mv_maintain_stream
+
+    d = tempfile.mkdtemp(prefix="dlp_mv_stream_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    base = ManagedTable(spark, f"{d}/orders_base")
+    base.create(orders)
+    base.set_property("enableChangeDataFeed", "true")
+    mv = MaterializedAggView(
+        base, f"{d}/orders_by_status_mv",
+        group_cols=["o_orderstatus"], sum_cols=["price_cents"],
+    )
+    mv.create()
+    ckpt = f"{d}/ckpt"
+    base.update({"price_cents": "price_cents + 5"}, "o_orderkey % 11 = 0")
+    mv_maintain_stream(mv, ckpt)          # current through the update
+    base.delete("o_orderkey % 17 = 0", rewrite=False)
+    base.append(
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    )
+    mv_maintain_stream(mv, ckpt)          # two-commit backlog, one each
+    out = (
+        mv.state.read()
+        .select("o_orderstatus", "n_rows", "sum_price_cents")
+        .orderBy("o_orderstatus")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

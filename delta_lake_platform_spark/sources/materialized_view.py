@@ -278,6 +278,23 @@ class MaterializedAggView:
         if cur == last:
             return self.state.latest_version()
         feed = self.base.change_feed(last, cur)
+        return self._fold_feed(feed, last, cur)
+
+    def refresh_from_changes(self, feed: DataFrame, to_version: int) -> int:
+        """Fold an externally-supplied change batch (per-commit CDF
+        rows — ``_change_type`` in insert/delete/update_preimage/
+        update_postimage) covering base versions ``(baseVersion,
+        to_version]`` into the state. EXACTLY-ONCE effect: a replayed
+        or stale batch (``to_version`` at or behind the state's
+        recorded baseVersion) is skipped without a commit, so an
+        at-least-once delivery channel (ChangeFeedStream's offset
+        protocol) maintains the view exactly once per commit window."""
+        last = self._base_version()
+        if to_version <= last:
+            return self.state.latest_version()
+        return self._fold_feed(feed, last, to_version)
+
+    def _fold_feed(self, feed: DataFrame, last: int, cur: int) -> int:
         missing = [
             c
             for c in (self.group_cols + self.sum_cols + self.minmax_cols)
@@ -289,11 +306,15 @@ class MaterializedAggView:
                 "the base (RENAME/DROP COLUMN since the view was "
                 "created?); recreate the view against the new schema"
             )
+        # Sign map covers BOTH feed shapes: the net diff (insert/delete
+        # only) and per-commit CDF rows, where an update contributes a
+        # +postimage/-preimage pair that nets correctly through the sum.
         signed = feed.withColumn(
             "__sign",
-            F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
         )
         merged = _union_agg_merge(
             self.state.read(),

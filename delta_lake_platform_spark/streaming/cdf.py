@@ -190,3 +190,42 @@ def cdc_replicate(
             )
 
     return stream.process_available(sink)
+
+
+def mv_maintain_stream(
+    view,
+    checkpoint_dir: str,
+    max_versions_per_batch: int | None = 1,
+) -> int:
+    """Maintain a materialized view from its base's PER-COMMIT change
+    feed — Delta's streaming-CDF-into-foreachBatch MV pattern: a
+    continuously-mutating base keeps its view current one commit
+    window at a time, instead of on-demand net refreshes.
+
+    Wiring: a ``ChangeFeedStream(per_commit=True)`` tails the base log
+    (offset checkpointed in ``checkpoint_dir``), and each micro-batch
+    folds into the view via ``refresh_from_changes``. Exactly-once per
+    commit window comes from BOTH ends: the stream delivers each window
+    at-least-once (offset advances only after the sink), and the view
+    skips any window at or behind its recorded baseVersion — so a crash
+    between fold and offset-advance replays a batch that is then
+    ignored. The stream's offset is seeded at the view's baseVersion on
+    first run, so a view created mid-history never re-folds its own
+    initial snapshot.
+
+    ``view`` is a MaterializedAggView (or anything exposing
+    ``base`` / ``_base_version()`` / ``refresh_from_changes``).
+    Returns the number of micro-batches applied."""
+    stream = ChangeFeedStream(
+        view.base,
+        checkpoint_dir,
+        per_commit=True,
+        max_versions_per_batch=max_versions_per_batch,
+    )
+    if stream.offset() is None:
+        stream._advance(view._base_version())
+
+    def sink(batch: DataFrame, from_v: int, to_v: int) -> None:
+        view.refresh_from_changes(batch, to_v)
+
+    return stream.process_available(sink)

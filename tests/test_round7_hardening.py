@@ -111,23 +111,46 @@ def _path_graph(spark, n):
     return docs, pairs
 
 
-def test_label_propagation_raises_on_non_convergence(spark):
-    docs, pairs = _path_graph(spark, 12)
-    # small_graph_edges=0 forces the label-propagation path; a path
-    # graph of 12 nodes has diameter 11 > max_iter=2.
+def test_star_contraction_raises_on_non_convergence(spark):
+    docs, pairs = _path_graph(spark, 200)
+    # small_graph_edges=0 forces the distributed alternating-star path;
+    # a 200-node path needs ~log rounds — max_iter=1 cannot finish and
+    # must FAIL rather than emit split clusters.
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(
-            docs, pairs, max_iter=2, small_graph_edges=0
+            docs, pairs, max_iter=1, small_graph_edges=0
         )
 
 
-def test_label_propagation_converges_with_enough_iters(spark):
-    docs, pairs = _path_graph(spark, 8)
+def test_star_contraction_beats_diameter(spark):
+    # Diameter 199 >> max_iter=20: label propagation would need 199
+    # rounds; alternating large/small-star converges in O(log n).
+    docs, pairs = _path_graph(spark, 200)
     out = dedup.connected_components(
-        docs, pairs, max_iter=10, small_graph_edges=0
+        docs, pairs, max_iter=20, small_graph_edges=0
     ).collect()
     assert {r.cluster_id for r in out} == {0}
-    assert len(out) == 8
+    assert len(out) == 200
+
+
+def test_star_contraction_matches_union_find(spark):
+    # Two components + singletons: the distributed path must agree
+    # with the driver union-find path exactly.
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 9)]
+        + [(i, i + 1) for i in range(15, 25)],
+        "id_a long, id_b long",
+    )
+    star = dedup.connected_components(
+        docs, pairs, max_iter=20, small_graph_edges=0
+    ).collect()
+    uf = dedup.connected_components(
+        docs, pairs, small_graph_edges=10**9
+    ).collect()
+    assert {r.doc_id: r.cluster_id for r in star} == {
+        r.doc_id: r.cluster_id for r in uf
+    }
 
 
 # --- DEFAULT + NOT NULL column definitions ----------------------------------
@@ -291,3 +314,93 @@ def test_optimize_write_property_roundtrips_via_sql(spark):
     v = t.append(spark.range(500).selectExpr("id", "id AS v").repartition(8))
     added = (t._entry(v) or {}).get("addPaths") or []
     assert sum(_parquet_count(t._abs(p2)) for p2 in added) == 1
+
+
+# --- streaming MV maintenance from per-commit CDC ----------------------------
+
+def test_mv_maintained_by_per_commit_stream(spark):
+    from delta_lake_platform_spark.sources.materialized_view import (
+        MaterializedAggView,
+    )
+    from delta_lake_platform_spark.streaming.cdf import mv_maintain_stream
+
+    d = tempfile.mkdtemp(prefix="r7_mvstream_")
+    base = ManagedTable(spark, os.path.join(d, "base"))
+    base.create(
+        spark.range(60).selectExpr("id", "id % 4 AS k", "id * 2 AS v")
+    )
+    base.set_property("enableChangeDataFeed", "true")
+    view = MaterializedAggView(
+        base, os.path.join(d, "mv"),
+        group_cols=["k"], sum_cols=["v"], minmax_cols=["v"],
+    )
+    view.create()
+    ckpt = os.path.join(d, "ckpt")
+
+    # 5 commits of mixed DML, stream kept current between some of them
+    # (interleaved) and catching up over a multi-commit backlog.
+    base.append(spark.range(60, 80).selectExpr("id", "id % 4 AS k", "id * 2 AS v"))
+    base.delete("id % 7 = 0", rewrite=False)
+    assert mv_maintain_stream(view, ckpt) == 2  # one batch per commit
+    base.update({"v": "v + 1000"}, "k = 2")
+    base.delete("id >= 75", rewrite=True)
+    base.append(spark.range(200, 210).selectExpr("id", "id % 4 AS k", "id * 2 AS v"))
+    assert mv_maintain_stream(view, ckpt) == 3
+    # Final state == full recompute at the head.
+    expect = sorted(
+        map(tuple, view._aggregate(base.read()).collect())
+    )
+    got = sorted(map(tuple, view.state.read().drop("__dirty").collect()))
+    cols = view.state.read().columns
+    assert "k" in cols and "n_rows" in cols
+    assert got == expect
+    # Stream is current: another pass delivers zero batches.
+    assert mv_maintain_stream(view, ckpt) == 0
+
+
+def test_mv_stream_replay_is_exactly_once(spark):
+    from delta_lake_platform_spark.sources.materialized_view import (
+        MaterializedAggView,
+    )
+
+    d = tempfile.mkdtemp(prefix="r7_mvreplay_")
+    base = ManagedTable(spark, os.path.join(d, "base"))
+    base.create(spark.range(20).selectExpr("id", "id % 2 AS k", "id AS v"))
+    base.set_property("enableChangeDataFeed", "true")
+    view = MaterializedAggView(
+        base, os.path.join(d, "mv"), group_cols=["k"], sum_cols=["v"]
+    )
+    view.create()
+    base.append(spark.range(20, 30).selectExpr("id", "id % 2 AS k", "id AS v"))
+    feed = base.table_changes_per_commit(1, 1)
+    v1 = view.refresh_from_changes(feed, 1)
+    # A crashed consumer redelivers the same window: no double-count,
+    # no new state commit.
+    v2 = view.refresh_from_changes(feed, 1)
+    assert v2 == v1
+    expect = sorted(map(tuple, view._aggregate(base.read()).collect()))
+    assert sorted(map(tuple, view.state.read().collect())) == expect
+
+
+# --- corpus line-level dedup --------------------------------------------------
+
+def test_dedup_corpus_lines_removes_boilerplate_keeps_order(spark):
+    from delta_lake_platform_spark.operators.text import dedup_corpus_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HEADER\nalpha\n\nbravo\nFOOTER"),
+            (2, "HEADER\ncharlie\nFOOTER"),
+            (3, "HEADER\ndelta\nFOOTER"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text_deduped, r.n_lines_kept)
+        for r in dedup_corpus_lines(docs, max_docs=2).collect()
+    }
+    # HEADER/FOOTER appear in 3 docs (> max_docs=2): stripped from all;
+    # blank lines are exempt; body order preserved.
+    assert out[1] == ("alpha\n\nbravo", 3)
+    assert out[2] == ("charlie", 1)
+    assert out[3] == ("delta", 1)
