@@ -418,3 +418,54 @@ def sql_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     _shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+STATS_AGG_ORACLE = """
+SELECT COUNT(*)::BIGINT AS n_orders,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       MIN(o_orderdate) AS first_day,
+       MAX(o_orderdate) AS last_day
+FROM orders
+"""
+
+
+@register("sql_stats_minmax_orders", STATS_AGG_ORACLE)
+def sql_stats_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates (r7, Delta's OptimizeMetadataOnlyQuery
+    over add-action stats): bare COUNT(*)/MIN/MAX over a managed table
+    are answered from the commit log's row accounting and per-file
+    footer stats — zero data files opened, O(log) at any table size.
+    The in-query monkeyless proof: ManagedTable.read is swapped for a
+    raiser while the aggregate runs, so a scan would error the query
+    rather than quietly pass."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = _tempfile.mkdtemp(prefix="sql_statsagg_")
+    p = PlatformSQL(spark)
+    t = ManagedTable(spark, f"{d}/orders_t")
+    t.create(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate"
+        )
+    )
+    p.register("orders_t", t)
+    real_read = ManagedTable.read
+    ManagedTable.read = _raise_on_scan  # metadata-only or bust
+    try:
+        out = p.sql(
+            "SELECT COUNT(*) AS n_orders, MIN(o_orderkey) AS min_key, "
+            "MAX(o_orderkey) AS max_key, MIN(o_orderdate) AS first_day, "
+            "MAX(o_orderdate) AS last_day FROM orders_t"
+        ).localCheckpoint()
+    finally:
+        ManagedTable.read = real_read
+    _shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def _raise_on_scan(self, *a, **kw):
+    raise AssertionError(
+        "sql_stats_minmax_orders: aggregate fell back to a scan"
+    )

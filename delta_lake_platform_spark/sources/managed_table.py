@@ -4878,6 +4878,44 @@ class ManagedTable:
         )
         return n if isinstance(n, int) else None
 
+    def stats_min_max(
+        self, col: str, version: int | None = None
+    ) -> tuple | None:
+        """Metadata-only ``(MIN(col), MAX(col))`` from the log's
+        per-file footer stats — Delta's aggregate pushdown into
+        add-action stats: a bare MIN/MAX over a 100 TB table is a log
+        read, zero data files opened. None when the answer cannot be
+        PROVEN from metadata, and the caller must scan:
+
+        - a deletion vector is live (the extremum row may be deleted),
+        - any live file lacks stats for the column (legacy commit,
+          all-NULL file, or unsupported type),
+        - the snapshot is empty (SQL MIN/MAX is NULL — a scan returns
+          that shape with the right typing for free).
+
+        Values come back exactly as recorded (timestamps as their
+        stats-string form); SQL-layer callers cast to the column type.
+        """
+        v = self.latest_version() if version is None else version
+        state = self._state(v)
+        if state["dv"] is not None:
+            return None
+        files = state["files"]
+        if not files:
+            return None
+        pcol = self._phys_col(state, col)
+        mins, maxs = [], []
+        for rel in files:
+            s = (files[rel] or {}).get(pcol)
+            if s is None or s[0] is None or s[1] is None:
+                return None
+            mins.append(s[0])
+            maxs.append(s[1])
+        try:
+            return min(mins), max(maxs)
+        except TypeError:
+            return None  # mixed stat types (e.g. widened mid-history)
+
     def retry(self, op, retries: int = 3):
         """Delta-style optimistic-concurrency retry: run ``op(self)``;
         on ConcurrentWriteError re-run it (the op re-reads the fresh

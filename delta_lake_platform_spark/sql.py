@@ -30,6 +30,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
 
 from .sources.managed_table import ManagedTable, MergeClauses
 
@@ -1061,21 +1062,72 @@ class PlatformSQL:
                 [{"version": v, "stale": mv.is_stale()}]
             )
 
-        # Metadata-only COUNT(*) (Delta's optimization): a bare count of
-        # a managed table is answered from the commit log's row
-        # accounting — O(1), zero files opened, at any table size. Any
-        # WHERE/grouping/expression falls through to the real scan, as
-        # does a legacy history without the metric.
+        # Metadata-only aggregates (Delta's OptimizeMetadataOnlyQuery):
+        # a bare COUNT(*)/MIN(col)/MAX(col) list over a managed table is
+        # answered from the commit log — row accounting for the count,
+        # per-file footer stats for the extrema — O(log), zero files
+        # opened, at any table size. Any WHERE/grouping/expression (or
+        # a snapshot whose metadata can't PROVE the answer: live DVs,
+        # stats gaps) falls through to the real scan.
         m = re.match(
-            rf"(?is)^SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+({_IDENT}))?"
-            rf"\s+FROM\s+({_IDENT})\s*(?:VERSION\s+AS\s+OF\s+(\d+))?$",
+            rf"(?is)^SELECT\s+(.+?)\s+FROM\s+({_IDENT})"
+            rf"\s*(?:VERSION\s+AS\s+OF\s+(\d+))?$",
             t,
         )
         if m and m.group(2) in self.tables:
-            alias, name, ver = m.group(1), m.group(2), m.group(3)
-            n = self.tables[name].row_count(int(ver) if ver else None)
-            if n is not None:
-                return self._df([{alias or "count(1)": n}])
+            name, ver = m.group(2), m.group(3)
+            v = int(ver) if ver else None
+            table = self.tables[name]
+            parsed = []
+            for item in _split_top_level(m.group(1)):
+                am = re.match(
+                    rf"(?is)^\s*(COUNT\s*\(\s*\*\s*\)|"
+                    rf"(?:MIN|MAX)\s*\(\s*{_IDENT}\s*\))"
+                    rf"\s*(?:AS\s+({_IDENT}))?\s*$",
+                    item,
+                )
+                if not am:
+                    parsed = None
+                    break
+                expr = re.sub(r"\s+", "", am.group(1)).lower()
+                parsed.append((expr, am.group(2)))
+            if parsed:
+                state = table._state(
+                    table.latest_version() if v is None else v
+                )
+                schema = table._schema_of(state)
+                cols, ok = [], True
+                minmax_cache: dict[str, tuple | None] = {}
+                for expr, alias in parsed:
+                    if expr == "count(*)":
+                        n = table.row_count(v)
+                        if n is None:
+                            ok = False
+                            break
+                        cols.append(
+                            F.lit(n)
+                            .cast("long")  # COUNT(*) is BIGINT in SQL
+                            .alias(alias or "count(1)")
+                        )
+                        continue
+                    kind, col = expr[:3], expr[4:-1]
+                    if schema is None or col not in schema.fieldNames():
+                        ok = False
+                        break
+                    if col not in minmax_cache:
+                        minmax_cache[col] = table.stats_min_max(col, v)
+                    mm = minmax_cache[col]
+                    if mm is None:
+                        ok = False
+                        break
+                    val = mm[0] if kind == "min" else mm[1]
+                    cols.append(
+                        F.lit(val)
+                        .cast(schema[col].dataType)
+                        .alias(alias or f"{kind}({col})")
+                    )
+                if ok:
+                    return self.spark.range(1).select(*cols)
 
         # Per-commit CDC (Delta's actual table_changes shape): one row
         # per change per COMMIT with _commit_version/_commit_timestamp,
