@@ -550,3 +550,39 @@ def create_scd_target(
             F.lit(None).cast("long").alias(cfg.surrogate_col), "*"
         )
     return table.create(empty, partition_by=partition_by)
+
+
+def scd_soft_close(
+    keys: DataFrame,
+    table: ManagedTable,
+    cfg: ScdConfig,
+    now: datetime | None = None,
+) -> int | None:
+    """Soft-close (SCD2 logical DELETE) the ACTIVE row of every key in
+    ``keys``: ``record_status`` flips to ``'D'`` and ``effective_to``
+    closes at ``now`` — history is never physically deleted, matching
+    the warehouse contract the reference's upsert-only handler leaves
+    to the caller. No-op (None) when the batch has no keys; already-
+    closed or unknown keys are untouched (the merge gate requires an
+    ACTIVE match). Merge-on-read commit: O(matched rows), never a
+    dimension rewrite."""
+    keys = keys.select(*cfg.pk_cols).distinct()
+    if keys.isEmpty():
+        return None
+    now = now or cfg.clock()
+    ts = f"TIMESTAMP '{now.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    pk_eq = " AND ".join(
+        f"target.{c} = updates.{c}" for c in cfg.pk_cols
+    )
+    return table.merge(
+        keys,
+        MergeClauses(
+            condition=f"({pk_eq}) AND target.record_status = 'A'",
+            matched_update={
+                "record_status": "'D'",
+                "effective_to": ts,
+                "dw_updated_at": ts,
+            },
+        ),
+        rewrite=False,
+    )

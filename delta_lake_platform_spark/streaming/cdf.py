@@ -229,3 +229,49 @@ def mv_maintain_stream(
         view.refresh_from_changes(batch, to_v)
 
     return stream.process_available(sink)
+
+
+def scd_maintain_stream(
+    upstream: ManagedTable,
+    dimension: ManagedTable,
+    cfg,
+    checkpoint_dir: str,
+    max_versions_per_batch: int | None = None,
+) -> int:
+    """Maintain an SCD2 dimension from an upstream table's change feed
+    — the reference's day-batch re-runs of apply_scd turned into a push
+    pipeline (its scd_handler has no streaming at all): each
+    micro-batch's net upserts flow through ``apply_scd`` (new entities
+    insert, changed SCD columns version, changed non-SCD columns update
+    in place) and its deletes SOFT-CLOSE the active rows
+    (``scd_soft_close`` — history is retained, record_status 'D').
+
+    Exactly-once effect over the offset protocol's at-least-once
+    delivery comes from both appliers being idempotent: re-applying an
+    identical batch finds no value drift (apply_scd's scd/upd key
+    comparison) and no ACTIVE row left to close. Returns the number of
+    micro-batches applied."""
+    from delta_lake_platform_spark.scd.engine import (
+        apply_scd,
+        scd_soft_close,
+    )
+
+    stream = ChangeFeedStream(
+        upstream,
+        checkpoint_dir,
+        key_cols=cfg.pk_cols,
+        max_versions_per_batch=max_versions_per_batch,
+    )
+    meta = ["_change_type", "_commit_version"]
+
+    def sink(batch: DataFrame, from_v: int, to_v: int) -> None:
+        batch = batch.localCheckpoint(eager=False)  # two filters reuse
+        ups = batch.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop(*meta)
+        dels = batch.filter(F.col("_change_type") == "delete").drop(*meta)
+        if not ups.isEmpty():
+            apply_scd(ups, dimension, cfg)
+        scd_soft_close(dels, dimension, cfg)
+
+    return stream.process_available(sink)
