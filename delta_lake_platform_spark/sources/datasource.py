@@ -465,16 +465,52 @@ class _CDCSnapshotReader(DataSourceReader):
     partition."""
 
     def __init__(self, options):
+        from .managed_table import iso_to_epoch_utc
+
         self.table = _table_from_options(options)
         sv = options.get("startingversion")
-        if sv is None:
+        st = options.get("startingtimestamp")
+        if sv is not None and st is not None:
             raise ValueError(
-                "readChangeFeed batch read requires startingVersion"
+                "readChangeFeed: specify startingVersion OR "
+                "startingTimestamp, not both"
             )
-        self.v0 = int(sv)
+        if sv is None and st is None:
+            raise ValueError(
+                "readChangeFeed batch read requires startingVersion "
+                "or startingTimestamp"
+            )
+        hist = self.table.history()
+        if st is not None:
+            # Delta's CDF rule: earliest commit at or after the stamp.
+            cut = iso_to_epoch_utc(st)
+            vs = [h["version"] for h in hist if h["timestamp"] >= cut]
+            if not vs:
+                raise ValueError(
+                    f"readChangeFeed: no commit at or after {st!r}"
+                )
+            self.v0 = min(vs)
+        else:
+            self.v0 = int(sv)
         ev = options.get("endingversion")
+        et = options.get("endingtimestamp")
+        if ev is not None and et is not None:
+            raise ValueError(
+                "readChangeFeed: specify endingVersion OR "
+                "endingTimestamp, not both"
+            )
         head = self.table.latest_version()
-        self.v1 = int(ev) if ev is not None else head
+        if et is not None:
+            # Latest commit at or before the stamp, both inclusive.
+            cut = iso_to_epoch_utc(et)
+            vs = [h["version"] for h in hist if h["timestamp"] <= cut]
+            if not vs:
+                raise ValueError(
+                    f"readChangeFeed: no commit at or before {et!r}"
+                )
+            self.v1 = max(vs)
+        else:
+            self.v1 = int(ev) if ev is not None else head
         # Delta's CDF batch read raises on inverted or out-of-range
         # windows (endBeforeStartVersionInCDC / version-out-of-range)
         # rather than silently returning zero rows — a silent empty
