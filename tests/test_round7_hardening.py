@@ -404,3 +404,149 @@ def test_dedup_corpus_lines_removes_boilerplate_keeps_order(spark):
     assert out[1] == ("alpha\n\nbravo", 3)
     assert out[2] == ("charlie", 1)
     assert out[3] == ("delta", 1)
+
+
+# --- metadata-only MIN/MAX/COUNT (aggregate pushdown into log stats) ----------
+
+def test_metadata_only_aggregates_never_scan(spark, monkeypatch):
+    d = tempfile.mkdtemp(prefix="r7_statsagg_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(spark.range(100).selectExpr("id", "id * 2 AS v"))
+    p = PlatformSQL(spark)
+    p.register("t", t)
+
+    def no_scan(self, *a, **kw):
+        raise AssertionError("metadata-only aggregate must not scan")
+
+    monkeypatch.setattr(ManagedTable, "read", no_scan)
+    row = p.sql(
+        "SELECT COUNT(*) AS n, MIN(id) AS lo, MAX(v) AS hi FROM t"
+    ).first()
+    monkeypatch.undo()
+    assert (row.n, row.lo, row.hi) == (100, 0, 198)
+
+
+def test_metadata_aggregates_fall_back_when_unprovable(spark):
+    d = tempfile.mkdtemp(prefix="r7_statsagg2_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(spark.range(50).selectExpr("id", "id AS v"))
+    p = PlatformSQL(spark)
+    p.register("t", t)
+    # A live deletion vector makes footer extrema unprovable: the MAX
+    # row might be the deleted one. Must fall back to a scan and still
+    # answer correctly.
+    t.delete("id = 49", rewrite=False)
+    assert t.stats_min_max("id") is None
+    assert p.sql("SELECT MAX(id) AS m FROM t").first().m == 48
+    # COUNT stays metadata (row accounting survives DV deletes).
+    assert p.sql("SELECT COUNT(*) AS n FROM t").first().n == 49
+    # Version pinning answers from the pinned snapshot's stats.
+    assert p.sql("SELECT MAX(id) AS m FROM t VERSION AS OF 0").first().m == 49
+    # Non-aggregate SELECTs are untouched by the fast path.
+    assert p.sql("SELECT id FROM t VERSION AS OF 0 ORDER BY id LIMIT 1") \
+        .first().id == 0
+
+
+# --- streaming SCD2 maintenance from the change feed --------------------------
+
+def test_scd_dimension_maintained_by_stream(spark):
+    from datetime import datetime
+
+    from delta_lake_platform_spark.scd.engine import (
+        ScdConfig, create_scd_target,
+    )
+    from delta_lake_platform_spark.streaming.cdf import scd_maintain_stream
+
+    d = tempfile.mkdtemp(prefix="r7_scdstream_")
+    up = ManagedTable(spark, os.path.join(d, "up"))
+    up.create(
+        spark.createDataFrame(
+            [(1, "gold", 10), (2, "silver", 20), (3, "gold", 30)],
+            "id long, seg string, bal long",
+        )
+    )
+    cfg = ScdConfig(
+        pk_cols=["id"], scd_cols=["seg"],
+        clock=lambda: datetime(2026, 1, 15, 12, 0, 0),
+    )
+    dim = ManagedTable(spark, os.path.join(d, "dim"))
+    create_scd_target(dim, up.read(), cfg)
+    ckpt = os.path.join(d, "ckpt")
+    assert scd_maintain_stream(up, dim, cfg, ckpt) == 1  # initial load
+
+    up.update({"seg": "'platinum'"}, "id = 1")   # SCD2 column: version
+    up.update({"bal": "99"}, "id = 2")           # non-SCD: update in place
+    up.delete("id = 3")                          # soft-close downstream
+    up.append(spark.createDataFrame([(4, "bronze", 40)],
+                                    "id long, seg string, bal long"))
+    assert scd_maintain_stream(up, dim, cfg, ckpt) >= 1
+
+    rows = {
+        (r.id, r.record_status, r.seg, r.bal, r.effective_to is None)
+        for r in dim.read().collect()
+    }
+    assert (1, "A", "platinum", 10, True) in rows    # new version active
+    assert (1, "I", "gold", 10, False) in rows       # old version closed
+    assert (2, "A", "silver", 99, True) in rows      # in-place update
+    assert (3, "D", "gold", 30, False) in rows       # soft-closed
+    assert (4, "A", "bronze", 40, True) in rows      # new entity
+    assert len(rows) == 5
+    # A FRESH checkpoint re-bootstraps from the head snapshot (initial
+    # load) against the already-maintained dimension: idempotent
+    # appliers find no value drift — no duplicate versions, no change.
+    before = sorted(map(tuple, dim.read().drop("dw_updated_at").collect()))
+    assert scd_maintain_stream(up, dim, cfg, os.path.join(d, "ckpt2")) >= 1
+    after = sorted(map(tuple, dim.read().drop("dw_updated_at").collect()))
+    assert before == after
+
+
+# --- CDF timestamp options (startingTimestamp / endingTimestamp) -------------
+
+def test_cdf_batch_timestamp_options(spark):
+    from datetime import datetime, timezone
+
+    datasource.register(spark)
+    d = tempfile.mkdtemp(prefix="r7_cdfts_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(spark.range(6).selectExpr("id", "id AS v"))
+    t.set_property("enableChangeDataFeed", "true")
+    t.delete("id = 0", rewrite=True)   # v1
+    t.delete("id = 1", rewrite=True)   # v2
+    ts1 = t.history()[-2]["timestamp"]  # v1's commit epoch
+
+    def iso(epoch):
+        return datetime.fromtimestamp(epoch, tz=timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S.%f+00:00"
+        )
+
+    got = (
+        spark.read.format("managed_table")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", iso(ts1 - 0.001))
+        .load()
+        .collect()
+    )
+    assert sorted((r["_commit_version"], r["id"]) for r in got) == [
+        (1, 0), (2, 1),
+    ]
+    got2 = (
+        spark.read.format("managed_table")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", iso(ts1 - 0.001))
+        .option("endingTimestamp", iso(ts1 + 0.001))
+        .load()
+        .collect()
+    )
+    assert [(r["_commit_version"], r["id"]) for r in got2] == [(1, 0)]
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("managed_table")
+            .option("path", t.path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "1")
+            .option("startingTimestamp", iso(ts1))
+            .load()
+            .collect()
+        )
