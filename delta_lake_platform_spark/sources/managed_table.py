@@ -4916,6 +4916,41 @@ class ManagedTable:
         except TypeError:
             return None  # mixed stat types (e.g. widened mid-history)
 
+    def stats_count_where_eq(
+        self, col: str, value, version: int | None = None
+    ) -> int | None:
+        """Metadata-only ``COUNT(*) WHERE col = value`` from per-file
+        footer stats: a file whose [min,max] for ``col`` equals
+        [value,value] is VALUE-PURE and contributes its exact
+        ``__numRows``; a file whose range excludes the value
+        contributes 0. Partition columns are always pure (their
+        partition value IS the recorded stat), so the hot 100 TB shape
+        — counting one hive partition — is a log fold, zero files
+        opened. None (caller scans) when any file STRADDLES the value,
+        lacks stats/row counts, or a deletion vector is live."""
+        v = self.latest_version() if version is None else version
+        state = self._state(v)
+        if state["dv"] is not None:
+            return None
+        pcol = self._phys_col(state, col)
+        total = 0
+        for rel, st in (state["files"] or {}).items():
+            s = (st or {}).get(pcol)
+            n = (st or {}).get("__numRows")
+            if s is None or s[0] is None or s[1] is None or n is None:
+                return None
+            try:
+                if s[0] == s[1]:
+                    if s[0] == value:
+                        total += n
+                    continue
+                if not (s[0] <= value <= s[1]):
+                    continue  # provably excluded
+            except TypeError:
+                return None
+            return None  # straddling file: only a scan can answer
+        return total
+
     def retry(self, op, retries: int = 3):
         """Delta-style optimistic-concurrency retry: run ``op(self)``;
         on ConcurrentWriteError re-run it (the op re-reads the fresh

@@ -1071,11 +1071,21 @@ class PlatformSQL:
         # stats gaps) falls through to the real scan.
         m = re.match(
             rf"(?is)^SELECT\s+(.+?)\s+FROM\s+({_IDENT})"
-            rf"\s*(?:VERSION\s+AS\s+OF\s+(\d+))?$",
+            rf"\s*(?:VERSION\s+AS\s+OF\s+(\d+))?"
+            rf"(?:\s+WHERE\s+({_IDENT})\s*=\s*"
+            rf"(?:'((?:[^']|'')*)'|(-?\d+(?:\.\d+)?)))?$",
             t,
         )
         if m and m.group(2) in self.tables:
             name, ver = m.group(2), m.group(3)
+            wcol, wstr, wnum = m.group(4), m.group(5), m.group(6)
+            wval = None
+            if wcol is not None:
+                wval = (
+                    wstr.replace("''", "'")
+                    if wstr is not None
+                    else (float(wnum) if "." in wnum else int(wnum))
+                )
             v = int(ver) if ver else None
             table = self.tables[name]
             parsed = []
@@ -1100,7 +1110,14 @@ class PlatformSQL:
                 minmax_cache: dict[str, tuple | None] = {}
                 for expr, alias in parsed:
                     if expr == "count(*)":
-                        n = table.row_count(v)
+                        # WHERE col = literal: countable when every
+                        # file is provably pure or excluded for the
+                        # value (hive partitions always are).
+                        n = (
+                            table.stats_count_where_eq(wcol, wval, v)
+                            if wcol is not None
+                            else table.row_count(v)
+                        )
                         if n is None:
                             ok = False
                             break
@@ -1111,6 +1128,9 @@ class PlatformSQL:
                         )
                         continue
                     kind, col = expr[:3], expr[4:-1]
+                    if wcol is not None:
+                        ok = False  # filtered MIN/MAX needs a scan
+                        break
                     if schema is None or col not in schema.fieldNames():
                         ok = False
                         break
