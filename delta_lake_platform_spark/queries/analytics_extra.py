@@ -552,3 +552,78 @@ def events_user_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_click_users long, n_purchase_users long, n_overlap_exact long, "
         "overlap_within_5pct boolean, difference_within_5pct boolean",
     )
+
+
+# --- exact quantiles per group (r7) ------------------------------------------
+
+QUANTILES_ORACLE = """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+  ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_value_quantiles", QUANTILES_ORACLE)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). Scale note: the exact form shuffles every
+    value to its group — correct but O(group size) memory per group; at
+    100 TB swap in `percentile_approx` (t-digest-style sketch, bounded
+    state, mergeable across partitions) and accept the documented
+    accuracy parameter. The oracle pins the exact path; the approx
+    variant is asserted within tolerance in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- hourly OHLC bars (r7) ----------------------------------------------------
+
+OHLC_ORACLE = """
+SELECT event_type,
+  date_trunc('hour', ts) AS hour,
+  ROUND(arg_min(value, ts), 6) AS open,
+  ROUND(MAX(value), 6) AS high,
+  ROUND(MIN(value), 6) AS low,
+  ROUND(arg_max(value, ts), 6) AS close,
+  COUNT(*)::BIGINT AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, hour
+LIMIT 200
+"""
+
+
+@register("events_ohlc_hourly", OHLC_ORACLE)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/close via min_by/max_by on
+    the event timestamp (one shuffle on the group key — NOT a window
+    sort; at 100 TB a per-bar window would sort every bar's rows, while
+    min_by/max_by is a streaming partial aggregate that merges
+    map-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.round(F.expr("min_by(value, ts)"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.expr("max_by(value, ts)"), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "hour")
+        .limit(200)
+    )

@@ -550,3 +550,53 @@ def test_cdf_batch_timestamp_options(spark):
             .load()
             .collect()
         )
+
+
+def test_metadata_count_where_partition_value(spark, monkeypatch):
+    d = tempfile.mkdtemp(prefix="r7_statsagg3_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(
+        spark.range(90).selectExpr(
+            "id",
+            "CASE WHEN id < 30 THEN 'a' WHEN id < 60 THEN 'b' "
+            "ELSE 'c' END AS k",
+        ),
+        partition_by=["k"],
+    )
+    p = PlatformSQL(spark)
+    p.register("t", t)
+
+    def no_scan(self, *a, **kw):
+        raise AssertionError("partition count must not scan")
+
+    monkeypatch.setattr(ManagedTable, "read", no_scan)
+    assert p.sql("SELECT COUNT(*) AS n FROM t WHERE k = 'a'").first().n == 30
+    assert p.sql("SELECT COUNT(*) AS n FROM t WHERE k = 'zz'").first().n == 0
+    monkeypatch.undo()
+    # A straddling (non-partition) column falls back to the scan.
+    assert p.sql("SELECT COUNT(*) AS n FROM t WHERE id = 5").first().n == 1
+    # Plain filtered SELECTs are untouched.
+    assert p.sql("SELECT k FROM t WHERE id = 5").first().k == "a"
+
+
+# --- approx percentile scale path vs exact ------------------------------------
+
+def test_percentile_approx_tracks_exact(spark, sf_dir):
+    from delta_lake_platform_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    both = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.9)").alias("exact"),
+            F.expr("percentile_approx(value, 0.9, 1000)").alias("approx"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        # The sketch path (bounded state, mergeable — the 100 TB form)
+        # must stay within 5% of the exact interpolated percentile.
+        assert abs(r.approx - r.exact) <= max(0.05 * abs(r.exact), 0.5), (
+            r.event_type, r.exact, r.approx
+        )
