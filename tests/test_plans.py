@@ -303,3 +303,28 @@ def test_minmax_mv_dirty_recompute_broadcasts_dirty_keys(spark, sf_dir):
     probe = mv._recompute_dirty(base.latest_version(), dirty, n_dirty=3)
     assert has_broadcast_hash_join(probe)
     assert not has_sort_merge_join(probe), "base shuffled for dirty recompute"
+
+
+def test_ohlc_is_one_exchange_no_window(spark, sf_dir):
+    """min_by/max_by OHLC must be a partial-agg + one exchange shape —
+    a window-sort per bar would be a second sort/exchange pattern."""
+    from delta_lake_platform_spark.plans import explain_str
+
+    df = QUERIES["events_ohlc_hourly"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Window" not in plan, "OHLC should not use a window sort"
+    # scan -> partial agg -> exchange -> final agg -> (orderBy+limit)
+    assert count_exchanges(df) <= 3, count_exchanges(df)
+
+
+def test_line_dedup_no_cartesian(spark, sf_dir):
+    """The line-dedup plan must stay anti-join shaped: no cartesian /
+    broadcast nested loop anywhere (the quadratic failure mode)."""
+    from delta_lake_platform_spark.operators.text import dedup_corpus_lines
+    from delta_lake_platform_spark.plans import explain_str
+    from delta_lake_platform_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = explain_str(dedup_corpus_lines(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
