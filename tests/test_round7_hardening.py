@@ -600,3 +600,45 @@ def test_percentile_approx_tracks_exact(spark, sf_dir):
         assert abs(r.approx - r.exact) <= max(0.05 * abs(r.exact), 0.5), (
             r.event_type, r.exact, r.approx
         )
+
+
+# --- property: star contraction == union-find on random graphs ---------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    EDGES = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+
+    @given(edges=EDGES)
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_star_contraction_property(spark, edges):
+        edges = [(a, b) for a, b in edges if a != b]
+        docs = spark.range(25).select(F.col("id").alias("doc_id"))
+        pairs = spark.createDataFrame(
+            edges or [(0, 1)], "id_a long, id_b long"
+        )
+        if not edges:
+            pairs = pairs.limit(0)
+        star = dedup.connected_components(
+            docs, pairs, max_iter=20, small_graph_edges=0
+        ).collect()
+        uf = dedup.connected_components(
+            docs, pairs, small_graph_edges=10**9
+        ).collect()
+        assert {r.doc_id: r.cluster_id for r in star} == {
+            r.doc_id: r.cluster_id for r in uf
+        }
+except ImportError:  # pragma: no cover
+    pass
