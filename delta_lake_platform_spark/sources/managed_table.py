@@ -1342,10 +1342,28 @@ class ManagedTable:
         return reorder(out)
 
     def _commit(
-        self, df: DataFrame, operation: str, metrics: dict, extra: dict | None = None
+        self,
+        df: DataFrame,
+        operation: str,
+        metrics: dict,
+        extra: dict | None = None,
+        read_version: int | None = None,
     ) -> int:
         self.verify_constraints(df)
         version = (self.latest_version() + 1) if self.exists() else 0
+        # Snapshot anchoring for full-snapshot REWRITES of existing
+        # rows (OPTIMIZE/compact): the staged frame was derived from
+        # ``read_version``, so a commit that landed since would be
+        # silently ERASED by publishing this snapshot over it — raise
+        # instead (Delta conflicts the OPTIMIZE, never the data).
+        # Same-version races are caught by the O_EXCL entry create.
+        if read_version is not None and version != read_version + 1:
+            raise ConcurrentWriteError(
+                f"{operation} on {self.path}: version(s) "
+                f"{read_version + 1}..{version - 1} committed after "
+                "this rewrite's snapshot read; rerun against the new "
+                "head"
+            )
         if version > 0:
             self._check_writer(version - 1)
         # A materialized row-id column rides the data files but is NOT
@@ -1402,7 +1420,47 @@ class ManagedTable:
             **(extra or {}),
         }
         self._write_entry(version, entry)
+        # The compaction (if it fires) is its OWN commit after this
+        # one; the caller still gets the version it wrote.
+        self._maybe_auto_compact(operation)
         return version
+
+    def _maybe_auto_compact(self, operation: str) -> None:
+        """Post-commit auto-compaction — Delta's
+        ``delta.autoOptimize.autoCompact``: after a data-changing
+        commit on a table with the property set, run the
+        ``maybe_compact`` debt check (too many live batch roots / too
+        large a deletion vector) and compact if over threshold. The
+        sibling of write-time optimizeWrite: that one keeps a single
+        batch from fragmenting, this one bounds the debt a SEQUENCE of
+        commits accumulates. Reentrancy-guarded (the compaction's own
+        commit must not re-trigger), and layout operations never
+        trigger themselves."""
+        if getattr(self, "_in_auto_compact", False):
+            return
+        op = (operation or "").upper()
+        if op in self._CDC_NOCHANGE_OPS or op.startswith(
+            ("OPTIMIZE", "COMPACT", "REORG", "VACUUM")
+        ):
+            return
+        props = self.properties()
+        flag = props.get(
+            "delta.autoOptimize.autoCompact",
+            props.get("autoOptimize.autoCompact", "false"),
+        )
+        if str(flag).lower() != "true":
+            return
+        self._in_auto_compact = True
+        try:
+            # Best-effort, like Delta's auto compaction: losing a
+            # concurrency race here is benign (the debt remains and the
+            # next commit re-triggers) and must never bubble into the
+            # just-succeeded data commit's control flow.
+            self.maybe_compact()
+        except ConcurrentWriteError:
+            pass
+        finally:
+            self._in_auto_compact = False
 
     # Blind-append conflict retries before giving up (Delta's
     # ConflictChecker re-attempts an AppendOnly transaction against the
@@ -1516,7 +1574,7 @@ class ManagedTable:
                     else None
                 )
             try:
-                return self._commit_delta(
+                v_new = self._commit_delta(
                     v_prev + 1,
                     operation,
                     m,
@@ -1526,6 +1584,8 @@ class ManagedTable:
                     dv=dv,
                     extra=extra,
                 )
+                self._maybe_auto_compact(operation)
+                return v_new
             except ConcurrentWriteError:
                 self._state_cache.clear()
                 attempt_from = v_prev + 1 if attempt_from is None else attempt_from
@@ -3972,13 +4032,16 @@ class ManagedTable:
             return self.optimize_zorder(
                 ccols, n_files=max(target_partitions, 8)
             )
+        v_read = self.latest_version()
         src = (
-            self._read_with_rid()
+            self._read_with_rid(v_read)
             if self.exists() and self.row_tracking_enabled()
-            else self.read()
+            else self.read(v_read)
         )
         df = src.coalesce(target_partitions)
-        return self._commit(df, "OPTIMIZE", {"numOutputRows": None})
+        return self._commit(
+            df, "OPTIMIZE", {"numOutputRows": None}, read_version=v_read
+        )
 
     def optimize(
         self,
@@ -4275,14 +4338,18 @@ class ManagedTable:
         rows, new commit, old version still time-travelable."""
         from .partitioning import zorder_frame
 
+        v_read = self.latest_version()
         src = (
-            self._read_with_rid()
+            self._read_with_rid(v_read)
             if self.exists() and self.row_tracking_enabled()
-            else self.read()
+            else self.read(v_read)
         )
         df = zorder_frame(src, zorder_cols, n_files=n_files)
         return self._commit(
-            df, "OPTIMIZE_ZORDER", {"numOutputRows": None, "zorderBy": zorder_cols}
+            df,
+            "OPTIMIZE_ZORDER",
+            {"numOutputRows": None, "zorderBy": zorder_cols},
+            read_version=v_read,
         )
 
     def expire_log_entries(

@@ -642,3 +642,68 @@ try:
         }
 except ImportError:  # pragma: no cover
     pass
+
+
+# --- delta.autoOptimize.autoCompact -------------------------------------------
+
+def test_auto_compact_fires_past_dir_threshold(spark):
+    d = tempfile.mkdtemp(prefix="r7_ac_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(spark.range(10).selectExpr("id", "id AS v"))
+    t.set_property("delta.autoOptimize.autoCompact", "true")
+    # 17 fast appends -> >16 live batch roots -> the 17th commit's
+    # post-commit check compacts; later appends stay under threshold.
+    for i in range(17):
+        t.append(
+            spark.range(100 + i, 101 + i).selectExpr("id", "id AS v")
+            .coalesce(1)
+        )
+    ops = [h["operation"] for h in t.history()]
+    assert any(
+        o.startswith(("OPTIMIZE", "COMPACT")) for o in ops
+    ), f"autoCompact never fired: {ops}"
+    assert t.read().count() == 27
+    assert t.read().filter("id >= 100").count() == 17
+
+
+def test_auto_compact_off_by_default(spark):
+    d = tempfile.mkdtemp(prefix="r7_ac_off_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(spark.range(10).selectExpr("id", "id AS v"))
+    for i in range(18):
+        t.append(
+            spark.range(100 + i, 101 + i).selectExpr("id", "id AS v")
+            .coalesce(1)
+        )
+    ops = [h["operation"] for h in t.history()]
+    assert not any(o.startswith(("OPTIMIZE", "COMPACT")) for o in ops)
+    assert t.read().count() == 28
+
+
+def test_auto_compact_under_concurrent_appends(spark):
+    """Threads race blind appends into an autoCompact table: every row
+    must land exactly once, whatever interleaving of appends and
+    auto-triggered OPTIMIZE commits occurs (the compaction losing a
+    race is swallowed; an append losing to a compaction retries its
+    entry)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    d = tempfile.mkdtemp(prefix="r7_ac_race_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(spark.range(0).selectExpr("id", "id AS v"))
+    t.set_property("delta.autoOptimize.autoCompact", "true")
+
+    def one(i):
+        tt = ManagedTable(spark, os.path.join(d, "t"))
+        tt.retry(
+            lambda x: x.append(
+                spark.range(i * 10, i * 10 + 10)
+                .selectExpr("id", "id AS v").coalesce(1)
+            ),
+            retries=50,  # liveness under heavy contention, not a gate
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(one, range(20)))
+    got = sorted(r.id for r in t.read().collect())
+    assert got == list(range(200)), (len(got), got[:10])
