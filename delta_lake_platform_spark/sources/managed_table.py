@@ -1133,12 +1133,12 @@ class ManagedTable:
         if len(files) <= n_bins:
             return
         spec = self.partition_spec()
-        rb = self.spark.read.parquet(data_dir)
-        # Partition-column types are INFERRED on read-back; cast every
-        # column to the staged schema so the rewrite cannot drift types.
-        rb = rb.select(
-            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
-        )
+        # Read back under the STAGED schema, never inference: inferred
+        # hive partition values would round-trip '007' (string) through
+        # int 7 and re-emit '7' — silent data corruption. A declared
+        # schema parses partition dir values as their true type.
+        rb = self.spark.read.schema(schema).parquet(data_dir)
+        rb = rb.select(*[f.name for f in schema.fields])
         if spec:
             # Co-locate each hive partition's rows (one task -> one
             # file per partition value); bins beyond the partition

@@ -707,3 +707,19 @@ def test_auto_compact_under_concurrent_appends(spark):
         list(ex.map(one, range(20)))
     got = sorted(r.id for r in t.read().collect())
     assert got == list(range(200)), (len(got), got[:10])
+
+
+def test_optimize_write_preserves_string_partition_values(spark):
+    """Read-back must use the declared schema, not inference: inferred
+    hive values would round-trip '007' through int 7 and re-emit '7'."""
+    d = tempfile.mkdtemp(prefix="r7_ow_pad_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    mk = (
+        "CASE WHEN id < 10 THEN '007' WHEN id < 20 THEN '08' "
+        "ELSE 'x9' END AS k"
+    )
+    t.create(spark.range(30).selectExpr("id", mk), partition_by=["k"])
+    t.set_property("delta.autoOptimize.optimizeWrite", "true")
+    t.overwrite(spark.range(30).selectExpr("id", mk).repartition(8))
+    assert sorted({r.k for r in t.read().collect()}) == ["007", "08", "x9"]
+    assert t.read().count() == 30
