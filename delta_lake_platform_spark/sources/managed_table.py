@@ -3182,6 +3182,62 @@ class ManagedTable:
             extra=cdc or None,
         )
 
+    def _metadata_only_delete(self, condition: str) -> int | None:
+        """DELETE as pure remove actions when footer stats can PROVE
+        file purity for a `col = literal` predicate. None = not
+        provable; the caller runs a real delete."""
+        m = re.match(
+            r"(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
+            r"(?:'((?:[^']|'')*)'|(-?\d+(?:\.\d+)?))\s*$",
+            condition or "",
+        )
+        if not m or not self.exists():
+            return None
+        v = self.latest_version()
+        state = self._state(v)
+        if state["dv"] is not None or self.cdf_enabled():
+            return None
+        col = m.group(1)
+        value = (
+            m.group(2).replace("''", "'")
+            if m.group(2) is not None
+            else (float(m.group(3)) if "." in m.group(3) else int(m.group(3)))
+        )
+        schema = self._schema_of(state)
+        if schema is None or col not in schema.fieldNames():
+            return None
+        pcol = self._phys_col(state, col)
+        pure, n = [], 0
+        for rel, st in (state["files"] or {}).items():
+            s = (st or {}).get(pcol)
+            rows = (st or {}).get("__numRows")
+            if s is None or s[0] is None or s[1] is None or rows is None:
+                return None
+            try:
+                if s[0] == s[1] and s[0] == value:
+                    pure.append(rel)
+                    n += rows
+                    continue
+                if s[0] <= value <= s[1]:
+                    return None  # straddling file: must scan
+            except TypeError:
+                return None
+        if not pure:
+            return None  # nothing to remove; let the scan prove 0 rows
+        if len(pure) == len(state["files"]):
+            # Removing EVERY file would leave an empty-files state,
+            # which the scan treats as a schema-anchor dir read — the
+            # rows would come back. Truncations take the regular path,
+            # which writes an explicit empty snapshot.
+            return None
+        return self._commit_delta_retry(
+            "DELETE",
+            {"numDeletedRows": n, "predicate": condition},
+            delta_rows=-n,
+            remove=sorted(pure),
+            read_version=v,
+        )
+
     def delete(self, condition: str, rewrite: bool | None = None) -> int:
         """Delta DELETE. With ``rewrite`` (copy-on-write), matching rows
         are dropped by writing a new snapshot. With ``rewrite=False``
@@ -3194,6 +3250,16 @@ class ManagedTable:
         rewrite (compact/OPTIMIZE/UPDATE/...) reads through the DV and
         materializes the survivors, clearing the debt."""
         self._check_append_only("DELETE")
+        # Metadata-only fast path (Delta's partition delete): when the
+        # predicate is a bare `col = literal` and footer stats prove
+        # every file either wholly matches or wholly misses, the delete
+        # is pure REMOVE actions — zero data read, zero data written,
+        # at any table size. Skipped when a DV is live (footer row
+        # counts over-count DV-dead rows) or CDF is on (serving the
+        # delete rows would need the scan this path exists to avoid).
+        meta = self._metadata_only_delete(condition)
+        if meta is not None:
+            return meta
         rewrite = self._resolve_rewrite(rewrite)
         if rewrite:
             if (

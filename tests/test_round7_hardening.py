@@ -723,3 +723,70 @@ def test_optimize_write_preserves_string_partition_values(spark):
     t.overwrite(spark.range(30).selectExpr("id", mk).repartition(8))
     assert sorted({r.k for r in t.read().collect()}) == ["007", "08", "x9"]
     assert t.read().count() == 30
+
+
+# --- metadata-only DELETE (Delta's partition delete) --------------------------
+
+def test_metadata_only_partition_delete(spark, monkeypatch):
+    d = tempfile.mkdtemp(prefix="r7_mdel_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(
+        spark.range(90).selectExpr(
+            "id",
+            "CASE WHEN id < 30 THEN 'a' WHEN id < 60 THEN 'b' "
+            "ELSE 'c' END AS k",
+        ),
+        partition_by=["k"],
+    )
+    # Whole-partition delete: remove actions only — no data read.
+    def no_scan(self, *a, **kw):
+        raise AssertionError("metadata delete must not scan")
+
+    monkeypatch.setattr(ManagedTable, "_scan_version", no_scan)
+    monkeypatch.setattr(ManagedTable, "read", no_scan)
+    v = t.delete("k = 'b'")
+    monkeypatch.undo()
+    entry = t._entry(v)
+    assert entry["operation"] == "DELETE"
+    assert entry["remove"] and not entry["add"]
+    assert entry["operationMetrics"]["numDeletedRows"] == 30
+    got = t.read()
+    assert got.count() == 60
+    assert got.filter("k = 'b'").count() == 0
+    # Time travel still sees the partition.
+    assert t.read(0).filter("k = 'b'").count() == 30
+
+
+def test_metadata_delete_declines_straddling_and_cdf(spark):
+    d = tempfile.mkdtemp(prefix="r7_mdel2_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(spark.range(40).selectExpr("id", "id % 2 AS k"))
+    # k straddles every file -> regular delete path, correct result.
+    v = t.delete("k = 1")
+    assert t.read().count() == 20
+    assert t._entry(v)["operation"] == "DELETE"
+    # CDF-enabled tables keep the row-serving path.
+    d2 = tempfile.mkdtemp(prefix="r7_mdel3_")
+    t2 = ManagedTable(spark, os.path.join(d2, "t"))
+    t2.create(
+        spark.range(20).selectExpr("id", "CAST('a' AS STRING) AS k")
+    )
+    t2.set_property("enableChangeDataFeed", "true")
+    v2 = t2.delete("k = 'a'", rewrite=False)
+    assert t2._entry(v2).get("cdcPath"), "CDF delete must record cdc rows"
+    assert t2.read().count() == 0
+
+
+def test_metadata_only_truncate_guard(spark):
+    """Removing EVERY file metadata-only would leave an empty-files
+    state the scan reads as a schema anchor (rows resurrect) — so a
+    full truncation must take the regular empty-snapshot path."""
+    d = tempfile.mkdtemp(prefix="r7_mtrunc_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(spark.range(50).selectExpr("id", "CAST('a' AS STRING) AS k"))
+    v = t.delete("k = 'a'")  # value-pure for ALL files -> must decline
+    assert t.read().count() == 0
+    assert t.read().columns == ["id", "k"]
+    assert t.read(0).count() == 50
+    t.append(spark.range(5).selectExpr("id", "CAST('b' AS STRING) AS k"))
+    assert t.read().count() == 5
