@@ -1130,7 +1130,12 @@ class ManagedTable:
         total = sum(os.path.getsize(f) for f in files)
         target = int(props.get("delta.targetFileSize", 128 << 20))
         n_bins = max(1, -(-total // max(target, 1)))
-        if len(files) <= n_bins:
+        # Only MEANINGFUL fragmentation pays the second pass: a batch
+        # already near its bin-packed count (e.g. 100 well-sized files
+        # vs 80 bins) gains ~nothing from a full rewrite, while a
+        # 16-fragment tiny batch collapses 16:1. Threshold: at least
+        # 2x the bin count (and at least bins+4) before rewriting.
+        if len(files) <= max(n_bins * 2, n_bins + 4):
             return
         spec = self.partition_spec()
         # Read back under the STAGED schema, never inference: inferred
