@@ -3260,11 +3260,15 @@ class ManagedTable:
         # every file either wholly matches or wholly misses, the delete
         # is pure REMOVE actions — zero data read, zero data written,
         # at any table size. Skipped when a DV is live (footer row
-        # counts over-count DV-dead rows) or CDF is on (serving the
-        # delete rows would need the scan this path exists to avoid).
-        meta = self._metadata_only_delete(condition)
-        if meta is not None:
-            return meta
+        # counts over-count DV-dead rows), when CDF is on (serving the
+        # delete rows would need the scan this path exists to avoid),
+        # and when the caller FORCED a mechanism (rewrite=True/False
+        # pins copy-on-write / merge-on-read — e.g. to exercise DV
+        # debt; only the mode-agnostic call takes the shortcut).
+        if rewrite is None:
+            meta = self._metadata_only_delete(condition)
+            if meta is not None:
+                return meta
         rewrite = self._resolve_rewrite(rewrite)
         if rewrite:
             if (
