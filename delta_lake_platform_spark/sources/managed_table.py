@@ -3191,9 +3191,18 @@ class ManagedTable:
         """DELETE as pure remove actions when footer stats can PROVE
         file purity for a `col = literal` predicate. None = not
         provable; the caller runs a real delete."""
+        _LIT = r"(?:'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+
+        def _parse_lit(tok: str):
+            tok = tok.strip()
+            if tok.startswith("'"):
+                return tok[1:-1].replace("''", "'")
+            return float(tok) if "." in tok else int(tok)
+
         m = re.match(
-            r"(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
-            r"(?:'((?:[^']|'')*)'|(-?\d+(?:\.\d+)?))\s*$",
+            rf"(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s*"
+            rf"(?:=\s*({_LIT})|IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\))"
+            rf"\s*$",
             condition or "",
         )
         if not m or not self.exists():
@@ -3203,11 +3212,13 @@ class ManagedTable:
         if state["dv"] is not None or self.cdf_enabled():
             return None
         col = m.group(1)
-        value = (
-            m.group(2).replace("''", "'")
-            if m.group(2) is not None
-            else (float(m.group(3)) if "." in m.group(3) else int(m.group(3)))
-        )
+        if m.group(2) is not None:
+            values = {_parse_lit(m.group(2))}
+        else:
+            values = {
+                _parse_lit(tok)
+                for tok in re.findall(_LIT, m.group(3))
+            }
         schema = self._schema_of(state)
         if schema is None or col not in schema.fieldNames():
             return None
@@ -3219,11 +3230,13 @@ class ManagedTable:
             if s is None or s[0] is None or s[1] is None or rows is None:
                 return None
             try:
-                if s[0] == s[1] and s[0] == value:
-                    pure.append(rel)
-                    n += rows
+                if s[0] == s[1]:
+                    # Single-valued file: exact membership decides.
+                    if s[0] in values:
+                        pure.append(rel)
+                        n += rows
                     continue
-                if s[0] <= value <= s[1]:
+                if any(s[0] <= w <= s[1] for w in values):
                     return None  # straddling file: must scan
             except TypeError:
                 return None

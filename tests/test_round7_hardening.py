@@ -790,3 +790,29 @@ def test_metadata_only_truncate_guard(spark):
     assert t.read(0).count() == 50
     t.append(spark.range(5).selectExpr("id", "CAST('b' AS STRING) AS k"))
     assert t.read().count() == 5
+
+
+def test_metadata_only_in_list_delete(spark, monkeypatch):
+    d = tempfile.mkdtemp(prefix="r7_mdel_in_")
+    t = ManagedTable(spark, os.path.join(d, "t"))
+    t.create(
+        spark.range(120).selectExpr(
+            "id",
+            "CASE WHEN id < 30 THEN 'a' WHEN id < 60 THEN 'b' "
+            "WHEN id < 90 THEN 'c' ELSE 'd' END AS k",
+        ),
+        partition_by=["k"],
+    )
+
+    def no_scan(self, *a, **kw):
+        raise AssertionError("metadata IN-delete must not scan")
+
+    monkeypatch.setattr(ManagedTable, "_scan_version", no_scan)
+    monkeypatch.setattr(ManagedTable, "read", no_scan)
+    v = t.delete("k IN ('a', 'c')")
+    monkeypatch.undo()
+    entry = t._entry(v)
+    assert entry["remove"] and not entry["add"]
+    assert entry["operationMetrics"]["numDeletedRows"] == 60
+    assert sorted({r.k for r in t.read().collect()}) == ["b", "d"]
+    assert t.read().count() == 60
