@@ -816,3 +816,61 @@ def test_metadata_only_in_list_delete(spark, monkeypatch):
     assert entry["operationMetrics"]["numDeletedRows"] == 60
     assert sorted({r.k for r in t.read().collect()}) == ["b", "d"]
     assert t.read().count() == 60
+
+
+# --- model-based random DML sequences ----------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _OP = st.one_of(
+        st.tuples(st.just("append"), st.lists(
+            st.integers(0, 15), min_size=1, max_size=4)),
+        st.tuples(st.just("delete_eq"), st.integers(0, 15)),
+        st.tuples(st.just("delete_mor"), st.integers(0, 15)),
+        st.tuples(st.just("update"), st.integers(0, 15)),
+        st.tuples(st.just("optimize"), st.just(0)),
+    )
+
+    @given(ops=st.lists(_OP, min_size=1, max_size=6))
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_random_dml_sequence_matches_model(spark, ops):
+        """Whatever interleaving of appends, COW/MoR/metadata deletes,
+        updates, and OPTIMIZE runs, the table must equal a plain
+        Python model of the same operations — the cross-feature
+        interaction net (DV x fast-append x metadata-delete x
+        compaction) that single-feature tests cannot span."""
+        d = tempfile.mkdtemp(prefix="r7_model_")
+        t = ManagedTable(spark, os.path.join(d, "t"))
+        t.create(spark.range(0).selectExpr("id", "id AS v"))
+        model: list[tuple[int, int]] = []
+        serial = 0
+        for kind, arg in ops:
+            if kind == "append":
+                rows = [(serial * 100 + i, i) for i in arg]
+                serial += 1
+                t.append(spark.createDataFrame(rows, "id long, v long"))
+                model += rows
+            elif kind == "delete_eq":
+                t.delete(f"v = {arg}")          # metadata path eligible
+                model = [r for r in model if r[1] != arg]
+            elif kind == "delete_mor":
+                t.delete(f"v = {arg}", rewrite=False)
+                model = [r for r in model if r[1] != arg]
+            elif kind == "update":
+                t.update({"v": "v + 1000"}, f"v = {arg}")
+                model = [
+                    (i, v + 1000) if v == arg else (i, v)
+                    for i, v in model
+                ]
+            elif kind == "optimize":
+                t.compact(target_partitions=2)
+        got = sorted((r.id, r.v) for r in t.read().collect())
+        assert got == sorted(model), (got[:8], sorted(model)[:8])
+except ImportError:  # pragma: no cover
+    pass
