@@ -49,7 +49,13 @@ PRIORITY = [
     # oracle-swept like every tail query.
     "q21_waiting_suppliers",
     "events_distinct_users_hll",
-    "events_user_overlap_theta",
+    # events_user_overlap_theta rotated out in r7 (late) for
+    # mv_stream_maintained_orders: the r7 per-commit streaming MV
+    # maintenance (ChangeFeedStream per_commit -> refresh_from_changes,
+    # exactly-once per commit window). The sketch family stays driver-
+    # covered by events_distinct_users_hll / events_heavy_hitter_users;
+    # theta remains locally oracle-swept.
+    "mv_stream_maintained_orders",
     "topk_orders_per_customer",
     "latest_event_per_user",
     # running_value_per_user rotated out in r4 (window-agg family stays
@@ -101,7 +107,12 @@ PRIORITY = [
     "events_hourly_streamed",
     "events_sessionize",
     "asof_prior_purchase",
-    "range_clicks_before_error",
+    # range_clicks_before_error rotated out in r7 (late) for
+    # sql_stats_minmax_orders: the r7 metadata-only aggregate path
+    # (COUNT/MIN/MAX answered from log stats, in-query raiser proving
+    # zero scans). Temporal stays driver-covered by asof_prior_purchase
+    # / events_sessionize; the range join remains locally oracle-swept.
+    "sql_stats_minmax_orders",
     "events_json_props",
     # dv_delete_orders rotated out in r5 for its strict superset
     # dv_purge_roundtrip: the same scattered MOR delete, followed by
@@ -127,7 +138,13 @@ PRIORITY = [
     "docs_rag_chunks",
     "docs_lang_id",
     "docs_pii_redaction",
-    "docs_train_split",
+    # docs_train_split rotated out in r7 (late) for docs_line_dedup:
+    # the r7 corpus line-level dedup (CCNet boilerplate removal over
+    # 64-bit line hashes). Curation stays driver-covered by
+    # docs_benchmark_contamination / docs_curation_pipeline (which
+    # contains the split's hash-bucket machinery); train_split remains
+    # locally oracle-swept.
+    "docs_line_dedup",
     # docs_pack_sequences rotated out in r5 session 11 for
     # optimize_binpack_orders (the new size-aware OPTIMIZE: log-driven
     # small-file candidate selection, file-level bin-pack commit, DV

@@ -66,6 +66,11 @@ def test_family_representation_in_first_50():
         "dedup-semantic": "embeddings_semantic_dedup",
         "rag-chunking": "docs_rag_chunks",
         "column-defaults": "sql_column_defaults",
+        # r7 late rotation: this round's own headliners get driver
+        # rows immediately rather than waiting a round.
+        "mv-streaming": "mv_stream_maintained_orders",
+        "metadata-aggregates": "sql_stats_minmax_orders",
+        "line-dedup": "docs_line_dedup",
         "ann-bruteforce": "ann_cosine_topk",
         "ann-ivf": "ann_ivf_recall",
         "ann-pq": "ann_pq_recall",
