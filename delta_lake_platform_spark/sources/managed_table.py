@@ -69,6 +69,13 @@ def _footer_stats_one(fpath: str, data_dir: str) -> tuple[int, dict]:
 
     md = pq.ParquetFile(fpath).metadata
     cols: dict[str, list] = {}
+    # Per-column null counts (Delta's add-action nullCount). Parquet
+    # min/max EXCLUDE nulls, so any proof that a file is value-PURE
+    # ("every row equals the min==max literal") is unsound unless the
+    # null count is provably zero — a [5, NULL] file has stats [5,5].
+    # Recorded only when EVERY row group carries has_null_count.
+    nulls: dict[str, int] = {}
+    nulls_unknown: set[str] = set()
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
         for c_i in range(rg.num_columns):
@@ -77,6 +84,10 @@ def _footer_stats_one(fpath: str, data_dir: str) -> tuple[int, dict]:
             if "." in name:  # nested (list/struct) — not skippable
                 continue
             st = col.statistics
+            if st is not None and st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                nulls_unknown.add(name)
             if st is None or not st.has_min_max:
                 continue
             mn, mx = _json_stat(st.min), _json_stat(st.max)
@@ -86,6 +97,7 @@ def _footer_stats_one(fpath: str, data_dir: str) -> tuple[int, dict]:
                 cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
             else:
                 cols[name] = [mn, mx]
+    nulls = {k: v for k, v in nulls.items() if k not in nulls_unknown}
     # A hive partition dir (k=v) is an exact min=max stat for k:
     # the value is not stored inside the files, but the commit log
     # can still prune on it through the one data-skipping API.
@@ -96,6 +108,9 @@ def _footer_stats_one(fpath: str, data_dir: str) -> tuple[int, dict]:
             if v != "__HIVE_DEFAULT_PARTITION__":
                 pv = _parse_partition_value(v)
                 cols[k] = [pv, pv]
+                nulls[k] = 0  # the dir value applies to EVERY row
+    if nulls:
+        cols["__nullCounts"] = nulls
     # File-level physical metadata (Delta's add-action `size` /
     # `numRecords`): lets OPTIMIZE pick its small-file candidates and
     # row-id span fills resolve row counts from the LOG alone — no
@@ -103,6 +118,19 @@ def _footer_stats_one(fpath: str, data_dir: str) -> tuple[int, dict]:
     cols["__fileBytes"] = os.path.getsize(fpath)
     cols["__numRows"] = md.num_rows
     return md.num_rows, cols
+
+
+def _stat_null_count(st: dict | None, pcol: str) -> int | None:
+    """Proven per-column null count from a file's stats map, or None
+    when it was never recorded (legacy entry / writer without
+    has_null_count). Purity proofs ("every row of this file satisfies
+    col = literal") must see an exact 0 here: parquet min/max exclude
+    NULLs, so min==max alone cannot rule out NULL rows."""
+    nc = (st or {}).get("__nullCounts")
+    if not isinstance(nc, dict):
+        return None
+    n = nc.get(pcol)
+    return n if isinstance(n, int) else None
 
 
 def _stats_zero_rows(cols: dict) -> bool:
@@ -3231,8 +3259,15 @@ class ManagedTable:
                 return None
             try:
                 if s[0] == s[1]:
-                    # Single-valued file: exact membership decides.
+                    # Single-valued file: exact membership decides —
+                    # but min/max exclude NULLs, so "wholly matches"
+                    # additionally needs a PROVEN zero null count (a
+                    # (5, NULL, 5) file has stats [5,5]; removing it
+                    # whole would delete the NULL row, which never
+                    # satisfies `col = 5`). Unknown or >0 nulls: scan.
                     if s[0] in values:
+                        if _stat_null_count(st, pcol) != 0:
+                            return None
                         pure.append(rel)
                         n += rows
                     continue
@@ -5097,7 +5132,14 @@ class ManagedTable:
             try:
                 if s[0] == s[1]:
                     if s[0] == value:
-                        total += n
+                        # min/max exclude NULLs: a [5, NULL] file has
+                        # stats [5,5] but only its NON-NULL rows match
+                        # `col = 5`. Contribute rows minus the proven
+                        # null count; unknown null count → scan.
+                        nc = _stat_null_count(st, pcol)
+                        if nc is None:
+                            return None
+                        total += n - nc
                     continue
                 if not (s[0] <= value <= s[1]):
                     continue  # provably excluded
