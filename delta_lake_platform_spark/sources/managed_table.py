@@ -3253,6 +3253,8 @@ class ManagedTable:
         pcol = self._phys_col(state, col)
         pure, n = [], 0
         for rel, st in (state["files"] or {}).items():
+            if _stats_zero_rows(st or {}):
+                continue  # holds no rows: nothing to match or keep
             s = (st or {}).get(pcol)
             rows = (st or {}).get("__numRows")
             if s is None or s[0] is None or s[1] is None or rows is None:
@@ -5125,6 +5127,8 @@ class ManagedTable:
         pcol = self._phys_col(state, col)
         total = 0
         for rel, st in (state["files"] or {}).items():
+            if _stats_zero_rows(st or {}):
+                continue  # zero-row part file: contributes exactly 0
             s = (st or {}).get(pcol)
             n = (st or {}).get("__numRows")
             if s is None or s[0] is None or s[1] is None or n is None:

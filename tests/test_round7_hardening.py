@@ -821,44 +821,70 @@ def test_metadata_only_in_list_delete(spark, monkeypatch):
 # --- model-based random DML sequences ----------------------------------------
 
 try:
-    from hypothesis import HealthCheck, given, settings
+    from hypothesis import HealthCheck, example, given, settings
     from hypothesis import strategies as st
 
+    # Appended values INCLUDE None: parquet min/max exclude NULLs, so
+    # a file like (5, NULL, 5) carries pure-looking stats [5, 5] — the
+    # exact blind spot that let the round-7 NULL-purity bugs ship.
+    # NULL never satisfies `v = x` / `v IN (...)` and is never updated
+    # by an equality predicate; the model encodes that.
+    _VAL = st.one_of(st.integers(0, 15), st.none())
     _OP = st.one_of(
         st.tuples(st.just("append"), st.lists(
-            st.integers(0, 15), min_size=1, max_size=4)),
+            _VAL, min_size=1, max_size=4)),
         st.tuples(st.just("delete_eq"), st.integers(0, 15)),
+        st.tuples(st.just("delete_in"), st.lists(
+            st.integers(0, 15), min_size=1, max_size=3, unique=True)),
         st.tuples(st.just("delete_mor"), st.integers(0, 15)),
         st.tuples(st.just("update"), st.integers(0, 15)),
         st.tuples(st.just("optimize"), st.just(0)),
     )
 
     @given(ops=st.lists(_OP, min_size=1, max_size=6))
+    # Pinned NULL-purity repros (round-7 bugs): a (5, NULL, 5) file
+    # has footer stats [5, 5]; the metadata-only = / IN delete must
+    # not remove its NULL row. Random exploration alone may miss the
+    # exact sequence, so keep them as permanent explicit examples.
+    @example(ops=[("append", [5, None, 5]), ("delete_eq", 5)])
+    @example(ops=[
+        ("append", [5, None, 5]),
+        ("append", [7, 7]),
+        ("delete_in", [5, 7]),
+        ("optimize", 0),
+    ])
     @settings(
-        max_examples=6,
+        max_examples=8,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     def test_random_dml_sequence_matches_model(spark, ops):
-        """Whatever interleaving of appends, COW/MoR/metadata deletes,
-        updates, and OPTIMIZE runs, the table must equal a plain
-        Python model of the same operations — the cross-feature
-        interaction net (DV x fast-append x metadata-delete x
-        compaction) that single-feature tests cannot span."""
+        """Whatever interleaving of appends (with NULLs), COW/MoR/
+        metadata deletes (= and IN), updates, and OPTIMIZE runs, the
+        table must equal a plain Python model of the same operations —
+        the cross-feature interaction net (DV x fast-append x
+        metadata-delete x NULL stats x compaction) that single-feature
+        tests cannot span."""
         d = tempfile.mkdtemp(prefix="r7_model_")
         t = ManagedTable(spark, os.path.join(d, "t"))
         t.create(spark.range(0).selectExpr("id", "id AS v"))
-        model: list[tuple[int, int]] = []
+        model: list[tuple[int, int | None]] = []
         serial = 0
         for kind, arg in ops:
             if kind == "append":
-                rows = [(serial * 100 + i, i) for i in arg]
+                rows = [
+                    (serial * 100 + i, val) for i, val in enumerate(arg)
+                ]
                 serial += 1
                 t.append(spark.createDataFrame(rows, "id long, v long"))
                 model += rows
             elif kind == "delete_eq":
                 t.delete(f"v = {arg}")          # metadata path eligible
                 model = [r for r in model if r[1] != arg]
+            elif kind == "delete_in":
+                vals = ", ".join(str(x) for x in arg)
+                t.delete(f"v IN ({vals})")      # metadata path eligible
+                model = [r for r in model if r[1] not in arg]
             elif kind == "delete_mor":
                 t.delete(f"v = {arg}", rewrite=False)
                 model = [r for r in model if r[1] != arg]
@@ -870,7 +896,12 @@ try:
                 ]
             elif kind == "optimize":
                 t.compact(target_partitions=2)
-        got = sorted((r.id, r.v) for r in t.read().collect())
-        assert got == sorted(model), (got[:8], sorted(model)[:8])
+        got = sorted(
+            ((r.id, r.v) for r in t.read().collect()),
+            key=lambda p: (p[0], p[1] is None, p[1]),
+        )
+        want = sorted(
+            model, key=lambda p: (p[0], p[1] is None, p[1]))
+        assert got == want, (got[:8], want[:8])
 except ImportError:  # pragma: no cover
     pass
