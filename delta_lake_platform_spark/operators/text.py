@@ -345,9 +345,29 @@ def dedup_corpus_lines(
     ordered = F.array_sort(
         F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
     )
-    return kept.groupBy(id_col).agg(
+    agg = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(ordered, lambda x: x["__line"]), "\n"
         ).alias("text_deduped"),
         F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    # "One row per input document" includes a document whose EVERY
+    # non-blank line is hot (a pure-boilerplate page — common in real
+    # web corpora): it has no kept lines, so the groupBy above loses
+    # it. Left-join back to the id set and coalesce to ('', 0) so
+    # downstream joins on id_col keep the row. The agg output is
+    # already hash-partitioned by id_col, so only the narrow id
+    # projection shuffles.
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_deduped"), F.lit("")).alias(
+                "text_deduped"
+            ),
+            F.coalesce(
+                F.col("n_lines_kept"), F.lit(0).cast("long")
+            ).alias("n_lines_kept"),
+        )
     )

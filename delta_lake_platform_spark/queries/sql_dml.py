@@ -451,8 +451,10 @@ def sql_stats_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     p.register("orders_t", t)
-    real_read = ManagedTable.read
-    ManagedTable.read = _raise_on_scan  # metadata-only or bust
+    # Instance-level patch: only THIS table loses its read path while
+    # the aggregate runs — a class-level patch would break every other
+    # ManagedTable in the process for the duration.
+    t.read = _raise_on_scan.__get__(t)  # metadata-only or bust
     try:
         out = p.sql(
             "SELECT COUNT(*) AS n_orders, MIN(o_orderkey) AS min_key, "
@@ -460,7 +462,7 @@ def sql_stats_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "MAX(o_orderdate) AS last_day FROM orders_t"
         ).localCheckpoint()
     finally:
-        ManagedTable.read = real_read
+        del t.read
     _shutil.rmtree(d, ignore_errors=True)
     return out
 

@@ -76,6 +76,14 @@ def _footer_stats_one(fpath: str, data_dir: str) -> tuple[int, dict]:
     # Recorded only when EVERY row group carries has_null_count.
     nulls: dict[str, int] = {}
     nulls_unknown: set[str] = set()
+    # Min/max analogue of nulls_unknown: when ANY row group lacks
+    # usable bounds for a column (e.g. parquet-mr omits stats for
+    # multi-KB binary values), the other row groups' bounds are NOT
+    # whole-file bounds — recording them would let range pruning /
+    # "provably excluded" counting skip rows hiding in the stats-less
+    # row group. Exception: a row group that is all-NULL for the
+    # column contributes no values, so it cannot widen value bounds.
+    mm_incomplete: set[str] = set()
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
         for c_i in range(rg.num_columns):
@@ -89,15 +97,23 @@ def _footer_stats_one(fpath: str, data_dir: str) -> tuple[int, dict]:
             else:
                 nulls_unknown.add(name)
             if st is None or not st.has_min_max:
+                if not (
+                    st is not None
+                    and st.has_null_count
+                    and st.null_count == rg.num_rows
+                ):
+                    mm_incomplete.add(name)
                 continue
             mn, mx = _json_stat(st.min), _json_stat(st.max)
             if mn is None or mx is None:
+                mm_incomplete.add(name)
                 continue
             if name in cols:
                 cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
             else:
                 cols[name] = [mn, mx]
     nulls = {k: v for k, v in nulls.items() if k not in nulls_unknown}
+    cols = {k: v for k, v in cols.items() if k not in mm_incomplete}
     # A hive partition dir (k=v) is an exact min=max stat for k:
     # the value is not stored inside the files, but the commit log
     # can still prune on it through the one data-skipping API.

@@ -280,18 +280,53 @@ class MaterializedAggView:
         feed = self.base.change_feed(last, cur)
         return self._fold_feed(feed, last, cur)
 
-    def refresh_from_changes(self, feed: DataFrame, to_version: int) -> int:
+    def refresh_from_changes(
+        self,
+        feed: DataFrame,
+        to_version: int,
+        from_version: int | None = None,
+    ) -> int:
         """Fold an externally-supplied change batch (per-commit CDF
         rows — ``_change_type`` in insert/delete/update_preimage/
-        update_postimage) covering base versions ``(baseVersion,
+        update_postimage) covering base versions ``(from_version,
         to_version]`` into the state. EXACTLY-ONCE effect: a replayed
         or stale batch (``to_version`` at or behind the state's
-        recorded baseVersion) is skipped without a commit, so an
-        at-least-once delivery channel (ChangeFeedStream's offset
-        protocol) maintains the view exactly once per commit window."""
+        recorded baseVersion) is skipped without a commit, and a
+        STRADDLING batch (``from_version < baseVersion < to_version``
+        — e.g. a stale or foreign checkpoint with a multi-commit
+        window) is trimmed to the unapplied commits by the per-row
+        ``_commit_version`` before folding. So an at-least-once
+        delivery channel (ChangeFeedStream's offset protocol)
+        maintains the view exactly once per commit window even when
+        its windows do not align with the view's recorded base.
+
+        A batch claiming to START beyond the recorded base
+        (``from_version > baseVersion``) is rejected — folding it
+        would silently skip commits. A straddling batch whose rows
+        carry no ``_commit_version`` (so already-folded rows cannot be
+        identified) is rejected too rather than double-applied."""
         last = self._base_version()
         if to_version <= last:
             return self.state.latest_version()
+        if from_version is not None and from_version > last:
+            raise ValueError(
+                f"change batch covers ({from_version}, {to_version}] but "
+                f"the view's recorded baseVersion is {last}: commits "
+                f"{last + 1}..{from_version} would be skipped"
+            )
+        if "_commit_version" in feed.columns:
+            # Per-commit rows at or below the recorded base are already
+            # folded into the state — trimming them is what makes a
+            # straddling window safe (and is a no-op for aligned ones).
+            feed = feed.filter(F.col("_commit_version") > F.lit(last))
+        elif from_version is not None and from_version < last:
+            raise ValueError(
+                f"change batch covers ({from_version}, {to_version}] — "
+                f"straddling the view's recorded baseVersion {last} — "
+                "but carries no _commit_version column, so the "
+                "already-folded rows cannot be trimmed; re-read the "
+                "feed per-commit or align the window"
+            )
         return self._fold_feed(feed, last, to_version)
 
     def _fold_feed(self, feed: DataFrame, last: int, cur: int) -> int:

@@ -226,7 +226,7 @@ def mv_maintain_stream(
         stream._advance(view._base_version())
 
     def sink(batch: DataFrame, from_v: int, to_v: int) -> None:
-        view.refresh_from_changes(batch, to_v)
+        view.refresh_from_changes(batch, to_v, from_version=from_v)
 
     return stream.process_available(sink)
 

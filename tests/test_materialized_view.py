@@ -852,3 +852,81 @@ def test_pruned_base_probes_blooms_on_every_join_key(spark):
     assert total >= 2 and len(kept_k1) == total  # k1 discriminates nothing
     assert len(kept_both) < len(kept_k1)
     assert [r.k2 for r in out.collect()] == [16]
+
+
+# --- refresh_from_changes exactly-once on misaligned windows ------------------
+
+@pytest.fixture()
+def small_base_and_view(spark):
+    d = tempfile.mkdtemp(prefix="dlp_mv_straddle_")
+    base = ManagedTable(spark, f"{d}/base")
+    base.create(spark.createDataFrame(
+        [("a", 10), ("b", 20)], "g string, x long"))        # v0
+    base.append(spark.createDataFrame([("a", 5)], "g string, x long"))   # v1
+    base.append(spark.createDataFrame([("b", 7)], "g string, x long"))   # v2
+    mv = MaterializedAggView(
+        base, f"{d}/mv", group_cols=["g"], sum_cols=["x"])
+    return base, mv
+
+
+def test_refresh_from_changes_straddling_batch_trims(small_base_and_view):
+    """A multi-commit batch whose window STRADDLES the view's recorded
+    base (from_v < base < to_v — a stale/foreign checkpoint with
+    max_versions_per_batch > 1) must fold only the unapplied commits.
+    Pre-fix, the whole batch was folded, double-applying commit 1."""
+    base, mv = small_base_and_view
+    # View created at v0, then folded exactly commit 1 -> baseVersion 1.
+    hist = base.latest_version()
+    mv_state_at_v0 = mv._aggregate(base.read(0))
+    mv.state._commit(mv_state_at_v0, "MV_CREATE", {"baseVersion": 0})
+    feed1 = base.table_changes_per_commit(1, 1)
+    mv.refresh_from_changes(feed1, 1, from_version=0)
+    assert mv._base_version() == 1
+
+    # Replayed straddling window (0, 2]: commit 1 already folded.
+    feed02 = base.table_changes_per_commit(1, 2)
+    mv.refresh_from_changes(feed02, 2, from_version=0)
+    assert mv._base_version() == 2
+    got = {(r.g, r.sum_x) for r in mv.read().select("g", "sum_x").collect()}
+    want = {
+        (r.g, r.sum_x)
+        for r in mv._aggregate(base.read(hist))
+        .select("g", "sum_x").collect()
+    }
+    assert got == want, (got, want)
+
+
+def test_refresh_from_changes_rejects_gap(small_base_and_view):
+    """A batch claiming to start BEYOND the recorded base would skip
+    commits — reject instead of silently corrupting the view."""
+    base, mv = small_base_and_view
+    mv.state._commit(
+        mv._aggregate(base.read(0)), "MV_CREATE", {"baseVersion": 0})
+    feed = base.table_changes_per_commit(2, 2)
+    with pytest.raises(ValueError, match="would be skipped"):
+        mv.refresh_from_changes(feed, 2, from_version=1)
+
+
+def test_refresh_from_changes_straddle_without_versions_rejected(
+    small_base_and_view,
+):
+    """A straddling batch whose rows carry no _commit_version cannot
+    be trimmed — reject rather than double-apply."""
+    base, mv = small_base_and_view
+    mv.state._commit(
+        mv._aggregate(base.read(1)), "MV_CREATE", {"baseVersion": 1})
+    feed = base.table_changes_per_commit(1, 2).drop("_commit_version")
+    with pytest.raises(ValueError, match="straddling"):
+        mv.refresh_from_changes(feed, 2, from_version=0)
+
+
+def test_refresh_from_changes_replay_still_skipped(small_base_and_view):
+    """The original exactly-once guard is unchanged: a batch wholly at
+    or behind the recorded base is a no-op without a commit."""
+    base, mv = small_base_and_view
+    mv.state._commit(
+        mv._aggregate(base.read(2)), "MV_CREATE", {"baseVersion": 2})
+    v_before = mv.state.latest_version()
+    feed = base.table_changes_per_commit(1, 2)
+    mv.refresh_from_changes(feed, 2, from_version=0)
+    assert mv.state.latest_version() == v_before

@@ -100,7 +100,10 @@ def test_merge_star_clauses(psql, spark):
 
 
 def test_optimize_restore_vacuum_detail(psql):
-    psql.sql("DELETE FROM accounts WHERE id = 1")        # v1
+    # `id < 2` (not a bare equality/IN) bypasses the metadata-only
+    # delete shortcut, so v1 is a genuine COW rewrite — the dead data
+    # this test wants VACUUM to reclaim.
+    psql.sql("DELETE FROM accounts WHERE id < 2")        # v1
     psql.sql("OPTIMIZE accounts")                        # v2
     assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 2
     psql.sql("RESTORE accounts TO VERSION AS OF 0")      # v3
@@ -184,9 +187,27 @@ def test_tblproperties_enable_dv_via_sql(psql):
         "ALTER TABLE accounts SET TBLPROPERTIES "
         "('enableDeletionVectors' = 'true')"
     )
-    psql.sql("DELETE FROM accounts WHERE id = 2")
+    # A range predicate bypasses the metadata-only shortcut (which
+    # would legitimately preempt the DV on a whole-file equality
+    # delete), so the property's DV routing is what's exercised.
+    psql.sql("DELETE FROM accounts WHERE id > 2")
     h = psql.sql("DESCRIBE HISTORY accounts").first()
     assert h.operation == "DELETE (DV)"
+    assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 2
+
+
+def test_metadata_delete_preempts_dv_on_whole_file_equality(psql):
+    """With DVs enabled, a bare-equality delete whose files are all
+    provably pure or excluded is STILL metadata-only (pure REMOVE
+    actions beat a DV sidecar: zero data read or written)."""
+    psql.sql(
+        "ALTER TABLE accounts SET TBLPROPERTIES "
+        "('enableDeletionVectors' = 'true')"
+    )
+    psql.sql("DELETE FROM accounts WHERE id = 2")
+    h = psql.sql("DESCRIBE HISTORY accounts").first()
+    assert h.operation == "DELETE"
+    assert '"numDeletedRows": 1' in h.operationMetrics
     assert psql.sql("SELECT count(*) AS n FROM accounts").first().n == 2
 
 

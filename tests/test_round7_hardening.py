@@ -406,6 +406,30 @@ def test_dedup_corpus_lines_removes_boilerplate_keeps_order(spark):
     assert out[3] == ("delta", 1)
 
 
+def test_dedup_corpus_lines_keeps_all_boilerplate_docs(spark):
+    """A document whose EVERY non-blank line is hot (a pure-boilerplate
+    page) must still come back — one row per input document is the
+    contract; downstream joins on doc_id must not lose rows."""
+    from delta_lake_platform_spark.operators.text import dedup_corpus_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HEADER\nalpha\nFOOTER"),
+            (2, "HEADER\nbravo\nFOOTER"),
+            (3, "HEADER\nFOOTER"),          # nothing but boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text_deduped, r.n_lines_kept)
+        for r in dedup_corpus_lines(docs, max_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] == ("alpha", 1)
+    assert out[2] == ("bravo", 1)
+    assert out[3] == ("", 0)
+
+
 # --- metadata-only MIN/MAX/COUNT (aggregate pushdown into log stats) ----------
 
 def test_metadata_only_aggregates_never_scan(spark, monkeypatch):
