@@ -106,6 +106,15 @@ PRIORITY = [
     "mv_nullkey_orders_by_priority",
     "events_hourly_streamed",
     "events_sessionize",
+    # embeddings_neardup_lsh rotated out in r9 for
+    # scd_stream_maintained_customers: streaming SCD2 maintenance
+    # (streaming/cdf.py::scd_maintain_stream + scd_soft_close) was
+    # pytest-only until now — the net change-feed window folding
+    # version/in-place/soft-close paths through one stream. The
+    # embedding-dedup family stays driver-covered by
+    # embeddings_semantic_dedup and the bucketed-LSH machinery by
+    # docs_minhash_neardup; neardup_lsh remains locally oracle-swept.
+    "scd_stream_maintained_customers",
     "asof_prior_purchase",
     # range_clicks_before_error rotated out in r7 (late) for
     # sql_stats_minmax_orders: the r7 metadata-only aggregate path
@@ -130,6 +139,12 @@ PRIORITY = [
     # PII) and tf-idf stays locally oracle-swept.
     "convert_in_place_orders",
     "docs_token_stats",
+    # docs_pii_redaction rotated out in r9 for events_value_quantiles
+    # (exact group quantiles with the percentile_approx sketch as the
+    # stated 100 TB path — driver-invisible since r7). Text analysis
+    # keeps docs_token_stats / docs_lang_id / docs_rag_chunks; PII
+    # stays locally oracle-swept and inside docs_curation_pipeline.
+    "events_value_quantiles",
     # docs_quality_score rotated out in r7 for docs_rag_chunks (the r6
     # RAG chunking operator: pure-JVM sequence/explode/substr windowed
     # chunks with overlap). Text analysis keeps three driver reps
@@ -137,7 +152,6 @@ PRIORITY = [
     # inside docs_curation_pipeline; still locally swept.
     "docs_rag_chunks",
     "docs_lang_id",
-    "docs_pii_redaction",
     # docs_train_split rotated out in r7 (late) for docs_line_dedup:
     # the r7 corpus line-level dedup (CCNet boilerplate removal over
     # 64-bit line hashes). Curation stays driver-covered by
@@ -165,8 +179,12 @@ PRIORITY = [
     # swept.
     "embeddings_semantic_dedup",
     "docs_dedup_clusters",
-    "embeddings_neardup_lsh",
-    "ann_cosine_topk",
+    # ann_cosine_topk rotated out in r9 for events_ohlc_hourly (the
+    # one-exchange OHLC bars operator, plan-gated in test_plans.py —
+    # driver-invisible since r7). ANN stays driver-covered by
+    # ann_ivf_recall / ann_pq_recall, whose probe phases contain the
+    # brute-force scoring kernel; cosine_topk remains locally swept.
+    "events_ohlc_hourly",
     "ann_ivf_recall",
     "ann_pq_recall",
     "media_metadata",

@@ -245,3 +245,130 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink).orderBy("user_id", "signup_ts", "purchase_ts")
+
+
+SCD_STREAM_ORACLE = """
+WITH b1 AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents
+  FROM customer
+)
+SELECT * FROM (
+  -- deleted upstream: the T1 row soft-closed (history retained, 'D')
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal_cents,
+         'D' AS record_status,
+         TIMESTAMP '2026-01-01 00:00:00' AS effective_from,
+         TIMESTAMP '2026-01-02 00:00:00' AS effective_to,
+         TIMESTAMP '2026-01-01 00:00:00' AS dw_inserted_at,
+         TIMESTAMP '2026-01-02 00:00:00' AS dw_updated_at
+  FROM b1 WHERE c_custkey % 13 = 0
+  UNION ALL
+  -- SCD2 segment change: the superseded version, closed at T2
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal_cents,
+         'I', TIMESTAMP '2026-01-01 00:00:00',
+         TIMESTAMP '2026-01-02 00:00:00',
+         TIMESTAMP '2026-01-01 00:00:00', TIMESTAMP '2026-01-02 00:00:00'
+  FROM b1 WHERE c_custkey % 13 <> 0 AND c_custkey % 9 = 0
+  UNION ALL
+  -- SCD2 segment change: the new active version (carrying any
+  -- concurrent non-SCD balance bump)
+  SELECT c_custkey, c_name, c_nationkey, 'STREAMED',
+         c_acctbal_cents + CASE WHEN c_custkey % 11 = 0 THEN 777 ELSE 0 END,
+         'A', TIMESTAMP '2026-01-02 00:00:00', CAST(NULL AS TIMESTAMP),
+         TIMESTAMP '2026-01-02 00:00:00', TIMESTAMP '2026-01-02 00:00:00'
+  FROM b1 WHERE c_custkey % 13 <> 0 AND c_custkey % 9 = 0
+  UNION ALL
+  -- non-SCD balance change only: updated in place, version kept
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal_cents + 777,
+         'A', TIMESTAMP '2026-01-01 00:00:00', CAST(NULL AS TIMESTAMP),
+         TIMESTAMP '2026-01-01 00:00:00', TIMESTAMP '2026-01-02 00:00:00'
+  FROM b1 WHERE c_custkey % 13 <> 0 AND c_custkey % 9 <> 0
+           AND c_custkey % 11 = 0
+  UNION ALL
+  -- untouched
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal_cents,
+         'A', TIMESTAMP '2026-01-01 00:00:00', CAST(NULL AS TIMESTAMP),
+         TIMESTAMP '2026-01-01 00:00:00', TIMESTAMP '2026-01-01 00:00:00'
+  FROM b1 WHERE c_custkey % 13 <> 0 AND c_custkey % 9 <> 0
+           AND c_custkey % 11 <> 0
+) t
+ORDER BY c_custkey, effective_from
+"""
+
+
+@register("scd_stream_maintained_customers", SCD_STREAM_ORACLE)
+def scd_stream_maintained_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCD2 dimension maintained by a CHANGE-FEED STREAM (r7,
+    streaming/cdf.py::scd_maintain_stream): the upstream table mutates
+    across three DML commits — an SCD2 segment rewrite (history
+    version), a non-SCD balance bump (in-place update), and a DELETE
+    (soft-close, record_status 'D') — and a ChangeFeedStream folds the
+    net window through apply_scd / scd_soft_close. The oracle is the
+    closed-form final dimension, so a missed close-out, double
+    version, or wrong effective window hash-mismatches."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from ..scd import ScdConfig
+    from ..scd.engine import create_scd_target
+    from ..sources.managed_table import ManagedTable
+    from ..streaming.cdf import scd_maintain_stream
+
+    t1 = datetime(2026, 1, 1, 0, 0, 0)
+    t2 = datetime(2026, 1, 2, 0, 0, 0)
+    business = [
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        "c_acctbal_cents",
+    ]
+
+    def cfg(clock_value):
+        return ScdConfig(
+            pk_cols=["c_custkey"],
+            scd_cols=["c_mktsegment"],
+            select_cols=list(business),
+            clock=lambda: clock_value,
+        )
+
+    d = tempfile.mkdtemp(prefix="dlp_scd_stream_")
+    up = ManagedTable(spark, f"{d}/customer_up")
+    up.create(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100)
+            .cast("long")
+            .alias("c_acctbal_cents"),
+        )
+    )
+    dim = ManagedTable(spark, f"{d}/customer_dim")
+    create_scd_target(dim, up.read(), cfg(t1))
+    ckpt = f"{d}/ckpt"
+    scd_maintain_stream(up, dim, cfg(t1), ckpt)   # initial load at T1
+    up.update({"c_mktsegment": "'STREAMED'"}, "c_custkey % 9 = 0")
+    up.update(
+        {"c_acctbal_cents": "c_acctbal_cents + 777"}, "c_custkey % 11 = 0"
+    )
+    up.delete("c_custkey % 13 = 0")
+    scd_maintain_stream(up, dim, cfg(t2), ckpt)   # three-commit window
+    out = (
+        dim.read()
+        .select(
+            *business,
+            "record_status",
+            "effective_from",
+            "effective_to",
+            "dw_inserted_at",
+            "dw_updated_at",
+        )
+        .orderBy("c_custkey", "effective_from")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -71,7 +71,13 @@ def test_family_representation_in_first_50():
         "mv-streaming": "mv_stream_maintained_orders",
         "metadata-aggregates": "sql_stats_minmax_orders",
         "line-dedup": "docs_line_dedup",
-        "ann-bruteforce": "ann_cosine_topk",
+        # r9 rotation: streaming SCD2 maintenance, OHLC bars, and group
+        # quantiles join the driver-50 (VERDICT r8 #5). The brute-force
+        # ANN row rotated out — its scoring kernel runs inside the IVF/
+        # PQ probe phases, which keep driver rows.
+        "scd-streaming": "scd_stream_maintained_customers",
+        "ohlc": "events_ohlc_hourly",
+        "group-quantiles": "events_value_quantiles",
         "ann-ivf": "ann_ivf_recall",
         "ann-pq": "ann_pq_recall",
         "multimodal": "media_metadata",
