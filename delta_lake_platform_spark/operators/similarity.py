@@ -392,3 +392,126 @@ def ivf_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# --- persisted IVF index (build once, probe many) ----------------------------
+#
+# ivf_topk assigns the corpus per query run — right for a one-shot
+# search, wrong for a serving corpus probed repeatedly. The persisted
+# form materializes the assignment ONCE as a ManagedTable
+# hive-partitioned by centroid_id (exactly FAISS's inverted lists, as
+# table partitions), with the trained centroid matrix in a sidecar.
+# A probe then touches only the nprobe partition directories per query
+# via Spark's partition pruning: at 100 TB a probe is
+# ~nprobe/C of the index's I/O, and the (expensive, sampled) k-means
+# fit is paid at build time, never per query.
+
+def build_ivf_index(
+    corpus: DataFrame,
+    table,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_centroids: int = 16,
+    fit_centroids: bool = False,
+) -> None:
+    """Materialize the IVF index for ``corpus`` into ``table`` (a
+    ManagedTable): rows are ``(id_col, vec_col, centroid_id)``
+    partitioned by ``centroid_id``; the centroid matrix and config
+    land in the ``_ivf/index.json`` sidecar (derived data, like the
+    bloom-index sidecar — losing it means rebuild, never wrong
+    results)."""
+    import json
+    import os
+
+    cn = (
+        train_ivf_centroids(corpus, vec_col, n_centroids)
+        if fit_centroids
+        else _centroid_matrix(dim, n_centroids)
+    )
+    assigned = ivf_assign(
+        corpus.select(id_col, vec_col), vec_col, dim, n_centroids, centroids=cn
+    )
+    table.create(
+        assigned.repartition("centroid_id"), partition_by=["centroid_id"]
+    )
+    os.makedirs(os.path.join(table.path, "_ivf"), exist_ok=True)
+    with open(os.path.join(table.path, "_ivf", "index.json"), "w") as f:
+        json.dump(
+            {
+                "centroids": [[float(x) for x in row] for row in cn],
+                "dim": dim,
+                "n_centroids": n_centroids,
+                "vec_col": vec_col,
+                "id_col": id_col,
+                "built_at_version": table.latest_version(),
+            },
+            f,
+        )
+
+
+def ivf_probe_index(
+    queries: DataFrame,
+    table,
+    k: int = 5,
+    nprobe: int = 4,
+    q_id: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k against a PERSISTED IVF index: per-query probe
+    lists come from the sidecar centroids (no corpus pass, no fit);
+    the index table is read with a ``centroid_id IN (probed cells)``
+    filter, which Spark's PartitionFilters turn into directory-level
+    skipping — only the probed inverted lists are opened. The distinct
+    probe-cell collect is driver-bounded by n_centroids (index
+    metadata, not data)."""
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    with open(os.path.join(table.path, "_ivf", "index.json")) as f:
+        meta = json.load(f)
+    cn = np.asarray(meta["centroids"], dtype="float64")
+    vec_col, c_id = meta["vec_col"], meta["id_col"]
+    nprobe = min(nprobe, int(meta["n_centroids"]))
+
+    @pandas_udf("array<int>")
+    def probe_list(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m = np.stack(vecs.to_numpy()).astype("float64")
+        order = np.argsort(-(m @ cn.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    probes = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe_list(F.col(vec_col))).alias("centroid_id"),
+    ).localCheckpoint()  # probe set reused for the cell collect + join
+    cells = [
+        int(r.centroid_id)
+        for r in probes.select("centroid_id").distinct().collect()
+    ]
+    index_df = table.read().filter(F.col("centroid_id").isin(cells))
+    joined = F.broadcast(probes).join(index_df, on="centroid_id").select(
+        "query_id",
+        F.col(c_id).alias("neighbor_id"),
+        cosine_similarity(F.col("__qv"), F.col(vec_col)).alias("__cos"),
+    )
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__cos"), F.col("neighbor_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

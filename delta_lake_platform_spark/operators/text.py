@@ -371,3 +371,106 @@ def dedup_corpus_lines(
             ).alias("n_lines_kept"),
         )
     )
+
+
+def dedup_corpus_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Corpus-level DUPLICATE-SPAN removal at fixed k-token
+    granularity — the Spark-first form of suffix-array substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499): any k-token window
+    whose content appears in more than ``max_docs`` DISTINCT documents
+    marks every token position it covers for removal, so verbatim
+    spans repeated across pages (license blocks, quoted passages,
+    templated paragraphs) are cut out of every document while the
+    surrounding unique prose survives. Complements
+    ``dedup_corpus_lines`` (line granularity, needs exact line
+    boundaries) and document-level dedup (all-or-nothing).
+
+    Returns one row per input document — ``(id_col, text_spandeduped,
+    n_tokens_kept, n_tokens_removed)`` — with kept tokens rejoined by
+    single spaces in original order (all whitespace normalizes to one
+    space, both here and in the oracle).
+
+    Scale shape: one projection builds each document's window-hash
+    array as a pure JVM expression (transform over sequence + slice +
+    xxhash64 — zero extra scans); posexplode ships (hash, doc, start)
+    rows; ONE groupBy on the 64-bit hash finds cross-document
+    duplicates (8-byte shuffle keys, like dedup_corpus_lines); a
+    semi-join keeps duplicate occurrences; one groupBy(doc) collects
+    covered starts; a final join back to the docs rebuilds the text
+    with an index-aware filter. Cost is O(total tokens x 1) rows
+    through three narrow shuffles — no all-pairs stage, no
+    suffix-array global sort, so the 100 TB plan is the same plan.
+    Within-document repeats are NOT removed (the count is distinct
+    docs); 64-bit hashing can in principle collide (same tolerance as
+    dedup_corpus_lines — a collision only ever REMOVES a span).
+    """
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            # NULL text behaves as empty (the row still comes back).
+            F.split(
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+            ),
+            lambda t: t != "",
+        ).alias("__toks"),
+    )
+    n = F.size(F.col("__toks"))
+    # Window-hash array: hash of the k-token window starting at i
+    # (0-based), for i in [0, n-k]. Empty array when n < k.
+    windows = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.xxhash64(
+                F.array_join(F.slice(F.col("__toks"), i + 1, k), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    occ = base.select(
+        F.col(id_col),
+        F.posexplode(windows).alias("__start", "__h"),
+    )
+    hot = (
+        occ.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") > max_docs)
+        .select("__h")
+    )
+    covered = (
+        occ.join(hot, "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__start").alias("__starts"))
+    )
+    joined = base.join(covered, id_col, "left")
+    # Positions covered by any duplicate window: union of
+    # [start, start+k-1] ranges, as a distinct array.
+    removed = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("__starts", F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + (k - 1)),
+            )
+        )
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.array_contains(F.col("__removed"), i),
+    )
+    return (
+        joined.withColumn("__removed", removed)
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("text_spandeduped"),
+            F.size(kept).cast("long").alias("n_tokens_kept"),
+            (F.size("__toks") - F.size(kept))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

@@ -169,7 +169,13 @@ PRIORITY = [
     "optimize_binpack_orders",
     "docs_benchmark_contamination",
     "docs_curation_pipeline",
-    "docs_exact_dedup",
+    # docs_exact_dedup rotated out in r9 for docs_span_dedup (this
+    # round's new operator: fixed-k token-window duplicate-span
+    # removal, the Spark-first form of Lee et al. 2022 substring
+    # dedup). Exact dedup's fingerprint-canonicalization machinery
+    # stays driver-covered inside docs_curation_pipeline; still
+    # locally oracle-swept.
+    "docs_span_dedup",
     "docs_minhash_neardup",
     # docs_simhash_identical_pairs rotated out in r7 for
     # embeddings_semantic_dedup (the r6 SemDeDup operator: k-means
@@ -185,7 +191,14 @@ PRIORITY = [
     # ann_ivf_recall / ann_pq_recall, whose probe phases contain the
     # brute-force scoring kernel; cosine_topk remains locally swept.
     "events_ohlc_hourly",
-    "ann_ivf_recall",
+    # ann_ivf_recall rotated out in r9 for ann_ivf_persisted (the r9
+    # build-once/probe-many IVF index: centroid-partitioned
+    # ManagedTable + sidecar centroids, partition-pruned probes). The
+    # persisted row exercises the same assignment/probe/scoring
+    # machinery with the same provable planted-copy oracle; the
+    # recall-vs-brute-force kernel stays driver-covered by
+    # ann_pq_recall, and ivf_recall remains locally oracle-swept.
+    "ann_ivf_persisted",
     "ann_pq_recall",
     "media_metadata",
 ]

@@ -800,3 +800,104 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text_deduped")).alias("text_md5"),
         "n_lines_kept",
     ).orderBy("doc_id")
+
+
+SPAN_DEDUP_ORACLE = """
+WITH tok_arr AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(trim(coalesce(text, '')), '\\s+'),
+           x -> x <> ''
+         ) AS toks
+  FROM documents
+),
+win0 AS (
+  SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS s, toks
+  FROM tok_arr WHERE len(toks) >= 8
+),
+win AS (
+  SELECT doc_id, s, array_to_string(toks[s+1 : s+8], ' ') AS w FROM win0
+),
+hot AS (
+  SELECT w FROM win GROUP BY w HAVING COUNT(DISTINCT doc_id) > 1
+),
+cov AS (
+  SELECT DISTINCT win.doc_id, u.p
+  FROM win JOIN hot USING (w),
+       LATERAL UNNEST(generate_series(win.s, win.s + 7)) AS u(p)
+),
+toks_pos AS (
+  SELECT doc_id, toks[t.ord] AS tok, t.ord - 1 AS pos
+  FROM tok_arr, LATERAL UNNEST(range(1, len(toks) + 1)) AS t(ord)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM toks_pos tp
+  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.p
+  WHERE cov.p IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS t2,
+         COUNT(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+),
+nn AS (SELECT doc_id, len(toks)::BIGINT AS n_toks FROM tok_arr)
+SELECT nn.doc_id,
+       md5(COALESCE(agg.t2, '')) AS text_md5,
+       COALESCE(agg.n_kept, 0)::BIGINT AS n_tokens_kept,
+       (nn.n_toks - COALESCE(agg.n_kept, 0))::BIGINT AS n_tokens_removed
+FROM nn LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("docs_span_dedup", SPAN_DEDUP_ORACLE)
+def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplicate-SPAN removal (r9,
+    text.py::dedup_corpus_spans — the fixed-k token-window form of
+    Lee et al. 2022 substring dedup): any 8-token window appearing in
+    more than one document marks the positions it covers for removal
+    in every document; unique prose around the span survives. The
+    synthetic corpus repeats ~1k cross-document 8-gram windows
+    naturally, so the query removes real spans. The oracle recomputes
+    the rule on window TEXT while the Spark side shuffles 8-byte
+    xxhash64 window keys — a hash-policy divergence, off-by-one in
+    the covered range, or a dropped short/empty document mismatches."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.dedup_corpus_spans(docs, k=8, max_docs=1)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_spandeduped")).alias("text_md5"),
+        "n_tokens_kept",
+        "n_tokens_removed",
+    ).orderBy("doc_id")
+
+
+@register("ann_ivf_persisted", _ANN_TOPK_ORACLE)
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index PERSISTED as a centroid-partitioned ManagedTable and
+    then probed (r9, similarity.py::build_ivf_index/ivf_probe_index)
+    — the serving shape: the assignment pass and any fit are paid at
+    build time, a probe opens only the nprobe partition directories
+    (plan-gated in tests/test_ivf_persisted.py). Planted exact copies
+    make the full (query_id, neighbor_id, rank) result a provable
+    constant, same as ann_ivf_topk: an exact copy assigns to the
+    query's own argmax centroid, the first probe."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.managed_table import ManagedTable
+
+    queries, corpus = _planted_ann_corpus(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dlp_ivf_idx_")
+    idx = ManagedTable(spark, os.path.join(d, "idx"))
+    similarity.build_ivf_index(corpus, idx)
+    out = (
+        similarity.ivf_probe_index(queries, idx, k=5, nprobe=4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

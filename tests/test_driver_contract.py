@@ -57,7 +57,10 @@ def test_family_representation_in_first_50():
         "curation": "docs_curation_pipeline",
         "optimize-binpack": "optimize_binpack_orders",
         "contamination": "docs_benchmark_contamination",
-        "dedup-exact": "docs_exact_dedup",
+        # r9: span-level dedup (Lee et al. window form) replaces the
+        # exact-dedup row, whose canonicalization machinery runs
+        # inside docs_curation_pipeline's driver row.
+        "dedup-spans": "docs_span_dedup",
         "dedup-minhash": "docs_minhash_neardup",
         "dedup-clusters": "docs_dedup_clusters",
         # r7: the three round-6 headline operators join the driver-50
@@ -78,7 +81,7 @@ def test_family_representation_in_first_50():
         "scd-streaming": "scd_stream_maintained_customers",
         "ohlc": "events_ohlc_hourly",
         "group-quantiles": "events_value_quantiles",
-        "ann-ivf": "ann_ivf_recall",
+        "ann-ivf": "ann_ivf_persisted",
         "ann-pq": "ann_pq_recall",
         "multimodal": "media_metadata",
     }
