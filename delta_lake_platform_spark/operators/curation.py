@@ -201,3 +201,72 @@ def domain_mixture(
         .select(*out_cols, F.posexplode(F.array_repeat(F.lit(1), F.col("__rep"))))
         .select(*out_cols, (F.col("pos") + 1).cast("long").alias("copy_idx"))
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR — Xie et al.
+    2023, arXiv:2302.03169), the bag-of-words form: score every raw
+    document by how much more likely it is under a TARGET unigram LM
+    (trained on the rows where ``target_pred`` holds) than under the
+    RAW unigram LM (trained on the whole corpus):
+
+        log w(x) = sum_{tok in x} [ ln p_target(tok) - ln p_raw(tok) ]
+
+    Selecting the top rows by weight (or Gumbel-resampling on it)
+    yields raw data distributed like the target — the standard recipe
+    for steering a crawl toward a high-quality or in-domain seed set.
+
+    Both LMs share the RAW vocabulary with add-``smoothing`` Laplace
+    mass, so target-unseen tokens contribute a finite negative ratio
+    instead of -inf. Output: one row per input document —
+    ``(id_col, n_tokens, log_weight, avg_log_ratio)`` (sum and
+    length-normalized mean, both rounded to 6dp for cross-engine
+    reproducibility).
+
+    Scale shape: one token explode feeds BOTH count passes (shuffles
+    8-byte-ish token keys with map-side combine); the two vocab maps
+    broadcast back onto the token stream (at 100 TB: truncate to top-K
+    + OOV bucket, dataflow unchanged); scalars (totals, vocab size)
+    ride a broadcast single-row frame — zero driver round-trips, no
+    stage quadratic in anything."""
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("__is_target"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("__tok"),
+    )
+    vocab = toks.groupBy("__tok").agg(
+        F.count("*").alias("__cnt_raw"),
+        F.sum(F.col("__is_target").cast("long")).alias("__cnt_tgt"),
+    )
+    scalars = vocab.agg(
+        F.sum("__cnt_raw").cast("double").alias("__tot_raw"),
+        F.sum("__cnt_tgt").cast("double").alias("__tot_tgt"),
+        F.count("*").cast("double").alias("__v"),
+    )
+    s = F.lit(float(smoothing))
+    log_ratio = F.log(
+        (F.col("__cnt_tgt") + s) / (F.col("__tot_tgt") + s * F.col("__v"))
+    ) - F.log(
+        (F.col("__cnt_raw") + s) / (F.col("__tot_raw") + s * F.col("__v"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), on="__tok")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(log_ratio), 6).alias("log_weight"),
+            F.round(F.avg(log_ratio), 6).alias("avg_log_ratio"),
+        )
+    )

@@ -295,3 +295,131 @@ def docs_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.bpe_pair_counts(docs, top_k=20)
+
+
+DSIR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> len(x) > 0)) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, COUNT(*) AS cnt_raw,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS cnt_tgt
+  FROM toks GROUP BY tok
+),
+sc AS (
+  SELECT CAST(SUM(cnt_raw) AS DOUBLE) AS tot_raw,
+         CAST(SUM(cnt_tgt) AS DOUBLE) AS tot_tgt,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM vocab
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       ROUND(SUM(ln((cnt_tgt + 1.0) / (tot_tgt + v))
+               - ln((cnt_raw + 1.0) / (tot_raw + v))), 6) AS log_weight,
+       ROUND(AVG(ln((cnt_tgt + 1.0) / (tot_tgt + v))
+               - ln((cnt_raw + 1.0) / (tot_raw + v))), 6) AS avg_log_ratio
+FROM toks JOIN vocab USING (tok), sc
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("docs_dsir_weights", DSIR_ORACLE)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (r9, curation.py::dsir_log_weights —
+    Xie et al. 2023, arXiv:2302.03169): every document scored by
+    ln p_target / p_raw under shared-vocab Laplace-smoothed unigram
+    LMs, target = the English slice. Top-weight selection steers the
+    raw corpus toward the target distribution; the oracle recomputes
+    both LMs and both the summed and length-normalized ratios."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    return curation.dsir_log_weights(
+        docs, F.col("lang") == "en"
+    ).orderBy("doc_id")
+
+
+PPL_BUCKET_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+lp AS (
+  SELECT doc_id, ROUND(AVG(ln(cnt / total)), 6) AS avg_logprob
+  FROM toks JOIN vocab USING (tok), tot
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.doc_id, d.lang, lp.avg_logprob,
+         NTILE(3) OVER (PARTITION BY d.lang
+                        ORDER BY lp.avg_logprob DESC, d.doc_id) AS b
+  FROM documents d JOIN lp USING (doc_id)
+)
+SELECT doc_id, lang, avg_logprob,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+@register("docs_perplexity_buckets", PPL_BUCKET_ORACLE)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): documents split per language into head/middle/
+    tail thirds by LM score — the standard crawl-quality
+    stratification (head = most fluent, tail = candidate discard).
+    The LM is the corpus unigram model (docs_unigram_logprob's
+    machinery); the tertile is an NTILE window per language over the
+    ROUNDED score with doc_id as the deterministic tiebreak, so the
+    bucketing is reproducible across engines."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    lp = (
+        toks.join(F.broadcast(vocab), on="tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "avg_logprob"
+            )
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(lp, "doc_id")
+        .withColumn("__b", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.when(F.col("__b") == 1, "head")
+            .when(F.col("__b") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

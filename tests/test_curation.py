@@ -114,3 +114,45 @@ def test_chunk_documents_boundaries_and_plan(spark):
 
     with _pytest.raises(ValueError, match="overlap must be smaller"):
         chunk_documents(df, chunk_size=4, overlap=4)
+
+
+# --- DSIR importance weights ---------------------------------------------------
+
+def test_dsir_log_weights_rank_target_like_docs_higher(spark):
+    """Documents made of target-heavy tokens must out-weigh raw-heavy
+    ones; a doc mixing both lands in between; every input row returns."""
+    rows = [
+        (1, "alpha alpha beta", True),     # target rows define p_target
+        (2, "alpha beta beta", True),
+        (3, "gamma gamma delta", False),   # raw-only tokens
+        (4, "alpha gamma", False),         # mixed
+        (5, "alpha alpha alpha", False),   # raw doc that LOOKS target-like
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r.doc_id: (r.n_tokens, r.log_weight, r.avg_log_ratio)
+        for r in curation.dsir_log_weights(df, F.col("tgt")).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # gamma/delta never occur in the target: strongly negative.
+    assert out[3][1] < out[4][1] < out[5][1]
+    # Target rows themselves weigh positive (their tokens are
+    # target-favored); beta is the most target-favored token.
+    assert out[1][1] > 0 and out[2][1] > 0
+    # avg is sum / n_tokens (up to rounding).
+    n, s, a = out[4]
+    assert abs(s / n - a) < 1e-5
+
+
+def test_dsir_weights_are_finite_under_smoothing(spark):
+    """Shared-vocab Laplace smoothing: tokens absent from the target
+    produce finite ratios, never NULL/inf."""
+    df = spark.createDataFrame(
+        [(1, "only target words", True), (2, "completely disjoint raw", False)],
+        "doc_id long, text string, tgt boolean",
+    )
+    rows = curation.dsir_log_weights(df, F.col("tgt")).collect()
+    import math
+
+    for r in rows:
+        assert r.log_weight is not None and math.isfinite(r.log_weight)

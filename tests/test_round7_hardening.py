@@ -863,6 +863,13 @@ try:
         st.tuples(st.just("delete_mor"), st.integers(0, 15)),
         st.tuples(st.just("update"), st.integers(0, 15)),
         st.tuples(st.just("optimize"), st.just(0)),
+        # r9: RESTORE (metadata-only snapshot re-reference) and MERGE
+        # upsert join the mix — restore x DV x compaction and
+        # merge-after-restore interactions are otherwise untested.
+        st.tuples(st.just("restore"), st.integers(0, 15)),
+        st.tuples(st.just("merge"), st.lists(
+            st.tuples(st.integers(0, 15), st.integers(0, 15)),
+            min_size=1, max_size=3, unique_by=lambda p: p[0])),
     )
 
     @given(ops=st.lists(_OP, min_size=1, max_size=6))
@@ -884,15 +891,21 @@ try:
     )
     def test_random_dml_sequence_matches_model(spark, ops):
         """Whatever interleaving of appends (with NULLs), COW/MoR/
-        metadata deletes (= and IN), updates, and OPTIMIZE runs, the
-        table must equal a plain Python model of the same operations —
-        the cross-feature interaction net (DV x fast-append x
-        metadata-delete x NULL stats x compaction) that single-feature
-        tests cannot span."""
+        metadata deletes (= and IN), updates, MERGE upserts, RESTORE,
+        and OPTIMIZE runs, the table must equal a plain Python model
+        of the same operations — the cross-feature interaction net
+        (DV x fast-append x metadata-delete x NULL stats x compaction
+        x restore x merge) that single-feature tests cannot span."""
+        from delta_lake_platform_spark.sources.managed_table import (
+            MergeClauses,
+        )
+
         d = tempfile.mkdtemp(prefix="r7_model_")
         t = ManagedTable(spark, os.path.join(d, "t"))
         t.create(spark.range(0).selectExpr("id", "id AS v"))
         model: list[tuple[int, int | None]] = []
+        # Model snapshot per committed version, for RESTORE.
+        snaps: dict[int, list] = {t.latest_version(): list(model)}
         serial = 0
         for kind, arg in ops:
             if kind == "append":
@@ -920,6 +933,40 @@ try:
                 ]
             elif kind == "optimize":
                 t.compact(target_partitions=2)
+            elif kind == "restore":
+                versions = sorted(snaps)
+                target = versions[arg % len(versions)]
+                t.restore(target)
+                model = list(snaps[target])
+            elif kind == "merge":
+                # Upsert by id: ids 0..15 overlap appended ids only
+                # when an append happened before any serial bump — the
+                # interesting case is mostly inserts plus occasional
+                # updates of earlier merge-inserted rows.
+                src = spark.createDataFrame(arg, "id long, v long")
+                t.merge(
+                    src,
+                    MergeClauses(
+                        condition="target.id = updates.id",
+                        matched_update={"v": "updates.v"},
+                        not_matched_insert={
+                            "id": "updates.id", "v": "updates.v",
+                        },
+                    ),
+                )
+                by_id = dict(arg)
+                present = {i for i, _ in model}
+                # EVERY matching target row updates (one source row may
+                # hit several targets — e.g. a merge-inserted id later
+                # re-appended); only wholly-absent ids insert.
+                model = [
+                    (i, by_id[i]) if i in by_id else (i, v)
+                    for i, v in model
+                ]
+                model += sorted(
+                    (i, v) for i, v in by_id.items() if i not in present
+                )
+            snaps[t.latest_version()] = list(model)
         got = sorted(
             ((r.id, r.v) for r in t.read().collect()),
             key=lambda p: (p[0], p[1] is None, p[1]),
