@@ -314,12 +314,33 @@ class MaterializedAggView:
                 f"the view's recorded baseVersion is {last}: commits "
                 f"{last + 1}..{from_version} would be skipped"
             )
+        straddle = from_version is not None and from_version < last
+        if straddle and "_commit_version" in feed.columns:
+            # The trim below is only sound for PER-COMMIT rows. A NET
+            # batch stamps every row with the window-end version, so
+            # its rows LOOK post-base while still carrying pre-base
+            # contributions — trimming would keep them all and
+            # double-apply. A genuine per-commit feed over a straddling
+            # window has rows at or below the base (its earliest
+            # commits); a constant post-base stamp is the net shape.
+            # The extra aggregate job runs only on straddles (crash /
+            # foreign checkpoint), never on the aligned hot path.
+            lo = feed.agg(F.min("_commit_version")).first()[0]
+            if lo is not None and lo > last:
+                raise ValueError(
+                    f"change batch covers ({from_version}, {to_version}] "
+                    f"— straddling the view's recorded baseVersion {last} "
+                    "— but every row is stamped after the base (a NET "
+                    "batch, not per-commit rows), so the already-folded "
+                    "contributions cannot be trimmed; re-read the feed "
+                    "per-commit or align the window"
+                )
         if "_commit_version" in feed.columns:
             # Per-commit rows at or below the recorded base are already
             # folded into the state — trimming them is what makes a
             # straddling window safe (and is a no-op for aligned ones).
             feed = feed.filter(F.col("_commit_version") > F.lit(last))
-        elif from_version is not None and from_version < last:
+        elif straddle:
             raise ValueError(
                 f"change batch covers ({from_version}, {to_version}] — "
                 f"straddling the view's recorded baseVersion {last} — "

@@ -930,3 +930,18 @@ def test_refresh_from_changes_replay_still_skipped(small_base_and_view):
     feed = base.table_changes_per_commit(1, 2)
     mv.refresh_from_changes(feed, 2, from_version=0)
     assert mv.state.latest_version() == v_before
+
+
+def test_refresh_from_changes_net_straddle_rejected(small_base_and_view):
+    """A NET batch (constant window-end _commit_version stamp) whose
+    window straddles the base cannot be trimmed row-wise — it must be
+    rejected, not silently double-applied."""
+    base, mv = small_base_and_view
+    mv.state._commit(
+        mv._aggregate(base.read(1)), "MV_CREATE", {"baseVersion": 1})
+    from pyspark.sql import functions as F
+
+    net = base.change_feed(0, 2).withColumn(
+        "_commit_version", F.lit(2).cast("long"))
+    with pytest.raises(ValueError, match="NET batch"):
+        mv.refresh_from_changes(net, 2, from_version=0)
