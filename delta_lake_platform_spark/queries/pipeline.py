@@ -901,3 +901,104 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+CURATION_V2_ORACLE = """
+WITH tok_arr AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(trim(coalesce(text, '')), '\\s+'),
+           x -> x <> ''
+         ) AS toks
+  FROM documents
+),
+win0 AS (
+  SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS s, toks
+  FROM tok_arr WHERE len(toks) >= 8
+),
+win AS (
+  SELECT doc_id, s, array_to_string(toks[s+1 : s+8], ' ') AS w FROM win0
+),
+hot AS (
+  SELECT w FROM win GROUP BY w HAVING COUNT(DISTINCT doc_id) > 1
+),
+cov AS (
+  SELECT DISTINCT win.doc_id, u.p
+  FROM win JOIN hot USING (w),
+       LATERAL UNNEST(generate_series(win.s, win.s + 7)) AS u(p)
+),
+kept AS (
+  SELECT tp.doc_id, lower(tp.tok) AS tok
+  FROM (
+    SELECT doc_id, toks[t.ord] AS tok, t.ord - 1 AS pos
+    FROM tok_arr, LATERAL UNNEST(range(1, len(toks) + 1)) AS t(ord)
+  ) tp
+  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.p
+  WHERE cov.p IS NULL
+),
+tgt AS (SELECT doc_id, (lang = 'en') AS is_target FROM documents),
+toks2 AS (SELECT kept.doc_id, tok, is_target FROM kept JOIN tgt USING (doc_id)),
+vocab AS (
+  SELECT tok, COUNT(*) AS cnt_raw,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS cnt_tgt
+  FROM toks2 GROUP BY tok
+),
+sc AS (
+  SELECT CAST(SUM(cnt_raw) AS DOUBLE) AS tot_raw,
+         CAST(SUM(cnt_tgt) AS DOUBLE) AS tot_tgt,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM vocab
+),
+weights AS (
+  SELECT doc_id,
+         COUNT(*)::BIGINT AS n_tokens_kept,
+         ROUND(SUM(ln((cnt_tgt + 1.0) / (tot_tgt + v))
+                 - ln((cnt_raw + 1.0) / (tot_raw + v))), 6) AS log_weight
+  FROM toks2 JOIN vocab USING (tok), sc
+  GROUP BY doc_id
+)
+SELECT w.doc_id, d.lang, w.n_tokens_kept, w.log_weight
+FROM weights w JOIN documents d USING (doc_id)
+WHERE w.log_weight > 0 AND w.n_tokens_kept >= 20
+ORDER BY w.doc_id
+"""
+
+
+@register("docs_curation_pipeline_v2", CURATION_V2_ORACLE)
+def docs_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9 curation composition: duplicate-SPAN removal feeds DSIR
+    target-likeness scoring computed ON THE DEDUPED TEXT (boilerplate
+    spans no longer vote in either LM), then a top-of-distribution
+    gate (log_weight > 0, length floor). The oracle replays the whole
+    chain — span windows on raw case, LM tokens lowercased — so a
+    divergence anywhere in the composition (not just in each operator
+    alone) mismatches."""
+    from ..operators import curation
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    # Checkpoint the deduped corpus: DSIR's token explode, its vocab
+    # aggregate, and the final join would otherwise each recompute the
+    # whole span-dedup subtree (~3x). At 100 TB this materialization
+    # IS the pipeline shape — the deduped corpus lands in a table
+    # between stages.
+    ded = text.dedup_corpus_spans(docs, k=8, max_docs=1).localCheckpoint(
+        eager=False
+    )
+    scored = curation.dsir_log_weights(
+        ded.join(docs.select("doc_id", "lang"), "doc_id"),
+        F.col("lang") == "en",
+        text_col="text_spandeduped",
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .filter((F.col("log_weight") > 0) & (F.col("n_tokens") >= 20))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").alias("n_tokens_kept"),
+            "log_weight",
+        )
+        .orderBy("doc_id")
+    )
