@@ -260,7 +260,7 @@ def dsir_log_weights(
     ) - F.log(
         (F.col("__cnt_raw") + s) / (F.col("__tot_raw") + s * F.col("__v"))
     )
-    return (
+    agg = (
         toks.join(F.broadcast(vocab), on="__tok")
         .crossJoin(F.broadcast(scalars))
         .groupBy(id_col)
@@ -268,5 +268,19 @@ def dsir_log_weights(
             F.count("*").alias("n_tokens"),
             F.round(F.sum(log_ratio), 6).alias("log_weight"),
             F.round(F.avg(log_ratio), 6).alias("avg_log_ratio"),
+        )
+    )
+    # One row per input document includes NULL/empty/whitespace-only
+    # text: the token explode drops such rows, so restore them with an
+    # empty-sum weight of 0.0 (avg over zero tokens stays NULL) — the
+    # same contract-preserving join-back as dedup_corpus_lines/spans.
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+            F.col("avg_log_ratio"),
         )
     )

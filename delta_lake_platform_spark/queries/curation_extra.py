@@ -173,6 +173,36 @@ def docs_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.domain_mixture(docs, weight).orderBy("doc_id", "copy_idx")
 
 
+def _unigram_avg_logprob(docs: DataFrame) -> DataFrame:
+    """Shared unigram-LM scorer: per-doc ``(doc_id, n_tokens,
+    avg_logprob)`` under the corpus-trained unigram model — the single
+    source of truth for docs_unigram_logprob and
+    docs_perplexity_buckets (tokenization: lower + single-space split,
+    matching both oracles). At 100 TB the vocab would be truncated to
+    top-K + an OOV bucket; the dataflow is unchanged."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) > 0
+            )
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        toks.join(F.broadcast(vocab), on="tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 UNIGRAM_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
@@ -201,28 +231,7 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar. At 100 TB the vocab would be truncated to top-K + an OOV
     bucket; the dataflow is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) > 0
-            )
-        ).alias("tok"),
-    )
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
-    return (
-        toks.join(F.broadcast(vocab), on="tok")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
-                "avg_logprob"
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    return _unigram_avg_logprob(docs).orderBy("doc_id")
 
 
 LENGTH_HIST_ORACLE = """
@@ -315,15 +324,22 @@ sc AS (
          CAST(COUNT(*) AS DOUBLE) AS v
   FROM vocab
 )
-SELECT doc_id,
-       COUNT(*)::BIGINT AS n_tokens,
-       ROUND(SUM(ln((cnt_tgt + 1.0) / (tot_tgt + v))
-               - ln((cnt_raw + 1.0) / (tot_raw + v))), 6) AS log_weight,
-       ROUND(AVG(ln((cnt_tgt + 1.0) / (tot_tgt + v))
-               - ln((cnt_raw + 1.0) / (tot_raw + v))), 6) AS avg_log_ratio
-FROM toks JOIN vocab USING (tok), sc
-GROUP BY doc_id
-ORDER BY doc_id
+, agg AS (
+  SELECT doc_id,
+         COUNT(*)::BIGINT AS n_tokens,
+         ROUND(SUM(ln((cnt_tgt + 1.0) / (tot_tgt + v))
+                 - ln((cnt_raw + 1.0) / (tot_raw + v))), 6) AS log_weight,
+         ROUND(AVG(ln((cnt_tgt + 1.0) / (tot_tgt + v))
+                 - ln((cnt_raw + 1.0) / (tot_raw + v))), 6) AS avg_log_ratio
+  FROM toks JOIN vocab USING (tok), sc
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(agg.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(agg.log_weight, 0.0) AS log_weight,
+       agg.avg_log_ratio
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY d.doc_id
 """
 
 
@@ -384,27 +400,7 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), " "),
-                lambda x: F.length(x) > 0,
-            )
-        ).alias("tok"),
-    )
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
-    lp = (
-        toks.join(F.broadcast(vocab), on="tok")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
-                "avg_logprob"
-            )
-        )
-    )
+    lp = _unigram_avg_logprob(docs).select("doc_id", "avg_logprob")
     w = Window.partitionBy("lang").orderBy(
         F.desc("avg_logprob"), F.asc("doc_id")
     )

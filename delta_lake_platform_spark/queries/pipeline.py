@@ -763,12 +763,18 @@ kept AS (
   FROM lines l LEFT JOIN hot h ON trim(l.line) = h.norm
   WHERE h.norm IS NULL
 )
-SELECT doc_id,
-       md5(string_agg(line, chr(10) ORDER BY ord)) AS text_md5,
-       COUNT(*)::BIGINT AS n_lines_kept
-FROM kept
-GROUP BY doc_id
-ORDER BY doc_id
+, agg AS (
+  SELECT doc_id,
+         md5(string_agg(line, chr(10) ORDER BY ord)) AS text_md5,
+         COUNT(*)::BIGINT AS n_lines_kept
+  FROM kept
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(agg.text_md5, md5('')) AS text_md5,
+       COALESCE(agg.n_lines_kept, 0)::BIGINT AS n_lines_kept
+FROM built b LEFT JOIN agg ON b.doc_id = agg.doc_id
+ORDER BY b.doc_id
 """
 
 

@@ -221,6 +221,21 @@ class MaterializedAggView:
     def _base_version(self) -> int:
         return self.state.history(1)[0]["operationMetrics"]["baseVersion"]
 
+    def _window_may_change_rows(self, lo: int, hi: int) -> bool:
+        """True when any base commit in [lo, hi] could have changed
+        the table's logical rows. Log-only (no data read); an expired
+        or unreadable entry counts as a possible change — the
+        conservative answer for the straddle guard above."""
+        nochange = type(self.base)._CDC_NOCHANGE_OPS
+        for v in range(lo, hi + 1):
+            try:
+                entry = self.base._entry(v)
+            except Exception:
+                return True
+            if entry is None or entry.get("operation") not in nochange:
+                return True
+        return False
+
     def _recompute_dirty(
         self, cur: int, dirty_keys: DataFrame, n_dirty: int
     ) -> DataFrame:
@@ -320,21 +335,29 @@ class MaterializedAggView:
             # batch stamps every row with the window-end version, so
             # its rows LOOK post-base while still carrying pre-base
             # contributions — trimming would keep them all and
-            # double-apply. A genuine per-commit feed over a straddling
-            # window has rows at or below the base (its earliest
-            # commits); a constant post-base stamp is the net shape.
-            # The extra aggregate job runs only on straddles (crash /
-            # foreign checkpoint), never on the aligned hot path.
-            lo = feed.agg(F.min("_commit_version")).first()[0]
-            if lo is not None and lo > last:
-                raise ValueError(
-                    f"change batch covers ({from_version}, {to_version}] "
-                    f"— straddling the view's recorded baseVersion {last} "
-                    "— but every row is stamped after the base (a NET "
-                    "batch, not per-commit rows), so the already-folded "
-                    "contributions cannot be trimmed; re-read the feed "
-                    "per-commit or align the window"
-                )
+            # double-apply. Distinguish by the LOG, not the rows: when
+            # some pre-base commit in the window could change data, a
+            # per-commit feed must carry rows at or below the base (a
+            # data-change commit emits its rows) while a net feed's
+            # rows are all stamped at the window end. When EVERY
+            # pre-base commit is a no-change op (OPTIMIZE, schema-only,
+            # ...), zero pre-base rows is expected — and a net batch
+            # over the window equals the net of the post-base commits,
+            # so folding is safe for both shapes. The log read and the
+            # aggregate job run only on straddles (crash / foreign
+            # checkpoint), never on the aligned hot path.
+            if self._window_may_change_rows(from_version + 1, last):
+                lo = feed.agg(F.min("_commit_version")).first()[0]
+                if lo is not None and lo > last:
+                    raise ValueError(
+                        f"change batch covers ({from_version}, "
+                        f"{to_version}] — straddling the view's recorded "
+                        f"baseVersion {last} — but every row is stamped "
+                        "after the base (a NET batch, not per-commit "
+                        "rows), so the already-folded contributions "
+                        "cannot be trimmed; re-read the feed per-commit "
+                        "or align the window"
+                    )
         if "_commit_version" in feed.columns:
             # Per-commit rows at or below the recorded base are already
             # folded into the state — trimming them is what makes a

@@ -156,3 +156,22 @@ def test_dsir_weights_are_finite_under_smoothing(spark):
 
     for r in rows:
         assert r.log_weight is not None and math.isfinite(r.log_weight)
+
+
+def test_dsir_returns_one_row_per_doc_including_empty(spark):
+    """NULL/empty/whitespace-only text must still return a row —
+    weight 0.0 over zero tokens, avg NULL — never disappear from a
+    downstream doc_id join."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "", False), (3, None, False),
+         (4, "   ", False)],
+        "doc_id long, text string, tgt boolean",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.log_weight, r.avg_log_ratio)
+        for r in curation.dsir_log_weights(df, F.col("tgt")).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    for empty_id in (2, 3, 4):
+        assert out[empty_id] == (0, 0.0, None), out[empty_id]
+    assert out[1][0] == 2

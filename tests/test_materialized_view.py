@@ -945,3 +945,31 @@ def test_refresh_from_changes_net_straddle_rejected(small_base_and_view):
         "_commit_version", F.lit(2).cast("long"))
     with pytest.raises(ValueError, match="NET batch"):
         mv.refresh_from_changes(net, 2, from_version=0)
+
+
+def test_refresh_from_changes_straddle_over_nochange_commits_folds(spark):
+    """A per-commit straddling feed whose pre-base window holds ONLY
+    no-change commits (OPTIMIZE) legitimately has zero rows at or
+    below the base — the guard must consult the log and fold, not
+    misread the silence as a NET batch and wedge the stream."""
+    d = tempfile.mkdtemp(prefix="dlp_mv_nochange_")
+    base = ManagedTable(spark, f"{d}/base")
+    base.create(spark.createDataFrame(
+        [("a", 10), ("b", 20)], "g string, x long"))                 # v0
+    base.append(spark.createDataFrame([("a", 5)], "g string, x long"))  # v1
+    base.compact(target_partitions=1)                                 # v2 OPTIMIZE
+    mv = MaterializedAggView(
+        base, f"{d}/mv", group_cols=["g"], sum_cols=["x"])
+    mv.state._commit(
+        mv._aggregate(base.read(2)), "MV_CREATE", {"baseVersion": 2})
+    base.append(spark.createDataFrame([("b", 7)], "g string, x long"))  # v3
+    # Stale checkpoint: per-commit window (1, 3] — commits 2 (OPTIMIZE,
+    # zero rows) and 3 (append). min(_commit_version)=3 > base=2, but
+    # the pre-base window [2, 2] is provably no-change.
+    feed = base.table_changes_per_commit(2, 3)
+    mv.refresh_from_changes(feed, 3, from_version=1)
+    assert mv._base_version() == 3
+    got = {(r.g, r.sum_x) for r in mv.read().select("g", "sum_x").collect()}
+    want = {(r.g, r.sum_x)
+            for r in mv._aggregate(base.read(3)).select("g", "sum_x").collect()}
+    assert got == want, (got, want)
