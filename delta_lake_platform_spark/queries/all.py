@@ -95,7 +95,14 @@ PRIORITY = [
     # appends, footer-stats high-water mark). Still locally swept.
     "sql_identity_accounts",
     "sql_dml_pipeline",
-    "mv_incremental_orders_by_status",
+    # mv_incremental_orders_by_status rotated out in r9 for
+    # mv_approx_distinct_orders (the r9 HLL-sketch MV: stored-sketch
+    # APPROX COUNT DISTINCT maintenance, monotone insert folds +
+    # dirty-group recompute on deletes/updates, lg_k=20 exact-regime
+    # oracle). The plain-sum refresh() machinery it verified runs
+    # inside the new row and mv_nullkey_orders_by_priority; still
+    # locally oracle-swept.
+    "mv_approx_distinct_orders",
     # events_hourly_by_type rotated out in r4 (computation driver-
     # verified through its streamed twin events_hourly_streamed).
     # mv_minmax_orders_by_status rotated out in r5 for its strict

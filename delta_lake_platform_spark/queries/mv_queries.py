@@ -362,3 +362,73 @@ def mv_stream_maintained_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+MV_HLL_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
+),
+after AS (
+  SELECT o_orderkey, o_orderstatus,
+         o_custkey + CASE WHEN o_orderkey % 11 = 0 THEN 3000 ELSE 0 END
+           AS o_custkey
+  FROM b WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_custkey + 100000
+  FROM b WHERE o_orderkey % 13 = 0
+)
+SELECT o_orderstatus,
+  COUNT(*)::BIGINT AS n_rows,
+  COUNT(DISTINCT o_custkey)::BIGINT AS approx_distinct_custkey
+FROM after
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("mv_approx_distinct_orders", MV_HLL_ORACLE)
+def mv_approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained APPROX COUNT DISTINCT (r9,
+    materialized_view.py approx_distinct_cols): per-status distinct
+    customer counts kept as stored HLL sketches. The base mutates
+    through a key-shifting UPDATE (old values must leave the count, a
+    sketch cannot subtract -> dirty-group recompute), a MOR DELETE,
+    and an APPEND of new customers (folds monotonically through
+    sketch union). lg_k=20 keeps DataSketches in its exact regime at
+    these cardinalities, so the estimate is hash-oracled against the
+    EXACT COUNT(DISTINCT) of the final state — any missed dirty
+    group, bad union, or stale sketch mismatches."""
+    d = tempfile.mkdtemp(prefix="dlp_mv_hll_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    base = ManagedTable(spark, f"{d}/orders_base")
+    base.create(orders)
+    mv = MaterializedAggView(
+        base, f"{d}/orders_distinct_mv",
+        group_cols=["o_orderstatus"], sum_cols=[],
+        approx_distinct_cols=["o_custkey"], hll_lg_k=20,
+    )
+    mv.create()
+    base.update({"o_custkey": "o_custkey + 3000"}, "o_orderkey % 11 = 0")
+    base.delete("o_orderkey % 17 = 0", rewrite=False)
+    base.append(
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_custkey", F.col("o_custkey") + 100_000)
+    )
+    mv.refresh()
+    out = (
+        mv.read()
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            F.col("approx_distinct_o_custkey").alias(
+                "approx_distinct_custkey"
+            ),
+        )
+        .orderBy("o_orderstatus")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -29,7 +29,9 @@ def test_family_representation_in_first_50():
         "sql-dml": "sql_dml_pipeline",
         # r5: MERGE's NOT MATCHED BY SOURCE clause family (Delta 2.3+)
         "merge-by-source": "sql_merge_by_source_sync",
-        "mv": "mv_incremental_orders_by_status",
+        # r9: the HLL MV row took the plain-sum slot (which it strictly
+        # contains); nullkey keeps the min/max + NULL-key coverage.
+        "mv": "mv_nullkey_orders_by_priority",
         # r5: the min/max family representative is the NULL-group-key
         # variant (strict superset of mv_minmax_orders_by_status).
         "mv-minmax": "mv_nullkey_orders_by_priority",
@@ -72,6 +74,7 @@ def test_family_representation_in_first_50():
         # r7 late rotation: this round's own headliners get driver
         # rows immediately rather than waiting a round.
         "mv-streaming": "mv_stream_maintained_orders",
+        "mv-approx-distinct": "mv_approx_distinct_orders",
         "metadata-aggregates": "sql_stats_minmax_orders",
         "line-dedup": "docs_line_dedup",
         # r9 rotation: streaming SCD2 maintenance, OHLC bars, and group

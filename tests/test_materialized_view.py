@@ -973,3 +973,102 @@ def test_refresh_from_changes_straddle_over_nochange_commits_folds(spark):
     want = {(r.g, r.sum_x)
             for r in mv._aggregate(base.read(3)).select("g", "sum_x").collect()}
     assert got == want, (got, want)
+
+
+# --- approx-distinct (HLL sketch) maintenance ---------------------------------
+
+@pytest.fixture()
+def hll_view(spark):
+    d = tempfile.mkdtemp(prefix="dlp_mv_hll_")
+    base = ManagedTable(spark, f"{d}/base")
+    rows = [("a", i % 7, i) for i in range(40)] + [
+        ("b", i % 11, i + 100) for i in range(40)
+    ]
+    base.create(spark.createDataFrame(rows, "g string, u long, id long"))
+    mv = MaterializedAggView(
+        base, f"{d}/mv", group_cols=["g"], sum_cols=["id"],
+        approx_distinct_cols=["u"], hll_lg_k=20,   # exact regime
+    )
+    mv.create()
+    return base, mv
+
+
+def _distinct_exact(mv):
+    return {
+        (r.g, r.approx_distinct_u)
+        for r in mv.read().select("g", "approx_distinct_u").collect()
+    }
+
+
+def _want(base, mv):
+    got = (
+        base.read()
+        .groupBy("g")
+        .agg(F.countDistinct("u").alias("n"))
+        .collect()
+    )
+    return {(r.g, r.n) for r in got}
+
+
+def test_hll_view_create_and_insert_only_fold(hll_view):
+    """Inserts fold monotonically through sketch union: zero dirty
+    groups, estimates stay exact (lg_k=20 set-mode)."""
+    base, mv = hll_view
+    assert _distinct_exact(mv) == _want(base, mv)
+    base.append(base.spark.createDataFrame(
+        [("a", 99, 1000), ("b", 5, 1001), ("c", 1, 1002)],
+        "g string, u long, id long",
+    ))
+    mv.refresh()
+    assert _distinct_exact(mv) == _want(base, mv)
+    assert mv.state.history(1)[0]["operationMetrics"]["numDirtyGroups"] == 0
+
+
+def test_hll_view_delete_dirties_and_recomputes(hll_view):
+    """A delete dirties only the touched groups (a sketch cannot
+    subtract) and the recompute restores exactness — including the
+    value-still-present-elsewhere case (u=3 appears at several ids in
+    group 'a'; deleting one row must NOT drop u=3 from the count)."""
+    base, mv = hll_view
+    base.delete("g = 'a' AND id = 3")        # u=3 survives at id 10, 17...
+    mv.refresh()
+    m = mv.state.history(1)[0]["operationMetrics"]
+    assert m["numDirtyGroups"] == 1
+    assert _distinct_exact(mv) == _want(base, mv)
+    # Remove EVERY row of u=6 in group 'b' -> distinct count drops.
+    base.delete("g = 'b' AND u = 6")
+    mv.refresh()
+    assert _distinct_exact(mv) == _want(base, mv)
+
+
+def test_hll_view_update_via_merge_stays_exact(hll_view):
+    base, mv = hll_view
+    base.update({"u": "u + 50"}, "g = 'a' AND u = 2")
+    mv.refresh()
+    assert _distinct_exact(mv) == _want(base, mv)
+
+
+def test_hll_view_composes_with_minmax(spark):
+    """approx-distinct + min/max + sums on one view: shared dirty
+    machinery, one merge."""
+    d = tempfile.mkdtemp(prefix="dlp_mv_hllmm_")
+    base = ManagedTable(spark, f"{d}/base")
+    base.create(spark.createDataFrame(
+        [("x", i % 5, i) for i in range(30)], "g string, u long, v long"))
+    mv = MaterializedAggView(
+        base, f"{d}/mv", group_cols=["g"], sum_cols=["v"],
+        minmax_cols=["v"], approx_distinct_cols=["u"], hll_lg_k=20,
+    )
+    mv.create()
+    base.delete("v = 29")   # deletes the max AND a u value
+    base.append(spark.createDataFrame(
+        [("x", 9, 99)], "g string, u long, v long"))
+    mv.refresh()
+    row = mv.read().first()
+    want = base.read().groupBy("g").agg(
+        F.countDistinct("u").alias("n"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.sum("v").alias("s"),
+    ).first()
+    assert (row.approx_distinct_u, row.min_v, row.max_v, row.sum_v) == (
+        want.n, want.lo, want.hi, want.s)
