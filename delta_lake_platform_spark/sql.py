@@ -76,6 +76,7 @@ class PlatformSQL:
         group_cols = [c.strip() for c in group_by.split(",")]
         sum_cols = []
         minmax_cols: list[str] = []
+        approx_cols: list[str] = []
         for item in _split_top_level(select_list):
             if item.strip() in group_cols:
                 continue
@@ -100,14 +101,23 @@ class PlatformSQL:
                 if mm.group(2) not in minmax_cols:
                     minmax_cols.append(mm.group(2))
                 continue
+            mm = re.fullmatch(
+                rf"(?is)\s*APPROX_COUNT_DISTINCT\s*\(\s*({_IDENT})\s*\)"
+                rf"\s+AS\s+approx_distinct_\1\s*",
+                item,
+            )
+            if mm:
+                approx_cols.append(mm.group(1))
+                continue
             raise ValueError(
                 f"materialized view supports group cols, COUNT(*) AS "
-                f"n_rows, SUM(c) AS sum_c, and MIN/MAX(c) AS "
-                f"min_c/max_c only; got {item!r}"
+                f"n_rows, SUM(c) AS sum_c, MIN/MAX(c) AS min_c/max_c, "
+                f"and APPROX_COUNT_DISTINCT(c) AS approx_distinct_c "
+                f"only; got {item!r}"
             )
         mv = MaterializedAggView(
             base, path, group_cols=group_cols, sum_cols=sum_cols,
-            minmax_cols=minmax_cols,
+            minmax_cols=minmax_cols, approx_distinct_cols=approx_cols,
         )
         v = mv.create()
         self._views[name] = mv
@@ -125,6 +135,7 @@ class PlatformSQL:
                     "groupCols": group_cols,
                     "sumCols": sum_cols,
                     "minmaxCols": minmax_cols,
+                    "approxDistinctCols": approx_cols,
                 },
                 f,
             )
@@ -162,6 +173,7 @@ class PlatformSQL:
             base, path, group_cols=meta["groupCols"],
             sum_cols=meta["sumCols"],
             minmax_cols=meta.get("minmaxCols") or [],
+            approx_distinct_cols=meta.get("approxDistinctCols") or [],
         )
 
     # -- statement handlers --------------------------------------------------

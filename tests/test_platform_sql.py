@@ -796,3 +796,46 @@ def test_timestamp_as_of_honors_explicit_offset(psql):
     assert "+02:00" in aware
     assert psql._version_at_timestamp("accounts", aware) == 0
     assert psql._earliest_version_at_or_after("accounts", aware) == 1
+
+
+def test_approx_distinct_materialized_view_via_sql(psql, spark):
+    """r9: APPROX_COUNT_DISTINCT in the SQL MV shape — stored HLL
+    sketch maintained through the dirty-group rule, persisted
+    (approxDistinctCols) for re-attach."""
+    big = spark.range(0, 300).select(
+        "id",
+        F.col("id").cast("string").alias("name"),
+        (F.col("id") % 4).alias("balance"),
+    ).withColumn("owner", F.col("id") % 37)
+    psql.tables["accounts"].overwrite(big, overwrite_schema=True)
+    path = f"{psql.tables['accounts'].path}_hllv"
+    psql.sql(
+        "CREATE MATERIALIZED VIEW acct_hll LOCATION "
+        f"'{path}' AS "
+        "SELECT balance, COUNT(*) AS n_rows, "
+        "APPROX_COUNT_DISTINCT(owner) AS approx_distinct_owner "
+        "FROM accounts GROUP BY balance"
+    )
+    psql.sql("DELETE FROM accounts WHERE id % 37 = 5")  # drops owner 5
+    psql.sql("REFRESH MATERIALIZED VIEW acct_hll")
+    got = {
+        r.balance: (r.n_rows, r.approx_distinct_owner)
+        for r in psql.sql(
+            "SELECT balance, n_rows, approx_distinct_owner FROM acct_hll"
+        ).collect()
+    }
+    want = {
+        r.balance: (r.n, r.d)
+        for r in psql.sql(
+            "SELECT balance, count(*) AS n, "
+            "count(DISTINCT owner) AS d "
+            "FROM accounts GROUP BY balance"
+        ).collect()
+    }
+    assert got == want  # lg_k default is exact at 37 distinct owners
+    from delta_lake_platform_spark.sql import PlatformSQL
+
+    fresh = PlatformSQL(spark)
+    fresh.register("accounts", psql.tables["accounts"])
+    fresh.attach_materialized_view("acct_hll", path)
+    assert fresh._views["acct_hll"].approx_distinct_cols == ["owner"]
