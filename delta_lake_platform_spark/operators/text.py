@@ -150,6 +150,113 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# The Gopher rule-set stopwords (Rae et al. 2021, arXiv:2112.11446,
+# Appendix A1.1: "contains at least two of the following English
+# words: the, be, to, of, and, that, have, with").
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def with_gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, Appendix A1.1)
+    as per-document boolean flags plus the conjunctive ``gopher_pass``.
+
+    ``min_words`` / ``min_stopword_hits`` default to the paper's
+    thresholds (50 words, 2 stopwords); callers gating a corpus with a
+    different length profile tune them — the rule STRUCTURE, not the
+    constants, is the operator.
+
+    Rules (thresholds from the paper, word-count floor kept at the
+    paper's 50):
+      1. word count in [min_words, 100_000]
+      2. mean word length in [3, 10]
+      3. symbol-to-word ratio ('#' chars + '...' runs) <= 0.1
+      4. <= 90% of non-blank lines start with a bullet (-, *, or the
+         bullet glyph)
+      5. <= 30% of non-blank lines end with an ellipsis
+      6. >= 80% of words contain at least one alphabetic character
+      7. at least ``min_stopword_hits`` distinct GOPHER_STOPWORDS
+         present
+
+    Pure JVM column expressions — the classic pre-training gate stays
+    inside whole-stage codegen at 100 TB. NULL text is treated as the
+    empty document (fails the word-count floor, never divides by
+    zero), the same one-row-per-input contract as the dedup family.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(_tokens(t), lambda x: F.length(x) > 0)
+    n_tok = F.size(toks)
+    safe_tok = F.nullif(n_tok.cast("double"), F.lit(0.0))
+    lines = F.filter(
+        F.split(t, "\n"), lambda line: F.length(F.trim(line)) > 0
+    )
+    n_lines = F.size(lines)
+    safe_lines = F.nullif(n_lines.cast("double"), F.lit(0.0))
+    mean_word_len = F.coalesce(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        / safe_tok,
+        F.lit(0.0),
+    )
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), 0))
+    symbol_ratio = F.coalesce((n_hash + n_ellipsis) / safe_tok, F.lit(0.0))
+    bullet_ratio = F.coalesce(
+        F.size(
+            F.filter(lines, lambda line: F.trim(line).rlike(r"^[-*•]"))
+        )
+        / safe_lines,
+        F.lit(0.0),
+    )
+    ellipsis_line_ratio = F.coalesce(
+        F.size(
+            F.filter(lines, lambda line: F.trim(line).rlike(r"\.\.\.$"))
+        )
+        / safe_lines,
+        F.lit(0.0),
+    )
+    alpha_word_ratio = F.coalesce(
+        F.size(F.filter(toks, lambda x: x.rlike(r"[a-z]"))) / safe_tok,
+        F.lit(0.0),
+    )
+    stopword_hits = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS
+    ).cast("long")
+    flags = {
+        "flag_word_count": (n_tok >= min_words) & (n_tok <= 100_000),
+        "flag_mean_word_len": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
+        "flag_symbol_ratio": symbol_ratio <= 0.1,
+        "flag_bullet_lines": bullet_ratio <= 0.9,
+        "flag_ellipsis_lines": ellipsis_line_ratio <= 0.3,
+        "flag_alpha_words": alpha_word_ratio >= 0.8,
+        "flag_stopwords": stopword_hits >= min_stopword_hits,
+    }
+    out = df.withColumns(
+        {
+            "word_count": n_tok.cast("long"),
+            "mean_word_len": F.round(mean_word_len, 6),
+            "symbol_ratio": F.round(symbol_ratio, 6),
+            "bullet_line_ratio": F.round(bullet_ratio, 6),
+            "ellipsis_line_ratio": F.round(ellipsis_line_ratio, 6),
+            "alpha_word_ratio": F.round(alpha_word_ratio, 6),
+            "stopword_hits": stopword_hits,
+            **{k: v.cast("long") for k, v in flags.items()},
+        }
+    )
+    gopher_pass = None
+    for name in flags:
+        c = F.col(name) == 1
+        gopher_pass = c if gopher_pass is None else (gopher_pass & c)
+    return out.withColumn("gopher_pass", gopher_pass.cast("long"))
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

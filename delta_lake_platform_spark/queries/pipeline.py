@@ -92,6 +92,90 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Gopher quality rules ---------------------------------------------------
+
+_GOPHER_HITS = " + ".join(
+    f"list_contains(toks, '{w}')::INT" for w in text.GOPHER_STOPWORDS
+)
+
+GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    coalesce(text, '') AS txt,
+    list_filter(
+      string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+      x -> length(x) > 0) AS toks,
+    list_filter(string_split(coalesce(text, ''), chr(10)),
+                l -> length(trim(l)) > 0) AS lines
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    LEN(toks) AS n_tok,
+    COALESCE(list_sum(list_transform(toks, x -> length(x))) * 1.0
+             / NULLIF(LEN(toks), 0), 0.0) AS mwl,
+    COALESCE((LENGTH(txt) - LENGTH(replace(txt, '#', ''))
+              + LEN(regexp_extract_all(txt, '\\.\\.\\.'))) * 1.0
+             / NULLIF(LEN(toks), 0), 0.0) AS sym,
+    COALESCE(LEN(list_filter(lines,
+                 l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0
+             / NULLIF(LEN(lines), 0), 0.0) AS bul,
+    COALESCE(LEN(list_filter(lines,
+                 l -> regexp_matches(trim(l), '\\.\\.\\.$'))) * 1.0
+             / NULLIF(LEN(lines), 0), 0.0) AS ell,
+    COALESCE(LEN(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 1.0
+             / NULLIF(LEN(toks), 0), 0.0) AS alpha,
+    ({_GOPHER_HITS})::BIGINT AS hits
+  FROM t
+)
+SELECT doc_id,
+  n_tok::BIGINT AS word_count,
+  ROUND(mwl, 6) AS mean_word_len,
+  ROUND(sym, 6) AS symbol_ratio,
+  ROUND(bul, 6) AS bullet_line_ratio,
+  ROUND(ell, 6) AS ellipsis_line_ratio,
+  ROUND(alpha, 6) AS alpha_word_ratio,
+  hits AS stopword_hits,
+  (n_tok BETWEEN 30 AND 100000)::BIGINT AS flag_word_count,
+  (mwl BETWEEN 3.0 AND 10.0)::BIGINT AS flag_mean_word_len,
+  (sym <= 0.1)::BIGINT AS flag_symbol_ratio,
+  (bul <= 0.9)::BIGINT AS flag_bullet_lines,
+  (ell <= 0.3)::BIGINT AS flag_ellipsis_lines,
+  (alpha >= 0.8)::BIGINT AS flag_alpha_words,
+  (hits >= 1)::BIGINT AS flag_stopwords,
+  (n_tok BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+   AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3
+   AND alpha >= 0.8 AND hits >= 1)::BIGINT AS gopher_pass
+FROM s
+ORDER BY doc_id
+"""
+
+
+@register("docs_gopher_quality", GOPHER_ORACLE)
+def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-set gate (Rae et al. 2021) over the corpus:
+    every rule's raw signal + flag per document, plus the conjunctive
+    keep decision — the standard first-stage pre-training filter.
+    One projection, zero exchanges (ORDER BY is presentation-only).
+
+    Thresholds are corpus-calibrated (min_words=30, one stopword hit;
+    the synthetic docs run 10-99 words with <=1 canonical stopword) so
+    the gate demonstrably splits the corpus; the operator defaults to
+    the paper's constants."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.with_gopher_flags(docs, min_words=30, min_stopword_hits=1)
+        .select(
+            "doc_id", "word_count", "mean_word_len", "symbol_ratio",
+            "bullet_line_ratio", "ellipsis_line_ratio", "alpha_word_ratio",
+            "stopword_hits", "flag_word_count", "flag_mean_word_len",
+            "flag_symbol_ratio", "flag_bullet_lines", "flag_ellipsis_lines",
+            "flag_alpha_words", "flag_stopwords", "gopher_pass",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- language ID ------------------------------------------------------------
 
 def _lang_scores_sql() -> str:
@@ -207,6 +291,60 @@ def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(planted)
     return dedup.minhash_lsh_pairs(corpus, threshold=0.8).orderBy("id_a", "id_b")
+
+
+# --- fuzzy near-dup: LSH candidates + exact Levenshtein verification --------
+
+# Planted mutation: one substitution at position 1 — a true fuzzy
+# duplicate at edit distance <=1, shingle Jaccard >= ~0.8 on the
+# shortest docs, where 32x2 banding miss probability is ~3e-16:
+# LSH-verified output == brute-force output, provably.
+_FUZZY_CORPUS = """
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'z' || text[2:] AS text
+  FROM documents WHERE doc_id < 100 AND doc_id % 3 = 0
+"""
+
+FUZZY_EDIT_ORACLE = f"""
+WITH corpus AS ({_FUZZY_CORPUS}),
+n AS (
+  SELECT doc_id,
+    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+  FROM corpus
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  levenshtein(a.norm, b.norm)::BIGINT AS edit_distance,
+  ROUND(levenshtein(a.norm, b.norm) * 1.0
+        / NULLIF(GREATEST(LENGTH(a.norm), LENGTH(b.norm)), 0), 6) AS rel_edit
+FROM n a JOIN n b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.norm, b.norm) * 1.0
+      / NULLIF(GREATEST(LENGTH(a.norm), LENGTH(b.norm)), 0) <= 0.05
+ORDER BY id_a, id_b
+"""
+
+
+@register("docs_fuzzy_edit_neardup", FUZZY_EDIT_ORACLE)
+def docs_fuzzy_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup under a relative edit-distance bound: MinHash-LSH
+    candidate generation + exact Levenshtein verification
+    (dedup.fuzzy_edit_pairs). The oracle is the brute-force pair set
+    over the same planted corpus; the banding miss probability at the
+    planted similarity is ~3e-16, so LSH output == brute force."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    planted = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn(
+            "text", F.concat(F.lit("z"), F.expr("substring(text, 2)"))
+        )
+    )
+    corpus = docs.unionByName(planted)
+    return dedup.fuzzy_edit_pairs(
+        corpus, max_rel_edit=0.05, bands=32
+    ).orderBy("id_a", "id_b")
 
 
 # --- exact n-gram Jaccard: top-k most similar pairs -------------------------

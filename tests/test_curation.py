@@ -175,3 +175,74 @@ def test_dsir_returns_one_row_per_doc_including_empty(spark):
     for empty_id in (2, 3, 4):
         assert out[empty_id] == (0, 0.0, None), out[empty_id]
     assert out[1][0] == 2
+
+
+# --- Gopher quality rules ----------------------------------------------------
+
+_GOOD_TEXT = (
+    "the quick brown fox jumps over the lazy dog and then runs back "
+    "to the barn with a bone that it found near the fence of the old "
+    "farm where the farmer and his dog have lived for many years now "
+    "and they both enjoy long walks in the quiet evening air together"
+)
+
+
+def _gopher_rows(spark, rows, **kw):
+    from delta_lake_platform_spark.operators import text as T
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r for r in T.with_gopher_flags(df, **kw).collect()}
+
+
+def test_gopher_good_doc_passes_canonical(spark):
+    out = _gopher_rows(spark, [(1, _GOOD_TEXT)])
+    r = out[1]
+    assert r.gopher_pass == 1, r
+    assert r.word_count >= 50 and r.flag_word_count == 1
+    assert r.stopword_hits >= 2 and r.flag_stopwords == 1
+
+
+def test_gopher_each_rule_fires(spark):
+    bullets = "\n".join(f"- item {i} listed here" for i in range(40))
+    ellipses = "\n".join(f"line {i} trails off..." for i in range(40))
+    symbols = " ".join(f"#tag{i}" for i in range(80))
+    digits = " ".join(str(i) for i in range(100, 200))
+    longwords = " ".join(["supercalifragilistic"] * 60)
+    out = _gopher_rows(
+        spark,
+        [
+            (1, "too short"),
+            (2, bullets),
+            (3, ellipses),
+            (4, symbols),
+            (5, digits),
+            (6, longwords),
+        ],
+    )
+    assert out[1].flag_word_count == 0
+    assert out[2].flag_bullet_lines == 0 and out[2].bullet_line_ratio == 1.0
+    assert out[3].flag_ellipsis_lines == 0
+    assert out[4].flag_symbol_ratio == 0
+    assert out[5].flag_alpha_words == 0
+    assert out[6].flag_mean_word_len == 0
+    assert all(out[i].gopher_pass == 0 for i in out)
+
+
+def test_gopher_null_and_empty_text_keep_rows(spark):
+    """NULL/empty text: one row per input, zero ratios, gate fails on
+    the word-count floor — never a divide-by-zero or a dropped row."""
+    out = _gopher_rows(spark, [(1, None), (2, ""), (3, "   \n  ")])
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert r.word_count == 0 and r.gopher_pass == 0
+        assert r.mean_word_len == 0.0 and r.bullet_line_ratio == 0.0
+
+
+def test_gopher_thresholds_parametrize(spark):
+    """The registered query's corpus calibration: the same doc flips
+    from reject to keep when the floor and stopword minimum relax."""
+    doc = "the " + " ".join(f"word{i} nice" for i in range(20))  # 41 words, 1 hit
+    strict = _gopher_rows(spark, [(1, doc)])
+    relaxed = _gopher_rows(spark, [(1, doc)], min_words=30, min_stopword_hits=1)
+    assert strict[1].gopher_pass == 0
+    assert relaxed[1].gopher_pass == 1

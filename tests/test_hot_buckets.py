@@ -120,3 +120,44 @@ def test_semantic_dedup_drops_exact_copies_keeps_originals(spark):
         ).collect()
     )
     assert kept == list(range(40))
+
+
+def test_fuzzy_edit_pairs_small_edit_found_large_edit_excluded(spark):
+    """A one-character edit of a long doc is a fuzzy pair; an unrelated
+    doc is not; the reported distance is the true Levenshtein."""
+    base = "the quick brown fox jumps over the lazy dog " * 5  # ~225 chars
+    rows = [
+        (1, base),
+        (2, "Z" + base[1:]),              # distance 1 (case-normalized)
+        (3, "completely different text about astronomy and star maps"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): (r.edit_distance, r.rel_edit)
+        for r in dedup.fuzzy_edit_pairs(df, max_rel_edit=0.05).collect()
+    }
+    assert set(out) == {(1, 2)}
+    dist, rel = out[(1, 2)]
+    assert dist == 1
+    assert 0 < rel <= 0.05
+
+
+def test_fuzzy_edit_pairs_hot_bucket_identical_docs_linear(spark):
+    """Identical-doc spam lands in one bucket; the star guard keeps the
+    pair count O(B) (leader-member only), and every emitted pair is a
+    true distance-0 duplicate."""
+    text = "same boilerplate page body repeated verbatim " * 4
+    df = spark.createDataFrame(
+        [(i, text) for i in range(300)], "doc_id long, text string"
+    )
+    pairs = dedup.fuzzy_edit_pairs(df, hot_bucket_cap=50).collect()
+    assert 0 < len(pairs) <= 300  # star topology, not 300*299/2
+    assert all(r.edit_distance == 0 and r.id_a == 0 for r in pairs)
+
+
+def test_fuzzy_edit_pairs_empty_and_null_text_never_pair(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    assert dedup.fuzzy_edit_pairs(df).count() == 0
