@@ -158,7 +158,13 @@ PRIORITY = [
     # (token stats, lang-id, PII) and quality scoring stays exercised
     # inside docs_curation_pipeline; still locally swept.
     "docs_rag_chunks",
-    "docs_lang_id",
+    # docs_lang_id rotated out in r9 for docs_gopher_quality (this
+    # round's Gopher rule-set gate, Rae et al. 2021: per-rule signals
+    # + flags + conjunctive keep in one JVM projection). Text analysis
+    # keeps docs_token_stats / docs_rag_chunks driver-visible and
+    # lang-id stays locally oracle-swept (its marker-scoring machinery
+    # is also inside docs_perplexity_buckets' per-language NTILE).
+    "docs_gopher_quality",
     # docs_train_split rotated out in r7 (late) for docs_line_dedup:
     # the r7 corpus line-level dedup (CCNet boilerplate removal over
     # 64-bit line hashes). Curation stays driver-covered by
@@ -183,7 +189,13 @@ PRIORITY = [
     # stays driver-covered inside docs_curation_pipeline; still
     # locally oracle-swept.
     "docs_span_dedup",
-    "docs_minhash_neardup",
+    # docs_minhash_neardup rotated out in r9 for docs_fuzzy_edit_neardup
+    # (this round's relative-edit-distance similarity join): the fuzzy
+    # query CONTAINS the MinHash banding + hot-bucket guard as its
+    # candidate stage and adds the Levenshtein verifier on top, so the
+    # driver signal strictly widens; minhash_neardup stays locally
+    # oracle-swept.
+    "docs_fuzzy_edit_neardup",
     # docs_simhash_identical_pairs rotated out in r7 for
     # embeddings_semantic_dedup (the r6 SemDeDup operator: k-means
     # clustering + per-cluster cosine pruning). The bucketed-candidate

@@ -63,7 +63,13 @@ def test_family_representation_in_first_50():
         # exact-dedup row, whose canonicalization machinery runs
         # inside docs_curation_pipeline's driver row.
         "dedup-spans": "docs_span_dedup",
-        "dedup-minhash": "docs_minhash_neardup",
+        # r9 late rotation: the fuzzy edit-distance join CONTAINS the
+        # MinHash banding + hot-bucket guard as its candidate stage and
+        # adds Levenshtein verification — strictly wider driver signal;
+        # the Gopher rule-set gate replaces lang-id as a text-analysis
+        # driver row (lang-id stays locally swept).
+        "dedup-minhash-fuzzy": "docs_fuzzy_edit_neardup",
+        "gopher-gate": "docs_gopher_quality",
         "dedup-clusters": "docs_dedup_clusters",
         # r7: the three round-6 headline operators join the driver-50
         # (VERDICT r6 next-round #1) — SemDeDup semantic dedup, RAG
