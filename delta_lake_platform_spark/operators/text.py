@@ -257,6 +257,122 @@ def with_gopher_flags(
     return out.withColumn("gopher_pass", gopher_pass.cast("long"))
 
 
+# (threshold, kind) per n — the Gopher repetition battery
+# (Rae et al. 2021, Table A1): top-n-gram character fraction for
+# n=2..4, duplicate-n-gram character fraction for n=5..10.
+GOPHER_REP_THRESHOLDS: dict[int, tuple[str, float]] = {
+    2: ("top", 0.20), 3: ("top", 0.18), 4: ("top", 0.16),
+    5: ("dup", 0.15), 6: ("dup", 0.14), 7: ("dup", 0.13),
+    8: ("dup", 0.12), 9: ("dup", 0.11), 10: ("dup", 0.10),
+}
+
+
+def _ngram_rep_chars(grams: Column) -> Column:
+    """Fold a SORTED n-gram occurrence array into
+    struct(top_chars, dup_chars) in ONE pass — no explode, no shuffle:
+
+    - top_chars: count x char-length of the most frequent gram (ties
+      broken by count, then char length, then lexicographically
+      larger gram — mirrored exactly in the SQL oracles);
+    - dup_chars: sum of count x char-length over grams occurring >= 2.
+
+    Run-length encoding over the sorted array: the accumulator carries
+    the open run (prev, run) and finalizes it at each value boundary
+    and once more in the finish lambda.
+    """
+    sorted_g = F.array_sort(grams)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_cnt"),
+        F.lit(0).cast("long").alias("best_len"),
+        F.lit("").alias("best_key"),
+        F.lit(0).cast("long").alias("dup_chars"),
+    )
+
+    def better(cnt, ln, key, acc):
+        bc, bl, bk = acc["best_cnt"], acc["best_len"], acc["best_key"]
+        return (
+            (cnt > bc)
+            | ((cnt == bc) & (ln > bl))
+            | ((cnt == bc) & (ln == bl) & (key > bk))
+        )
+
+    def close_run(acc):
+        """Best/dup values after finalizing the open run."""
+        cnt, key = acc["run"], acc["prev"]
+        ln = F.length(key).cast("long")
+        promoted = (cnt > 0) & better(cnt, ln, key, acc)
+        return (
+            F.when(promoted, cnt).otherwise(acc["best_cnt"]),
+            F.when(promoted, ln).otherwise(acc["best_len"]),
+            F.when(promoted, key).otherwise(acc["best_key"]),
+            F.when(cnt >= 2, acc["dup_chars"] + cnt * ln).otherwise(
+                acc["dup_chars"]
+            ),
+        )
+
+    def step(acc, x):
+        cont = (acc["run"] > 0) & (x == acc["prev"])
+        nb_cnt, nb_len, nb_key, nd = close_run(acc)
+        return F.struct(
+            F.when(cont, acc["prev"]).otherwise(x).alias("prev"),
+            F.when(cont, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(cont, acc["best_cnt"]).otherwise(nb_cnt).alias("best_cnt"),
+            F.when(cont, acc["best_len"]).otherwise(nb_len).alias("best_len"),
+            F.when(cont, acc["best_key"]).otherwise(nb_key).alias("best_key"),
+            F.when(cont, acc["dup_chars"]).otherwise(nd).alias("dup_chars"),
+        )
+
+    def finish(acc):
+        nb_cnt, nb_len, _nb_key, nd = close_run(acc)
+        return F.struct(
+            (nb_cnt * nb_len).alias("top_chars"), nd.alias("dup_chars")
+        )
+
+    return F.aggregate(sorted_g, zero, step, finish)
+
+
+def with_gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher REPETITION battery (Rae et al. 2021, Table A1): the
+    character fraction of the most frequent word n-gram (n=2..4) and
+    of duplicated word n-grams (n=5..10), with the paper's per-n
+    thresholds as flags and their conjunction as ``rep_pass``.
+
+    Character fractions count every occurrence (count x gram length
+    over normalized-text length, capped at 1.0) — a deliberate
+    simplification of the paper's de-overlapped position counting,
+    applied identically in the SQL oracle. The whole battery is ONE
+    codegen'd projection: each n folds the document's sorted n-gram
+    array with run-length encoding (``_ngram_rep_chars``) — no
+    explode, no groupBy, zero exchanges at any corpus size.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
+    toks = F.filter(F.split(norm, " "), lambda x: F.length(x) > 0)
+    denom = F.nullif(F.length(norm).cast("double"), F.lit(0.0))
+    cols: dict[str, Column] = {}
+    pass_expr = None
+    from .curation import word_ngrams  # no circular import: curation is leaf
+
+    for n, (kind, thr) in GOPHER_REP_THRESHOLDS.items():
+        st = _ngram_rep_chars(word_ngrams(toks, n))
+        chars = st["top_chars"] if kind == "top" else st["dup_chars"]
+        # coalesce BEFORE least: Spark's least() skips NULLs, so an
+        # empty doc (NULL denominator) would otherwise read as 1.0.
+        frac = F.least(F.coalesce(chars / denom, F.lit(0.0)), F.lit(1.0))
+        fname = f"{kind}_{n}gram_frac"
+        flag = f"flag_{kind}_{n}gram"
+        cols[fname] = F.round(frac, 6)
+        cols[flag] = (frac <= thr).cast("long")
+        c = frac <= thr
+        pass_expr = c if pass_expr is None else (pass_expr & c)
+    cols["rep_pass"] = pass_expr.cast("long")
+    return df.withColumns(cols)
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

@@ -176,6 +176,85 @@ def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Gopher repetition battery ----------------------------------------------
+
+def _gopher_rep_oracle() -> str:
+    """Brute-force n-gram frequency oracle (unnest + GROUP BY per n)
+    for the shuffle-free array-fold the Spark side runs. Tie-break for
+    the most frequent gram matches _ngram_rep_chars exactly:
+    (count, char length, lexicographically larger gram)."""
+    ctes, joins, cols, conds = [], [], [], []
+    for n, (kind, thr) in text.GOPHER_REP_THRESHOLDS.items():
+        ctes.append(f"""g{n} AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, LEN(toks) - {n} + 2),
+             i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS gram
+    FROM t) GROUP BY doc_id, gram
+)""")
+        if kind == "top":
+            ctes.append(f"""top{n} AS (
+  SELECT doc_id, cnt * LENGTH(gram) AS chars FROM (
+    SELECT doc_id, gram, cnt, ROW_NUMBER() OVER (
+      PARTITION BY doc_id
+      ORDER BY cnt DESC, LENGTH(gram) DESC, gram DESC) AS rn
+    FROM g{n}) WHERE rn = 1
+)""")
+            src = f"top{n}"
+        else:
+            ctes.append(f"""dup{n} AS (
+  SELECT doc_id, SUM(cnt * LENGTH(gram)) AS chars FROM g{n}
+  WHERE cnt >= 2 GROUP BY doc_id
+)""")
+            src = f"dup{n}"
+        joins.append(f"LEFT JOIN {src} ON {src}.doc_id = t.doc_id")
+        expr = (
+            f"LEAST(COALESCE({src}.chars * 1.0"
+            f" / NULLIF(LENGTH(t.norm), 0), 0.0), 1.0)"
+        )
+        cols.append(f"ROUND({expr}, 6) AS {kind}_{n}gram_frac")
+        cols.append(f"({expr} <= {thr})::BIGINT AS flag_{kind}_{n}gram")
+        conds.append(f"{expr} <= {thr}")
+    norm_sql = "regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')"
+    newline = ",\n".join
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    {norm_sql} AS norm,
+    list_filter(string_split({norm_sql}, ' '), x -> length(x) > 0) AS toks
+  FROM documents
+),
+{newline(ctes)}
+SELECT t.doc_id,
+  {newline(cols)},
+  ({' AND '.join(conds)})::BIGINT AS rep_pass
+FROM t
+{chr(10).join(joins)}
+ORDER BY t.doc_id
+"""
+
+
+GOPHER_REP_ORACLE = _gopher_rep_oracle()
+
+
+@register("docs_gopher_repetition", GOPHER_REP_ORACLE)
+def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition battery (top-2/3/4-gram and duplicate-
+    5..10-gram character fractions with the paper's thresholds) — the
+    Spark side is one codegen'd projection (per-n sorted-array
+    run-length folds, zero exchanges); the oracle brute-forces the
+    same quantities with unnest + GROUP BY per n."""
+    docs = load_table(spark, sf_dir, "documents")
+    rep_cols = []
+    for n, (kind, _) in text.GOPHER_REP_THRESHOLDS.items():
+        rep_cols += [f"{kind}_{n}gram_frac", f"flag_{kind}_{n}gram"]
+    return (
+        text.with_gopher_repetition(docs)
+        .select("doc_id", *rep_cols, "rep_pass")
+        .orderBy("doc_id")
+    )
+
+
 # --- language ID ------------------------------------------------------------
 
 def _lang_scores_sql() -> str:

@@ -471,3 +471,58 @@ def _raise_on_scan(self, *a, **kw):
     raise AssertionError(
         "sql_stats_minmax_orders: aggregate fell back to a scan"
     )
+
+
+def _stats_col_sql(c: str) -> str:
+    return f"""
+  SELECT '{c}' AS col_name, COUNT(*)::BIGINT AS row_count,
+    COUNT(DISTINCT {c})::BIGINT AS ndv,
+    (COUNT(*) - COUNT({c}))::BIGINT AS null_count,
+    MIN({c})::VARCHAR AS min_val, MAX({c})::VARCHAR AS max_val,
+    ROUND(AVG(LENGTH({c}::VARCHAR)), 6) AS avg_len
+  FROM orders"""
+
+
+ANALYZE_STATS_ORACLE = (
+    "WITH s AS ("
+    + "\n  UNION ALL".join(
+        _stats_col_sql(c)
+        for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    )
+    + ")\nSELECT * FROM s ORDER BY col_name"
+)
+
+
+@register("sql_analyze_stats_orders", ANALYZE_STATS_ORACLE)
+def sql_analyze_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE + SHOW STATS end to end: persisted per-column
+    statistics (exact NDV mode for oracle-grade comparison; the
+    default is the one-pass HLL approximation, the 100 TB path).
+    The same stats drive stats_planned_join's broadcast decision —
+    this query verifies the numbers themselves against a full
+    per-column DuckDB recomputation."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = _tempfile.mkdtemp(prefix="sql_analyze_")
+    p = PlatformSQL(spark)
+    t = ManagedTable(spark, f"{d}/orders_t")
+    t.create(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+        )
+    )
+    p.register("orders_t", t)
+    p.sql(
+        "ANALYZE TABLE orders_t COMPUTE STATISTICS FOR COLUMNS "
+        "(o_orderkey, o_custkey, o_orderstatus, o_orderpriority) "
+        "WITH EXACT NDV"
+    )
+    out = (
+        p.sql("SHOW STATS orders_t")
+        .drop("stale")
+        .orderBy("col_name")
+        .localCheckpoint()
+    )
+    _shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -5168,6 +5168,116 @@ class ManagedTable:
             return None  # straddling file: only a scan can answer
         return total
 
+    # -- ANALYZE: persisted table/column statistics ---------------------------
+
+    def _column_stats_path(self) -> str:
+        # Table-root sidecar like _properties.json — NOT inside _log/,
+        # whose listing treats every *.json as a version entry.
+        return os.path.join(self.path, "_column_stats.json")
+
+    def analyze(
+        self,
+        columns: list[str] | None = None,
+        exact_ndv: bool = False,
+    ) -> dict:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` (the
+        public Spark/Delta semantics): ONE aggregation job over the
+        current snapshot computes the table row count plus, per
+        column, NDV, null count, min/max, and the average
+        string-serialized length (the row-width input for join
+        planning). NDV defaults to ``approx_count_distinct`` (HLL —
+        one pass, no per-column shuffle, the only sane form at
+        100 TB); ``exact_ndv=True`` switches to COUNT(DISTINCT) for
+        small/oracle-grade tables.
+
+        Stats persist to ``_log/_column_stats.json`` stamped with the
+        analyzed snapshot version — ``column_stats()`` reports
+        staleness against the latest version rather than pretending
+        stats follow DML. Returns the stored dict."""
+        v = self.latest_version()
+        df = self.read(v)
+        schema = df.schema
+        cols = columns or [f.name for f in schema.fields]
+        unknown = [c for c in cols if c not in schema.fieldNames()]
+        if unknown:
+            raise ValueError(f"ANALYZE: no such column(s) {unknown}")
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            ndv = (
+                F.count_distinct(F.col(c))
+                if exact_ndv
+                else F.approx_count_distinct(c)
+            )
+            aggs += [
+                ndv.alias(f"ndv__{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nulls__{c}"),
+                F.min(c).alias(f"min__{c}"),
+                F.max(c).alias(f"max__{c}"),
+                F.avg(F.length(F.col(c).cast("string"))).alias(f"len__{c}"),
+            ]
+        row = df.agg(*aggs).collect()[0].asDict()
+        stats = {
+            "analyzedVersion": v,
+            "exactNdv": bool(exact_ndv),
+            "rowCount": row["__rows"],
+            "columns": {
+                c: {
+                    "ndv": row[f"ndv__{c}"],
+                    "nullCount": row[f"nulls__{c}"] or 0,
+                    "min": None
+                    if row[f"min__{c}"] is None
+                    else str(row[f"min__{c}"]),
+                    "max": None
+                    if row[f"max__{c}"] is None
+                    else str(row[f"max__{c}"]),
+                    "avgLen": None
+                    if row[f"len__{c}"] is None
+                    else round(float(row[f"len__{c}"]), 6),
+                }
+                for c in cols
+            },
+        }
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._column_stats_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, self._column_stats_path())
+        return stats
+
+    def column_stats(self) -> dict | None:
+        """The last ANALYZE result, or None if never analyzed. Adds
+        ``stale``: True when DML landed after the analyzed snapshot
+        (consumers decide whether estimates are still usable — the
+        Spark CBO convention, stats never silently track DML)."""
+        p = self._column_stats_path()
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            stats = json.load(f)
+        stats["stale"] = self.latest_version() > stats.get(
+            "analyzedVersion", -1
+        )
+        return stats
+
+    def estimated_size_bytes(self) -> int | None:
+        """Rough in-memory row-set size from ANALYZE stats: rowCount x
+        sum of per-column average serialized lengths. The broadcast-
+        decision input (compare against autoBroadcastJoinThreshold) —
+        deliberately the STRING-serialized width, which over- rather
+        than under-estimates binary widths, so the planner errs toward
+        shuffling, never toward broadcasting a too-big side."""
+        st = self.column_stats()
+        if st is None:
+            return None
+        widths = [
+            c["avgLen"]
+            for c in st["columns"].values()
+            if c["avgLen"] is not None
+        ]
+        if not widths:
+            return None
+        return int(st["rowCount"] * sum(widths))
+
     def retry(self, op, retries: int = 3):
         """Delta-style optimistic-concurrency retry: run ``op(self)``;
         on ConcurrentWriteError re-run it (the op re-reads the fresh

@@ -871,6 +871,53 @@ class PlatformSQL:
         m = re.match(rf"(?is)^DESCRIBE\s+DETAIL\s+({_IDENT})$", t)
         if m:
             return self._detail(m.group(1))
+        m = re.match(
+            rf"(?is)^ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS"
+            rf"(?:\s+FOR\s+COLUMNS\s*\(([^)]*)\))?"
+            rf"(\s+WITH\s+EXACT\s+NDV)?$",
+            t,
+        )
+        if m:
+            name, collist, exact = m.groups()
+            table = self.tables[name]
+            stats = table.analyze(
+                columns=(
+                    [c.strip() for c in collist.split(",")] if collist else None
+                ),
+                exact_ndv=bool(exact),
+            )
+            return self._df(
+                [
+                    {
+                        "analyzed_version": stats["analyzedVersion"],
+                        "row_count": stats["rowCount"],
+                        "n_columns": len(stats["columns"]),
+                        "exact_ndv": stats["exactNdv"],
+                    }
+                ]
+            )
+        m = re.match(rf"(?is)^SHOW\s+STATS\s+(?:FOR\s+)?({_IDENT})$", t)
+        if m:
+            table = self.tables[m.group(1)]
+            st = table.column_stats()
+            if st is None:
+                raise ValueError(
+                    f"{m.group(1)} has no statistics; run ANALYZE TABLE first"
+                )
+            rows = [
+                {
+                    "col_name": c,
+                    "row_count": st["rowCount"],
+                    "ndv": cs["ndv"],
+                    "null_count": cs["nullCount"],
+                    "min_val": cs["min"],
+                    "max_val": cs["max"],
+                    "avg_len": cs["avgLen"],
+                    "stale": st["stale"],
+                }
+                for c, cs in sorted(st["columns"].items())
+            ]
+            return self._df(rows)
         m = re.match(rf"(?is)^DESCRIBE\s+(?:TABLE\s+)?({_IDENT})$", t)
         if m:
             name = m.group(1)

@@ -246,3 +246,52 @@ def test_gopher_thresholds_parametrize(spark):
     relaxed = _gopher_rows(spark, [(1, doc)], min_words=30, min_stopword_hits=1)
     assert strict[1].gopher_pass == 0
     assert relaxed[1].gopher_pass == 1
+
+
+def test_gopher_repetition_counts_and_caps(spark):
+    """Known-answer checks for the run-length fold: top-2-gram chars =
+    count x gram length; a 3x-repeated document saturates the dup
+    fraction at the 1.0 cap; a no-repeat doc has dup fractions 0."""
+    from delta_lake_platform_spark.operators import text as T
+
+    rows = [
+        (1, "a b a b a b c d"),  # norm len 15; top 2-gram 'a b' x3 -> 9/15
+        (2, "x y z w v u t s"),  # no repeated grams at any n
+        (3, " ".join(["one two three four five"] * 3)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in T.with_gopher_repetition(df).collect()}
+    assert out[1].top_2gram_frac == 0.6          # 3 * len('a b') / 15
+    assert out[1].dup_5gram_frac == 0.0
+    assert out[2].dup_5gram_frac == 0.0 and out[2].flag_dup_5gram == 1
+    assert out[3].dup_5gram_frac == 1.0          # capped
+    assert out[3].flag_dup_5gram == 0 and out[3].rep_pass == 0
+
+
+def test_gopher_repetition_empty_docs_pass_with_zero_fracs(spark):
+    """NULL/empty text: every fraction 0.0 (never NULL-poisoned to 1.0
+    by least()), all flags pass, one row per input."""
+    from delta_lake_platform_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  \n ")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in T.with_gopher_repetition(df).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert r.top_2gram_frac == 0.0 and r.dup_10gram_frac == 0.0
+        assert r.rep_pass == 1
+
+
+def test_gopher_repetition_tiebreak_matches_oracle_rule(spark):
+    """Two 2-grams tie on count; the longer (then lexicographically
+    larger) gram wins — the same ORDER BY the oracle uses."""
+    from delta_lake_platform_spark.operators import text as T
+
+    # 2-grams each occur once; longest is 'ccc dddd' (len 8).
+    df = spark.createDataFrame(
+        [(1, "a bb ccc dddd")], "doc_id long, text string"
+    )
+    r = T.with_gopher_repetition(df).collect()[0]
+    # norm len 13, winner chars = 1 * len('ccc dddd') = 8
+    assert r.top_2gram_frac == round(8 / 13, 6)
