@@ -957,6 +957,15 @@ class ManagedTable:
         otherwise silently break."""
         from .commit_protocol import CommitError
 
+        # Delta's commitInfo.userMetadata: a one-shot audit string set
+        # via set_commit_metadata() rides the NEXT successful commit —
+        # injected here, the single atomic commit point, so data
+        # commits, metadata-only commits, RESTORE and OPTIMIZE all
+        # carry it. Kept pending across a ConcurrentWriteError so the
+        # caller's retry still records it.
+        pending_um = getattr(self, "_pending_user_metadata", None)
+        if pending_um is not None and "userMetadata" not in entry:
+            entry = {**entry, "userMetadata": pending_um}
         if version > 0 and "timestamp" in entry:
             try:
                 prev_ts = (self._entry(version - 1) or {}).get("timestamp")
@@ -972,6 +981,8 @@ class ManagedTable:
             raise ConcurrentWriteError(
                 f"version {version} of {self.path} was committed concurrently"
             ) from e
+        if pending_um is not None:
+            self._pending_user_metadata = None
         self._state_cache.clear()
         try:
             interval = int(self.properties().get("checkpointInterval", _CKPT_INTERVAL))
@@ -2290,6 +2301,14 @@ class ManagedTable:
         entry = self._entry(v) or {}
         n = (entry.get("operationMetrics") or {}).get("numOutputRows")
         return n if isinstance(n, int) else None
+
+    def set_commit_metadata(self, message: str | None) -> None:
+        """Delta's ``commitInfo.userMetadata``: attach a free-form
+        audit string to the NEXT commit on this handle (one-shot — it
+        is consumed by the first commit that lands, and survives a
+        ConcurrentWriteError retry). Shows up verbatim in ``history()``
+        and ``DESCRIBE HISTORY``. Pass None to clear a pending tag."""
+        self._pending_user_metadata = message
 
     def history(self, limit: int | None = None) -> list[dict]:
         """Newest-first commit log (reference: delta_table.history(1),

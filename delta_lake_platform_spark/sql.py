@@ -190,6 +190,9 @@ class PlatformSQL:
                 "operationMetrics": json.dumps(
                     h.get("operationMetrics", {}), sort_keys=True
                 ),
+                # "" (not None) so type inference works on histories
+                # with no tagged commit at all.
+                "userMetadata": h.get("userMetadata") or "",
             }
             # history(limit) stops after the n newest entries — LIMIT 1
             # on a 10^5-commit table must not parse the whole log.

@@ -444,3 +444,36 @@ def test_checkpoint_interval_property(spark):
     # which would have produced none by version 6).
     assert len(ckpts) == 2
     assert t._last_checkpoint_version() == 6
+
+
+# --- commitInfo.userMetadata -------------------------------------------------
+
+def test_user_metadata_one_shot_on_next_commit(spark, tmp_path):
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "um"))
+    t.create(spark.createDataFrame([(1,)], "k long"))
+    t.set_commit_metadata("nightly load 2026-08-16")
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    t.append(spark.createDataFrame([(3,)], "k long"))
+    h = t.history()
+    assert h[1]["userMetadata"] == "nightly load 2026-08-16"  # the tagged append
+    assert "userMetadata" not in h[0]  # next commit untagged
+    assert "userMetadata" not in h[2]  # create untagged
+
+
+def test_user_metadata_rides_metadata_only_commits_and_sql_history(spark, tmp_path):
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+    from delta_lake_platform_spark.sql import PlatformSQL
+
+    t = ManagedTable(spark, str(tmp_path / "um2"))
+    t.create(spark.createDataFrame([(1,), (2,)], "k long"))
+    t.append(spark.createDataFrame([(3,)], "k long"))
+    t.set_commit_metadata("rollback after bad load")
+    t.restore(0)  # metadata-only commit carries the tag
+    assert t.history(1)[0]["userMetadata"] == "rollback after bad load"
+    p = PlatformSQL(spark)
+    p.register("um2", t)
+    rows = p.sql("DESCRIBE HISTORY um2").collect()
+    assert rows[0].userMetadata == "rollback after bad load"
+    assert rows[1].userMetadata == ""  # untagged commits render empty
