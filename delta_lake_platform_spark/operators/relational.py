@@ -106,3 +106,74 @@ def stats_planned_join(
         else:
             rdf = F.broadcast(rdf)
     return ldf.join(rdf, on=on, how=how)
+
+
+def dynamic_pruned_join(
+    fact,
+    dim: "DataFrame",
+    fact_key: str,
+    dim_key: str | None = None,
+    how: str = "inner",
+    max_probe_values: int = 10_000,
+) -> "DataFrame":
+    """Dynamic file pruning (the Databricks DFP / Delta
+    findTouchedFiles shape, applied to READ-side joins): before
+    joining a big managed ``fact`` table to a selective ``dim`` frame,
+    aggregate the dim's join-key domain — min/max always, the exact
+    distinct set when it is small — and skip every fact FILE the
+    commit-log stats prove cannot match:
+
+    - the [min,max] range prunes on footer stats;
+    - when the dim has <= ``max_probe_values`` distinct keys and the
+      table carries a bloom index for the key, each surviving file's
+      bloom is probed with the exact key set (files whose range
+      straddles the dim domain but provably contain none of its keys
+      drop too).
+
+    One tiny aggregation job on the DIM side (driver-collected: 3
+    scalars + at most max_probe_values keys); ZERO reads of fact data
+    for the decision. At 100 TB with a selective dimension this is
+    the difference between scanning the fact table and scanning the
+    handful of files that can join. Inner/semi joins only — an outer
+    join must keep unmatched fact rows, so pruning would be unsound
+    and raises.
+
+    The exact join still runs on the survivors (stats and blooms are
+    superset bounds). The dim side is broadcast: a frame small enough
+    to drive pruning is small enough to hash-join map-side.
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"dynamic_pruned_join: how={how!r} would need unmatched fact "
+            "rows, which file pruning removes; use inner/semi"
+        )
+    dim_key = dim_key or fact_key
+    agg = dim.agg(
+        F.min(dim_key).alias("lo"),
+        F.max(dim_key).alias("hi"),
+        F.count_distinct(dim_key).alias("ndv"),
+    ).first()
+    if agg["lo"] is None:  # empty/all-NULL dim: inner/semi join is empty
+        empty_fact = fact.read().limit(0)
+        return empty_fact.join(
+            dim.limit(0), empty_fact[fact_key] == dim[dim_key], how
+        )
+    eq_values = None
+    if agg["ndv"] <= max_probe_values:
+        eq_values = {
+            fact_key: [
+                r[0] for r in dim.select(dim_key).distinct().collect()
+            ]
+        }
+    pruned = fact.read_pruned_multi(
+        {fact_key: (agg["lo"], agg["hi"])},
+        eq_values=eq_values,
+    )
+    if fact_key == dim_key:
+        # name-join form: one output key column, never ambiguous
+        return pruned.join(F.broadcast(dim), on=fact_key, how=how)
+    return pruned.join(
+        F.broadcast(dim), pruned[fact_key] == dim[dim_key], how
+    )
