@@ -129,7 +129,11 @@ PRIORITY = [
     # zero scans). Temporal stays driver-covered by asof_prior_purchase
     # / events_sessionize; the range join remains locally oracle-swept.
     "sql_stats_minmax_orders",
-    "events_json_props",
+    # events_json_props rotated out in r9 (late) for orders_dfp_join
+    # (this round's read-side dynamic file pruning: dim key domain +
+    # bloom probes prune fact files before the join). JSON extraction
+    # is a plain projection family, locally oracle-swept.
+    "orders_dfp_join",
     # dv_delete_orders rotated out in r5 for its strict superset
     # dv_purge_roundtrip: the same scattered MOR delete, followed by
     # REORG TABLE APPLY (PURGE) — driver-visible proof that the purge
@@ -137,7 +141,12 @@ PRIORITY = [
     # changing content. Still locally oracle-swept.
     "dv_purge_roundtrip",
     "events_partitioned_by_type",
-    "events_heavy_hitter_users",
+    # events_heavy_hitter_users rotated out in r9 (late) for
+    # sql_analyze_stats_orders (ANALYZE TABLE + SHOW STATS, exact-NDV
+    # mode fully oracled). The frequency-sketch family keeps
+    # events_distinct_users_hll driver-visible; heavy hitters stays
+    # locally oracle-swept.
+    "sql_analyze_stats_orders",
     "events_value_mad_grouped_udf",
     # convert_in_place_orders rotated in in r5 (the new CONVERT family:
     # in-place parquet-dir cataloguing, then DV delete + append on the

@@ -902,3 +902,59 @@ def cdc_per_commit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+# --- dynamic file pruning join (r9) ------------------------------------------
+
+DFP_JOIN_ORACLE = """
+SELECT c.c_mktsegment,
+  COUNT(*)::BIGINT AS n_orders,
+  COUNT(DISTINCT o.o_custkey)::BIGINT AS n_customers,
+  SUM(o.o_orderkey)::BIGINT AS key_sum
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 9000
+GROUP BY c.c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("orders_dfp_join", DFP_JOIN_ORACLE)
+def orders_dfp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic file pruning end to end: orders land in a managed table
+    as range-partitioned files on o_custkey; the selective customer
+    dim (c_acctbal > 9000) drives relational.dynamic_pruned_join, so
+    only fact files whose custkey range can match are read. The oracle
+    is the plain join — pruning must be invisible to the result."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.relational import dynamic_pruned_join
+    from ..sources.managed_table import ManagedTable
+
+    d = _tempfile.mkdtemp(prefix="dfp_join_")
+    t = ManagedTable(spark, f"{d}/orders_t")
+    t.create(
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .repartitionByRange(8, "o_custkey")
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        )
+    )
+    out = (
+        dynamic_pruned_join(t, dim, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("c_mktsegment")
+        .localCheckpoint()
+    )
+    _shutil.rmtree(d, ignore_errors=True)
+    return out

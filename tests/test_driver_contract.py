@@ -49,7 +49,11 @@ def test_family_representation_in_first_50():
         # own storage family; tf-idf rotated out (text keeps 4 reps).
         "convert": "convert_in_place_orders",
         "partitioned": "events_partitioned_by_type",
-        "sketches": "events_heavy_hitter_users",
+        # r9 late: heavy hitters ceded its row to ANALYZE stats; the
+        # sketch family keeps the HLL row below.
+        "sketches": "events_distinct_users_hll",
+        "analyze-stats": "sql_analyze_stats_orders",
+        "dfp-join": "orders_dfp_join",
         "grouped-udf": "events_value_mad_grouped_udf",
         "text": "docs_token_stats",
         # r5 s11: curation's driver signal rides on train_split +
