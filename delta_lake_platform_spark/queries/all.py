@@ -140,7 +140,12 @@ PRIORITY = [
     # rewrites only DV-bearing files and clears the pointer without
     # changing content. Still locally oracle-swept.
     "dv_purge_roundtrip",
-    "events_partitioned_by_type",
+    # events_partitioned_by_type rotated out in r9 (late) for
+    # mv_rewrite_orders (this round's transparent MV query rewrite —
+    # scan-poisoned in-query, coarser grain + WHERE on a group col).
+    # Hive-partition pruning stays driver-covered by
+    # ann_ivf_persisted's PartitionFilters gate; still locally swept.
+    "mv_rewrite_orders",
     # events_heavy_hitter_users rotated out in r9 (late) for
     # sql_analyze_stats_orders (ANALYZE TABLE + SHOW STATS, exact-NDV
     # mode fully oracled). The frequency-sketch family keeps

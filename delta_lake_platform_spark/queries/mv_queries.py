@@ -432,3 +432,78 @@ def mv_approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+# --- transparent MV query rewrite (r9) ---------------------------------------
+
+MV_REWRITE_ORACLE = """
+WITH base AS (
+  SELECT o_orderstatus, o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderkey % 17 != 0
+)
+SELECT o_orderstatus,
+  COUNT(*)::BIGINT AS n,
+  ROUND(SUM(o_totalprice), 2) AS total,
+  MIN(o_totalprice) AS lo,
+  MAX(o_totalprice) AS hi
+FROM base
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("mv_rewrite_orders", MV_REWRITE_ORACLE)
+def mv_rewrite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent materialized-view query rewrite end to end (r9,
+    sql.py::_try_mv_rewrite): a coarser-grain aggregate SELECT over
+    the BASE table — with a WHERE on a group column — is answered
+    from the maintained (status, priority) view. The base mutates (MOR
+    DELETE) and the view refreshes first, so the rewrite folds real
+    maintenance state; the base's read path is replaced with a raiser
+    while the SELECT runs, so any fallthrough to a scan errors the
+    query instead of silently passing. Oracle: the plain aggregate
+    over the surviving rows."""
+    from ..sql import PlatformSQL
+
+    d = tempfile.mkdtemp(prefix="dlp_mv_rw_")
+    p = PlatformSQL(spark)
+    base = ManagedTable(spark, f"{d}/orders_base")
+    base.create(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+    )
+    p.register("orders_rw", base)
+    p.sql(
+        f"CREATE MATERIALIZED VIEW orders_rw_mv LOCATION "
+        f"'{d}/orders_rw_mv' AS SELECT o_orderstatus, o_orderpriority, "
+        "COUNT(*) AS n_rows, SUM(o_totalprice) AS sum_o_totalprice, "
+        "MIN(o_totalprice) AS min_o_totalprice, "
+        "MAX(o_totalprice) AS max_o_totalprice "
+        "FROM orders_rw GROUP BY o_orderstatus, o_orderpriority"
+    )
+    base.delete("o_orderkey % 17 = 0", rewrite=False)
+    p.sql("REFRESH MATERIALIZED VIEW orders_rw_mv")
+
+    def _raise_on_scan(self, *a, **kw):
+        raise AssertionError("rewrite fell through to a base scan")
+
+    base.read = _raise_on_scan.__get__(base)
+    try:
+        out = p.sql(
+            "SELECT o_orderstatus, COUNT(*) AS n, "
+            "SUM(o_totalprice) AS total, MIN(o_totalprice) AS lo, "
+            "MAX(o_totalprice) AS hi FROM orders_rw "
+            "WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus"
+        )
+        out = (
+            out.withColumn("total", F.round("total", 2))
+            .orderBy("o_orderstatus")
+            .localCheckpoint()
+        )
+        assert p.last_select_rewrite == "orders_rw_mv"
+    finally:
+        del base.read
+    shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -56,6 +56,145 @@ class PlatformSQL:
     def register(self, name: str, table: ManagedTable) -> None:
         self.tables[name] = table
 
+    _SQL_KEYWORDS = frozenset(
+        "and or not in is null between like true false".split()
+    )
+
+    def _try_mv_rewrite(
+        self,
+        select_list: str,
+        base_name: str,
+        where: str | None,
+        group_by: str | None,
+    ) -> DataFrame | None:
+        """Answer an aggregate SELECT over ``base_name`` from a FRESH
+        MaterializedAggView whose grain covers it, or return None.
+
+        Soundness rules (each falls through to the scan, never
+        guesses): the view must not be stale; the query's GROUP BY
+        columns must be a subset of the view's; a WHERE may reference
+        GROUP columns only (then filtering state rows == filtering
+        base rows); every select item must be derivable from the
+        maintained state — COUNT(*) re-aggregates as SUM(n_rows),
+        SUM(c) as SUM(sum_c), MIN/MAX(c) as MIN(min_c)/MAX(max_c), and
+        APPROX_COUNT_DISTINCT(c) by UNIONING the stored HLL sketches
+        (hll_union_agg — estimates never re-aggregate, sketches do).
+        At the view's exact grain the rewrite is a pure projection; at
+        a coarser grain it re-aggregates the (tiny) state. Either way
+        the 100 TB base is never read."""
+        from .sources.materialized_view import MaterializedAggView
+
+        base = self.tables[base_name]
+        qcols = (
+            [c.strip() for c in group_by.split(",")] if group_by else []
+        )
+        if any(not re.fullmatch(r"\w+", c) for c in qcols):
+            return None
+        for vname, mv in getattr(self, "_views", {}).items():
+            if not isinstance(mv, MaterializedAggView):
+                continue
+            if os.path.abspath(mv.base.path) != os.path.abspath(base.path):
+                continue
+            if mv.is_stale():
+                continue
+            gset = set(mv.group_cols)
+            if not set(qcols) <= gset:
+                continue
+            if where is not None:
+                idents = set(
+                    re.findall(r"[A-Za-z_]\w*", re.sub(r"'[^']*'", "", where))
+                )
+                if not (idents - self._SQL_KEYWORDS) <= gset:
+                    continue
+            plan: list[tuple[str, str, str]] = []  # (kind, col, alias)
+            ok = True
+            for item in _split_top_level(select_list):
+                im = re.match(
+                    rf"(?is)^\s*({_IDENT})\s*$|"
+                    rf"^\s*COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+({_IDENT}))?\s*$|"
+                    rf"^\s*(SUM|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(\s*"
+                    rf"({_IDENT})\s*\)\s*(?:AS\s+({_IDENT}))?\s*$",
+                    item,
+                )
+                if not im:
+                    ok = False
+                    break
+                ident, cnt_alias, fn, col, alias = im.groups()
+                if ident is not None:
+                    if ident not in qcols:
+                        ok = False
+                        break
+                    plan.append(("group", ident, ident))
+                elif fn is None:
+                    plan.append(("count", "", cnt_alias or "count(1)"))
+                else:
+                    fn = fn.lower()
+                    kind_ok = (
+                        (fn == "sum" and col in mv.sum_cols)
+                        or (fn in ("min", "max") and col in mv.minmax_cols)
+                        or (
+                            fn == "approx_count_distinct"
+                            and col in mv.approx_distinct_cols
+                        )
+                    )
+                    if not kind_ok:
+                        ok = False
+                        break
+                    plan.append((fn, col, alias or f"{fn}({col})"))
+            if not ok or not plan:
+                continue
+            df = mv.state.read()
+            if where is not None:
+                df = df.filter(where)
+            exact = set(qcols) == gset
+            if exact:
+                sel = []
+                for kind, col, alias in plan:
+                    if kind == "group":
+                        sel.append(F.col(col))
+                    elif kind == "count":
+                        sel.append(F.col("n_rows").alias(alias))
+                    elif kind in ("sum", "min", "max"):
+                        sel.append(F.col(f"{kind}_{col}").alias(alias))
+                    else:
+                        sel.append(
+                            F.hll_sketch_estimate(F.col(f"hll_{col}")).alias(
+                                alias
+                            )
+                        )
+                out = df.select(*sel)
+            else:
+                aggs = []
+                for kind, col, alias in plan:
+                    if kind == "group":
+                        continue
+                    if kind == "count":
+                        aggs.append(
+                            F.sum("n_rows").cast("long").alias(alias)
+                        )
+                    elif kind == "sum":
+                        aggs.append(F.sum(f"sum_{col}").alias(alias))
+                    elif kind == "min":
+                        aggs.append(F.min(f"min_{col}").alias(alias))
+                    elif kind == "max":
+                        aggs.append(F.max(f"max_{col}").alias(alias))
+                    else:
+                        aggs.append(
+                            F.hll_sketch_estimate(
+                                F.hll_union_agg(F.col(f"hll_{col}"))
+                            ).alias(alias)
+                        )
+                if not aggs:  # plain DISTINCT-style projection: not ours
+                    continue
+                out = (
+                    df.groupBy(*qcols).agg(*aggs) if qcols else df.agg(*aggs)
+                )
+                # restore the query's select-list column order
+                out = out.select(*[alias for _k, _c, alias in plan])
+            self.last_select_rewrite = vname
+            return out
+        return None
+
     def _create_materialized_view(
         self, name: str, path: str, select_list: str, base_name: str,
         group_by: str,
@@ -489,6 +628,10 @@ class PlatformSQL:
 
     def sql(self, text: str) -> DataFrame:
         t = text.strip().rstrip(";")
+        # Which materialized view (if any) transparently answered the
+        # last SELECT — observability for tests and EXPLAIN-style
+        # debugging of the rewrite.
+        self.last_select_rewrite = None
 
         m = re.match(
             rf"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})"
@@ -1210,6 +1353,22 @@ class PlatformSQL:
                     )
                 if ok:
                     return self.spark.range(1).select(*cols)
+
+        # Transparent materialized-view query rewrite (the classic
+        # warehouse optimization): an aggregate SELECT over a BASE
+        # table is answered from a FRESH maintained view whose grain
+        # covers it — zero base reads. Falls through to the real scan
+        # on any shape the rewrite cannot PROVE equivalent.
+        m = re.match(
+            rf"(?is)^SELECT\s+(.+?)\s+FROM\s+({_IDENT})"
+            rf"(?:\s+WHERE\s+(.+?))?"
+            rf"(?:\s+GROUP\s+BY\s+([\w\s,]+?))?$",
+            t,
+        )
+        if m and m.group(2) in self.tables:
+            rewritten = self._try_mv_rewrite(*m.groups())
+            if rewritten is not None:
+                return rewritten
 
         # Per-commit CDC (Delta's actual table_changes shape): one row
         # per change per COMMIT with _commit_version/_commit_timestamp,

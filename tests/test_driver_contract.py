@@ -48,7 +48,10 @@ def test_family_representation_in_first_50():
         # r5: CONVERT (in-place parquet-dir cataloguing) joins as its
         # own storage family; tf-idf rotated out (text keeps 4 reps).
         "convert": "convert_in_place_orders",
-        "partitioned": "events_partitioned_by_type",
+        # r9 late: partition pruning rides ann_ivf_persisted's
+        # PartitionFilters gate; the slot went to the MV query rewrite.
+        "partitioned": "ann_ivf_persisted",
+        "mv-rewrite": "mv_rewrite_orders",
         # r9 late: heavy hitters ceded its row to ANALYZE stats; the
         # sketch family keeps the HLL row below.
         "sketches": "events_distinct_users_hll",
