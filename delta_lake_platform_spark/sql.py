@@ -101,10 +101,15 @@ class PlatformSQL:
             if not set(qcols) <= gset:
                 continue
             if where is not None:
-                idents = set(
-                    re.findall(r"[A-Za-z_]\w*", re.sub(r"'[^']*'", "", where))
-                )
-                if not (idents - self._SQL_KEYWORDS) <= gset:
+                idents = {
+                    i.lower()
+                    for i in re.findall(
+                        r"[A-Za-z_]\w*", re.sub(r"'[^']*'", "", where)
+                    )
+                }
+                if not (idents - self._SQL_KEYWORDS) <= {
+                    c.lower() for c in gset
+                }:
                     continue
             plan: list[tuple[str, str, str]] = []  # (kind, col, alias)
             ok = True
@@ -630,8 +635,31 @@ class PlatformSQL:
         t = text.strip().rstrip(";")
         # Which materialized view (if any) transparently answered the
         # last SELECT — observability for tests and EXPLAIN-style
-        # debugging of the rewrite.
+        # debugging of the rewrite. last_select_strategy records the
+        # routing decision: "mv_rewrite:<view>", "metadata_only", or
+        # "scan" (None for non-SELECT statements).
         self.last_select_rewrite = None
+        self.last_select_strategy = None
+
+        m = re.match(r"(?is)^EXPLAIN\s+(.+)$", t)
+        if m:
+            # EXPLAIN <select>: run the normal routing (plans are lazy
+            # — no job executes) and report WHICH engine path answers
+            # plus the physical plan: the observability for the
+            # metadata-only and MV-rewrite fast paths, which Spark's
+            # own EXPLAIN cannot see.
+            df = self.sql(m.group(1))
+            from .plans.introspect import explain_str
+
+            return self._df(
+                [
+                    {
+                        "strategy": self.last_select_strategy
+                        or "statement",
+                        "plan": explain_str(df)[:4000],
+                    }
+                ]
+            )
 
         m = re.match(
             rf"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})"
@@ -1352,6 +1380,7 @@ class PlatformSQL:
                         .alias(alias or f"{kind}({col})")
                     )
                 if ok:
+                    self.last_select_strategy = "metadata_only"
                     return self.spark.range(1).select(*cols)
 
         # Transparent materialized-view query rewrite (the classic
@@ -1368,6 +1397,9 @@ class PlatformSQL:
         if m and m.group(2) in self.tables:
             rewritten = self._try_mv_rewrite(*m.groups())
             if rewritten is not None:
+                self.last_select_strategy = (
+                    f"mv_rewrite:{self.last_select_rewrite}"
+                )
                 return rewritten
 
         # Per-commit CDC (Delta's actual table_changes shape): one row
@@ -1486,6 +1518,7 @@ class PlatformSQL:
             )
             if re.search(rf"\b{re.escape(name)}\b", t):
                 table.read().createOrReplaceTempView(name)
+        self.last_select_strategy = "scan"
         return self.spark.sql(t)
 
 

@@ -164,3 +164,45 @@ def test_rewrite_matches_scan_results_exactly(env):
     finally:
         p._views["orders_by_sp"] = mv
     assert via_mv == via_scan
+
+
+@pytest.mark.parametrize("group_by", ["status, prio", "status", "prio", None])
+@pytest.mark.parametrize(
+    "where", [None, "prio = 'HIGH'", "status IN ('O', 'F')",
+              "status = 'O' AND prio = 'LOW'"]
+)
+def test_rewrite_equals_scan_across_shapes(env, group_by, where):
+    """Equivalence sweep: every covered (GROUP BY, WHERE) shape must
+    return exactly what the scan returns."""
+    p, _, _ = env
+    q = "SELECT "
+    if group_by:
+        q += group_by + ", "
+    q += ("COUNT(*) AS n, SUM(price) AS total, MIN(price) AS lo, "
+          "MAX(price) AS hi FROM orders")
+    if where:
+        q += " WHERE " + where
+    if group_by:
+        q += " GROUP BY " + group_by
+    via_mv = {tuple(r) for r in p.sql(q).collect()}
+    assert p.last_select_rewrite == "orders_by_sp", q
+    mv = p._views.pop("orders_by_sp")
+    try:
+        via_scan = {tuple(r) for r in p.sql(q).collect()}
+    finally:
+        p._views["orders_by_sp"] = mv
+    assert via_mv == via_scan, q
+
+
+def test_explain_reports_routing_strategy(env):
+    p, t, _ = env
+    r = p.sql(
+        "EXPLAIN SELECT status, COUNT(*) AS n FROM orders GROUP BY status"
+    ).collect()[0]
+    assert r.strategy == "mv_rewrite:orders_by_sp"
+    r = p.sql(
+        "EXPLAIN SELECT status, AVG(price) AS a FROM orders GROUP BY status"
+    ).collect()[0]
+    assert r.strategy == "scan" and "Scan" in r.plan or "scan" in r.plan.lower()
+    r = p.sql("EXPLAIN SELECT COUNT(*) FROM orders").collect()[0]
+    assert r.strategy == "metadata_only"
