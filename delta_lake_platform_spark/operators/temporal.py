@@ -132,3 +132,78 @@ def range_join_count(
         joined.groupBy(*left.columns)
         .agg(F.sum(F.when(in_range, 1).otherwise(0)).cast("long").alias("n_in_range"))
     )
+
+
+def interpolate_time_grid(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key time-grid regularization with LINEAR interpolation —
+    the missing sibling of LOCF gap-fill: each key gets an epoch-
+    aligned grid from its first to its last observation, observed
+    cells average their readings, and empty cells interpolate
+    linearly between the neighboring observations (head/tail cells
+    extend the nearest one).
+
+    Physical shape at 100 TB: one groupBy to the grid grain, one
+    per-key min/max agg for the spans, a sequence+explode spine (no
+    driver loop), and two ordered windows per key (prev/next
+    observation carried via last/first IGNORE NULLS). Everything is
+    built-in expressions; the windows sort within key partitions —
+    cost is the series length per key, never the corpus.
+
+    Output: key, grid_ts (epoch seconds, BIGINT), value_interp
+    (rounded 6), observed (1 for measured cells, 0 for filled).
+    """
+    step = int(step_seconds)
+    grid = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast(
+        "long"
+    )
+    obs = df.groupBy(F.col(key_col), grid.alias("grid_ts")).agg(
+        F.avg(value_col).alias("__v")
+    )
+    spans = obs.groupBy(key_col).agg(
+        F.min("grid_ts").alias("__lo"), F.max("grid_ts").alias("__hi")
+    )
+    spine = spans.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+        ).alias("grid_ts"),
+    )
+    j = spine.join(obs, [key_col, "grid_ts"], "left")
+    wprev = (
+        Window.partitionBy(key_col)
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wnext = (
+        Window.partitionBy(key_col)
+        .orderBy("grid_ts")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col("__v")
+    t = F.col("grid_ts")
+    prev_v = F.last(v, ignorenulls=True).over(wprev)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wprev)
+    next_v = F.first(v, ignorenulls=True).over(wnext)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wnext)
+    frac = (t - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    interp = F.coalesce(
+        v,
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        ),
+        prev_v,  # tail: carry the last observation forward
+        next_v,  # head: extend the first observation backward
+    )
+    return j.select(
+        F.col(key_col),
+        t,
+        F.round(interp, 6).alias("value_interp"),
+        v.isNotNull().cast("long").alias("observed"),
+    )

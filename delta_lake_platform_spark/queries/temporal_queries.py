@@ -105,3 +105,62 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- linear interpolation over a per-key time grid (r9) ----------------------
+
+INTERP_ORACLE = """
+WITH obs AS (
+  SELECT user_id,
+    (FLOOR(epoch(ts) / 3600) * 3600)::BIGINT AS grid_ts,
+    AVG(value) AS v
+  FROM events WHERE user_id < 20
+  GROUP BY user_id, 2
+),
+spans AS (
+  SELECT user_id, MIN(grid_ts) AS lo, MAX(grid_ts) AS hi FROM obs
+  GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(range(lo, hi + 3600, 3600))::BIGINT AS grid_ts
+  FROM spans
+),
+j AS (
+  SELECT s.user_id, s.grid_ts, obs.v,
+    last_value(obs.v IGNORE NULLS) OVER (
+      PARTITION BY s.user_id ORDER BY s.grid_ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN obs.v IS NOT NULL THEN s.grid_ts END IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.grid_ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(obs.v IGNORE NULLS) OVER (
+      PARTITION BY s.user_id ORDER BY s.grid_ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN obs.v IS NOT NULL THEN s.grid_ts END IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.grid_ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM spine s LEFT JOIN obs ON s.user_id = obs.user_id
+    AND s.grid_ts = obs.grid_ts
+)
+SELECT user_id, grid_ts,
+  ROUND(COALESCE(v,
+    CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+      THEN pv + (nv - pv) * ((grid_ts - pt) * 1.0 / (nt - pt)) END,
+    pv, nv), 6) AS value_interp,
+  (v IS NOT NULL)::BIGINT AS observed
+FROM j
+ORDER BY user_id, grid_ts
+"""
+
+
+@register("events_value_interpolated", INTERP_ORACLE)
+def events_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly grid with linear interpolation between
+    neighboring observations (temporal.interpolate_time_grid): the
+    missing sibling of LOCF gap-fill — head/tail cells extend the
+    nearest observation, interior gaps interpolate by elapsed-time
+    fraction. Bounded to user_id < 20 so the grid stays comparable."""
+    from ..operators.temporal import interpolate_time_grid
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return interpolate_time_grid(ev).orderBy("user_id", "grid_ts")
