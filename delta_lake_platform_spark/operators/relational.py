@@ -51,6 +51,27 @@ def split_matched(
     return matched, new
 
 
+_SIZE_SUFFIXES = {
+    "b": 1, "k": 1024, "kb": 1024, "m": 1024**2, "mb": 1024**2,
+    "g": 1024**3, "gb": 1024**3, "t": 1024**4, "tb": 1024**4,
+}
+
+
+def _parse_size_bytes(s) -> int:
+    """Spark size-conf parser (the `10MB` / `1g` / `10485760b` forms
+    spark.sql.autoBroadcastJoinThreshold actually takes): bare numbers
+    are bytes; a 'b' suffix is bytes too (NOT KiB); k/m/g/t multiply
+    by 1024 powers. -1 (broadcast disabled) passes through."""
+    import re as _re
+
+    s = str(s).strip().lower()
+    m = _re.fullmatch(r"(-?\d+)\s*([kmgt]?b?)", s)
+    if not m:
+        raise ValueError(f"cannot parse size {s!r}")
+    n, suffix = int(m.group(1)), m.group(2)
+    return n * _SIZE_SUFFIXES.get(suffix, 1)
+
+
 def stats_planned_join(
     left,
     right,
@@ -82,9 +103,7 @@ def stats_planned_join(
         thr = ldf.sparkSession.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", "10485760"
         )
-        broadcast_threshold = (
-            int(thr[:-1]) * 1024 if str(thr).endswith("b") else int(thr)
-        )
+        broadcast_threshold = _parse_size_bytes(thr)
 
     def _fresh_size(t):
         st = t.column_stats()
@@ -155,22 +174,24 @@ def dynamic_pruned_join(
         F.max(dim_key).alias("hi"),
         F.count_distinct(dim_key).alias("ndv"),
     ).first()
-    if agg["lo"] is None:  # empty/all-NULL dim: inner/semi join is empty
-        empty_fact = fact.read().limit(0)
-        return empty_fact.join(
-            dim.limit(0), empty_fact[fact_key] == dim[dim_key], how
+    if agg["lo"] is None:
+        # Empty/all-NULL dim: the inner/semi join is empty, but the
+        # OUTPUT SCHEMA must be identical to the non-empty path — build
+        # it through the very same join below on a provably-empty
+        # pruned frame (a literal-false filter, no files read).
+        pruned = fact.read().filter(F.lit(False))
+    else:
+        eq_values = None
+        if agg["ndv"] <= max_probe_values:
+            eq_values = {
+                fact_key: [
+                    r[0] for r in dim.select(dim_key).distinct().collect()
+                ]
+            }
+        pruned = fact.read_pruned_multi(
+            {fact_key: (agg["lo"], agg["hi"])},
+            eq_values=eq_values,
         )
-    eq_values = None
-    if agg["ndv"] <= max_probe_values:
-        eq_values = {
-            fact_key: [
-                r[0] for r in dim.select(dim_key).distinct().collect()
-            ]
-        }
-    pruned = fact.read_pruned_multi(
-        {fact_key: (agg["lo"], agg["hi"])},
-        eq_values=eq_values,
-    )
     if fact_key == dim_key:
         # name-join form: one output key column, never ambiguous
         return pruned.join(F.broadcast(dim), on=fact_key, how=how)

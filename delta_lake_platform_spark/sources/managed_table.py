@@ -5209,8 +5209,10 @@ class ManagedTable:
         100 TB); ``exact_ndv=True`` switches to COUNT(DISTINCT) for
         small/oracle-grade tables.
 
-        Stats persist to ``_log/_column_stats.json`` stamped with the
-        analyzed snapshot version — ``column_stats()`` reports
+        Stats persist to the table-root ``_column_stats.json`` sidecar
+        (NOT inside ``_log/``, whose listing treats every *.json as a
+        version entry) stamped with the analyzed snapshot version —
+        ``column_stats()`` reports
         staleness against the latest version rather than pretending
         stats follow DML. Returns the stored dict."""
         v = self.latest_version()
@@ -5238,6 +5240,11 @@ class ManagedTable:
         stats = {
             "analyzedVersion": v,
             "exactNdv": bool(exact_ndv),
+            # Whether the analyzed column set covers the whole schema:
+            # size estimation from a PARTIAL analyze would undercount
+            # the row width by the missing columns and mislead the
+            # broadcast decision, so estimated_size_bytes refuses it.
+            "coversAllColumns": set(cols) == set(schema.fieldNames()),
             "rowCount": row["__rows"],
             "columns": {
                 c: {
@@ -5284,9 +5291,12 @@ class ManagedTable:
         decision input (compare against autoBroadcastJoinThreshold) —
         deliberately the STRING-serialized width, which over- rather
         than under-estimates binary widths, so the planner errs toward
-        shuffling, never toward broadcasting a too-big side."""
+        shuffling, never toward broadcasting a too-big side. None when
+        never analyzed OR when the last ANALYZE covered only a column
+        subset (a partial width would underestimate the row, the one
+        direction this estimate must never err)."""
         st = self.column_stats()
-        if st is None:
+        if st is None or not st.get("coversAllColumns", False):
             return None
         widths = [
             c["avgLen"]

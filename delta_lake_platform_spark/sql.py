@@ -174,8 +174,14 @@ class PlatformSQL:
                     if kind == "group":
                         continue
                     if kind == "count":
+                        # COALESCE to 0: a global aggregate whose WHERE
+                        # matches no state rows must return COUNT = 0
+                        # exactly like the scan (SUM over zero rows is
+                        # NULL; SQL COUNT never is).
                         aggs.append(
-                            F.sum("n_rows").cast("long").alias(alias)
+                            F.coalesce(F.sum("n_rows"), F.lit(0))
+                            .cast("long")
+                            .alias(alias)
                         )
                     elif kind == "sum":
                         aggs.append(F.sum(f"sum_{col}").alias(alias))
@@ -643,11 +649,18 @@ class PlatformSQL:
 
         m = re.match(r"(?is)^EXPLAIN\s+(.+)$", t)
         if m:
-            # EXPLAIN <select>: run the normal routing (plans are lazy
-            # — no job executes) and report WHICH engine path answers
-            # plus the physical plan: the observability for the
-            # metadata-only and MV-rewrite fast paths, which Spark's
-            # own EXPLAIN cannot see.
+            # EXPLAIN <select>: run the normal SELECT routing (those
+            # plans are lazy — no job executes) and report WHICH
+            # engine path answers plus the physical plan: the
+            # observability for the metadata-only and MV-rewrite fast
+            # paths, which Spark's own EXPLAIN cannot see. SELECT
+            # ONLY: explaining a DML/DDL statement would EXECUTE it
+            # (commits and all), so anything else is refused.
+            if not re.match(r"(?is)^\s*SELECT\b", m.group(1)):
+                raise ValueError(
+                    "EXPLAIN supports SELECT statements only (a DML/DDL "
+                    "statement would execute, not plan)"
+                )
             df = self.sql(m.group(1))
             from .plans.introspect import explain_str
 

@@ -141,3 +141,30 @@ def test_stats_planned_join_ignores_stale_and_missing_stats(spark, tmp_path):
         assert not has_broadcast_hash_join(df), explain_str(df)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partial_analyze_refuses_size_estimate(table):
+    """Review finding: a column-subset ANALYZE would undercount the
+    row width ~Nx and mislead the broadcast decision — the estimate
+    must refuse, and stats_planned_join must then add no hint."""
+    table.analyze(columns=["k"], exact_ndv=True)
+    assert table.column_stats()["coversAllColumns"] is False
+    assert table.estimated_size_bytes() is None
+    table.analyze(exact_ndv=True)
+    assert table.estimated_size_bytes() is not None
+
+
+def test_threshold_parser_handles_spark_size_forms():
+    from delta_lake_platform_spark.operators.relational import (
+        _parse_size_bytes,
+    )
+
+    assert _parse_size_bytes("10485760") == 10 * 1024 * 1024
+    assert _parse_size_bytes("10485760b") == 10 * 1024 * 1024  # b = bytes
+    assert _parse_size_bytes("10MB") == 10 * 1024 * 1024
+    assert _parse_size_bytes("1g") == 1024**3
+    assert _parse_size_bytes("-1") == -1  # broadcast disabled
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _parse_size_bytes("ten megabytes")

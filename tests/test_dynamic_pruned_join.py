@@ -73,3 +73,20 @@ def test_large_dim_skips_probe_but_still_range_prunes(spark, fact):
     dim = spark.range(50).select(F.col("id").alias("k"))
     out = dynamic_pruned_join(fact, dim, "k", max_probe_values=10)
     assert out.count() == 50  # correctness unaffected by skipping probe
+
+
+def test_empty_dim_schema_matches_nonempty_path(spark, fact):
+    """Review finding: the empty-dim branch must produce the SAME
+    schema as the normal path (one merged key column), so downstream
+    selects/aggregations never hit AMBIGUOUS_REFERENCE."""
+    full = spark.createDataFrame([(10, "a")], "k long, name string")
+    empty = full.filter(F.lit(False))
+    out_full = dynamic_pruned_join(fact, full, "k")
+    out_empty = dynamic_pruned_join(fact, empty, "k")
+    assert out_empty.columns == out_full.columns
+    assert out_empty.count() == 0
+    # the regression shape: aggregating on the join key must not raise
+    assert out_empty.groupBy("k").count().count() == 0
+    semi_empty = dynamic_pruned_join(fact, empty, "k", how="semi")
+    semi_full = dynamic_pruned_join(fact, full, "k", how="semi")
+    assert semi_empty.columns == semi_full.columns

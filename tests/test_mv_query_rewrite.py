@@ -203,6 +203,33 @@ def test_explain_reports_routing_strategy(env):
     r = p.sql(
         "EXPLAIN SELECT status, AVG(price) AS a FROM orders GROUP BY status"
     ).collect()[0]
-    assert r.strategy == "scan" and "Scan" in r.plan or "scan" in r.plan.lower()
+    assert r.strategy == "scan" and (
+        "Scan" in r.plan or "scan" in r.plan.lower()
+    )
     r = p.sql("EXPLAIN SELECT COUNT(*) FROM orders").collect()[0]
     assert r.strategy == "metadata_only"
+
+
+def test_global_count_with_no_matching_groups_returns_zero(env):
+    """Review finding: SUM(n_rows) over zero state rows is NULL; SQL
+    COUNT(*) must be 0 exactly like the scan. SUM/MIN/MAX stay NULL
+    (also like the scan)."""
+    p, t, _ = env
+    q = ("SELECT COUNT(*) AS n, SUM(price) AS total FROM orders "
+         "WHERE status = 'ZZZ'")
+    r = p.sql(q).collect()[0]
+    assert p.last_select_rewrite == "orders_by_sp"
+    mv = p._views.pop("orders_by_sp")
+    try:
+        scan = p.sql(q).collect()[0]
+    finally:
+        p._views["orders_by_sp"] = mv
+    assert (r.n, r.total) == (scan.n, scan.total) == (0, None)
+
+
+def test_explain_refuses_dml(env):
+    p, t, _ = env
+    v_before = t.latest_version()
+    with pytest.raises(ValueError, match="SELECT statements only"):
+        p.sql("EXPLAIN DELETE FROM orders WHERE status = 'O'")
+    assert t.latest_version() == v_before  # nothing executed
