@@ -66,6 +66,9 @@ class PlatformSQL:
         base_name: str,
         where: str | None,
         group_by: str | None,
+        having: str | None = None,
+        order_by: str | None = None,
+        limit: str | None = None,
     ) -> DataFrame | None:
         """Answer an aggregate SELECT over ``base_name`` from a FRESH
         MaterializedAggView whose grain covers it, or return None.
@@ -148,6 +151,35 @@ class PlatformSQL:
                     plan.append((fn, col, alias or f"{fn}({col})"))
             if not ok or not plan:
                 continue
+            # HAVING / ORDER BY may reference the OUTPUT aliases only
+            # (selected group cols included) — a reference to anything
+            # else (an unselected aggregate, a base column) falls
+            # through to the scan rather than guessing.
+            aliases = {alias.lower() for _k, _c, alias in plan}
+            if having is not None:
+                h_ids = {
+                    i.lower()
+                    for i in re.findall(
+                        r"[A-Za-z_]\w*", re.sub(r"'[^']*'", "", having)
+                    )
+                }
+                if not (h_ids - self._SQL_KEYWORDS) <= aliases:
+                    continue
+            order_items: list[tuple[str, str]] = []
+            if order_by is not None:
+                bad_order = False
+                for it in order_by.split(","):
+                    om = re.fullmatch(
+                        r"(?is)\s*(\w+)(?:\s+(asc|desc))?\s*", it
+                    )
+                    if om is None or om.group(1).lower() not in aliases:
+                        bad_order = True
+                        break
+                    order_items.append(
+                        (om.group(1), (om.group(2) or "asc").lower())
+                    )
+                if bad_order:
+                    continue
             df = mv.state.read()
             if where is not None:
                 df = df.filter(where)
@@ -202,6 +234,17 @@ class PlatformSQL:
                 )
                 # restore the query's select-list column order
                 out = out.select(*[alias for _k, _c, alias in plan])
+            if having is not None:
+                out = out.filter(having)
+            if order_items:
+                out = out.orderBy(
+                    *[
+                        F.col(c).desc() if d == "desc" else F.col(c).asc()
+                        for c, d in order_items
+                    ]
+                )
+            if limit is not None:
+                out = out.limit(int(limit))
             self.last_select_rewrite = vname
             return out
         return None
@@ -1404,7 +1447,10 @@ class PlatformSQL:
         m = re.match(
             rf"(?is)^SELECT\s+(.+?)\s+FROM\s+({_IDENT})"
             rf"(?:\s+WHERE\s+(.+?))?"
-            rf"(?:\s+GROUP\s+BY\s+([\w\s,]+?))?$",
+            rf"(?:\s+GROUP\s+BY\s+([\w\s,]+?))?"
+            rf"(?:\s+HAVING\s+(.+?))?"
+            rf"(?:\s+ORDER\s+BY\s+([\w\s,]+?))?"
+            rf"(?:\s+LIMIT\s+(\d+))?$",
             t,
         )
         if m and m.group(2) in self.tables:

@@ -233,3 +233,49 @@ def test_explain_refuses_dml(env):
     with pytest.raises(ValueError, match="SELECT statements only"):
         p.sql("EXPLAIN DELETE FROM orders WHERE status = 'O'")
     assert t.latest_version() == v_before  # nothing executed
+
+
+def test_having_order_limit_rewrite(env):
+    """Dashboard shape: HAVING on an output alias, ORDER BY ... DESC,
+    LIMIT — all applied on the rewritten state, base never read."""
+    p, t, _ = env
+    t.read = _raise_on_scan.__get__(t)
+    try:
+        rows = p.sql(
+            "SELECT status, COUNT(*) AS n, SUM(price) AS total "
+            "FROM orders GROUP BY status HAVING n >= 2 "
+            "ORDER BY total DESC LIMIT 1"
+        ).collect()
+    finally:
+        del t.read
+    assert p.last_select_rewrite == "orders_by_sp"
+    assert len(rows) == 1
+    assert rows[0].status == "F" and rows[0].total == 70.0  # top by total
+
+
+def test_having_on_unselected_aggregate_falls_through(env):
+    p, _, _ = env
+    p.sql(
+        "SELECT status, COUNT(*) AS n FROM orders GROUP BY status "
+        "HAVING SUM(price) > 10"
+    )
+    assert p.last_select_rewrite is None  # SUM not selected -> scan
+    p.sql(
+        "SELECT status, COUNT(*) AS n FROM orders GROUP BY status "
+        "ORDER BY MAX(price)"
+    )
+    assert p.last_select_rewrite is None  # aggregate ORDER BY -> scan
+
+
+def test_having_order_limit_equals_scan(env):
+    p, _, _ = env
+    q = ("SELECT status, COUNT(*) AS n FROM orders GROUP BY status "
+         "HAVING n >= 1 ORDER BY n DESC, status ASC LIMIT 2")
+    via_mv = [tuple(r) for r in p.sql(q).collect()]
+    assert p.last_select_rewrite == "orders_by_sp"
+    mv = p._views.pop("orders_by_sp")
+    try:
+        via_scan = [tuple(r) for r in p.sql(q).collect()]
+    finally:
+        p._views["orders_by_sp"] = mv
+    assert via_mv == via_scan
