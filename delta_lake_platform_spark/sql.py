@@ -932,6 +932,46 @@ class PlatformSQL:
                 [{"location": path, **{k: v for k, v in met.items()}}]
             )
         m = re.match(
+            rf"(?is)^INSERT\s+(?:INTO\s+({_IDENT})\s+REPLACE\s+WHERE\s+"
+            rf"(.+?)|OVERWRITE\s+(?:TABLE\s+)?({_IDENT}))\s+"
+            r"(SELECT\s+.*|VALUES\s*.*)$",
+            t,
+        )
+        if m:
+            # Delta's INSERT overwrite forms: `INSERT INTO t REPLACE
+            # WHERE <cond> <query>` atomically replaces exactly the
+            # matching slice (replace_where, validated); `INSERT
+            # OVERWRITE [TABLE] t <query>` replaces the whole snapshot
+            # (time travel keeps the history).
+            rw_name, rw_cond, ow_name, body = m.groups()
+            name = rw_name or ow_name
+            table = self.tables[name]
+            schema = table.read().schema
+            cols = schema.fieldNames()
+            if body.upper().startswith("VALUES"):
+                df = self.spark.sql(body).toDF(*cols)
+            else:
+                df = self.sql(body).toDF(*cols)
+            # VALUES literals infer narrow types (INT for a BIGINT
+            # column); an overwrite must not read that as a schema
+            # change — align to the table's declared types.
+            df = df.select(
+                *[F.col(c).cast(schema[c].dataType) for c in cols]
+            )
+            if rw_cond is not None:
+                v = table.overwrite_where(df, rw_cond.strip())
+            else:
+                v = table.overwrite(df)
+            met = table.history(1)[0]["operationMetrics"]
+            return self._df(
+                [
+                    {
+                        "version": v,
+                        **{k: v2 for k, v2 in met.items() if v2 is not None},
+                    }
+                ]
+            )
+        m = re.match(
             rf"(?is)^INSERT\s+INTO\s+({_IDENT})\s*(?:\(([^)]*)\))?\s+"
             r"(SELECT\s+.*|VALUES\s*.*)$",
             t,

@@ -839,3 +839,40 @@ def test_approx_distinct_materialized_view_via_sql(psql, spark):
     fresh.register("accounts", psql.tables["accounts"])
     fresh.attach_materialized_view("acct_hll", path)
     assert fresh._views["acct_hll"].approx_distinct_cols == ["owner"]
+
+
+# --- INSERT OVERWRITE / INSERT INTO ... REPLACE WHERE (r9) -------------------
+
+def test_insert_overwrite_and_replace_where(spark, tmp_path):
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+    from delta_lake_platform_spark.sql import PlatformSQL
+
+    p = PlatformSQL(spark)
+    t = ManagedTable(spark, str(tmp_path / "iow"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+            "k long, part string, v long",
+        )
+    )
+    p.register("iow", t)
+    # slice reload: replace only part='a' rows, keep part='b'
+    p.sql(
+        "INSERT INTO iow REPLACE WHERE part = 'a' "
+        "VALUES (10, 'a', 100), (11, 'a', 110)"
+    )
+    rows = {r.k: (r.part, r.v) for r in t.read().collect()}
+    assert rows == {3: ("b", 30), 10: ("a", 100), 11: ("a", 110)}
+    # validation: a row NOT matching the predicate is refused
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)match|predicate|replace"):
+        p.sql(
+            "INSERT INTO iow REPLACE WHERE part = 'a' "
+            "VALUES (12, 'b', 120)"
+        )
+    # full overwrite: new snapshot, history keeps the old one
+    v = t.latest_version()
+    p.sql("INSERT OVERWRITE iow VALUES (99, 'z', 999)")
+    assert [tuple(r) for r in t.read().collect()] == [(99, "z", 999)]
+    assert t.read(v).count() == 3  # time travel intact
