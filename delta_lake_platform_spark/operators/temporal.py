@@ -140,6 +140,7 @@ def interpolate_time_grid(
     ts_col: str = "ts",
     value_col: str = "value",
     step_seconds: int = 3600,
+    round_decimals: int | None = 6,
 ) -> DataFrame:
     """Per-key time-grid regularization with LINEAR interpolation —
     the missing sibling of LOCF gap-fill: each key gets an epoch-
@@ -156,7 +157,18 @@ def interpolate_time_grid(
     cost is the series length per key, never the corpus.
 
     Output: key, grid_ts (epoch seconds, BIGINT), value_interp
-    (rounded 6), observed (1 for measured cells, 0 for filled).
+    (rounded to ``round_decimals``; None = raw double), observed
+    (1 for measured cells, 0 for filled).
+
+    Cross-engine determinism note: with fractional inputs, the
+    observed-cell AVG is summation-order-dependent and interpolated
+    midpoints of fixed-precision data land EXACTLY on decimal
+    rounding half-boundaries, so no choice of ``round_decimals``
+    hash-compares reliably against another engine (seen live at
+    sf0.01: one row off by 1e-6 at 6 decimals, several at 4). The
+    registry query instead feeds integer-scaled values (cents), sets
+    ``round_decimals=None``, and floors an integer output — exact
+    integer sums make every IEEE op bit-identical across engines.
     """
     step = int(step_seconds)
     grid = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast(
@@ -204,6 +216,9 @@ def interpolate_time_grid(
     return j.select(
         F.col(key_col),
         t,
-        F.round(interp, 6).alias("value_interp"),
+        (
+            interp if round_decimals is None
+            else F.round(interp, round_decimals)
+        ).alias("value_interp"),
         v.isNotNull().cast("long").alias("observed"),
     )

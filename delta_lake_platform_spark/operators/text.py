@@ -373,6 +373,83 @@ def with_gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns(cols)
 
 
+def with_c4_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = True,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 cleaning pipeline (Raffel et al. 2020, §2.2) as one JVM
+    projection: line-level filtering followed by document-level gates.
+    Complements ``with_gopher_flags`` — C4 cleans INSIDE the document
+    (dropping boilerplate lines) where Gopher only accepts/rejects it.
+
+    Line rules (a line survives only if it passes ALL that apply):
+      - at least ``min_words_per_line`` whitespace words (paper: 5)
+      - ends in terminal punctuation — ``. ! ?`` optionally followed
+        by a closing quote (paper rule; ``require_terminal_punct``
+        turns it off for corpora without sentence structure)
+      - does not contain the word "javascript" (case-insensitive)
+
+    Document rules, evaluated on the ORIGINAL page text (the paper
+    drops the whole page regardless of which line offends):
+      - does not contain the placeholder "lorem ipsum"
+      - does not contain a curly brace ``{`` (code marker)
+      - the CLEANED text has at least ``min_sentences`` sentences
+        (terminal-punctuation marks; paper: 3)
+    The paper's bad-words list is deliberately omitted (no public
+    canonical list; the rule structure is the operator).
+
+    Returns every input row (one row per document, NULL text = empty
+    document) with ``c4_text`` (surviving lines rejoined),
+    ``n_lines_total`` / ``n_lines_kept``, ``n_sentences``, one flag
+    per document rule, and the conjunctive ``c4_pass`` (all document
+    flags AND at least one surviving line). Pure built-in column
+    expressions — the whole pipeline stays inside whole-stage codegen
+    with zero exchanges at any corpus size.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+
+    def _keep(line: Column) -> Column:
+        trimmed = F.trim(line)
+        n_words = F.size(
+            F.filter(
+                F.split(F.lower(trimmed), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        )
+        cond = n_words >= min_words_per_line
+        if require_terminal_punct:
+            cond = cond & trimmed.rlike(r"[.!?][\"”’']?$")
+        return cond & ~F.lower(line).contains("javascript")
+
+    kept = F.filter(lines, _keep)
+    c4_text = F.array_join(kept, "\n")
+    n_sentences = F.size(F.regexp_extract_all(c4_text, F.lit(r"[.!?]"), 0))
+    flag_sentences = (n_sentences >= min_sentences).cast("long")
+    flag_placeholder = (~F.lower(t).contains("lorem ipsum")).cast("long")
+    flag_brace = (~t.contains("{")).cast("long")
+    return df.withColumns(
+        {
+            "c4_text": c4_text,
+            "n_lines_total": F.size(lines).cast("long"),
+            "n_lines_kept": F.size(kept).cast("long"),
+            "n_sentences": n_sentences.cast("long"),
+            "flag_min_sentences": flag_sentences,
+            "flag_no_placeholder": flag_placeholder,
+            "flag_no_brace": flag_brace,
+            "c4_pass": (
+                (flag_sentences == 1)
+                & (flag_placeholder == 1)
+                & (flag_brace == 1)
+                & (F.size(kept) >= 1)
+            ).cast("long"),
+        }
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

@@ -255,6 +255,78 @@ def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C4 cleaning pipeline -----------------------------------------------------
+
+C4_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+    coalesce(text, '') AS txt,
+    string_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents
+),
+c AS (
+  SELECT doc_id, txt, lines,
+    list_filter(lines, l ->
+      LEN(list_filter(string_split_regex(trim(lower(l)), '\\s+'),
+                      x -> length(x) > 0)) >= 50
+      AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM t
+),
+s AS (
+  SELECT doc_id, txt, lines, kept,
+    coalesce(array_to_string(kept, chr(10)), '') AS c4_text
+  FROM c
+)
+SELECT doc_id,
+  LENGTH(c4_text)::BIGINT AS c4_chars,
+  LEN(lines)::BIGINT AS n_lines_total,
+  LEN(kept)::BIGINT AS n_lines_kept,
+  LEN(regexp_extract_all(c4_text, '[.!?]'))::BIGINT AS n_sentences,
+  (LEN(regexp_extract_all(c4_text, '[.!?]')) >= 0)::BIGINT
+    AS flag_min_sentences,
+  (NOT contains(lower(txt), 'lorem ipsum'))::BIGINT AS flag_no_placeholder,
+  (NOT contains(txt, '{'))::BIGINT AS flag_no_brace,
+  (LEN(regexp_extract_all(c4_text, '[.!?]')) >= 0
+   AND NOT contains(lower(txt), 'lorem ipsum')
+   AND NOT contains(txt, '{')
+   AND LEN(kept) >= 1)::BIGINT AS c4_pass
+FROM s
+ORDER BY doc_id
+"""
+
+
+@register("docs_c4_clean", C4_ORACLE)
+def docs_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning pipeline (Raffel et al. 2020 §2.2): line-level
+    boilerplate removal (word-count floor, javascript lines) plus the
+    document-level placeholder / curly-brace / sentence-count gates,
+    all in one codegen'd projection (ORDER BY is presentation-only).
+
+    Corpus calibration: the synthetic docs are single-line with no
+    sentence punctuation, so the terminal-punctuation line rule is
+    OFF and ``min_sentences=0`` (their multi-line / punctuation
+    semantics are pinned by tests/test_c4.py); ``min_words_per_line``
+    is raised to 50, which splits this corpus 277/223 at sf0.01 —
+    the operator defaults to the paper's constants."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.with_c4_flags(
+            docs,
+            min_words_per_line=50,
+            require_terminal_punct=False,
+            min_sentences=0,
+        )
+        .select(
+            "doc_id",
+            F.length("c4_text").cast("long").alias("c4_chars"),
+            "n_lines_total", "n_lines_kept", "n_sentences",
+            "flag_min_sentences", "flag_no_placeholder", "flag_no_brace",
+            "c4_pass",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- language ID ------------------------------------------------------------
 
 def _lang_scores_sql() -> str:

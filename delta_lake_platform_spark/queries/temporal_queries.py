@@ -113,7 +113,7 @@ INTERP_ORACLE = """
 WITH obs AS (
   SELECT user_id,
     (FLOOR(epoch(ts) / 3600) * 3600)::BIGINT AS grid_ts,
-    AVG(value) AS v
+    AVG(ROUND(value * 100, 0)) AS v
   FROM events WHERE user_id < 20
   GROUP BY user_id, 2
 ),
@@ -143,10 +143,10 @@ j AS (
     AND s.grid_ts = obs.grid_ts
 )
 SELECT user_id, grid_ts,
-  ROUND(COALESCE(v,
+  FLOOR(COALESCE(v,
     CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
       THEN pv + (nv - pv) * ((grid_ts - pt) * 1.0 / (nt - pt)) END,
-    pv, nv), 6) AS value_interp,
+    pv, nv) * 10000.0 + 0.5)::BIGINT AS value_interp_micro,
   (v IS NOT NULL)::BIGINT AS observed
 FROM j
 ORDER BY user_id, grid_ts
@@ -159,8 +159,30 @@ def events_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighboring observations (temporal.interpolate_time_grid): the
     missing sibling of LOCF gap-fill — head/tail cells extend the
     nearest observation, interior gaps interpolate by elapsed-time
-    fraction. Bounded to user_id < 20 so the grid stays comparable."""
+    fraction. Bounded to user_id < 20 so the grid stays comparable.
+
+    Cross-engine-exact form: the fixture's ``value`` is 2-decimal, so
+    the pipeline works in integer CENTS (exact double sums — the cell
+    AVG stops being summation-order-dependent) and emits integer
+    MICRO-dollars via floor(x + 0.5). Every remaining op is a single
+    correctly-rounded IEEE op on bit-identical inputs, so Spark and
+    DuckDB agree bit-for-bit; decimal ROUND at any precision was
+    flaky here (interpolated midpoints of fixed-precision data sit
+    exactly on rounding half-boundaries — seen live at sf0.01)."""
     from ..operators.temporal import interpolate_time_grid
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    return interpolate_time_grid(ev).orderBy("user_id", "grid_ts")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id", "ts",
+            F.round(F.col("value") * 100, 0).alias("value"),
+        )
+    )
+    g = interpolate_time_grid(ev, round_decimals=None)
+    return g.select(
+        "user_id", "grid_ts",
+        F.floor(F.col("value_interp") * 10000.0 + 0.5)
+        .cast("long").alias("value_interp_micro"),
+        "observed",
+    ).orderBy("user_id", "grid_ts")
