@@ -222,3 +222,52 @@ def interpolate_time_grid(
         ).alias("value_interp"),
         v.isNotNull().cast("long").alias("observed"),
     )
+
+
+def decayed_agg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_seconds: float = 7 * 86400.0,
+    round_decimals: int = 4,
+) -> DataFrame:
+    """Exponentially TIME-decayed aggregates per key — the streaming-
+    feature-store scoring primitive (recency-weighted engagement,
+    decayed revenue, freshness-weighted counts): each observation
+    contributes ``value * 2^(-(T - t) / half_life)`` where T is the
+    corpus-wide max timestamp (one broadcast scalar), so a reading one
+    half-life old counts half as much as one made "now".
+
+    Returns one row per key: ``n_events`` (plain count),
+    ``decayed_sum``, ``decayed_count`` (sum of weights — the decayed
+    event count), and ``decayed_avg`` (their ratio — NULL only on an
+    empty frame, weights are strictly positive).
+
+    Physical shape at 100 TB: a 1-row max-timestamp aggregate joined
+    in via broadcast (no driver collect), then ONE map-side-combinable
+    groupBy — the weight is computed per row inside whole-stage
+    codegen, so the shuffle carries only (key, partial sums). Rounded
+    to ``round_decimals`` (decay weights are irrational, so rounded
+    comparisons never sit on a decimal half-boundary the way
+    fixed-precision sums do).
+    """
+    anchor = df.agg(F.max(F.col(ts_col)).alias("__anchor"))
+    age = F.unix_timestamp(F.col("__anchor")) - F.unix_timestamp(
+        F.col(ts_col)
+    )
+    w = F.pow(F.lit(2.0), -age.cast("double") / F.lit(float(half_life_seconds)))
+    return (
+        df.join(F.broadcast(anchor))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(w * F.col(value_col)), round_decimals).alias(
+                "decayed_sum"
+            ),
+            F.round(F.sum(w), round_decimals).alias("decayed_count"),
+            F.round(
+                F.sum(w * F.col(value_col)) / F.sum(w), round_decimals
+            ).alias("decayed_avg"),
+        )
+    )

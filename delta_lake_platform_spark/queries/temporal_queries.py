@@ -186,3 +186,38 @@ def events_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("value_interp_micro"),
         "observed",
     ).orderBy("user_id", "grid_ts")
+
+
+# --- exponentially time-decayed per-key aggregates (r9) -----------------------
+
+DECAYED_ORACLE = """
+WITH a AS (SELECT MAX(ts) AS anchor FROM events),
+w AS (
+  SELECT user_id, value,
+    POWER(2.0, -(FLOOR(epoch(a.anchor)) - FLOOR(epoch(ts))) / 604800.0) AS wt
+  FROM events, a
+)
+SELECT user_id,
+  COUNT(*) AS n_events,
+  ROUND(SUM(wt * value), 4) AS decayed_sum,
+  ROUND(SUM(wt), 4) AS decayed_count,
+  ROUND(SUM(wt * value) / SUM(wt), 4) AS decayed_avg
+FROM w
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_decayed_engagement", DECAYED_ORACLE)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement per user (temporal.decayed_agg):
+    each event contributes value * 2^(-age / 7 days) against the
+    corpus-wide max timestamp — the feature-store scoring primitive
+    that replaces N "events in last K days" windows with one smooth
+    decay. One broadcast scalar + one map-side-combinable groupBy;
+    rounded to 4 on both sides (decay weights are irrational, so
+    rounded sums never sit on a decimal half-boundary)."""
+    from ..operators.temporal import decayed_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return decayed_agg(ev, half_life_seconds=7 * 86400.0).orderBy("user_id")
