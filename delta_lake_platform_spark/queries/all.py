@@ -48,7 +48,14 @@ PRIORITY = [
     # customers_without_big_orders) to give the r3 sketch family
     # driver-visible verification (VERDICT r3 #7); both remain locally
     # oracle-swept like every tail query.
-    "q21_waiting_suppliers",
+    # q21 rotated out in r9 (third wave) for events_variant_profile:
+    # the semi-structured family regained a driver row on the Spark 4
+    # open VARIANT type (parse_json / try_variant_get /
+    # schema_of_variant) after events_json_props rotated out earlier
+    # this round. Multi-way join + anti/exists shapes stay covered by
+    # q3 / q9 / customers_without_big_orders; q21 remains locally
+    # oracle-swept.
+    "events_variant_profile",
     "events_distinct_users_hll",
     # events_user_overlap_theta rotated out in r7 (late) for
     # mv_stream_maintained_orders: the r7 per-commit streaming MV
@@ -58,7 +65,12 @@ PRIORITY = [
     # theta remains locally oracle-swept.
     "mv_stream_maintained_orders",
     "topk_orders_per_customer",
-    "latest_event_per_user",
+    # latest_event_per_user rotated out in r9 (third wave) for
+    # events_decayed_engagement (exponential time-decay aggregates —
+    # a new family). The window-argmax machinery keeps its driver row
+    # via topk_orders_per_customer (identical WindowGroupLimit plan,
+    # k=3 vs k=1); latest_event_per_user stays locally oracle-swept.
+    "events_decayed_engagement",
     # running_value_per_user rotated out in r4 (window-agg family stays
     # covered by topk_orders_per_customer / latest_event_per_user /
     # events_sessionize) for driver-visible verification of the r4
@@ -160,7 +172,13 @@ PRIORITY = [
     # keeps four driver representatives (token stats, quality, lang-id,
     # PII) and tf-idf stays locally oracle-swept.
     "convert_in_place_orders",
-    "docs_token_stats",
+    # docs_token_stats rotated out in r9 (third wave) for
+    # docs_c4_clean (the C4 cleaning pipeline — line-level word
+    # floors subsume the token-counting signal, plus the document
+    # gates). Text analysis keeps four driver reps (c4, gopher,
+    # line-dedup, rag-chunks); token stats stay locally oracle-swept
+    # and inside docs_curation_pipeline.
+    "docs_c4_clean",
     # docs_pii_redaction rotated out in r9 for events_value_quantiles
     # (exact group quantiles with the percentile_approx sketch as the
     # stated 100 TB path — driver-invisible since r7). Text analysis

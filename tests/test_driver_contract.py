@@ -58,7 +58,15 @@ def test_family_representation_in_first_50():
         "analyze-stats": "sql_analyze_stats_orders",
         "dfp-join": "orders_dfp_join",
         "grouped-udf": "events_value_mad_grouped_udf",
-        "text": "docs_token_stats",
+        # r9 third wave: C4 cleaning takes the text-analysis slot
+        # (line word floors subsume token counting; token stats stay
+        # locally swept and inside docs_curation_pipeline).
+        "text": "docs_c4_clean",
+        "c4-cleaning": "docs_c4_clean",
+        # r9 third wave: the semi-structured family rides the Spark 4
+        # VARIANT query; exponential time-decay is a new family.
+        "semi-structured": "events_variant_profile",
+        "decayed-agg": "events_decayed_engagement",
         # r5 s11: curation's driver signal rides on train_split +
         # contamination + curation_pipeline (the pipeline CONTAINS
         # sequence packing); docs_pack_sequences rotated out for the
