@@ -1297,3 +1297,61 @@ def docs_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- BM25 ranked retrieval ----------------------------------------------------
+
+BM25_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                x -> length(x) > 0) AS toks
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n, SUM(LEN(toks)) * 1.0 / COUNT(*) AS avgdl FROM base
+),
+lens AS (SELECT doc_id, LEN(toks) AS dl FROM base),
+postings AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(toks) AS term FROM base)
+  WHERE term IN ('merge', 'spark', 'stream', 'window')
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS dfr FROM postings GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+    ROUND(SUM(
+      ln(1.0 + (s.n - d.dfr + 0.5) / (d.dfr + 0.5))
+      * p.tf * 2.2
+      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+    ), 6) AS score
+  FROM postings p
+  JOIN dfreq d USING (term)
+  JOIN lens l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score,
+  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored
+QUALIFY rank <= 15
+ORDER BY rank
+"""
+
+
+@register("docs_bm25_search", BM25_ORACLE)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/search.py) for a 4-term query
+    over the corpus: postings from one explode+groupBy, query-term
+    filter BEFORE any join, broadcast df/corpus stats, distributed
+    TakeOrdered top-k. Scores are rounded before ranking so the
+    (score desc, doc_id) order is reproducible across engines."""
+    from ..operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "spark stream window merge", k=15).orderBy(
+        "rank"
+    )

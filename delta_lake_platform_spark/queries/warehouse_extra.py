@@ -958,3 +958,54 @@ def orders_dfp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+# --- data-quality expectations (DLT contract, r9) -----------------------------
+
+EXPECTATIONS_ORACLE = """
+WITH m AS (
+  SELECT COUNT(*) AS n_total,
+    SUM((NOT COALESCE(o_totalprice < 250000, FALSE))::INT)::BIGINT
+      AS v_bounded_price,
+    SUM((NOT COALESCE(o_orderpriority LIKE '_-%', FALSE))::INT)::BIGINT
+      AS v_priority_format,
+    SUM((NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE))::INT)::BIGINT
+      AS v_status_known,
+    SUM((NOT COALESCE(o_totalprice > 0, FALSE))::INT)::BIGINT
+      AS v_positive_price
+  FROM orders
+)
+SELECT rule, n_total, n_violations,
+  ROUND(1.0 - n_violations / n_total::DOUBLE, 6) AS pass_fraction
+FROM (
+  SELECT 'bounded_price' AS rule, n_total, v_bounded_price AS n_violations FROM m
+  UNION ALL
+  SELECT 'priority_format', n_total, v_priority_format FROM m
+  UNION ALL
+  SELECT 'status_known', n_total, v_status_known FROM m
+  UNION ALL
+  SELECT 'positive_price', n_total, v_positive_price FROM m
+)
+ORDER BY rule
+"""
+
+
+@register("orders_expectations_gate", EXPECTATIONS_ORACLE)
+def orders_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (the Delta Live Tables contract) over
+    orders: four named SQL predicates scored in ONE aggregate pass
+    (operators/expectations.py — boolean-cast sums, never a job per
+    rule; NULL predicate results count as violations). bounded_price
+    is calibrated to actually fire on the fixture so the violation
+    path is exercised; routing semantics (drop / allow / fail +
+    quarantine's failed_rules) are pinned by tests/test_expectations."""
+    from ..operators.expectations import expectation_metrics
+
+    o = load_table(spark, sf_dir, "orders")
+    rules = {
+        "positive_price": "o_totalprice > 0",
+        "bounded_price": "o_totalprice < 250000",
+        "status_known": "o_orderstatus IN ('O','F','P')",
+        "priority_format": "o_orderpriority LIKE '_-%'",
+    }
+    return expectation_metrics(o, rules).orderBy("rule")

@@ -1,0 +1,57 @@
+"""operators/search.py — BM25 ranked retrieval."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from delta_lake_platform_spark.operators.search import bm25_topk
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark spark spark"),          # tf=3 for 'spark', dl=3
+            (2, "spark flink trino beam"),     # tf=1, dl=4
+            (3, "flink only here"),            # no query terms
+            (4, "rare unique token row"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_only_matching_docs_scored(spark, corpus):
+    out = bm25_topk(corpus, "spark", k=10).collect()
+    assert [r.doc_id for r in out] == [1, 2]
+    assert out[0].rank == 1 and out[1].rank == 2
+
+
+def test_closed_form_score(spark, corpus):
+    # N=4, df('spark')=2, avgdl=(3+4+3+4)/4=3.5
+    out = {r.doc_id: r.score for r in bm25_topk(corpus, "spark", k=10).collect()}
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    def s(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.5))
+    assert out[1] == pytest.approx(round(s(3, 3), 6), abs=1e-6)
+    assert out[2] == pytest.approx(round(s(1, 4), 6), abs=1e-6)
+
+
+def test_rare_term_outscores_common_on_equal_tf(spark, corpus):
+    # 'rare' appears in 1 doc, 'spark' in 2 -> higher idf wins at tf=1
+    rare = bm25_topk(corpus, "rare", k=1).collect()[0]
+    common = bm25_topk(corpus, "spark", k=2).collect()[1]  # doc 2, tf=1, dl=4
+    assert rare.score > common.score
+
+
+def test_multi_term_sums_and_k_truncates(spark, corpus):
+    out = bm25_topk(corpus, "spark flink", k=2).collect()
+    assert len(out) == 2
+    # doc 2 matches both terms; doc 1 only 'spark' but with tf=3
+    assert {r.doc_id for r in out} <= {1, 2, 3}
+
+
+def test_empty_query_raises(spark, corpus):
+    with pytest.raises(ValueError):
+        bm25_topk(corpus, "   ", k=5)
