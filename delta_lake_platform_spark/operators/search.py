@@ -9,9 +9,10 @@ default similarity since 6.0): for query terms q and document d,
 
 Physical shape at 100 TB: postings are ONE explode + groupBy on
 (doc, term); the query-term filter is applied to the posting stream
-BEFORE any join (selective IN-list, pushed into the aggregate's
-input), document-frequency and corpus stats are 1-row / tiny frames
-joined via broadcast, and the final top-k is a distributed
+BEFORE the aggregate (selective IN-list); document frequency is a
+window count over the term partition of the SAME posting rows (one
+pass — a separate dfreq aggregate would re-scan the corpus); corpus
+stats are a broadcast 1-row frame; the final top-k is a distributed
 TakeOrdered (orderBy + limit), never a global sort. No UDFs anywhere.
 """
 
@@ -61,18 +62,26 @@ def bm25_topk(
             / F.count(F.lit(1)).cast("double")
         ).alias("__avgdl"),
     )
-    lens = base.select(
-        F.col(id_col), F.size("__toks").alias("__dl")
-    )
+    # doc length rides the posting rows (F.first in the same agg), so
+    # no separate lens frame and no doc-keyed join shuffle
     postings = (
-        base.select(F.col(id_col), F.explode("__toks").alias("__term"))
+        base.select(
+            F.col(id_col),
+            F.size("__toks").alias("__dl"),
+            F.explode("__toks").alias("__term"),
+        )
         .filter(F.col("__term").isin(qterms))
         .groupBy(id_col, "__term")
-        .agg(F.count(F.lit(1)).alias("__tf"))
+        .agg(
+            F.count(F.lit(1)).alias("__tf"),
+            F.first("__dl").alias("__dl"),
+        )
     )
-    dfreq = postings.groupBy("__term").agg(
-        F.countDistinct(id_col).alias("__df")
-    )
+    # postings rows are unique per (doc, term), so document frequency
+    # is a plain window count over the term — ONE pass over the
+    # corpus (a separate dfreq aggregate would re-scan the postings
+    # subtree), shuffling only the already-aggregated posting rows.
+    dfreq_w = Window.partitionBy("__term")
     idf = F.log(
         1.0
         + (F.col("__N") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
@@ -83,8 +92,9 @@ def bm25_topk(
     )
     contrib = idf * tf * (k1 + 1.0) / norm
     scored = (
-        postings.join(F.broadcast(dfreq), "__term")
-        .join(lens, id_col)
+        postings.withColumn(
+            "__df", F.count(F.lit(1)).over(dfreq_w)
+        )
         .join(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.round(F.sum(contrib), round_decimals).alias("score"))

@@ -328,3 +328,36 @@ def test_line_dedup_no_cartesian(spark, sf_dir):
     plan = explain_str(dedup_corpus_lines(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c4_and_expectations_are_shuffle_free_projections(spark, sf_dir):
+    # one exchange each: the presentation orderBy / the 1-row final agg
+    for name in ("docs_c4_clean", "orders_expectations_gate"):
+        df = QUERIES[name](spark, sf_dir)
+        assert count_exchanges(df) <= 1, name
+        assert has_whole_stage_codegen(df), name
+
+
+def test_decayed_agg_no_sort_merge_join(spark, sf_dir):
+    from delta_lake_platform_spark.plans import has_sort_merge_join
+
+    df = QUERIES["events_decayed_engagement"](spark, sf_dir)
+    # anchor is a broadcast 1-row join (nested-loop), never SMJ; the
+    # only data shuffles are the groupBy + presentation sort (+ the
+    # 1-row anchor aggregate's own exchange)
+    assert not has_sort_merge_join(df)
+    assert count_exchanges(df) <= 3
+
+
+def test_bm25_single_pass_no_doc_keyed_join_shuffle(spark, sf_dir):
+    from delta_lake_platform_spark.plans import has_sort_merge_join
+
+    df = QUERIES["docs_bm25_search"](spark, sf_dir)
+    # doc length rides the posting rows and document frequency is a
+    # window over the same rows, so there is NO doc-keyed sort-merge
+    # join and no second scan of the corpus; the 4 exchanges are the
+    # postings aggregate, the term-partition window, the final
+    # per-doc aggregate, and the 1-row stats frame (broadcast via
+    # nested-loop, not a hash join).
+    assert not has_sort_merge_join(df)
+    assert count_exchanges(df) <= 4
