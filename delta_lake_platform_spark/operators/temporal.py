@@ -253,21 +253,130 @@ def decayed_agg(
     fixed-precision sums do).
     """
     anchor = df.agg(F.max(F.col(ts_col)).alias("__anchor"))
+    raw = _decayed_rows(
+        df.join(F.broadcast(anchor)),
+        key_col, ts_col, value_col, half_life_seconds,
+    )
+    return raw.select(
+        F.col(key_col),
+        F.col("n_events"),
+        F.round(F.col("decayed_sum"), round_decimals).alias("decayed_sum"),
+        F.round(F.col("decayed_count"), round_decimals).alias(
+            "decayed_count"
+        ),
+        F.round(
+            F.col("decayed_sum") / F.col("decayed_count"), round_decimals
+        ).alias("decayed_avg"),
+    )
+
+
+def decayed_agg_update(
+    state: DataFrame,
+    batch: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_seconds: float = 7 * 86400.0,
+) -> DataFrame:
+    """Fold a new micro-batch into an existing ``decayed_agg`` state
+    WITHOUT revisiting history — the maintenance form that makes the
+    decay usable as a continuously-updated feature: exponential decay
+    is associative under anchor shift
+    (``sum@T' = sum@T * 2^(-(T'-T)/hl) + batch_sum@T'``), so the old
+    state re-anchors with one multiply and the batch contributes via
+    the same one-pass aggregate ``decayed_agg`` runs.
+
+    ``state`` must carry (key, n_events, decayed_sum, decayed_count,
+    anchor_ts) — ``decayed_agg_with_anchor`` emits exactly that shape.
+    Returns the same shape at the NEW anchor (max of both anchors;
+    a batch older than the state's anchor decays itself instead).
+    Physical shape: two 1-row anchor aggregates, one groupBy over the
+    BATCH only, and a full-outer join on the key — cost is
+    O(batch + |state keys|), never O(history).
+    """
+    new_anchor = (
+        batch.agg(F.max(F.col(ts_col)).alias("__ba"))
+        .join(
+            F.broadcast(
+                state.agg(F.max(F.col("anchor_ts")).alias("__sa"))
+            )
+        )
+        .select(
+            F.greatest(
+                F.coalesce(F.col("__ba"), F.col("__sa")),
+                F.coalesce(F.col("__sa"), F.col("__ba")),
+            ).alias("__anchor")
+        )
+    )
+    fresh = _decayed_rows(
+        batch.join(F.broadcast(new_anchor)),
+        key_col, ts_col, value_col, half_life_seconds,
+    )
+    shift = F.pow(
+        F.lit(2.0),
+        -(
+            F.unix_timestamp(F.col("__anchor"))
+            - F.unix_timestamp(F.col("anchor_ts"))
+        ).cast("double")
+        / F.lit(float(half_life_seconds)),
+    )
+    old = state.join(F.broadcast(new_anchor)).select(
+        F.col(key_col),
+        F.col("n_events"),
+        (F.col("decayed_sum") * shift).alias("decayed_sum"),
+        (F.col("decayed_count") * shift).alias("decayed_count"),
+        F.col("__anchor"),
+    )
+    merged = old.unionByName(fresh).groupBy(key_col).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("decayed_sum").alias("decayed_sum"),
+        F.sum("decayed_count").alias("decayed_count"),
+        F.max("__anchor").alias("anchor_ts"),
+    )
+    return merged.withColumn(
+        "decayed_avg", F.col("decayed_sum") / F.col("decayed_count")
+    )
+
+
+def _decayed_rows(
+    df_with_anchor: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_seconds: float,
+) -> DataFrame:
+    """Unrounded per-key decayed partials against a pre-joined
+    ``__anchor`` column (shared by decayed_agg_with_anchor and the
+    incremental update)."""
     age = F.unix_timestamp(F.col("__anchor")) - F.unix_timestamp(
         F.col(ts_col)
     )
-    w = F.pow(F.lit(2.0), -age.cast("double") / F.lit(float(half_life_seconds)))
-    return (
-        df.join(F.broadcast(anchor))
-        .groupBy(key_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(w * F.col(value_col)), round_decimals).alias(
-                "decayed_sum"
-            ),
-            F.round(F.sum(w), round_decimals).alias("decayed_count"),
-            F.round(
-                F.sum(w * F.col(value_col)) / F.sum(w), round_decimals
-            ).alias("decayed_avg"),
-        )
+    w = F.pow(
+        F.lit(2.0), -age.cast("double") / F.lit(float(half_life_seconds))
+    )
+    return df_with_anchor.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(w * F.col(value_col)).alias("decayed_sum"),
+        F.sum(w).alias("decayed_count"),
+        F.max("__anchor").alias("__anchor"),
+    )
+
+
+def decayed_agg_with_anchor(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_seconds: float = 7 * 86400.0,
+) -> DataFrame:
+    """``decayed_agg`` in its maintainable form: unrounded sums plus
+    the ``anchor_ts`` column, the state ``decayed_agg_update`` folds
+    batches into."""
+    anchor = df.agg(F.max(F.col(ts_col)).alias("__anchor"))
+    out = _decayed_rows(
+        df.join(F.broadcast(anchor)),
+        key_col, ts_col, value_col, half_life_seconds,
+    )
+    return out.withColumnRenamed("__anchor", "anchor_ts").withColumn(
+        "decayed_avg", F.col("decayed_sum") / F.col("decayed_count")
     )
