@@ -12,6 +12,8 @@ n-gram heuristic), document fingerprinting (normalized content hash).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -553,6 +555,93 @@ def bpe_pair_counts(
         .agg(F.sum("wc").cast("long").alias("pair_count"))
         .orderBy(F.desc("pair_count"), "pair")
         .limit(top_k)
+    )
+
+
+BPE_SEP = "\x1f"  # unit separator: never appears in [a-z0-9]+ words
+
+# A fixed high-frequency English merge table for demonstration /
+# oracle queries; real deployments pass the merges learned by
+# iterating bpe_pair_counts (argmax pair -> merge -> recount).
+BPE_DEFAULT_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("s", "t"), ("a", "t"), ("o", "r"),
+    ("an", "d"), ("in", "g"),
+)
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]] = BPE_DEFAULT_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Step 2 of the BPE tokenizer (Sennrich et al. 2016): ENCODE text
+    by applying an ordered merge table — the counterpart of
+    ``bpe_pair_counts`` (which produces the merge candidates).
+
+    Each word is rendered as separator-wrapped symbols
+    (``␟t␟␟h␟␟e␟``) and each merge ``(a, b)`` is ONE literal
+    string replace ``␟a␟␟b␟ -> ␟ab␟`` applied in table order: the
+    wrapping makes partial-token matches impossible and keeps
+    consecutive merge sites non-overlapping, so plain left-to-right
+    replace() — identical semantics in every engine, no regex, no
+    lookaround — implements the greedy merge pass exactly. N merges
+    compile to N chained replaces inside ONE projection: zero
+    exchanges, zero UDFs, cost O(text bytes x merges) at any corpus
+    size.
+
+    Returns every input row plus ``n_words``, ``n_chars`` (word chars
+    only), ``n_pieces`` (BPE symbols after merging), and
+    ``pieces_per_word`` (rounded 6; 0.0 for empty/NULL text).
+    """
+    words = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit("[a-z0-9]+"),
+        0,
+    )
+
+    def _encode(w: Column) -> Column:
+        s = F.concat(
+            F.lit(BPE_SEP),
+            F.array_join(F.split(w, ""), BPE_SEP + BPE_SEP),
+            F.lit(BPE_SEP),
+        )
+        for a, b in merges:
+            s = F.replace(
+                s,
+                F.lit(f"{BPE_SEP}{a}{BPE_SEP}{BPE_SEP}{b}{BPE_SEP}"),
+                F.lit(f"{BPE_SEP}{a}{b}{BPE_SEP}"),
+            )
+        # piece count: every piece is wrapped by exactly two separators
+        return (
+            (F.length(s) - F.length(F.replace(s, F.lit(BPE_SEP))))
+            / F.lit(2)
+        ).cast("long")
+
+    pieces = F.aggregate(
+        F.transform(words, _encode),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_chars = F.aggregate(
+        F.transform(words, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumns(
+        {
+            "n_words": F.size(words).cast("long"),
+            "n_chars": n_chars,
+            "n_pieces": pieces,
+            "pieces_per_word": F.round(
+                F.coalesce(
+                    pieces
+                    / F.nullif(F.size(words).cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        }
     )
 
 

@@ -1355,3 +1355,64 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "spark stream window merge", k=15).orderBy(
         "rank"
     )
+
+
+# --- BPE encoding (apply merge table) -----------------------------------------
+
+def _bpe_oracle() -> str:
+    """Mirror bpe_apply_merges: the same separator-wrapped encoding and
+    the same ordered literal replaces, generated from the SAME merge
+    constant so the two sides cannot drift."""
+    sep = "chr(31)"
+    enc = (
+        f"{sep} || array_to_string(string_split(w, ''), {sep} || {sep})"
+        f" || {sep}"
+    )
+    for a, b in text.BPE_DEFAULT_MERGES:
+        pat = f"{sep} || '{a}' || {sep} || {sep} || '{b}' || {sep}"
+        rep = f"{sep} || '{a}{b}' || {sep}"
+        enc = f"replace({enc}, {pat}, {rep})"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS words
+  FROM documents
+),
+e AS (
+  SELECT doc_id, words,
+    list_transform(words, w ->
+      (LENGTH({enc}) - LENGTH(replace({enc}, chr(31), ''))) // 2
+    ) AS piece_counts
+  FROM t
+)
+SELECT doc_id,
+  LEN(words)::BIGINT AS n_words,
+  COALESCE(list_sum(list_transform(words, w -> LENGTH(w))), 0)::BIGINT
+    AS n_chars,
+  COALESCE(list_sum(piece_counts), 0)::BIGINT AS n_pieces,
+  ROUND(COALESCE(list_sum(piece_counts) * 1.0
+                 / NULLIF(LEN(words), 0), 0.0), 6) AS pieces_per_word
+FROM e
+ORDER BY doc_id
+"""
+
+
+BPE_ENCODE_ORACLE = _bpe_oracle()
+
+
+@register("docs_bpe_encode", BPE_ENCODE_ORACLE)
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding (Sennrich et al. 2016 step 2) with the fixed
+    demonstration merge table: per-document word/char/piece counts and
+    the pieces-per-word fertility. N merges compile to N chained
+    literal replaces in ONE projection — zero exchanges, no regex, no
+    UDFs; the oracle generates the identical replace chain from the
+    same constant."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.bpe_apply_merges(docs)
+        .select(
+            "doc_id", "n_words", "n_chars", "n_pieces", "pieces_per_word"
+        )
+        .orderBy("doc_id")
+    )
