@@ -284,3 +284,73 @@ def dsir_log_weights(
             F.col("avg_log_ratio"),
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    mode: str = "suppress",
+) -> DataFrame:
+    """k-anonymity enforcement (Sweeney 2002) over a quasi-identifier
+    combination: a row whose quasi-identifier group holds fewer than
+    ``k`` rows is re-identifiable and must not ship in a released /
+    training dataset.
+
+    - mode="suppress": drop rows in rare groups (record suppression)
+    - mode="mask": keep the row, NULL out the quasi-identifier columns
+      (attribute suppression — the row still contributes its other
+      columns)
+    - mode="flag": keep everything, add ``is_k_anonymous`` (0/1)
+
+    One window count over the quasi-identifier partition — a single
+    hash shuffle on the group key, no joins, no second pass. NULLs in
+    quasi columns group together (SQL window partitioning), which is
+    the conservative choice: an all-NULL group releases nothing.
+    """
+    if mode not in ("suppress", "mask", "flag"):
+        raise ValueError(f"unknown k_anonymity mode: {mode!r}")
+    if not quasi_cols:
+        raise ValueError("k_anonymity requires quasi-identifier columns")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*quasi_cols)
+    n = F.count(F.lit(1)).over(w)
+    flagged = df.withColumn("__gn", n)
+    ok = F.col("__gn") >= k
+    if mode == "flag":
+        return flagged.withColumn(
+            "is_k_anonymous", ok.cast("long")
+        ).drop("__gn")
+    if mode == "suppress":
+        return flagged.filter(ok).drop("__gn")
+    masked = flagged.select(
+        *[
+            F.when(ok, F.col(c)).alias(c) if c in quasi_cols else F.col(c)
+            for c in df.columns
+        ]
+    )
+    return masked
+
+
+def k_anonymity_profile(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Release-risk profile for a quasi-identifier combination: one
+    row per group SIZE with the number of groups and rows at that
+    size and whether it clears ``k`` — the table a privacy review
+    reads before choosing k / generalizing columns. Two aggregates
+    (group -> size, size -> counts), both map-side combinable."""
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__gn"))
+    return (
+        sizes.groupBy("__gn")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .select(
+            F.col("__gn").alias("group_size"),
+            "n_groups",
+            (F.col("__gn") * F.col("n_groups")).cast("long").alias(
+                "n_rows"
+            ),
+            (F.col("__gn") >= k).cast("long").alias("is_k_anonymous"),
+        )
+    )

@@ -419,3 +419,36 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- k-anonymity release profile (r9) -----------------------------------------
+
+K_ANON_ORACLE = """
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS gn
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+)
+SELECT gn AS group_size,
+  COUNT(*)::BIGINT AS n_groups,
+  (gn * COUNT(*))::BIGINT AS n_rows,
+  (gn >= 10)::BIGINT AS is_k_anonymous
+FROM g
+GROUP BY gn
+ORDER BY group_size
+"""
+
+
+@register("customers_k_anonymity", K_ANON_ORACLE)
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release profile (Sweeney 2002) for the
+    (mktsegment, nationkey) quasi-identifier pair at k=10: group-size
+    histogram with row counts and the k verdict per size — the table
+    a privacy review reads before releasing a dataset. Two map-side-
+    combinable aggregates; enforcement modes (suppress / mask / flag)
+    are pinned by tests/test_k_anonymity.py."""
+    from ..operators.curation import k_anonymity_profile
+
+    c = load_table(spark, sf_dir, "customer")
+    return k_anonymity_profile(
+        c, ["c_mktsegment", "c_nationkey"], k=10
+    ).orderBy("group_size")
