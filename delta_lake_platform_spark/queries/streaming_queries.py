@@ -372,3 +372,109 @@ def scd_stream_maintained_customers(
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+# --- streaming expectations quarantine (r9) -----------------------------------
+
+QUARANTINE_ORACLE = """
+WITH f AS (
+  SELECT
+    (NOT COALESCE(value < 90, FALSE)) AS v_bounded,
+    (NOT COALESCE(user_id % 7 <> 3, FALSE)) AS v_user,
+    (NOT COALESCE(event_type IN ('click','view','purchase','error','signup'),
+                  FALSE)) AS v_type
+  FROM events
+)
+SELECT rule, n_rows FROM (
+  SELECT 'value_bounded' AS rule, SUM(v_bounded::INT)::BIGINT AS n_rows FROM f
+  UNION ALL
+  SELECT 'user_cohort_ok', SUM(v_user::INT)::BIGINT FROM f
+  UNION ALL
+  SELECT 'type_known', SUM(v_type::INT)::BIGINT FROM f
+  UNION ALL
+  SELECT '__kept__', SUM((NOT v_bounded AND NOT v_user AND NOT v_type)::INT)::BIGINT FROM f
+  UNION ALL
+  SELECT '__quarantined__', SUM((v_bounded OR v_user OR v_type)::INT)::BIGINT FROM f
+)
+ORDER BY rule
+"""
+
+
+@register("events_stream_quarantine", QUARANTINE_ORACLE)
+def events_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations as a REAL Structured Streaming quarantine sink
+    (streaming/quarantine.py): readStream over the events fixture,
+    foreachBatch routes each micro-batch through the expectations gate
+    into kept / quarantine ManagedTables with idempotent-writer
+    appends (txnAppId/txnVersion — replayed batches are no-ops), then
+    the quarantine table's failed_rules explode into per-rule counts.
+    The oracle recomputes every count from the static fixture, so a
+    dropped batch, a double-applied batch, or wrong routing
+    hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.managed_table import ManagedTable
+    from ..streaming.quarantine import expectations_stream
+
+    rules = {
+        "value_bounded": "value < 90",
+        "user_cohort_ok": "user_id % 7 <> 3",
+        "type_known": (
+            "event_type IN ('click','view','purchase','error','signup')"
+        ),
+    }
+    load_table(spark, sf_dir, "events")  # pins the UTC session timezone
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    d = tempfile.mkdtemp(prefix="dlp_quarantine_")
+    kept = ManagedTable(spark, f"{d}/kept")
+    quarantine = ManagedTable(spark, f"{d}/quarantine")
+    with _stateful_shuffle_partitions(spark):
+        expectations_stream(
+            stream, rules, kept, quarantine, f"{d}/ckpt",
+            stream_id="events_quarantine",
+        )
+    # left-join back to the DECLARED rule list: a rule with zero
+    # violations must still report (0), not vanish from the profile
+    counted = (
+        quarantine.read()
+        .select(F.explode("failed_rules").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    per_rule = (
+        spark.createDataFrame([(r,) for r in rules], "rule string")
+        .join(counted, "rule", "left")
+        .select(
+            "rule",
+            F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias(
+                "n_rows"
+            ),
+        )
+    )
+    summary = spark.createDataFrame(
+        [
+            ("__kept__", kept.read().count()),
+            ("__quarantined__", quarantine.read().count()),
+        ],
+        "rule string, n_rows long",
+    )
+    out = per_rule.unionByName(summary).orderBy("rule").localCheckpoint()
+    shutil.rmtree(d, ignore_errors=True)
+    return out
