@@ -41,7 +41,14 @@ PRIORITY = [
     # §2.4 A1 count(distinct composite) — q5 rotated out (its multi-way
     # join + agg family stays covered by q3/q9/q21); q5 remains
     # locally oracle-swept like every tail query.
-    "distinct_order_status_priority",
+    # r9 fourth wave: distinct_order_status_priority rotated out for
+    # customers_k_anonymity — the privacy family (suppress/mask/flag
+    # enforcement is test-pinned) regains a driver row after PII
+    # redaction left in r9's first wave, and the profile's first
+    # aggregate IS a composite-distinct count (groups of
+    # (mktsegment, nationkey) -> n_groups), so A1's shape keeps
+    # driver signal; the DISTINCT row stays locally oracle-swept.
+    "customers_k_anonymity",
     "q9_nation_profit",
     # q18 / q22 rotated out in r4 (their families stay covered: join+
     # group+having by q3/q9, anti-join + scalar agg by q21 and
@@ -98,7 +105,13 @@ PRIORITY = [
     # _commit_version/_commit_timestamp metadata — debt item (d)). The
     # NET change-feed family stays covered by the MV refresh paths it
     # feeds and by the local oracle sweep.
-    "cdc_per_commit_orders",
+    # r9 fourth wave: cdc_per_commit_orders rotated out for
+    # events_stream_quarantine (data-quality expectations as a REAL
+    # foreachBatch stream with idempotent-writer appends). Per-commit
+    # CDC keeps a driver row inside mv_stream_maintained_orders, whose
+    # maintenance stream IS a ChangeFeedStream(per_commit=True)
+    # consumer; the plain CDC query stays locally oracle-swept.
+    "events_stream_quarantine",
     "scd_time_travel_day1",
     "scd_surrogate_keys",
     # customer_dense_ids rotated out in r5 (dense-id assignment stays

@@ -67,6 +67,12 @@ def test_family_representation_in_first_50():
         # VARIANT query; exponential time-decay is a new family.
         "semi-structured": "events_variant_profile",
         "decayed-agg": "events_decayed_engagement",
+        # r9 fourth wave: privacy regains a driver row (k-anonymity
+        # profile; enforcement modes are test-pinned) and the
+        # expectations gate rides its streaming-quarantine composition
+        # (real foreachBatch stream + idempotent-writer appends).
+        "privacy": "customers_k_anonymity",
+        "data-quality": "events_stream_quarantine",
         # r5 s11: curation's driver signal rides on train_split +
         # contamination + curation_pipeline (the pipeline CONTAINS
         # sequence packing); docs_pack_sequences rotated out for the
