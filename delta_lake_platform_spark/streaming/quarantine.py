@@ -46,7 +46,11 @@ def expectations_stream(
             (quarantine, bad, "quarantine"),
         ):
             if not tbl.exists():
-                tbl.create(frame.limit(0))
+                # mode="ignore": a batch replayed after a crash BETWEEN
+                # create and append must not fail on the existing table
+                # (a concurrent creator racing us is equally fine — the
+                # schema is identical either way)
+                tbl.create(frame.limit(0), mode="ignore")
             tbl.append(
                 frame,
                 txn_app=f"{stream_id}/{tag}",

@@ -355,9 +355,11 @@ def test_bm25_single_pass_no_doc_keyed_join_shuffle(spark, sf_dir):
     df = QUERIES["docs_bm25_search"](spark, sf_dir)
     # doc length rides the posting rows and document frequency is a
     # window over the same rows, so there is NO doc-keyed sort-merge
-    # join and no second scan of the corpus; the 4 exchanges are the
-    # postings aggregate, the term-partition window, the final
-    # per-doc aggregate, and the 1-row stats frame (broadcast via
-    # nested-loop, not a hash join).
+    # join and the SCORING path reads the corpus once (the 1-row
+    # corpus-stats aggregate is its own cheap scan, amortized by
+    # persisting postings+stats when serving many queries); the 4
+    # exchanges are the postings aggregate, the term-partition
+    # window, the final per-doc aggregate, and the 1-row stats frame
+    # (broadcast via nested-loop, not a hash join).
     assert not has_sort_merge_join(df)
     assert count_exchanges(df) <= 4

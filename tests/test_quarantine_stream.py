@@ -66,3 +66,25 @@ def test_stream_routes_and_replays_are_noops(spark):
     assert quarantine.read().count() == 2
     assert kept.latest_version() == kept_v
     assert quarantine.latest_version() == quar_v
+
+
+def test_precreated_destinations_do_not_fail_the_sink(spark):
+    # simulates a batch replayed after a crash BETWEEN create and
+    # append: the destination already exists and the sink must treat
+    # creation as idempotent (mode="ignore"), not raise
+    d, stream, kept, quarantine = _setup(spark)
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "id long, v long, name string")
+    kept.create(empty)
+    quarantine.create(
+        empty.withColumn(
+            "failed_rules", F.array().cast("array<string>")
+        )
+    )
+    expectations_stream(
+        stream, RULES, kept, quarantine, os.path.join(d, "ckpt"),
+        stream_id="t2",
+    )
+    assert kept.read().count() == 2
+    assert quarantine.read().count() == 2
