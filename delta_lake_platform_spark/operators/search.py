@@ -10,22 +10,93 @@ default similarity since 6.0): for query terms q and document d,
 Physical shape at 100 TB: postings are ONE explode + groupBy on
 (doc, term); the query-term filter is applied to the posting stream
 BEFORE the aggregate (selective IN-list); document frequency is a
-window count over the term partition of the SAME posting rows (one
-pass — a separate dfreq aggregate would re-scan the corpus); corpus
-stats are a broadcast 1-row frame; the final top-k is a distributed
-TakeOrdered (orderBy + limit), never a global sort. No UDFs anywhere.
+window count over the term partition of the SAME posting rows (a
+separate dfreq aggregate would re-scan the corpus); corpus stats are
+a broadcast 1-row frame; the final top-k is a distributed TakeOrdered
+(orderBy + limit), never a global sort. No UDFs anywhere.
+
+For serving MANY queries, ``build_bm25_index`` persists the full
+posting list once as a term-range-clustered ManagedTable (corpus
+stats in table properties); ``bm25_probe_index`` answers a query by
+file-pruned term lookups — the commit log's footer stats skip every
+file whose term range excludes the probe, so a query touches
+O(query terms) files of a 100 TB index, exactly like the IVF probe
+path skips non-probed centroid partitions.
 """
 
 from __future__ import annotations
 
 import re
+from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def _tokenize_py(text: str) -> list[str]:
     return [t for t in re.split(r"\s+", text.strip().lower()) if t]
+
+
+def _tokens_arr(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def _build_postings(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str] | None,
+) -> DataFrame:
+    """(id, __term, __tf, __dl) — doc length rides the posting rows
+    (F.first in the same agg), so no separate lens frame and no
+    doc-keyed join shuffle. ``terms`` filters BEFORE the aggregate;
+    None keeps the full vocabulary (index build)."""
+    exploded = docs.select(
+        F.col(id_col),
+        F.size(_tokens_arr(text_col)).alias("__dl"),
+        F.explode(_tokens_arr(text_col)).alias("__term"),
+    )
+    if terms is not None:
+        exploded = exploded.filter(F.col("__term").isin(terms))
+    return exploded.groupBy(id_col, "__term").agg(
+        F.count(F.lit(1)).alias("__tf"),
+        F.first("__dl").alias("__dl"),
+    )
+
+
+def _score_topk(
+    postings: DataFrame,
+    id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+    round_decimals: int,
+    n_docs: Column,
+    avgdl: Column,
+) -> DataFrame:
+    """Shared scoring tail: window document frequency over the posting
+    rows, per-doc sum, round BEFORE ranking, distributed TakeOrdered."""
+    # postings rows are unique per (doc, term), so document frequency
+    # is a plain window count over the term partition — shuffling only
+    # the already-aggregated posting rows.
+    dfreq_w = Window.partitionBy("__term")
+    idf = F.log(1.0 + (n_docs - F.col("__df") + 0.5) / (F.col("__df") + 0.5))
+    tf = F.col("__tf").cast("double")
+    norm = tf + k1 * (1.0 - b + b * F.col("__dl").cast("double") / avgdl)
+    contrib = idf * tf * (k1 + 1.0) / norm
+    scored = (
+        postings.withColumn("__df", F.count(F.lit(1)).over(dfreq_w))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), round_decimals).alias("score"))
+    )
+    topk = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.col(id_col))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", "rank"
+    )
 
 
 def bm25_topk(
@@ -38,21 +109,18 @@ def bm25_topk(
     b: float = 0.75,
     round_decimals: int = 6,
 ) -> DataFrame:
-    """Top-``k`` documents for ``query`` by BM25.
+    """Top-``k`` documents for ``query`` by BM25, computed directly
+    from the corpus (one scoring pass + a 1-row stats aggregate).
 
     Returns (id_col, score, rank): score rounded to
     ``round_decimals`` BEFORE ranking so the (score desc, id asc)
-    order is reproducible across engines; rank is 1-based and dense
-    in document order within equal rounded scores.
+    order is reproducible across engines; rank is 1-based
+    (row_number) with ties broken by document id.
     """
     qterms = sorted(set(_tokenize_py(query)))
     if not qterms:
         raise ValueError("BM25 query has no terms")
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-        lambda x: F.length(x) > 0,
-    )
-    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    base = docs.select(F.col(id_col), _tokens_arr(text_col).alias("__toks"))
     # corpus stats: doc count and average length — exact integer sums,
     # one tiny broadcast row
     stats = base.agg(
@@ -62,45 +130,78 @@ def bm25_topk(
             / F.count(F.lit(1)).cast("double")
         ).alias("__avgdl"),
     )
-    # doc length rides the posting rows (F.first in the same agg), so
-    # no separate lens frame and no doc-keyed join shuffle
-    postings = (
-        base.select(
-            F.col(id_col),
-            F.size("__toks").alias("__dl"),
-            F.explode("__toks").alias("__term"),
+    postings = _build_postings(docs, id_col, text_col, qterms).join(
+        F.broadcast(stats)
+    )
+    return _score_topk(
+        postings, id_col, k, k1, b, round_decimals,
+        n_docs=F.col("__N"), avgdl=F.col("__avgdl"),
+    )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int = 8,
+) -> None:
+    """Materialize the FULL posting list into ``table`` (a
+    ManagedTable): rows ``(id_col, term, tf, dl)`` range-clustered by
+    term (repartitionByRange + sortWithinPartitions), so each file's
+    footer [min,max] for ``term`` is a tight range and a term probe
+    prunes to O(1) files from the commit log alone. Corpus stats land
+    in table properties (exact round-trip via repr) — derived data,
+    like the IVF sidecar: losing the index means rebuild, never wrong
+    results."""
+    postings = _build_postings(docs, id_col, text_col, None).select(
+        F.col(id_col),
+        F.col("__term").alias("term"),
+        F.col("__tf").alias("tf"),
+        F.col("__dl").alias("dl"),
+    )
+    base = docs.select(F.size(_tokens_arr(text_col)).alias("__dl"))
+    n, total = base.agg(
+        F.count(F.lit(1)), F.sum("__dl")
+    ).first()
+    table.create(
+        postings.repartitionByRange(n_files, "term").sortWithinPartitions(
+            "term"
         )
-        .filter(F.col("__term").isin(qterms))
-        .groupBy(id_col, "__term")
-        .agg(
-            F.count(F.lit(1)).alias("__tf"),
-            F.first("__dl").alias("__dl"),
-        )
     )
-    # postings rows are unique per (doc, term), so document frequency
-    # is a plain window count over the term — ONE pass over the
-    # corpus (a separate dfreq aggregate would re-scan the postings
-    # subtree), shuffling only the already-aggregated posting rows.
-    dfreq_w = Window.partitionBy("__term")
-    idf = F.log(
-        1.0
-        + (F.col("__N") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    table.set_property("bm25.n_docs", str(int(n)))
+    table.set_property("bm25.avgdl", repr(float(total) / float(n)))
+    table.set_property("bm25.id_col", id_col)
+
+
+def bm25_probe_index(
+    table,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Answer ``query`` from a persisted BM25 index: one file-pruned
+    lookup per query term (``read_pruned`` — the commit log's footer
+    stats skip every file whose term range excludes the probe), then
+    the same scoring tail as ``bm25_topk``. Zero corpus scans at
+    query time; cost is O(matching postings)."""
+    qterms = sorted(set(_tokenize_py(query)))
+    if not qterms:
+        raise ValueError("BM25 query has no terms")
+    props = table.properties()
+    n_docs = int(props["bm25.n_docs"])
+    avgdl = float(props["bm25.avgdl"])
+    id_col = props.get("bm25.id_col", "doc_id")
+    parts = [table.read_pruned("term", t, t) for t in qterms]
+    postings = reduce(lambda a, c: a.unionByName(c), parts).select(
+        F.col(id_col),
+        F.col("term").alias("__term"),
+        F.col("tf").alias("__tf"),
+        F.col("dl").alias("__dl"),
     )
-    tf = F.col("__tf").cast("double")
-    norm = tf + k1 * (
-        1.0 - b + b * F.col("__dl").cast("double") / F.col("__avgdl")
-    )
-    contrib = idf * tf * (k1 + 1.0) / norm
-    scored = (
-        postings.withColumn(
-            "__df", F.count(F.lit(1)).over(dfreq_w)
-        )
-        .join(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(F.round(F.sum(contrib), round_decimals).alias("score"))
-    )
-    topk = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
-    w = Window.orderBy(F.desc("score"), F.col(id_col))
-    return topk.withColumn("rank", F.row_number().over(w)).select(
-        id_col, "score", "rank"
+    return _score_topk(
+        postings, id_col, k, k1, b, round_decimals,
+        n_docs=F.lit(n_docs), avgdl=F.lit(avgdl),
     )

@@ -1416,3 +1416,32 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("docs_bm25_persisted", BM25_ORACLE)
+def docs_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME BM25 query answered from a PERSISTED index
+    (operators/search.py::build_bm25_index): the full posting list is
+    materialized once as a term-range-clustered ManagedTable (corpus
+    stats in table properties) and the probe does one file-pruned
+    lookup per query term — zero corpus scans at query time, exactly
+    the IVF-probe pattern on text. Shares the brute-force oracle, so
+    any index/probe divergence (missed posting, stale stats, wrong
+    pruning) hash-mismatches."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.search import bm25_probe_index, build_bm25_index
+    from ..sources.managed_table import ManagedTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = _tempfile.mkdtemp(prefix="dlp_bm25_idx_")
+    idx = ManagedTable(spark, f"{d}/bm25_index")
+    build_bm25_index(docs, idx)
+    out = (
+        bm25_probe_index(idx, "spark stream window merge", k=15)
+        .orderBy("rank")
+        .localCheckpoint()
+    )
+    _shutil.rmtree(d, ignore_errors=True)
+    return out

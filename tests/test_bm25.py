@@ -55,3 +55,47 @@ def test_multi_term_sums_and_k_truncates(spark, corpus):
 def test_empty_query_raises(spark, corpus):
     with pytest.raises(ValueError):
         bm25_topk(corpus, "   ", k=5)
+
+
+# --- persisted index ----------------------------------------------------------
+
+def test_persisted_index_matches_direct_scoring(spark, corpus):
+    import shutil
+    import tempfile
+
+    from delta_lake_platform_spark.operators.search import (
+        bm25_probe_index,
+        build_bm25_index,
+    )
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="dlp_bm25_test_")
+    idx = ManagedTable(spark, f"{d}/idx")
+    build_bm25_index(corpus, idx, n_files=4)
+    for q in ("spark", "spark flink", "rare unique"):
+        direct = [(r.doc_id, r.score, r.rank)
+                  for r in bm25_topk(corpus, q, k=10).collect()]
+        probed = [(r.doc_id, r.score, r.rank)
+                  for r in bm25_probe_index(idx, q, k=10).collect()]
+        assert probed == direct, q
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_probe_prunes_files(spark):
+    import shutil
+    import tempfile
+
+    from delta_lake_platform_spark.operators.search import build_bm25_index
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    # many docs with disjoint vocabularies so term ranges separate
+    rows = [(i, " ".join(f"w{i:03d}x{j}" for j in range(6)))
+            for i in range(200)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="dlp_bm25_prune_")
+    idx = ManagedTable(spark, f"{d}/idx")
+    build_bm25_index(corpus, idx, n_files=8)
+    kept, total = idx.prune_files("term", "w000x0", "w000x0")
+    assert total >= 8
+    assert len(kept) < total, "term probe did not prune any files"
+    shutil.rmtree(d, ignore_errors=True)
