@@ -8,21 +8,23 @@ import pytest
 
 import delta_lake_platform_spark.queries.all  # noqa: F401
 from delta_lake_platform_spark.queries.registry import ORACLE_SQL, QUERIES
-from delta_lake_platform_spark.session import get_spark
-
 from .oracle_utils import compare, run_oracle
 
 
 @pytest.fixture(scope="module")
-def ny_spark():
-    s = get_spark(
-        "dlp-tz-test",
-        master="local[4]",
-        shuffle_partitions=4,
-        extra_conf={"spark.sql.session.timeZone": "America/New_York"},
-    )
+def ny_spark(spark):
+    # newSession(): an ISOLATED SQLConf over the suite's shared
+    # SparkContext. The previous form (get_spark + s.stop()) was a
+    # landmine: builder.getOrCreate() returns the EXISTING session
+    # with the tz conf applied to it, and stop() then kills the
+    # JVM-shared SparkContext for every later test file — latent
+    # until a file sorting after this one touched the context
+    # (test_variant.py, caught in round 9).
+    s = spark.newSession()
+    s.conf.set("spark.sql.session.timeZone", "America/New_York")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     yield s
-    s.stop()
+    # no stop(): the SparkContext is shared suite-wide
 
 
 @pytest.mark.parametrize(
