@@ -588,7 +588,11 @@ def bpe_apply_merges(
     lookaround — implements the greedy merge pass exactly. N merges
     compile to N chained replaces inside ONE projection: zero
     exchanges, zero UDFs, cost O(text bytes x merges) at any corpus
-    size.
+    size. The expression-tree form suits merge tables up to the
+    low thousands (analysis passes, fertility studies, small domain
+    tokenizers); a full 32k-merge production vocabulary belongs in an
+    Arrow-batched pandas UDF wrapping a real tokenizer, which this
+    operator's output is the oracle for.
 
     Returns every input row plus ``n_words``, ``n_chars`` (word chars
     only), ``n_pieces`` (BPE symbols after merging), and
