@@ -240,16 +240,19 @@ GOPHER_REP_ORACLE = _gopher_rep_oracle()
 @register("docs_gopher_repetition", GOPHER_REP_ORACLE)
 def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher repetition battery (top-2/3/4-gram and duplicate-
-    5..10-gram character fractions with the paper's thresholds) — the
-    Spark side is one codegen'd projection (per-n sorted-array
-    run-length folds, zero exchanges); the oracle brute-forces the
-    same quantities with unnest + GROUP BY per n."""
+    5..10-gram character fractions with the paper's thresholds), run
+    on the Arrow-batched pandas form: interpreted higher-order array
+    folds made the pure-expression form ~600x slower (80s vs 0.13s at
+    sf0.1, measured — the NOTES 'wide trees fall out of codegen'
+    gotcha in aggregate-fold shape). The expression form remains the
+    semantic reference (value-equality is test-pinned) and the oracle
+    brute-forces the same quantities with unnest + GROUP BY per n."""
     docs = load_table(spark, sf_dir, "documents")
     rep_cols = []
     for n, (kind, _) in text.GOPHER_REP_THRESHOLDS.items():
         rep_cols += [f"{kind}_{n}gram_frac", f"flag_{kind}_{n}gram"]
     return (
-        text.with_gopher_repetition(docs)
+        text.with_gopher_repetition_pandas(docs)
         .select("doc_id", *rep_cols, "rep_pass")
         .orderBy("doc_id")
     )
@@ -480,8 +483,14 @@ def docs_fuzzy_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy near-dup under a relative edit-distance bound: MinHash-LSH
     candidate generation + exact Levenshtein verification
     (dedup.fuzzy_edit_pairs). The oracle is the brute-force pair set
-    over the same planted corpus; the banding miss probability at the
-    planted similarity is ~3e-16, so LSH output == brute force."""
+    over the same planted corpus; at 16 bands x 4 rows the banding
+    miss probability at the planted similarity (J ~= 0.97, one edit)
+    is ~4e-15, so LSH output == brute force. 32x2 banding was the r9
+    first-draft choice and is CANDIDATE-BLIND on natural corpora: at
+    2 rows per band a background Jaccard of ~0.3 collides ~95% of all
+    pairs into candidates (measured 7.4k of 16k possible), silently
+    degrading to all-pairs Levenshtein — 4 rows per band keeps the
+    background at ~12% while planted recall stays exact."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
         F.col("doc_id") < 100
     )
@@ -494,7 +503,7 @@ def docs_fuzzy_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(planted)
     return dedup.fuzzy_edit_pairs(
-        corpus, max_rel_edit=0.05, bands=32
+        corpus, max_rel_edit=0.05, bands=16
     ).orderBy("id_a", "id_b")
 
 

@@ -295,3 +295,30 @@ def test_gopher_repetition_tiebreak_matches_oracle_rule(spark):
     r = T.with_gopher_repetition(df).collect()[0]
     # norm len 13, winner chars = 1 * len('ccc dddd') = 8
     assert r.top_2gram_frac == round(8 / 13, 6)
+
+
+def test_gopher_repetition_pandas_equals_expression_form(spark):
+    from delta_lake_platform_spark.operators import text as T
+
+    # the registry query runs the Arrow-batched form (600x faster,
+    # measured); the expression form is its semantic reference — any
+    # drift between the two fails here before it can reach the oracle
+    rows = [
+        (1, "the cat sat on the mat the cat sat on the mat"),
+        (2, "a b " * 40),
+        (3, None),
+        (4, ""),
+        (5, "unique words only appear once in this document here"),
+        (6, "x " * 3),  # shorter than the larger n values
+        (7, "Tab\tand  double  spaces\nnewline mix the cat the cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = ["doc_id"]
+    for n, (kind, _) in T.GOPHER_REP_THRESHOLDS.items():
+        cols += [f"{kind}_{n}gram_frac", f"flag_{kind}_{n}gram"]
+    cols.append("rep_pass")
+    a = [tuple(r) for r in
+         T.with_gopher_repetition(df).select(*cols).orderBy("doc_id").collect()]
+    b = [tuple(r) for r in
+         T.with_gopher_repetition_pandas(df).select(*cols).orderBy("doc_id").collect()]
+    assert a == b
