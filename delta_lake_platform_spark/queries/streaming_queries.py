@@ -478,3 +478,73 @@ def events_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = per_rule.unionByName(summary).orderBy("rule").localCheckpoint()
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+# --- streaming decayed-aggregate maintenance (r9) -------------------------------
+
+DECAYED_STREAM_ORACLE = """
+WITH a AS (SELECT MAX(ts) AS anchor FROM events),
+w AS (
+  SELECT user_id, value,
+    POWER(2.0, -(FLOOR(epoch(a.anchor)) - FLOOR(epoch(ts))) / 604800.0) AS wt
+  FROM events, a
+)
+SELECT user_id,
+  COUNT(*) AS n_events,
+  ROUND(SUM(wt * value), 4) AS decayed_sum,
+  ROUND(SUM(wt), 4) AS decayed_count,
+  ROUND(SUM(wt * value) / SUM(wt), 4) AS decayed_avg
+FROM w
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_decayed_maintained", DECAYED_STREAM_ORACLE)
+def events_decayed_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decayed-engagement state MAINTAINED by a real foreachBatch
+    stream (streaming/decayed.py): the fixture is re-laid into 4 files
+    streamed one per micro-batch, each folded into a persisted state
+    table via decayed_agg_update (O(batch + keys), never a recompute)
+    with commit-metadata batch watermarks for exactly-once. The fold
+    is associative and commutative, so the final state equals the
+    one-pass aggregate — the oracle is the SAME closed form the batch
+    query uses; a double-fold, missed batch, or wrong re-anchor
+    hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.managed_table import ManagedTable
+    from ..streaming.decayed import decayed_maintain_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    d = tempfile.mkdtemp(prefix="dlp_decayed_stream_")
+    src = f"{d}/src"
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = ManagedTable(spark, f"{d}/state")
+    with _stateful_shuffle_partitions(spark):
+        decayed_maintain_stream(
+            stream, state, f"{d}/ckpt", stream_id="events_decayed",
+        )
+    out = (
+        state.read()
+        .select(
+            "user_id", "n_events",
+            F.round("decayed_sum", 4).alias("decayed_sum"),
+            F.round("decayed_count", 4).alias("decayed_count"),
+            F.round("decayed_avg", 4).alias("decayed_avg"),
+        )
+        .orderBy("user_id")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
