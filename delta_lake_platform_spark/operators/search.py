@@ -164,6 +164,8 @@ def build_bm25_index(
     n, total = base.agg(
         F.count(F.lit(1)), F.sum("__dl")
     ).first()
+    if not n:
+        raise ValueError("cannot build a BM25 index over an empty corpus")
     table.create(
         postings.repartitionByRange(n_files, "term").sortWithinPartitions(
             "term"

@@ -33,6 +33,10 @@ def _batch_watermark(state: ManagedTable, stream_id: str) -> int | None:
     if not state.exists():
         return None
     tag = f"decayed:{stream_id}:batch="
+    # newest-first scan exits at the first fold commit — normally entry
+    # 0 or 1 (an OPTIMIZE/VACUUM may interleave); a pathological run of
+    # foreign commits degrades to a full log listing, the same cost
+    # class as the state read the fold performs anyway
     for entry in state.history():
         meta = entry.get("userMetadata") or ""
         if meta.startswith(tag):

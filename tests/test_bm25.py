@@ -99,3 +99,15 @@ def test_probe_prunes_files(spark):
     assert total >= 8
     assert len(kept) < total, "term probe did not prune any files"
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_build_index_refuses_empty_corpus(spark):
+    import tempfile
+
+    from delta_lake_platform_spark.operators.search import build_bm25_index
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    idx = ManagedTable(spark, tempfile.mkdtemp(prefix="dlp_bm25_e_") + "/i")
+    with pytest.raises(ValueError):
+        build_bm25_index(empty, idx)
