@@ -50,3 +50,53 @@ def reservoir_sample(df: DataFrame, k: int, key_col: str) -> DataFrame:
     return (
         ranked.orderBy("__h").limit(k).drop("__h")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    pos: int = 9,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, A-ES): each row gets key ``u^(1/w)`` for a uniform u derived
+    from sha-256 of its id; the k largest keys are a weight-
+    proportional sample. Deterministic the same way the other
+    samplers here are — u is a property of the ROW, so membership
+    survives repartitioning, retries, and corpus growth around it.
+
+    Rows with NULL or non-positive weight are excluded (they have no
+    sampling mass). Keys are rounded BEFORE the top-k (ties broken by
+    id) so the selected set and order are engine-reproducible.
+
+    Physical shape: one projection + a distributed TakeOrdered
+    (orderBy + limit) — no shuffle of the corpus, no driver-side
+    state, any scale. ``pos`` picks the digest window, decorrelating
+    this decision from ``hash_bucket``-based splits on the same ids.
+
+    Output: every df column plus ``sample_key`` and ``rank`` (1..k).
+    """
+    if k <= 0:
+        raise ValueError("weighted_sample requires k >= 1")
+    u = (
+        F.conv(
+            F.substring(F.sha2(F.col(id_col).cast("string"), 256), pos, 8),
+            16, 10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    key = F.round(
+        F.pow(u, 1.0 / F.col(weight_col).cast("double")), round_decimals
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("sample_key"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w))

@@ -452,3 +452,43 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_profile(
         c, ["c_mktsegment", "c_nationkey"], k=10
     ).orderBy("group_size")
+
+
+# --- weighted sampling without replacement (A-ES, r9) --------------------------
+
+WEIGHTED_SAMPLE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+    (CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT)
+     + 1.0) / 4294967296.0 AS u
+  FROM documents WHERE n_chars > 0
+),
+s AS (
+  SELECT doc_id, n_chars,
+    ROUND(POWER(u, 1.0 / n_chars), 6) AS sample_key
+  FROM t
+)
+SELECT doc_id, n_chars, sample_key,
+  ROW_NUMBER() OVER (ORDER BY sample_key DESC, doc_id) AS rank
+FROM s
+QUALIFY rank <= 50
+ORDER BY rank
+"""
+
+
+@register("docs_weighted_sample", WEIGHTED_SAMPLE_ORACLE)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sampling without replacement
+    (sampling.weighted_sample, Efraimidis-Spirakis A-ES): 50 docs
+    drawn proportional to n_chars via u^(1/w) keys on sha-256 ids —
+    deterministic under any partitioning, one projection + distributed
+    TakeOrdered, keys rounded before ranking for engine-reproducible
+    membership."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, k=50, weight_col="n_chars")
+        .select("doc_id", "n_chars", "sample_key", "rank")
+        .orderBy("rank")
+    )
