@@ -64,8 +64,13 @@ def weighted_sample(
     2006, A-ES): each row gets key ``u^(1/w)`` for a uniform u derived
     from sha-256 of its id; the k largest keys are a weight-
     proportional sample. Deterministic the same way the other
-    samplers here are — u is a property of the ROW, so membership
-    survives repartitioning, retries, and corpus growth around it.
+    samplers here are — u is a property of the ROW, so the selected
+    set survives repartitioning and task retries. Unlike the
+    threshold-based ``hash_sample``, membership is NOT stable under
+    corpus growth: a fixed-k without-replacement sample is the top-k
+    of the key order, so new rows with higher keys evict existing
+    members (inherent to fixed-k sampling, not an implementation
+    artifact).
 
     Rows with NULL or non-positive weight are excluded (they have no
     sampling mass). Keys are rounded BEFORE the top-k (ties broken by

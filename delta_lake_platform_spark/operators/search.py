@@ -38,8 +38,13 @@ def _tokenize_py(text: str) -> list[str]:
 
 
 def _tokens_arr(text_col: str) -> Column:
+    # coalesce NULL text like every other text operator: with ANSI off
+    # (legacy sizeOfNull) F.size(NULL array) is -1, which would corrupt
+    # __dl/avgdl — don't let correctness depend on Spark 4's default.
     return F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
         lambda x: F.length(x) > 0,
     )
 

@@ -12,6 +12,7 @@ n-gram heuristic), document fingerprinting (normalized content hash).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -412,8 +413,14 @@ def with_gopher_repetition_pandas(
     def _battery(texts: pd.Series) -> pd.DataFrame:
         out = {f"f{n}": [] for n, _ in spec}
         for raw in texts:
-            norm = " ".join((raw or "").lower().split())
-            toks = norm.split(" ") if norm else []
+            # Mirror the expression form EXACTLY: Spark trim() strips
+            # spaces only, and Java \s is ASCII [ \t\n\x0b\f\r] — NOT
+            # Python str.split()'s Unicode whitespace (\xa0, \x85,
+            # \x1c-\x1f would diverge both forms and the SQL oracle).
+            norm = re.sub(
+                r"[ \t\n\x0b\f\r]+", " ", (raw or "").lower().strip(" ")
+            )
+            toks = [t for t in norm.split(" ") if t]
             denom = float(len(norm)) if norm else None
             for n, (kind, _thr) in spec:
                 if denom is None or len(toks) < n:
@@ -661,7 +668,14 @@ def bpe_apply_merges(
     wrapping makes partial-token matches impossible and keeps
     consecutive merge sites non-overlapping, so plain left-to-right
     replace() — identical semantics in every engine, no regex, no
-    lookaround — implements the greedy merge pass exactly. N merges
+    lookaround — implements the greedy merge pass exactly FOR
+    CONSISTENCY-ORDERED tables: each merge's operand symbols must be
+    produced by earlier merges (the order BPE learning emits, and
+    what ``bpe_pair_counts``-derived tables satisfy). An arbitrary
+    table where a LATER merge creates a site for an EARLIER one
+    (e.g. [('a','bc'), ('b','c')] on 'abc') would need iterative
+    re-application, which a single ordered pass deliberately does
+    not do. N merges
     compile to N chained replaces inside ONE projection: zero
     exchanges, zero UDFs, cost O(text bytes x merges) at any corpus
     size. The expression-tree form suits merge tables up to the

@@ -64,7 +64,17 @@ def decayed_maintain_stream(
     checkpoint while keeping the stream_id makes restarted ids look
     like replays (intended for reprocessing the same source; pick a
     new stream_id to fold genuinely new data under a fresh
-    checkpoint)."""
+    checkpoint).
+
+    SINGLE WRITER PER STATE TABLE: the watermark is read (history
+    scan) and committed in a separate overwrite, so two queries
+    folding the SAME state table concurrently could both pass the
+    check and double-fold or lose an update. That matches the
+    deployment shape (one maintenance stream owns one state table —
+    Structured Streaming itself enforces one active query per
+    checkpoint), but it is a contract, not a guard: run at most one
+    folder per state table; replay-idempotence (the thing the
+    watermark provides) is only exactly-once under that contract."""
     n_folded = 0
 
     def _fold(batch: DataFrame, batch_id: int) -> None:

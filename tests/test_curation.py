@@ -311,6 +311,11 @@ def test_gopher_repetition_pandas_equals_expression_form(spark):
         (5, "unique words only appear once in this document here"),
         (6, "x " * 3),  # shorter than the larger n values
         (7, "Tab\tand  double  spaces\nnewline mix the cat the cat"),
+        # non-ASCII whitespace: Java \s does NOT match \xa0/\x85/\x1c,
+        # but Python str.split() does — pins the ASCII-\s mirroring in
+        # the pandas form (ADVICE r9)
+        (8, "the\xa0cat the\xa0cat sat\x85here\x1cnow the\xa0cat"),
+        (9, "\tleading tab the cat the cat the cat"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     cols = ["doc_id"]

@@ -155,3 +155,53 @@ def test_theta_set_algebra_accuracy(spark, sf_dir):
     assert abs(est["est_a"] - len(a)) <= max(0.05 * len(a), 1)
     assert abs(est["est_intersection"] - len(a & b)) <= max(0.05 * len(a & b), 1)
     assert abs(est["est_a_minus_b"] - len(a - b)) <= max(0.05 * len(a - b), 1)
+
+
+def test_theta_post_dedup_sketch_equals_raw_stream(spark, sf_dir):
+    """The fused events_user_overlap_theta query sketches CONDITIONALLY
+    over the per-user deduped frame; a Theta sketch depends only on the
+    distinct support, so its estimates must equal the raw-stream
+    operator's exactly (same hashes retained, not just within
+    tolerance)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_platform_spark.operators.sketches import set_overlap_theta
+    from delta_lake_platform_spark.queries.analytics_extra import (
+        events_user_overlap_theta,
+    )
+    from delta_lake_platform_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = set_overlap_theta(
+        ev, "event_type", "user_id", "click", "purchase"
+    ).first()
+    per_user = (
+        ev.filter(F.col("event_type").isin(["click", "purchase"]))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("a"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("b"),
+        )
+    )
+    fused = per_user.agg(
+        F.theta_sketch_estimate(
+            F.theta_intersection(
+                F.theta_sketch_agg(F.when(F.col("a") == 1, F.col("user_id"))),
+                F.theta_sketch_agg(F.when(F.col("b") == 1, F.col("user_id"))),
+            )
+        ).alias("inter"),
+    ).first()
+    assert fused["inter"] == raw["est_intersection"]
+    # the registry query itself: one job, exact counts correct
+    row = events_user_overlap_theta(spark, sf_dir).first()
+    exact = (
+        ev.filter("event_type = 'click'").select("user_id").distinct()
+        .join(
+            ev.filter("event_type = 'purchase'")
+            .select("user_id").distinct(),
+            "user_id",
+        )
+        .count()
+    )
+    assert row["n_overlap_exact"] == exact
+    assert row["overlap_within_5pct"] and row["difference_within_5pct"]
