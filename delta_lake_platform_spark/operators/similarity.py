@@ -330,13 +330,25 @@ def pq_topk(
     )
 
 
+def default_n_centroids(n_rows: int, cap: int = 4096) -> int:
+    """IVF centroid count for an ``n_rows`` corpus: ``ceil(sqrt(N))``
+    capped — the classic IVF balance point (cells of ~sqrt(N) vectors,
+    so a probe scans ~nprobe*sqrt(N) candidates instead of N; FAISS's
+    guideline). The cap bounds the centroid matrix each task holds
+    (4096 x dim doubles ~2 MB at dim 64) and the per-query argsort; a
+    100-TB corpus wants sharded/HNSW coarse quantizers beyond it."""
+    import math
+
+    return max(1, min(cap, math.isqrt(max(0, n_rows - 1)) + 1))
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     nprobe: int = 4,
     dim: int = 64,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     q_id: str = "vec_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
@@ -351,9 +363,16 @@ def ivf_topk(
     a corpus sample (``train_ivf_centroids``) instead of the
     deterministic hash planes — the recall-preserving choice when the
     corpus is clustered (real-world embeddings); at scale training
-    happens once at index-build time, not per query."""
+    happens once at index-build time, not per query.
+
+    ``n_centroids`` defaults to ``ceil(sqrt(N))`` capped
+    (``default_n_centroids``; one count job) so cell size tracks corpus
+    growth instead of degrading to a scan — pass an explicit value to
+    pin it."""
     from pyspark.sql.functions import pandas_udf
 
+    if n_centroids is None:
+        n_centroids = default_n_centroids(corpus.count())
     cn = (
         train_ivf_centroids(corpus, vec_col, n_centroids)
         if fit_centroids
@@ -406,13 +425,21 @@ def ivf_topk(
 # ~nprobe/C of the index's I/O, and the (expensive, sampled) k-means
 # fit is paid at build time, never per query.
 
+def _sample_assign_cos(sample, cn) -> float:
+    """Mean max-cosine of a normalized sample to its nearest centroid —
+    the assignment-quality scalar the drift check compares."""
+    import numpy as np
+
+    return float(np.mean(np.max(sample @ cn.T, axis=1)))
+
+
 def build_ivf_index(
     corpus: DataFrame,
     table,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     fit_centroids: bool = False,
 ) -> None:
     """Materialize the IVF index for ``corpus`` into ``table`` (a
@@ -420,10 +447,19 @@ def build_ivf_index(
     partitioned by ``centroid_id``; the centroid matrix and config
     land in the ``_ivf/index.json`` sidecar (derived data, like the
     bloom-index sidecar — losing it means rebuild, never wrong
-    results)."""
+    results).
+
+    ``n_centroids`` defaults to ``ceil(sqrt(N))`` capped
+    (``default_n_centroids``) so cell size tracks the corpus. The
+    sidecar also records corpus size and the training sample's
+    assignment quality — the reference point ``ivf_index_drift``
+    compares against to decide a refit."""
     import json
     import os
 
+    n_rows = corpus.count()
+    if n_centroids is None:
+        n_centroids = default_n_centroids(n_rows)
     cn = (
         train_ivf_centroids(corpus, vec_col, n_centroids)
         if fit_centroids
@@ -432,9 +468,14 @@ def build_ivf_index(
     assigned = ivf_assign(
         corpus.select(id_col, vec_col), vec_col, dim, n_centroids, centroids=cn
     )
-    table.create(
-        assigned.repartition("centroid_id"), partition_by=["centroid_id"]
-    )
+    spec = ["centroid_id"]
+    if table.exists():
+        # refit path: same table, new assignment + centroids (the
+        # partition spec is table-level and survives the overwrite)
+        table.overwrite(assigned.repartition("centroid_id"))
+    else:
+        table.create(assigned.repartition("centroid_id"), partition_by=spec)
+    sample = _normalized_sample(corpus, vec_col)
     os.makedirs(os.path.join(table.path, "_ivf"), exist_ok=True)
     with open(os.path.join(table.path, "_ivf", "index.json"), "w") as f:
         json.dump(
@@ -445,9 +486,76 @@ def build_ivf_index(
                 "vec_col": vec_col,
                 "id_col": id_col,
                 "built_at_version": table.latest_version(),
+                "n_rows": int(n_rows),
+                "assign_cos": _sample_assign_cos(sample, cn),
+                "fit_centroids": bool(fit_centroids),
             },
             f,
         )
+
+
+def ivf_index_drift(
+    corpus: DataFrame,
+    table,
+    growth_factor: float = 2.0,
+    cos_drop: float = 0.05,
+) -> dict:
+    """Has the corpus drifted away from the index's centroids? Compares
+    the CURRENT corpus (one count + one bounded sample) against the
+    sidecar's build-time reference: corpus growth past
+    ``growth_factor`` means cells are ~growth x their design size
+    (probe cost degrades toward a scan), and a drop in mean
+    nearest-centroid cosine beyond ``cos_drop`` means new mass sits far
+    from every centroid (recall degrades). Either trips
+    ``needs_refit``. Cost is O(sample) — safe to run on a schedule at
+    any corpus size."""
+    import json
+    import os
+
+    with open(os.path.join(table.path, "_ivf", "index.json")) as f:
+        meta = json.load(f)
+    import numpy as np
+
+    cn = np.asarray(meta["centroids"], dtype="float64")
+    n_now = corpus.count()
+    sample = _normalized_sample(corpus, meta["vec_col"])
+    cos_now = _sample_assign_cos(sample, cn)
+    built_n = int(meta.get("n_rows") or 0)
+    built_cos = float(meta.get("assign_cos") or 0.0)
+    grew = built_n > 0 and n_now >= growth_factor * built_n
+    drifted = built_cos > 0 and cos_now <= built_cos - cos_drop
+    return {
+        "built_n_rows": built_n,
+        "n_rows": int(n_now),
+        "built_assign_cos": built_cos,
+        "assign_cos": cos_now,
+        "grew": bool(grew),
+        "drifted": bool(drifted),
+        "needs_refit": bool(grew or drifted),
+    }
+
+
+def refit_ivf_index(corpus: DataFrame, table) -> None:
+    """Rebuild the index IN PLACE for the current corpus: re-derive
+    ``ceil(sqrt(N))`` centroids, retrain on a fresh sample (fitted
+    k-means — a refit is pointless with data-independent hash planes),
+    re-assign, overwrite the same table (readers see the swap as one
+    commit; time travel still serves the old index), refresh the
+    sidecar."""
+    import json
+    import os
+
+    with open(os.path.join(table.path, "_ivf", "index.json")) as f:
+        meta = json.load(f)
+    build_ivf_index(
+        corpus,
+        table,
+        vec_col=meta["vec_col"],
+        id_col=meta["id_col"],
+        dim=int(meta["dim"]),
+        n_centroids=None,
+        fit_centroids=True,
+    )
 
 
 def ivf_probe_index(

@@ -438,6 +438,31 @@ class ManagedTable:
         except Exception:
             return None
 
+    def table_schema(self, version: int | None = None) -> T.StructType:
+        """LOGICAL snapshot schema in READ order, resolved from the
+        commit log alone — no DataFrame construction, no file listing,
+        no footer job. ``read().schema`` costs a ``spark.read.parquet``
+        relation build (O(#live files) driver work: py4j path transfer
+        + InMemoryFileIndex); profiled at ~0.5s/call on a 160-file
+        local table and the dominant term of the r9 commit tax. Every
+        schema-only consumer (append's store-assignment cast, the
+        overwrite schema gate, replaceWhere's column check) goes
+        through here instead. Falls back to the scan for legacy
+        entries that predate log-recorded schemas."""
+        v = self.latest_version() if version is None else version
+        sch = self._schema_of(self._state(v))
+        if sch is None:
+            return self.read(v).schema
+        if self.partition_spec():
+            # hive reads put partition cols last; _scan re-orders by the
+            # declared order — mirror it so callers see read() order.
+            order = self._column_order()
+            if order:
+                by = {f.name: f for f in sch.fields}
+                known = [by.pop(c) for c in order if c in by]
+                return T.StructType(known + list(by.values()))
+        return sch
+
     def _base_state_from_entry(self, entry: dict) -> dict:
         """State of a SELF-CONTAINED entry: a full-snapshot commit (or
         legacy incremental entry) whose ``fileStats`` map — or, for a
@@ -578,25 +603,44 @@ class ManagedTable:
                 break
             chain.append(entry)
             cur -= 1
-        for entry in reversed(chain):
+        if chain:
+            # ONE copy of the live-file map for the whole tail, mutated
+            # through the chain — the previous per-entry copy was
+            # O(#files x tail) driver time (seconds at 10^6 files even
+            # with the 10-commit checkpoint cadence; SCALE.md). Only
+            # the REQUESTED version is cached; an intermediate version
+            # asked for later replays its own <=interval-length tail.
             files = dict(state["files"])
-            files.update(entry.get("add") or {})
-            for rel in entry.get("remove") or []:
-                files.pop(rel, None)
+            dirs = list(state["dirs"])
+            dv = state["dv"]
+            file_level = state["fileLevel"]
+            schema = state.get("schema")
+            mapping = state.get("columnMapping")
+            protocol = state.get("protocol")
+            for entry in reversed(chain):
+                files.update(entry.get("add") or {})
+                for rel in entry.get("remove") or []:
+                    files.pop(rel, None)
+                dirs += list(entry.get("addPaths") or [])
+                if "deletionVector" in entry:
+                    dv = entry["deletionVector"]
+                file_level = (
+                    file_level
+                    or bool(entry.get("remove"))
+                    or bool(entry.get("fileLevel"))
+                )
+                schema = entry.get("schema") or schema
+                mapping = entry.get("columnMapping") or mapping
+                protocol = entry.get("protocol") or protocol
             state = {
                 "files": files,
-                "dirs": state["dirs"] + list(entry.get("addPaths") or []),
-                "dv": entry.get("deletionVector", state["dv"]),
-                "fileLevel": state["fileLevel"]
-                or bool(entry.get("remove"))
-                or bool(entry.get("fileLevel")),
-                "schema": entry.get("schema") or state.get("schema"),
-                "columnMapping": entry.get("columnMapping")
-                or state.get("columnMapping"),
-                "protocol": entry.get("protocol") or state.get("protocol"),
+                "dirs": dirs,
+                "dv": dv,
+                "fileLevel": file_level,
+                "schema": schema,
+                "columnMapping": mapping,
+                "protocol": protocol,
             }
-            self._state_cache[entry["version"]] = state
-        if chain:
             state = {**state, "dirs": self._live_dirs_only(state)}
         self._check_reader(state)
         self._state_cache[version] = state
@@ -3474,8 +3518,13 @@ class ManagedTable:
         if self.exists() and not overwrite_schema:
             # Compare names AND types: Delta's overwriteSchema gate also
             # blocks type changes, and a rename+add that keeps the name
-            # set size must not slip through a set comparison.
-            cur, new = dict(self.read().dtypes), dict(df.dtypes)
+            # set size must not slip through a set comparison. Schema
+            # from the log (table_schema) — no scan build for a check.
+            cur = {
+                f.name: f.dataType.simpleString()
+                for f in self.table_schema().fields
+            }
+            new = dict(df.dtypes)
             if cur != new:
                 only_cur = sorted(set(cur) - set(new))
                 only_new = sorted(set(new) - set(cur))
@@ -3524,7 +3573,7 @@ class ManagedTable:
         self._check_append_only("replaceWhere")
         rt = self.exists() and self.row_tracking_enabled()
         rewrite = self._resolve_rewrite(rewrite)
-        table_cols = self.read().columns
+        table_cols = self.table_schema().fieldNames()  # log, not a scan
         extra_cols = [c for c in df.columns if c not in table_cols]
         missing = [c for c in table_cols if c not in df.columns]
         if extra_cols or missing:
@@ -3789,7 +3838,12 @@ class ManagedTable:
         # non-commuting commit (OVERWRITE, schema change) landing after
         # this point must fail the append, not be silently built on.
         rv = self.latest_version()
-        current = self.read(rv)
+        # Schema from the LOG, not a scan: read(rv) builds a full
+        # parquet relation (O(#live files) driver-side listing) only to
+        # be asked for columns/dtypes — the dominant term of the
+        # profiled per-commit tax on the fast path.
+        schema = self.table_schema(rv)
+        tbl_cols = schema.fieldNames()
         df = self._fill_defaults(df, rv)
         df, id_marks = self._fill_identity(df, rv)
         df = self._fill_generated(df, rv)
@@ -3799,6 +3853,7 @@ class ManagedTable:
                 "identityHighWaterMark": id_marks,
             }
         if merge_schema:
+            current = self.read(rv)
             for c, t in df.dtypes:
                 if c not in current.columns:
                     current = current.withColumn(c, F.lit(None).cast(t))
@@ -3806,8 +3861,8 @@ class ManagedTable:
                 if c not in df.columns:
                     df = df.withColumn(c, F.lit(None).cast(t))
         elif fast:
-            extra_cols = [c for c in df.columns if c not in current.columns]
-            missing = [c for c in current.columns if c not in df.columns]
+            extra_cols = [c for c in df.columns if c not in tbl_cols]
+            missing = [c for c in tbl_cols if c not in df.columns]
             if extra_cols or missing:
                 # Delta semantics: an append must match the table schema
                 # unless mergeSchema is requested. Silently projecting
@@ -3821,13 +3876,13 @@ class ManagedTable:
             # the TABLE schema before write. Without this, a
             # type-drifted batch (e.g. long into an int column) would
             # write files the snapshot schema can't read back.
-            tgt = dict(current.dtypes)
+            tgt = {f.name: f.dataType.simpleString() for f in schema.fields}
             if any(t != tgt[c] for c, t in df.dtypes):
                 df = df.select(
                     *[F.col(c).cast(tgt[c]) for c in df.columns]
                 )
             return self._commit_incremental(
-                df.select(*current.columns),
+                df.select(*tbl_cols),
                 "APPEND",
                 {},
                 extra=txn_extra,
@@ -3859,6 +3914,8 @@ class ManagedTable:
                     "rowIdHighWaterMark": hwm + n_new,
                 },
             )
+        if not merge_schema:
+            current = self.read(rv)  # slow path: snapshot rewrite
         new = current.unionByName(df, allowMissingColumns=False)
         return self._commit(
             new, "APPEND", {"numOutputRows": None}, extra=txn_extra

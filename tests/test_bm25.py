@@ -111,3 +111,69 @@ def test_build_index_refuses_empty_corpus(spark):
     idx = ManagedTable(spark, tempfile.mkdtemp(prefix="dlp_bm25_e_") + "/i")
     with pytest.raises(ValueError):
         build_bm25_index(empty, idx)
+
+
+def test_bm25_batch_equals_per_query_singles(spark, sf_dir):
+    """Batch scoring must be VALUE-IDENTICAL to running the single-query
+    operator once per query — same scores, same ranks, both from the
+    corpus form and from the persisted-index form."""
+    import shutil
+    import tempfile
+
+    from delta_lake_platform_spark.operators.search import (
+        bm25_probe_index_batch,
+        bm25_topk,
+        bm25_topk_batch,
+        build_bm25_index,
+    )
+    from delta_lake_platform_spark.sources.catalog import load_table
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = [(1, "spark stream window merge"), (2, "hash join filter"),
+          (3, "vector scan batch")]
+    qdf = spark.createDataFrame(qs, "query_id long, query string")
+    batch = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in bm25_topk_batch(docs, qdf, k=7).collect()
+    }
+    for qid, qtext in qs:
+        singles = bm25_topk(docs, qtext, k=7).collect()
+        assert len(singles) == 7
+        for r in singles:
+            assert batch[(qid, r["rank"])] == (r["doc_id"], r["score"]), (
+                qid, r["rank"])
+    d = tempfile.mkdtemp(prefix="bm25_batch_idx_")
+    try:
+        idx = ManagedTable(spark, f"{d}/idx")
+        build_bm25_index(docs, idx)
+        probed = {
+            (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+            for r in bm25_probe_index_batch(idx, qdf, k=7).collect()
+        }
+        assert probed == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bm25_batch_empty_and_null_queries(spark):
+    """A workload whose every query is empty raises; NULL/empty text
+    rows contribute nothing (coalesce guard in _tokens_arr)."""
+    import pytest
+
+    from delta_lake_platform_spark.operators.search import bm25_topk_batch
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(1, "alpha")], "query_id long, query string"
+    )
+    rows = bm25_topk_batch(docs, qdf, k=5).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    empty = spark.createDataFrame(
+        [(1, "   ")], "query_id long, query string"
+    )
+    with pytest.raises(ValueError):
+        bm25_topk_batch(docs, empty, k=5)

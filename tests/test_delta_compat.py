@@ -262,3 +262,60 @@ def test_fluent_conditional_insert(spark):
     )
     got = {r.id: r.v for r in mt.read().collect()}
     assert got == {1: "a", 2: "b2", 3: "c"}  # id 4 failed the gate
+
+
+def test_facade_dispatch_contract(spark, tmpdir, monkeypatch):
+    """Pins the delegation RULE itself so it is exercised with or
+    without delta-spark installed (the sandbox lacks it; a user env
+    has it): real library present AND a ``_delta_log`` directory →
+    the real class's forPath; either condition false → the facade.
+    A sentinel stands in for the real class, so this never skips."""
+    import os
+
+    from delta_lake_platform_spark.scd import compat
+
+    seen = {}
+
+    class FakeReal:
+        @classmethod
+        def forPath(cls, spark_, path_):
+            seen["path"] = path_
+            return cls
+
+    realish = f"{tmpdir}/realish"
+    os.makedirs(os.path.join(realish, "_delta_log"))
+    mt = ManagedTable(spark, f"{tmpdir}/mt_dispatch")
+    mt.create(spark.range(2).selectExpr("id"))
+
+    # library "installed": _delta_log dir delegates, ManagedTable stays
+    monkeypatch.setattr(compat, "_real_delta_table", lambda: FakeReal)
+    assert compat.DeltaTable.forPath(spark, realish) is FakeReal
+    assert seen["path"] == realish
+    assert isinstance(
+        compat.DeltaTable.forPath(spark, f"{tmpdir}/mt_dispatch"),
+        compat.DeltaTable,
+    )
+
+    # library absent: a bare _delta_log dir is NOT a ManagedTable —
+    # loud error, never a silent empty facade
+    monkeypatch.setattr(compat, "_real_delta_table", lambda: None)
+    with pytest.raises(ValueError, match="no table at path"):
+        compat.DeltaTable.forPath(spark, realish)
+    assert isinstance(
+        compat.DeltaTable.forPath(spark, f"{tmpdir}/mt_dispatch"),
+        compat.DeltaTable,
+    )
+
+
+def test_real_delta_detection_matches_import():
+    """_real_delta_table() must agree with actual importability —
+    green both with and without the package."""
+    from delta_lake_platform_spark.scd import compat
+
+    try:
+        import delta.tables  # noqa: F401
+
+        installed = True
+    except ImportError:
+        installed = False
+    assert (compat._real_delta_table() is not None) == installed

@@ -177,7 +177,11 @@ def test_fitted_centroids_beat_hash_planes_on_clustered_corpus(spark):
         approx = {
             (r.query_id, r.neighbor_id)
             for r in similarity.ivf_topk(
-                queries, corpus, k=5, nprobe=2, fit_centroids=fit
+                # C pinned: this test contrasts fitted vs hash-plane
+                # centroids at a FIXED cell count (the default is now
+                # corpus-adaptive ceil(sqrt(N)), a different knob)
+                queries, corpus, k=5, nprobe=2, n_centroids=16,
+                fit_centroids=fit,
             ).collect()
         }
         return len(exact & approx) / len(exact)
