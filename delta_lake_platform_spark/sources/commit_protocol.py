@@ -49,19 +49,31 @@ class CommitError(Exception):
 
 
 def _create_exclusive(entry_path: str, payload: str) -> None:
-    """Shared exclusive-create primitive: O_CREAT|O_EXCL has the same
-    win-or-fail contract as an object store's conditional put
-    (If-None-Match: * / generation-0), so both protocols use it
-    locally."""
+    """Shared exclusive-create primitive with the same win-or-fail
+    contract as an object store's conditional put (If-None-Match: * /
+    generation-0).
+
+    The claim and the CONTENT must be one atomic event: a real
+    conditional put publishes the whole object or nothing, and log
+    readers poll the latest entry (schema resolution, watermark scans)
+    the moment it exists. An O_EXCL create followed by write() exposes
+    an empty/partial entry between the two syscalls — observed as a
+    flaky JSONDecodeError under 20-thread concurrent appends — so the
+    payload is written to a writer-unique sibling first and link(2)'d
+    to the final name: link fails with EEXIST if the path exists
+    (atomic claim) and the target appears with its full content."""
     os.makedirs(os.path.dirname(entry_path), exist_ok=True)
+    tmp = f"{entry_path}.tmp-{uuid.uuid4().hex[:12]}"
+    with open(tmp, "w") as f:
+        f.write(payload)
     try:
-        fd = os.open(entry_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, entry_path)
     except FileExistsError as e:
         raise CommitError(
             f"log entry {entry_path} was committed concurrently"
         ) from e
-    with os.fdopen(fd, "w") as f:
-        f.write(payload)
+    finally:
+        os.unlink(tmp)
 
 
 class RenameCommitProtocol:

@@ -2194,8 +2194,13 @@ class ManagedTable:
                 files_index[os.path.relpath(fpath, self.path)] = per_col
         os.makedirs(os.path.dirname(self._bloom_path(v)), exist_ok=True)
         payload = {"version": v, "fpp": fpp, "cols": cols, "files": files_index}
-        with open(self._bloom_path(v), "w") as f:
+        # tmp + atomic replace: a concurrent reader probing the sidecar
+        # must never json.load a half-written index (same discipline as
+        # _maybe_extend_bloom and every other derived-sidecar writer).
+        tmp = f"{self._bloom_path(v)}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(payload, f)
+        os.replace(tmp, self._bloom_path(v))
         return {"version": v, "numFiles": len(files_index), "cols": cols}
 
     def _maybe_extend_bloom(self, version: int, batch_dir: str) -> None:

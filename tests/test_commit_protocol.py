@@ -150,3 +150,49 @@ def test_vacuum_reclaims_orphaned_writer_dirs(spark, tmpdir):
     assert not os.path.isdir(orphan)
     assert all(os.path.isdir(d) for d in live_dirs)
     assert t.read().count() == 100
+
+
+def test_entry_claim_is_atomic_with_content(tmpdir, proto):
+    """A log entry must never be observable with partial content: the
+    claim (exclusive create / conditional put) and the payload are ONE
+    atomic event. Readers poll the latest entry the instant it exists
+    (schema resolution, watermark scans); the pre-fix O_EXCL-then-write
+    sequence exposed an empty/truncated JSON window that surfaced as a
+    flaky JSONDecodeError in the 20-thread append race. A writer thread
+    creates entries with a large payload while a reader json.loads each
+    path the moment it appears — every observation must parse whole."""
+    import json
+    import threading
+
+    p = proto()
+    payload = json.dumps({"version": 0, "blob": "x" * 2_000_000})
+    n, errs = 40, []
+    paths = [os.path.join(tmpdir, f"log/{i:020d}.json") for i in range(n)]
+
+    def reader():
+        seen = 0
+        deadline = time.time() + 30
+        while seen < n and time.time() < deadline:
+            path = paths[seen]
+            if os.path.exists(path):
+                try:
+                    got = json.load(open(path))
+                    assert len(got["blob"]) == 2_000_000
+                except Exception as e:  # torn read observed
+                    errs.append((path, repr(e)))
+                seen += 1
+
+    r = threading.Thread(target=reader)
+    r.start()
+    for path in paths:
+        p.create_entry(path, payload)
+    r.join()
+    assert errs == []
+    # the claim contract itself still holds: re-create loses
+    from delta_lake_platform_spark.sources.commit_protocol import CommitError
+
+    with pytest.raises(CommitError):
+        p.create_entry(paths[0], payload)
+    # and no tmp siblings leak
+    leftovers = [f for f in os.listdir(os.path.join(tmpdir, "log")) if ".tmp-" in f]
+    assert leftovers == []
