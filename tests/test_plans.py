@@ -363,3 +363,17 @@ def test_bm25_single_pass_no_doc_keyed_join_shuffle(spark, sf_dir):
     # (broadcast via nested-loop, not a hash join).
     assert not has_sort_merge_join(df)
     assert count_exchanges(df) <= 4
+
+
+def test_coverage_assign_is_shuffle_free_projection(spark, sf_dir):
+    # k centers unrolled as literals: one corpus scan, zero exchanges
+    # (the presentation orderBy in the registry query is excluded here
+    # by driving the operator directly).
+    from pyspark.sql import functions as F
+
+    from delta_lake_platform_spark.operators import selection
+    from delta_lake_platform_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = selection.coverage_assign(emb, emb.filter(F.col("vec_id") < 4))
+    assert count_exchanges(df) == 0
