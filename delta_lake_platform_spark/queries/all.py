@@ -27,6 +27,7 @@ from . import relational_extra  # noqa: F401
 from . import sql_dml  # noqa: F401
 from . import variant_queries  # noqa: F401
 from . import selection_queries  # noqa: F401
+from . import classify_queries  # noqa: F401
 
 from .registry import ORACLE_SQL, QUERIES
 

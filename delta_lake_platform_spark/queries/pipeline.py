@@ -1177,33 +1177,104 @@ def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Session-memoized persisted IVF index per sf_dir — the same
+# build-once/probe-many split the BM25 rows got (r9 judge: timing the
+# build inside every probe conflates the two; with sqrt(N) centroids
+# the build got heavier and the conflation worse). The build keeps its
+# own measured registry row (ann_ivf_index_build).
+_IVF_IDX: dict[str, tuple] = {}
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    import atexit as _atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources.managed_table import ManagedTable
+
+    key = sf_dir.rstrip("/")
+    ent = _IVF_IDX.get(key)
+    if ent is not None and ent[0] is spark and ent[1].exists():
+        return ent[1]
+    d = _tempfile.mkdtemp(prefix="dlp_ivf_idx_")
+    _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    idx = ManagedTable(spark, f"{d}/idx")
+    _, corpus = _planted_ann_corpus(spark, sf_dir)
+    similarity.build_ivf_index(corpus, idx)
+    _IVF_IDX[key] = (spark, idx)
+    return idx
+
+
 @register("ann_ivf_persisted", _ANN_TOPK_ORACLE)
 def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index PERSISTED as a centroid-partitioned ManagedTable and
     then probed (r9, similarity.py::build_ivf_index/ivf_probe_index)
     — the serving shape: the assignment pass and any fit are paid at
     build time, a probe opens only the nprobe partition directories
-    (plan-gated in tests/test_ivf_persisted.py). Planted exact copies
-    make the full (query_id, neighbor_id, rank) result a provable
-    constant, same as ann_ivf_topk: an exact copy assigns to the
-    query's own argmax centroid, the first probe."""
-    import os
-    import shutil
-    import tempfile
-
-    from ..sources.managed_table import ManagedTable
-
-    queries, corpus = _planted_ann_corpus(spark, sf_dir)
-    d = tempfile.mkdtemp(prefix="dlp_ivf_idx_")
-    idx = ManagedTable(spark, os.path.join(d, "idx"))
-    similarity.build_ivf_index(corpus, idx)
-    out = (
+    (plan-gated in tests/test_ivf_persisted.py). The index is
+    session-memoized (build-once/probe-many; the build is timed by its
+    own registry row, ann_ivf_index_build). Planted exact copies make
+    the full (query_id, neighbor_id, rank) result a provable constant,
+    same as ann_ivf_topk: an exact copy assigns to the query's own
+    argmax centroid, the first probe."""
+    queries, _ = _planted_ann_corpus(spark, sf_dir)
+    idx = _ivf_index(spark, sf_dir)
+    return (
         similarity.ivf_probe_index(queries, idx, k=5, nprobe=4)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+# Planted corpus = capped embeddings + 5 copies of each of the 10
+# query vectors; the centroid count is the deterministic
+# default_n_centroids = min(4096, ceil(sqrt(N))), so every audited
+# figure is SQL-derivable from the raw table.
+IVF_BUILD_ORACLE = f"""
+WITH c AS (
+  SELECT COUNT(*)::BIGINT AS n FROM embeddings
+  WHERE vec_id < {_ANN_RECALL_CORPUS_CAP}
+)
+SELECT (n + 50)::BIGINT AS n_vectors,
+       LEAST(4096, CEIL(SQRT(n + 50)))::BIGINT AS n_centroids,
+       (n + 50)::BIGINT AS n_index_rows
+FROM c
+"""
+
+
+@register("ann_ivf_index_build", IVF_BUILD_ORACLE)
+def ann_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BUILD measured as its own row (the probe query is
+    memoized build-once/probe-many): assign + partition-cluster the
+    planted corpus into a throwaway ManagedTable, then audit it back —
+    corpus size and centroid count from the ``_ivf`` sidecar, row
+    count from the index itself. A build that drops or duplicates
+    vectors, or sizes the centroid set off the sqrt(N) default,
+    hash-mismatches."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources.managed_table import ManagedTable
+
+    _, corpus = _planted_ann_corpus(spark, sf_dir)
+    d = _tempfile.mkdtemp(prefix="dlp_ivf_build_")
+    idx = ManagedTable(spark, f"{d}/idx")
+    similarity.build_ivf_index(corpus, idx)
+    with open(_os.path.join(idx.path, "_ivf", "index.json")) as fh:
+        meta = _json.load(fh)
+    out = (
+        idx.read()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_index_rows"))
+        .select(
+            F.lit(int(meta["n_rows"])).cast("long").alias("n_vectors"),
+            F.lit(int(meta["n_centroids"])).cast("long").alias("n_centroids"),
+            "n_index_rows",
+        )
         .localCheckpoint()
     )
-    shutil.rmtree(d, ignore_errors=True)
+    _shutil.rmtree(d, ignore_errors=True)
     return out
 
 
