@@ -203,6 +203,49 @@ def domain_mixture(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled sampling weights over a domain/language
+    column — the multilingual-LM balancing rule (mBERT/XLM-R/mT5):
+    sample domain i with probability proportional to ``p_i^alpha``
+    where ``p_i`` is its raw share. ``alpha < 1`` up-samples the tail
+    (alpha=1 keeps the raw mixture, alpha=0 is uniform).
+
+    Output: one row per domain — ``n_docs``, ``p_raw`` (raw share),
+    ``weight`` (the temperature-scaled target share), and ``boost``
+    (weight / p_raw — the per-row repeat factor to feed straight into
+    ``domain_mixture``).
+
+    Scale shape: ONE exchange (the domain groupBy, map-side combined);
+    everything after operates on the |domains|-row frame via 1-row
+    broadcasts. Values round to 6 dp for cross-engine parity.
+    """
+    if alpha < 0:
+        raise ValueError("temperature_weights requires alpha >= 0")
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").cast("double").alias("__N"))
+    scored = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("__p", F.col("n_docs") / F.col("__N"))
+        .withColumn("__pa", F.pow("__p", F.lit(float(alpha))))
+    )
+    z = scored.agg(F.sum("__pa").alias("__z"))
+    w = F.col("__pa") / F.col("__z")
+    return (
+        scored.crossJoin(F.broadcast(z))
+        .select(
+            domain_col,
+            "n_docs",
+            F.round("__p", 6).alias("p_raw"),
+            F.round(w, 6).alias("weight"),
+            F.round(w / F.col("__p"), 6).alias("boost"),
+        )
+    )
+
+
 def dsir_log_weights(
     df: DataFrame,
     target_pred: Column,

@@ -492,3 +492,86 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "sample_key", "rank")
         .orderBy("rank")
     )
+
+
+# --- temperature-scaled mixture weights (r10) --------------------------------
+
+TEMPERATURE_ORACLE = """
+WITH c AS (
+  SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+),
+t AS (SELECT SUM(n_docs)::DOUBLE AS N FROM c),
+s AS (
+  SELECT lang, n_docs, n_docs / t.N AS p, POW(n_docs / t.N, 0.3) AS pa
+  FROM c CROSS JOIN t
+),
+z AS (SELECT SUM(pa) AS z FROM s)
+SELECT lang, n_docs,
+  ROUND(p, 6) AS p_raw,
+  ROUND(pa / z.z, 6) AS weight,
+  ROUND((pa / z.z) / p, 6) AS boost
+FROM s CROSS JOIN z
+ORDER BY lang
+"""
+
+
+@register("docs_temperature_mixture", TEMPERATURE_ORACLE)
+def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (alpha=0.3, the mBERT/XLM-R
+    balancing rule): one domain groupBy, then |domains|-row math; the
+    boost column feeds domain_mixture as its per-row repeat factor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.temperature_weights(docs, "lang", alpha=0.3).orderBy(
+        "lang"
+    )
+
+
+# --- duplication down-weighting (r10) ----------------------------------------
+
+DEDUP_WEIGHTS_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+),
+keyed AS (
+  SELECT doc_id,
+    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS fp
+  FROM corpus
+),
+sized AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY fp)::BIGINT AS n_copies
+  FROM keyed
+)
+SELECT doc_id, n_copies, ROUND(1.0 / n_copies, 6) AS dedup_weight
+FROM sized
+ORDER BY doc_id
+"""
+
+
+@register("docs_dedup_weights", DEDUP_WEIGHTS_ORACLE)
+def docs_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of dropping exact duplicates, DOWN-WEIGHT
+    them by 1/n_copies (the loss-weighting alternative used when
+    provenance must be kept). One window count over the normalized
+    content fingerprint — a single exchange, no join-back."""
+    from pyspark.sql import Window
+
+    from ..operators.text import normalized_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = docs.unionByName(planted)
+    n = F.count("*").over(
+        Window.partitionBy(normalized_fingerprint("text"))
+    )
+    return (
+        corpus.select(
+            "doc_id",
+            n.cast("long").alias("n_copies"),
+        )
+        .withColumn("dedup_weight", F.round(1.0 / F.col("n_copies"), 6))
+        .orderBy("doc_id")
+    )

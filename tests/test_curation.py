@@ -327,3 +327,32 @@ def test_gopher_repetition_pandas_equals_expression_form(spark):
     b = [tuple(r) for r in
          T.with_gopher_repetition_pandas(df).select(*cols).orderBy("doc_id").collect()]
     assert a == b
+
+
+def test_temperature_weights_upsample_tail(spark):
+    import pytest as _pytest
+
+    # 90/10 split at alpha=0.5: weights (0.9^.5, 0.1^.5)/Z -> minority
+    # boosted above 1, majority below; alpha=1 returns the raw mixture.
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, domain string",
+    )
+    w = {
+        r["domain"]: r
+        for r in curation.temperature_weights(df, "domain", alpha=0.5).collect()
+    }
+    import math
+
+    z = math.sqrt(0.9) + math.sqrt(0.1)
+    assert w["big"]["p_raw"] == 0.9 and w["small"]["p_raw"] == 0.1
+    assert w["small"]["weight"] == _pytest.approx(
+        round(math.sqrt(0.1) / z, 6), abs=1e-6
+    )
+    assert w["small"]["boost"] > 1.0 > w["big"]["boost"]
+    raw = curation.temperature_weights(df, "domain", alpha=1.0).collect()
+    for r in raw:
+        assert r["weight"] == _pytest.approx(r["p_raw"], abs=1e-6)
+        assert r["boost"] == _pytest.approx(1.0, abs=1e-6)
+    with _pytest.raises(ValueError):
+        curation.temperature_weights(df, "domain", alpha=-0.1)

@@ -119,12 +119,36 @@ def test_family_representation_in_first_50():
     assert not absent, f"families missing from the driver's first 50: {absent}"
 
 
-def test_entry_module_exposes_full_registry():
+def test_entry_module_exposes_rotation_window():
+    """r10 rotation contract (replaces the pre-rotation first-50 ==
+    PRIORITY pin): queries() is a window over the registry that puts
+    every never-driver-green query FIRST (in registry order), then the
+    stalest-green fill, width max(50, #never-green) — so every registry
+    query gets a driver correctness row within two rounds."""
+    import json
+    import os
+
     import __spark_entry__ as E
+    from delta_lake_platform_spark.queries.registry import QUERIES
 
     qs = E.queries()
     osql = E.oracle_sql()
-    assert list(qs)[:50] == A.PRIORITY
+    assert set(qs) <= set(QUERIES)
     assert set(osql) <= set(qs)
     # every oracle references a registered query and is non-empty SQL
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
+
+    # recompute never-green from the same history the rotation reads
+    import glob
+
+    root = os.path.dirname(os.path.abspath(E.__file__))
+    green: set[str] = set()
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(p) as fh:
+            for name, row in json.load(fh).items():
+                if isinstance(row, dict) and row.get("rows_match") and row.get("hash_match"):
+                    green.add(name)
+    never = [n for n in QUERIES if n not in green]
+    assert len(qs) == max(50, len(never))
+    # never-green queries lead the window, in registry order
+    assert list(qs)[: len(never)] == never

@@ -166,3 +166,22 @@ def test_kcenter_k_validation(spark):
         selection.kcenter_select(df, k=0)
     with pytest.raises(ValueError):
         selection.mmr_rerank(df, k=0)
+
+
+def test_kcenter_radius_dominates_coverage(spark, sf_dir):
+    """Greedy invariant behind the 2-approximation: after selecting k
+    centers, NO remaining point is farther from its nearest center
+    than the last selection was when picked (kc_dist is the running
+    maximin, non-increasing; the coverage radius is what round k+1
+    would have selected)."""
+    from delta_lake_platform_spark.sources.catalog import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    sel = selection.kcenter_select(emb, k=6)
+    rows = sorted(sel.collect(), key=lambda r: r["rank"])
+    dists = [r["kc_dist"] for r in rows[1:]]
+    assert dists == sorted(dists, reverse=True)  # non-increasing maximin
+    centers = sel.join(emb.select("vec_id", "embedding"), "vec_id")
+    assigned = selection.coverage_assign(emb, centers)
+    radius = assigned.agg(F.max("center_dist")).first()[0]
+    assert radius <= dists[-1] + 1e-6, (radius, dists)
