@@ -52,6 +52,47 @@ def heavy_hitters_exact(
     return out
 
 
+def mg_truncate(
+    counts: DataFrame,
+    m: int,
+    key_col: str,
+    count_col: str = "mg_count",
+) -> DataFrame:
+    """Truncate a per-key count table to an m-counter Misra-Gries
+    summary: subtract the (m+1)-th largest count from every counter and
+    drop the non-positive ones (a no-op when there are <= m keys — the
+    counts stay EXACT in that regime).
+
+    This is the decrement step of the MERGEABLE MG summary (Agarwal et
+    al. 2012, "Mergeable Summaries"): summing two summaries per key and
+    truncating the result is again a valid summary, with total
+    undercount bounded by N/(m+1) across any merge tree — which is what
+    lets a stream fold batch summaries into a persisted state table
+    without replaying history (streaming/heavy_hitters.py).
+
+    Estimates never exceed true counts; any key with true count above
+    the accumulated decrement total survives. One TakeOrdered for the
+    threshold scalar + one filtered projection — no extra shuffle
+    beyond the groupBy that produced ``counts``.
+    """
+    if m <= 0:
+        raise ValueError("mg_truncate requires m >= 1")
+    thr_rows = (
+        counts.select(F.col(count_col).alias("__c"))
+        .orderBy(F.desc("__c"))
+        .offset(m)
+        .limit(1)
+        .collect()
+    )
+    if not thr_rows:
+        return counts
+    t = thr_rows[0]["__c"]
+    return (
+        counts.withColumn(count_col, F.col(count_col) - F.lit(t))
+        .filter(F.col(count_col) > 0)
+    )
+
+
 def frequent_items_approx(
     df: DataFrame, key_col: str, support: float = 0.01
 ) -> list:

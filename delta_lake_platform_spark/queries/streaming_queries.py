@@ -548,3 +548,66 @@ def events_decayed_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+# --- streaming heavy hitters (Misra-Gries maintenance, r10) -------------------
+
+HH_STREAM_ORACLE = """
+WITH c AS (
+  SELECT user_id, COUNT(*)::BIGINT AS mg_count FROM events GROUP BY user_id
+),
+r AS (
+  SELECT user_id, mg_count,
+    ROW_NUMBER() OVER (ORDER BY mg_count DESC, user_id) AS rank
+  FROM c
+)
+SELECT user_id, mg_count, rank FROM r WHERE rank <= 20 ORDER BY rank
+"""
+
+
+@register("events_stream_heavy_hitters", HH_STREAM_ORACLE)
+def events_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters MAINTAINED by a real foreachBatch stream
+    (streaming/heavy_hitters.py): the fixture re-laid into 4 files
+    streamed one per micro-batch, each batch's key counts folded into
+    a persisted Misra-Gries summary (commit-metadata watermarks for
+    exactly-once). ``m`` here exceeds the fixture's key cardinality,
+    so no fold ever truncates and the maintained counts are provably
+    EXACT — the oracle is a plain groupBy count; a dropped batch, a
+    double fold, or a wrong merge hash-mismatches. The truncating
+    (bounded-state) regime and its N/(m+1) undercount bound are
+    pinned by tests/test_heavy_hitters_stream.py."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.managed_table import ManagedTable
+    from ..streaming.heavy_hitters import heavy_hitters_maintain_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    d = tempfile.mkdtemp(prefix="dlp_hh_stream_")
+    src = f"{d}/src"
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = ManagedTable(spark, f"{d}/state")
+    with _stateful_shuffle_partitions(spark):
+        heavy_hitters_maintain_stream(
+            stream, state, f"{d}/ckpt", m=1_000_000,
+            stream_id="events_hh",
+        )
+    w = Window.orderBy(F.desc("mg_count"), F.asc("user_id"))
+    out = (
+        state.read()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

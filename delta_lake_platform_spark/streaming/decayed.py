@@ -28,11 +28,15 @@ _STATE_COLS = (
 )
 
 
-def _batch_watermark(state: ManagedTable, stream_id: str) -> int | None:
-    """Highest batch id recorded in the state's commit metadata."""
+def _batch_watermark(
+    state: ManagedTable, stream_id: str, family: str = "decayed"
+) -> int | None:
+    """Highest batch id recorded in the state's commit metadata.
+    ``family`` namespaces the audit tag per maintenance kind (decayed
+    folds and heavy-hitter folds share this watermark contract)."""
     if not state.exists():
         return None
-    tag = f"decayed:{stream_id}:batch="
+    tag = f"{family}:{stream_id}:batch="
     # newest-first scan exits at the first fold commit — normally entry
     # 0 or 1 (an OPTIMIZE/VACUUM may interleave); a pathological run of
     # foreign commits degrades to a full log listing, the same cost

@@ -1,0 +1,85 @@
+"""Streaming maintenance of a Misra-Gries heavy-hitters summary.
+
+Completes the streaming-maintenance family (SCD2, materialized views,
+decayed aggregates, quarantine): "which keys dominate the stream,
+always current" with BOUNDED state, never a recompute over history.
+
+The fold rides the MG summary's mergeability (Agarwal et al. 2012 —
+see operators/sketches.py::mg_truncate): each micro-batch's exact
+per-key counts are summed into the persisted state and the result is
+truncated back to ``m`` counters. Across any number of folds the
+estimate for every key satisfies
+
+    true - N/(m+1)  <=  est  <=  true        (N = rows seen so far)
+
+and any key with true count > N/(m+1) is guaranteed present. With
+``m`` at or above the key cardinality nothing is ever truncated and
+the maintained counts are EXACT — the provable construction the
+oracled registry query uses; the bound regime is test-pinned
+separately.
+
+Exactly-once across micro-batch replays uses the same
+commitInfo.userMetadata watermark contract as streaming/decayed.py
+(and the same SINGLE WRITER PER STATE TABLE assumption documented
+there): the batch id rides the commit that publishes the folded state,
+and a replayed id at-or-below the watermark is a no-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketches import mg_truncate
+from ..sources.managed_table import ManagedTable
+from .decayed import _batch_watermark  # shared watermark contract
+
+
+def heavy_hitters_maintain_stream(
+    stream_df: DataFrame,
+    state: ManagedTable,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    m: int = 64,
+    stream_id: str = "hh_stream",
+) -> int:
+    """Drain ``stream_df`` (availableNow), folding each micro-batch's
+    key counts into the ``state`` summary table (columns: ``key_col``,
+    ``mg_count``). Returns the number of batches folded (replays are
+    skipped, not counted)."""
+    n_folded = 0
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        nonlocal n_folded
+        last = _batch_watermark(state, stream_id, family="hh")
+        if last is not None and batch_id <= last:
+            return
+        bc = batch.groupBy(key_col).agg(F.count(F.lit(1)).alias("mg_count"))
+        if state.exists():
+            merged = (
+                state.read()
+                .select(key_col, "mg_count")
+                .unionByName(bc)
+                .groupBy(key_col)
+                .agg(F.sum("mg_count").alias("mg_count"))
+            )
+        else:
+            merged = bc
+        # publish from a materialized copy so the overwrite never
+        # reads its own target (same pattern as decayed.py)
+        new = mg_truncate(merged, m, key_col).localCheckpoint()
+        state.set_commit_metadata(f"hh:{stream_id}:batch={batch_id}")
+        if state.exists():
+            state.overwrite(new)
+        else:
+            state.create(new)
+        n_folded += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_folded
