@@ -1686,3 +1686,42 @@ def docs_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_probe_index_batch(idx, queries, k=10).orderBy(
         "query_id", "rank"
     )
+
+
+@register("ann_ivf_stream_maintained", _ANN_TOPK_ORACLE)
+def ann_ivf_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTAINED by a real foreachBatch stream
+    (streaming/ann_index.py): the planted corpus re-laid into 4 files
+    streamed one per micro-batch — the first bootstraps the index, the
+    rest fast-append into their centroid partitions against the frozen
+    sidecar centroids (commit-metadata watermarks for exactly-once) —
+    then probed. Planted exact copies assign to the query's own argmax
+    centroid under ANY centroid set, so the full
+    (query_id, neighbor_id, rank) result is the same provable constant
+    as the batch-built rows; a dropped batch, double fold, or
+    mis-assigned append hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from ..sources.managed_table import ManagedTable
+    from ..streaming.ann_index import ivf_maintain_stream
+
+    queries, corpus = _planted_ann_corpus(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="dlp_ivf_stream_")
+    src = f"{d}/src"
+    corpus.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    idx = ManagedTable(spark, f"{d}/idx")
+    ivf_maintain_stream(stream, idx, f"{d}/ckpt", stream_id="ann_stream")
+    out = (
+        similarity.ivf_probe_index(queries, idx, k=5, nprobe=4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
