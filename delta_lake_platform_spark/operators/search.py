@@ -178,7 +178,90 @@ def build_bm25_index(
     )
     table.set_property("bm25.n_docs", str(int(n)))
     table.set_property("bm25.avgdl", repr(float(total) / float(n)))
+    # exact integer token total: extend_bm25_index folds THIS, not the
+    # float-reconstructed avgdl*n (which drifts over many folds)
+    table.set_property("bm25.total_dl", str(int(total)))
     table.set_property("bm25.id_col", id_col)
+
+
+def extend_bm25_index(
+    docs_batch: DataFrame,
+    table,
+    text_col: str = "text",
+    n_files: int = 2,
+) -> None:
+    """Fold a NEW batch of documents into a persisted BM25 index: the
+    batch's postings fast-append as their own term-range-clustered
+    files and the corpus stats (exact doc count + token total) fold
+    into the table properties. Because BM25 is stateless given
+    (postings, stats), a probe over the extended index is VALUE-EXACT
+    with a fresh build over the union corpus — no rescoring, no
+    rebuild.
+
+    Layout note (the LSM trade): each batch adds up to ``n_files``
+    files per term range, so a term probe opens O(#batches) files
+    instead of O(1) until the next OPTIMIZE compacts the index back to
+    one clustered generation. That is the standard ingest/compact
+    cycle — the probe stays file-pruned WITHIN each generation
+    throughout.
+    """
+    props = table.properties()
+    id_col = props.get("bm25.id_col", "doc_id")
+    postings = _build_postings(docs_batch, id_col, text_col, None).select(
+        F.col(id_col),
+        F.col("__term").alias("term"),
+        F.col("__tf").alias("tf"),
+        F.col("__dl").alias("dl"),
+    )
+    base = docs_batch.select(F.size(_tokens_arr(text_col)).alias("__dl"))
+    n_new, total_new = base.agg(F.count(F.lit(1)), F.sum("__dl")).first()
+    if not n_new:
+        return
+    table.append(
+        postings.repartitionByRange(n_files, "term").sortWithinPartitions(
+            "term"
+        ),
+        fast=True,
+    )
+    n_old = int(props["bm25.n_docs"])
+    # integer-exact fold (legacy indexes without total_dl reconstruct
+    # it once from avgdl*n, then carry the exact total forward)
+    total_old = int(
+        props.get("bm25.total_dl")
+        or round(float(props["bm25.avgdl"]) * n_old)
+    )
+    n = n_old + int(n_new)
+    total = total_old + int(total_new)
+    # CRASH WINDOW: the stats fold is a sidecar write, not part of the
+    # append commit — a crash between the two leaves stats one batch
+    # behind the postings. repair_bm25_stats() recomputes both from the
+    # postings themselves; streaming/search_index.py documents when to
+    # run it.
+    table.set_property("bm25.n_docs", str(n))
+    table.set_property("bm25.total_dl", str(total))
+    table.set_property("bm25.avgdl", repr(float(total) / float(n)))
+
+
+def repair_bm25_stats(table) -> dict:
+    """Recompute the BM25 corpus stats FROM the persisted postings and
+    rewrite the properties: ``dl`` repeats per (doc, term) row, so
+    per-doc length is ``max(dl)`` per id and the corpus totals are one
+    aggregation over the index — the recovery path for a crash between
+    an extend's append commit and its stats fold (postings are then
+    ahead of the stats). Documents with zero tokens produce no
+    postings and are not recoverable from the index; they only shift
+    n_docs, and only until the next successful extend, which is the
+    accepted repair bound. Returns the rewritten stats."""
+    props = table.properties()
+    id_col = props.get("bm25.id_col", "doc_id")
+    per_doc = table.read().groupBy(id_col).agg(F.max("dl").alias("__dl"))
+    n, total = per_doc.agg(F.count(F.lit(1)), F.sum("__dl")).first()
+    if not n:
+        raise ValueError("cannot repair stats of an empty BM25 index")
+    table.set_property("bm25.n_docs", str(int(n)))
+    table.set_property("bm25.total_dl", str(int(total)))
+    table.set_property("bm25.avgdl", repr(float(total) / float(n)))
+    return {"n_docs": int(n), "avgdl": float(total) / float(n)}
 
 
 def bm25_probe_index(

@@ -1725,3 +1725,40 @@ def ann_ivf_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+@register("docs_bm25_stream_maintained", BM25_ORACLE)
+def docs_bm25_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index MAINTAINED by a real foreachBatch stream
+    (streaming/search_index.py): documents re-laid into 4 files
+    streamed one per micro-batch — the first builds the index, the
+    rest fast-append term-range-clustered posting generations and fold
+    the corpus stats integer-exactly (commit-metadata watermarks for
+    exactly-once) — then probed. BM25 is stateless given (postings,
+    stats), so the maintained probe shares the brute-force oracle: a
+    dropped batch, double fold, or drifted stats hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from ..operators.search import bm25_probe_index
+    from ..sources.managed_table import ManagedTable
+    from ..streaming.search_index import bm25_maintain_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="dlp_bm25_stream_")
+    src = f"{d}/src"
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    idx = ManagedTable(spark, f"{d}/idx")
+    bm25_maintain_stream(stream, idx, f"{d}/ckpt", stream_id="docs_bm25")
+    out = (
+        bm25_probe_index(idx, "spark stream window merge", k=15)
+        .orderBy("rank")
+        .localCheckpoint()
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
