@@ -103,3 +103,32 @@ def test_repair_recovers_stale_stats(spark, sf_dir):
         assert after == baseline
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_optimize_compacts_generations_probes_stay_exact(spark, sf_dir):
+    """The LSM cycle's compact step: OPTIMIZE ZORDER BY (term) rewrites
+    the accumulated posting generations back into one term-clustered
+    generation — same probe results, and the probe's file fan-in drops
+    back to the single-generation level."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="bm25_compact_")
+    try:
+        idx = ManagedTable(spark, f"{d}/idx")
+        bm25_maintain_stream(
+            _stream_of(spark, docs, d), idx, f"{d}/ckpt", stream_id="c"
+        )
+        before = [tuple(r) for r in bm25_probe_index(
+            idx, QUERY, k=15).orderBy("rank").collect()]
+        files_before = idx.detail()["numFiles"]
+        idx.optimize_zorder(["term"], n_files=8)
+        files_after = idx.detail()["numFiles"]
+        assert files_after <= 8 < files_before
+        after = [tuple(r) for r in bm25_probe_index(
+            idx, QUERY, k=15).orderBy("rank").collect()]
+        assert after == before  # pure layout change, same ranking
+        # pruning effective again: a one-term probe opens O(1) files
+        pruned = idx.read_pruned("term", "spark", "spark")
+        n_pruned_files = pruned.rdd.getNumPartitions()
+        assert n_pruned_files <= 2, n_pruned_files
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
