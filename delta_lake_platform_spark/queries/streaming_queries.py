@@ -611,3 +611,110 @@ def events_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+# --- streaming near-dup ingest gate (r10) -------------------------------------
+
+# Clean originals = docs with NO natural >=0.8 near-dup (brute-force
+# pair scan, same shingle/Jaccard definition the batch MinHash oracle
+# uses) — every near-dup class in the gate corpus is then a planted
+# CLIQUE, making the admitted count provably arrival-order invariant:
+# one survivor per class, however the stream batches them.
+_GATE_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+GATE_ORACLE = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, GREATEST(LENGTH({_GATE_NORM}) - 4, 1) + 1),
+      i -> ({_GATE_NORM})[i:i+4]
+    )) AS shingles
+  FROM base
+),
+nat AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT a.doc_id FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+    WHERE LEN(list_intersect(a.shingles, b.shingles)) * 1.0 /
+      (LEN(a.shingles) + LEN(b.shingles)
+       - LEN(list_intersect(a.shingles, b.shingles))) >= 0.8
+  )
+),
+clean AS (
+  SELECT doc_id FROM base WHERE doc_id NOT IN (SELECT doc_id FROM nat)
+),
+c AS (
+  SELECT COUNT(*)::BIGINT AS n_clean,
+    SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_mut
+  FROM clean
+)
+SELECT (n_clean + n_exact + n_mut) AS n_arrived,
+       n_clean AS n_admitted,
+       (n_exact + n_mut) AS n_rejected
+FROM c
+"""
+
+
+@register("docs_stream_neardup_gate", GATE_ORACLE)
+def docs_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate INGEST GATE as a real foreachBatch stream
+    (streaming/dedup_gate.py): clean originals + planted exact and
+    mutated copies arrive in 4 micro-batches; each batch's MinHash
+    buckets are checked against the admitted corpus (plus verified
+    within-batch pairs), and only one member per near-dup class
+    survives — whichever batch it arrived in. txn-idempotent appends
+    make replays and mid-chain crashes heal. The oracle derives the
+    three counts from the brute-force pair structure; a missed
+    rejection, a double admission, or a dropped batch hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..sources.managed_table import ManagedTable
+    from ..streaming.dedup_gate import neardup_gate_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 100)
+    nat = minhash_lsh_pairs(docs, threshold=0.8)
+    paired = nat.select(F.col("id_a").alias("doc_id")).unionByName(
+        nat.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    clean = docs.join(paired, "doc_id", "left_anti").localCheckpoint()
+    exact = clean.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    mutated = (
+        clean.filter(F.col("doc_id") % 2 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" z")))
+    )
+    corpus = clean.unionByName(exact).unionByName(mutated)
+
+    d = tempfile.mkdtemp(prefix="dlp_gate_")
+    src = f"{d}/src"
+    corpus.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    admitted = ManagedTable(spark, f"{d}/admitted")
+    bands = ManagedTable(spark, f"{d}/bands")
+    docs_state = ManagedTable(spark, f"{d}/docs")
+    with _stateful_shuffle_partitions(spark):
+        neardup_gate_stream(
+            stream, admitted, bands, docs_state, f"{d}/ckpt",
+            stream_id="docs_gate",
+        )
+    n_arrived = corpus.count()
+    n_admitted = admitted.read().count()
+    out = spark.createDataFrame(
+        [(n_arrived, n_admitted, n_arrived - n_admitted)],
+        "n_arrived long, n_admitted long, n_rejected long",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
