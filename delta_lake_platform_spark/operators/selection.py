@@ -23,7 +23,10 @@ Scale shapes (the part that matters at 100 TB):
   (orderBy+limit(1)) — no shuffle of the corpus, no pairwise matrix.
   The state (id, vector, running distance) is re-materialized per round
   with an eager localCheckpoint, so round r never replays rounds
-  1..r-1; total cost is k scans of the corpus. k is bounded by contract
+  1..r-1; total cost is TWO corpus-sized passes per round (materialize
+  the folded state + the argmax read over it), ~2k passes overall — the
+  point is the constant, not replayed, per-round cost. k is bounded by
+  contract
   (coresets are 10^2-10^3 centers); the selected set — k vectors —
   lives on the driver and enters each round's plan as literals, the
   same broadcast-the-small-side rule every other operator here follows.

@@ -11,7 +11,11 @@ Bootstrap: the FIRST batch builds the index (centroid count defaults
 to ceil(sqrt(first batch)) unless pinned via ``n_centroids``); every
 later batch is assigned against the sidecar's frozen centroid matrix —
 assignment is row-local, so a streamed index holds exactly the rows a
-batch build over the same data would. Freezing centroids is what keeps
+batch build over the same data would GIVEN the same centroid matrix
+(pin ``n_centroids`` to compare against a batch build, whose sqrt(N)
+default sees the full corpus where the bootstrap saw one batch; the
+equality is test-pinned under a pinned count). Freezing centroids is
+what keeps
 appends O(batch); the cost is drift: when the stream moves away from
 the build-time distribution, probe recall decays. ``refit_on_drift``
 runs the sidecar drift check after the drain
