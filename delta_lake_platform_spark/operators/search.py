@@ -171,6 +171,10 @@ def build_bm25_index(
     ).first()
     if not n:
         raise ValueError("cannot build a BM25 index over an empty corpus")
+    # sum over all-NULL texts is NULL while n > 0: a corpus of rows
+    # whose text column is entirely NULL still builds (empty postings,
+    # zero token total) instead of raising on int(None).
+    total = int(total or 0)
     table.create(
         postings.repartitionByRange(n_files, "term").sortWithinPartitions(
             "term"
@@ -217,6 +221,11 @@ def extend_bm25_index(
     n_new, total_new = base.agg(F.count(F.lit(1)), F.sum("__dl")).first()
     if not n_new:
         return
+    # a batch whose every text is NULL has n_new > 0 but a NULL token
+    # sum; int(None) would raise AFTER the postings append committed,
+    # forcing the stats-behind-postings repair path on a plain data
+    # edge — fold 0 instead.
+    total_new = int(total_new or 0)
     table.append(
         postings.repartitionByRange(n_files, "term").sortWithinPartitions(
             "term"

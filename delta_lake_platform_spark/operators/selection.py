@@ -110,10 +110,29 @@ def kcenter_select(
 
     # Running min-distance state: one cosine per row per round. The
     # eager localCheckpoint truncates lineage so round r is O(one
-    # scan), not a replay of rounds 1..r-1.
+    # scan), not a replay of rounds 1..r-1. Each round's checkpoint
+    # fully materializes its own blocks, so the PRIOR round's blocks
+    # are dead the moment the new one lands — free them explicitly
+    # (localCheckpoint persists the internal RDD, which
+    # DataFrame.unpersist cannot reach), else k rounds retain up to k
+    # corpus-sized (id, vector, dist) copies in executor storage.
+    sc = spark.sparkContext
+
+    def _ckpt(df: DataFrame, prior_ids: set[int]) -> tuple[DataFrame, set]:
+        before = set(sc._jsc.getPersistentRDDs().keySet())
+        out = df.localCheckpoint(eager=True)
+        mine = set(sc._jsc.getPersistentRDDs().keySet()) - before
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in prior_ids:
+            jr = jmap.get(rid)
+            if jr is not None:
+                jr.unpersist(False)
+        return out, mine
+
+    ckpt_ids: set[int] = set()
     state = base.withColumn("__d", dist_to([float(x) for x in seed["__v"]]))
     for r in range(2, k + 1):
-        state = state.localCheckpoint(eager=True)
+        state, ckpt_ids = _ckpt(state, ckpt_ids)
         far = (
             state.filter(~F.col(id_col).isin([p[1] for p in picked]))
             .orderBy(F.desc("__d"), F.col(id_col))
@@ -128,6 +147,12 @@ def kcenter_select(
             "__d",
             F.least(F.col("__d"), dist_to([float(x) for x in row["__v"]])),
         )
+    # picked is complete: the final round's blocks are dead too.
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ckpt_ids:
+        jr = jmap.get(rid)
+        if jr is not None:
+            jr.unpersist(False)
     return spark.createDataFrame(picked, out_schema)
 
 

@@ -672,14 +672,19 @@ def docs_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.dedup import ngram_jaccard_pairs
     from ..sources.managed_table import ManagedTable
     from ..streaming.dedup_gate import neardup_gate_stream
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     ).filter(F.col("doc_id") < 100)
-    nat = minhash_lsh_pairs(docs, threshold=0.8)
+    # the clean-originals set must use the SAME pair definition as the
+    # oracle (brute-force exact Jaccard) — an LSH-derived set agrees
+    # only when banding misses no natural >=0.8 pair, which is
+    # fixture luck, not a guarantee. Exact all-pairs is bounded here
+    # (100 docs); the gate under test still runs the real LSH path.
+    nat = ngram_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.8)
     paired = nat.select(F.col("id_a").alias("doc_id")).unionByName(
         nat.select(F.col("id_b").alias("doc_id"))
     ).distinct()
@@ -704,10 +709,9 @@ def docs_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     admitted = ManagedTable(spark, f"{d}/admitted")
     bands = ManagedTable(spark, f"{d}/bands")
-    docs_state = ManagedTable(spark, f"{d}/docs")
     with _stateful_shuffle_partitions(spark):
         neardup_gate_stream(
-            stream, admitted, bands, docs_state, f"{d}/ckpt",
+            stream, admitted, bands, f"{d}/ckpt",
             stream_id="docs_gate",
         )
     n_arrived = corpus.count()

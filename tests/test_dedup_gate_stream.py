@@ -19,20 +19,22 @@ def _gate_tables(spark, d):
     return (
         ManagedTable(spark, f"{d}/admitted"),
         ManagedTable(spark, f"{d}/bands"),
-        ManagedTable(spark, f"{d}/docs"),
     )
 
 
 def _planted_corpus(spark, sf_dir):
     """Originals WITHOUT natural >=0.8 near-dups (so every class is a
     planted clique and the admitted count is provably arrival-order
-    invariant) + exact and mutated copies. Returns (corpus, n_clean)."""
-    from delta_lake_platform_spark.operators.dedup import minhash_lsh_pairs
+    invariant) + exact and mutated copies. Returns (corpus, n_clean).
+    The clean set uses the EXACT pair definition (brute-force Jaccard,
+    bounded: 100 docs) so the invariant does not depend on LSH banding
+    catching every natural pair."""
+    from delta_lake_platform_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     ).filter(F.col("doc_id") < 100)
-    nat = minhash_lsh_pairs(docs, threshold=0.8)
+    nat = ngram_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.8)
     paired = nat.select(F.col("id_a").alias("doc_id")).unionByName(
         nat.select(F.col("id_b").alias("doc_id"))
     ).distinct()
@@ -63,10 +65,10 @@ def test_one_survivor_per_class_any_batching(spark, sf_dir):
     for n_files, tag in [(1, "all_at_once"), (4, "four_batches")]:
         d = tempfile.mkdtemp(prefix=f"gate_{tag}_")
         try:
-            admitted, bands, docs_t = _gate_tables(spark, d)
+            admitted, bands = _gate_tables(spark, d)
             folded = neardup_gate_stream(
                 _stream_of(spark, corpus, d, n_files=n_files),
-                admitted, bands, docs_t, f"{d}/ckpt",
+                admitted, bands, f"{d}/ckpt",
             )
             assert folded == n_files
             # every near-dup class is a clique around one clean
@@ -76,10 +78,10 @@ def test_one_survivor_per_class_any_batching(spark, sf_dir):
             # the gate over it admits everything
             d2 = tempfile.mkdtemp(prefix="gate_regate_")
             try:
-                a2, b2, t2 = _gate_tables(spark, d2)
+                a2, b2 = _gate_tables(spark, d2)
                 neardup_gate_stream(
                     _stream_of(spark, admitted.read(), d2, n_files=1),
-                    a2, b2, t2, f"{d2}/ckpt",
+                    a2, b2, f"{d2}/ckpt",
                 )
                 assert a2.read().count() == n_clean
             finally:
@@ -95,18 +97,18 @@ def test_cross_batch_rejection_against_history(spark, sf_dir):
     copies = docs.withColumn("doc_id", F.col("doc_id") + 1000000)
     d = tempfile.mkdtemp(prefix="gate_cross_")
     try:
-        admitted, bands, docs_t = _gate_tables(spark, d)
+        admitted, bands = _gate_tables(spark, d)
         # batch 1: originals; batch 2: exact copies — all rejected
         neardup_gate_stream(
             _stream_of(spark, docs, f"{d}/a", n_files=1),
-            admitted, bands, docs_t, f"{d}/ck1", stream_id="g1",
+            admitted, bands, f"{d}/ck1", stream_id="g1",
         )
         # natural near-dups among the originals may reject a few
         n1 = admitted.read().count()
         assert 15 <= n1 <= 20
         neardup_gate_stream(
             _stream_of(spark, copies, f"{d}/b", n_files=1),
-            admitted, bands, docs_t, f"{d}/ck2", stream_id="g2",
+            admitted, bands, f"{d}/ck2", stream_id="g2",
         )
         # an exact copy of EVERY original (admitted or naturally
         # rejected) near-matches admitted history: nothing new lands
@@ -121,44 +123,39 @@ def test_replay_is_noop(spark, sf_dir):
     corpus, _ = _planted_corpus(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="gate_replay_")
     try:
-        admitted, bands, docs_t = _gate_tables(spark, d)
+        admitted, bands = _gate_tables(spark, d)
         stream = _stream_of(spark, corpus, d)
         assert neardup_gate_stream(
-            stream, admitted, bands, docs_t, f"{d}/ck1", stream_id="s"
+            stream, admitted, bands, f"{d}/ck1", stream_id="s"
         ) == 4
-        versions = (
-            admitted.latest_version(),
-            bands.latest_version(),
-            docs_t.latest_version(),
-        )
+        versions = (admitted.latest_version(), bands.latest_version())
         assert neardup_gate_stream(
-            stream, admitted, bands, docs_t, f"{d}/ck2", stream_id="s"
+            stream, admitted, bands, f"{d}/ck2", stream_id="s"
         ) == 0
         assert (
-            admitted.latest_version(),
-            bands.latest_version(),
-            docs_t.latest_version(),
+            admitted.latest_version(), bands.latest_version()
         ) == versions
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
 
 def test_midchain_crash_heals_on_replay(spark, sf_dir):
-    """Crash after the admitted+bands appends but before the docs
-    append: the replayed batch must reproduce the SAME keep set (its
-    own bands are already in state — the self-pair filter) and heal
-    the missing append as the only real write."""
+    """Crash after the admitted append but before the bands append:
+    the replayed batch must reproduce the SAME keep set (its bucket
+    rows never reached the bands table, so the history probe sees the
+    pre-crash state) and heal the missing bands append as the only
+    real write — the admitted append no-ops off its txn record."""
     corpus, n_clean = _planted_corpus(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="gate_crash_")
     try:
-        admitted, bands, docs_t = _gate_tables(spark, d)
+        admitted, bands = _gate_tables(spark, d)
         calls = {"n": 0}
         orig_append = ManagedTable.append
 
         def crashing_append(self, df, *a, **kw):
             out = orig_append(self, df, *a, **kw)
             calls["n"] += 1
-            if calls["n"] == 2:  # after admitted + bands of batch 1
+            if calls["n"] == 1:  # after admitted of batch 1
                 raise RuntimeError("injected crash")
             return out
 
@@ -171,21 +168,57 @@ def test_midchain_crash_heals_on_replay(spark, sf_dir):
             with _pytest.raises(StreamingQueryException):
                 neardup_gate_stream(
                     _stream_of(spark, corpus, f"{d}/one", n_files=1),
-                    admitted, bands, docs_t, f"{d}/ck1", stream_id="s",
+                    admitted, bands, f"{d}/ck1", stream_id="s",
                 )
         finally:
             ManagedTable.append = orig_append
-        assert admitted.exists() and bands.exists()
-        assert not docs_t.exists() or docs_t.read().count() == 0
-        # replay heals: same survivors, docs table filled in
+        assert admitted.exists()
+        assert not bands.exists() or bands.read().count() == 0
+        # replay heals: same survivors, bands table filled in
         neardup_gate_stream(
             _stream_of(spark, corpus, f"{d}/two", n_files=1),
-            admitted, bands, docs_t, f"{d}/ck2", stream_id="s",
+            admitted, bands, f"{d}/ck2", stream_id="s",
         )
         assert admitted.read().count() == n_clean
-        assert docs_t.read().count() == n_clean
         a_ids = {r["doc_id"] for r in admitted.read().collect()}
-        d_ids = {r["doc_id"] for r in docs_t.read().collect()}
-        assert a_ids == d_ids
+        b_ids = {r["doc_id"] for r in bands.read().collect()}
+        assert a_ids == b_ids
+        # one bucket row per (admitted doc, band)
+        assert bands.read().count() == n_clean * 16
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_batch0_replay_exits_early(spark, sf_dir):
+    """A recorded txn version of 0 (batch 0 committed) must trigger
+    the early exit on replay — not be mistaken for never-committed."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 10)
+    d = tempfile.mkdtemp(prefix="gate_b0_")
+    try:
+        admitted, bands = _gate_tables(spark, d)
+        neardup_gate_stream(
+            _stream_of(spark, docs, f"{d}/a", n_files=1),
+            admitted, bands, f"{d}/ck1", stream_id="s",
+        )
+        assert bands.last_txn_version("s") == 0
+        calls = {"n": 0}
+        orig_append = ManagedTable.append
+
+        def counting_append(self, df, *a, **kw):
+            calls["n"] += 1
+            return orig_append(self, df, *a, **kw)
+
+        ManagedTable.append = counting_append
+        try:
+            assert neardup_gate_stream(
+                _stream_of(spark, docs, f"{d}/b", n_files=1),
+                admitted, bands, f"{d}/ck2", stream_id="s",
+            ) == 0
+        finally:
+            ManagedTable.append = orig_append
+        # early exit fired BEFORE any append was even attempted
+        assert calls["n"] == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
