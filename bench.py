@@ -205,6 +205,42 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Cross-round comparison protocol (BASELINE.md "Absolute local
+    # anchor"): totals grow with every new registry row, so the
+    # comparable number is the COMMON-query ratio against the round-10
+    # idle-machine anchor (bench_history.jsonl ts 1786886717). >1.3x on
+    # a quiet run is a regression to investigate, not noise.
+    ANCHOR_TS = 1786886717
+    common_ratio = None
+    common_n = 0
+    try:
+        anchor_q = None
+        hist_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
+        )
+        with open(hist_path) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                if int(rec.get("ts", 0)) == ANCHOR_TS:
+                    anchor_q = rec.get("queries") or {}
+                    break
+        if anchor_q:
+            common = sorted(set(times) & set(anchor_q))
+            a = sum(anchor_q[q] for q in common)
+            b = sum(times[q] for q in common)
+            common_n = len(common)
+            if a > 0:
+                common_ratio = round(b / a, 3)
+                if common_ratio > 1.3 and gate_status == "quiet":
+                    print(
+                        f"REGRESSION FLAG: common-{common_n} ratio "
+                        f"{common_ratio} vs anchor {ANCHOR_TS} exceeds "
+                        "1.3x on a quiet run",
+                        file=sys.stderr,
+                    )
+    except (OSError, ValueError) as exc:  # noqa: BLE001
+        print(f"anchor comparison unavailable: {exc}", file=sys.stderr)
     loadavg = [round(x, 2) for x in (*load_start[:1], *os.getloadavg()[:1])]
     details = {
         "metric": "total_query_seconds",
@@ -217,6 +253,9 @@ def main() -> None:
         "loadavg_gate": gate_status,
         "gate_waited_s": waited,
         "n_queries": len(times),
+        "common_ratio_vs_anchor": common_ratio,
+        "common_n": common_n,
+        "anchor_ts": ANCHOR_TS,
         "queries": times,
         "per_run": per_run,
     }
@@ -258,6 +297,9 @@ def main() -> None:
         "loadavg_gate": gate_status,
         "n_queries": len(times),
         "n_errors": len(errors),
+        "common_ratio_vs_anchor": common_ratio,
+        "common_n": common_n,
+        "anchor_ts": ANCHOR_TS,
         "queries": slowest,
         "details": "bench_details.json",
     }

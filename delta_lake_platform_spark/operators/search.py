@@ -193,7 +193,9 @@ def extend_bm25_index(
     table,
     text_col: str = "text",
     n_files: int = 2,
-) -> None:
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> bool:
     """Fold a NEW batch of documents into a persisted BM25 index: the
     batch's postings fast-append as their own term-range-clustered
     files and the corpus stats (exact doc count + token total) fold
@@ -208,6 +210,12 @@ def extend_bm25_index(
     one clustered generation. That is the standard ingest/compact
     cycle — the probe stays file-pruned WITHIN each generation
     throughout.
+
+    ``txn_app``/``txn_version`` (optional) ride the postings append as
+    Delta's idempotent-writer txn action: a replay — or a CONCURRENT
+    duplicate writer — turns the append into an atomic no-op, and the
+    stats fold is skipped with it. Returns True iff THIS call extended
+    the index (False: no rows, or a peer already applied the batch).
     """
     props = table.properties()
     id_col = props.get("bm25.id_col", "doc_id")
@@ -220,7 +228,7 @@ def extend_bm25_index(
     base = docs_batch.select(F.size(_tokens_arr(text_col)).alias("__dl"))
     n_new, total_new = base.agg(F.count(F.lit(1)), F.sum("__dl")).first()
     if not n_new:
-        return
+        return False
     # a batch whose every text is NULL has n_new > 0 but a NULL token
     # sum; int(None) would raise AFTER the postings append committed,
     # forcing the stats-behind-postings repair path on a plain data
@@ -231,7 +239,14 @@ def extend_bm25_index(
             "term"
         ),
         fast=True,
+        txn_app=txn_app,
+        txn_version=txn_version,
     )
+    if txn_app is not None and table.last_append_was_noop:
+        # a peer (or an earlier attempt) already applied this batch —
+        # its postings AND stats are in; folding stats again would
+        # double-count the batch.
+        return False
     n_old = int(props["bm25.n_docs"])
     # integer-exact fold (legacy indexes without total_dl reconstruct
     # it once from avgdl*n, then carry the exact total forward)
@@ -249,6 +264,7 @@ def extend_bm25_index(
     table.set_property("bm25.n_docs", str(n))
     table.set_property("bm25.total_dl", str(total))
     table.set_property("bm25.avgdl", repr(float(total) / float(n)))
+    return True
 
 
 def repair_bm25_stats(table) -> dict:

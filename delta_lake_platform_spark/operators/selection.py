@@ -156,6 +156,65 @@ def kcenter_select(
     return spark.createDataFrame(picked, out_schema)
 
 
+def kcenter_select_sampled(
+    corpus: DataFrame,
+    k: int,
+    sample_mod: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Sampled tier of greedy k-center, for corpora where k full passes
+    are the scale-killer (k in the thousands x 100 TB): run the exact
+    greedy on a deterministic 1-in-``sample_mod`` subsample, then ONE
+    ``coverage_assign`` sweep over the FULL corpus reports the achieved
+    coverage radius. Total cost: k passes over n/sample_mod rows plus
+    one pass over n — vs k passes over n for the exact tier.
+
+    The subsample is ``id % sample_mod == 0``: deterministic and
+    oracle-replayable. Production ids with periodic structure should
+    hash first (``xxhash64(id) % mod``); the selection quality argument
+    is the same either way — a uniform 1/m sample preserves cluster
+    structure, and greedy-on-sample is the standard coreset
+    construction (each greedy round only needs SOME far point, and a
+    uniform sample contains one for every region big enough to
+    matter). Regions smaller than ~sample_mod points can be missed
+    entirely — that is the quantified trade, and ``coverage_radius``
+    is its measurement: the max over the full corpus of the (rounded)
+    distance to the nearest selected center, i.e. exactly what the
+    exact tier's kc_dist[k+1] would bound.
+
+    Returns the k selected centers (``rank``, id, ``kc_dist`` — all
+    computed within the sample) plus the full-corpus
+    ``coverage_radius`` repeated on every row.
+    """
+    if sample_mod < 1:
+        raise ValueError("kcenter_select_sampled requires sample_mod >= 1")
+    sample = corpus.filter(
+        F.pmod(F.col(id_col), F.lit(sample_mod)) == 0
+    )
+    sel = kcenter_select(
+        sample, k, vec_col=vec_col, id_col=id_col,
+        round_decimals=round_decimals,
+    )
+    ids = [r[id_col] for r in sel.select(id_col).collect()]
+    if not ids:
+        return sel.withColumn(
+            "coverage_radius", F.lit(None).cast("double")
+        )
+    centers = corpus.filter(F.col(id_col).isin(ids)).select(
+        id_col, vec_col
+    )
+    cov = coverage_assign(
+        corpus, centers, vec_col=vec_col, id_col=id_col,
+        center_id_col=id_col, round_decimals=round_decimals,
+    )
+    radius = cov.agg(F.max("center_dist").alias("r")).first()["r"]
+    return sel.withColumn(
+        "coverage_radius", F.lit(float(radius)).cast("double")
+    )
+
+
 def coverage_assign(
     corpus: DataFrame,
     centers: DataFrame,
@@ -290,4 +349,7 @@ def mmr_rerank(
     )
 
 
-__all__ = ["kcenter_select", "coverage_assign", "mmr_rerank"]
+__all__ = [
+    "kcenter_select", "kcenter_select_sampled", "coverage_assign",
+    "mmr_rerank",
+]

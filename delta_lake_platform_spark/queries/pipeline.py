@@ -1762,3 +1762,261 @@ def docs_bm25_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+# --- curation pipeline v3 (r11): the r10 operators composed ------------------
+#
+# gate (exact canonicalization + bounded near-dup verification) ->
+# NB language gate -> temperature mixture -> soft-dedup loss weights
+# -> coverage selection. One Spark program, no driver orchestration
+# between stages; the oracle replays the ENTIRE chain so a divergence
+# in any stage OR in how the stages hand off (survivor sets, weight
+# composition) hash-mismatches. Near-dup verification runs on the
+# bounded fresh slice (doc_id < 100 originals + their planted mutated
+# copies — the same documented O(bounded^2) exact tier the streaming
+# gate's oracle uses); everything else is full-corpus.
+
+CURATION_V3_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' z', lang FROM documents
+  WHERE doc_id < 100 AND doc_id % 2 = 0
+),
+keyed AS (
+  SELECT doc_id, text, lang,
+         COUNT(*) OVER (PARTITION BY regexp_replace(
+           trim(lower(text)), '\\s+', ' ', 'g'))::BIGINT AS n_copies,
+         MIN(doc_id) OVER (PARTITION BY regexp_replace(
+           trim(lower(text)), '\\s+', ' ', 'g')) AS canon
+  FROM corpus
+),
+sur1 AS (
+  SELECT doc_id, text, lang, n_copies FROM keyed WHERE doc_id = canon
+),
+cand AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, GREATEST(LENGTH(regexp_replace(
+        trim(lower(text)), '\\s+', ' ', 'g')) - 4, 1) + 1),
+      i -> (regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))[i:i+4]
+    )) AS sh
+  FROM sur1 WHERE doc_id < 100 OR doc_id >= 2000000
+),
+rejected AS (
+  SELECT DISTINCT b.doc_id
+  FROM cand a JOIN cand b ON a.doc_id < b.doc_id
+  WHERE LEN(list_intersect(a.sh, b.sh)) * 1.0 /
+        (LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh))) >= 0.8
+),
+sur2 AS (
+  SELECT * FROM sur1 WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
+),
+train AS (SELECT * FROM sur2 WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM sur2 WHERE doc_id % 2 <> 0),
+ttok AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x <> '')) AS tok
+  FROM train
+),
+counts AS (
+  SELECT tok, lang, COUNT(*)::DOUBLE AS cnt FROM ttok GROUP BY tok, lang
+),
+vsize AS (SELECT COUNT(DISTINCT tok)::DOUBLE AS v FROM counts),
+ctok AS (SELECT lang, SUM(cnt) AS tot FROM counts GROUP BY lang),
+cdocs AS (SELECT lang, COUNT(*)::DOUBLE AS ndocs FROM train GROUP BY lang),
+ntr AS (SELECT COUNT(*)::DOUBLE AS n FROM train),
+classes AS (
+  SELECT cd.lang AS label,
+         ln(cd.ndocs / ntr.n) AS log_prior,
+         ln(1.0 / (COALESCE(ct.tot, 0) + v.v)) AS default_lp
+  FROM cdocs cd
+  LEFT JOIN ctok ct ON cd.lang = ct.lang
+  CROSS JOIN ntr CROSS JOIN vsize v
+),
+deltas AS (SELECT tok, lang AS label, ln(cnt + 1.0) AS delta FROM counts),
+stok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x <> '')) AS tok
+  FROM test
+),
+ntok AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens FROM stok GROUP BY doc_id),
+hits AS (
+  SELECT s.doc_id, d.label, SUM(d.delta) AS dsum
+  FROM stok s JOIN deltas d ON s.tok = d.tok
+  GROUP BY s.doc_id, d.label
+),
+nbase AS (
+  SELECT t.doc_id, COALESCE(nt.n_tokens, 0) AS n_tokens,
+         c.label, c.log_prior, c.default_lp
+  FROM test t LEFT JOIN ntok nt ON t.doc_id = nt.doc_id
+  CROSS JOIN classes c
+),
+nsc AS (
+  SELECT b.doc_id, b.label,
+         ROUND(b.log_prior + b.n_tokens * b.default_lp
+               + COALESCE(h.dsum, 0.0), 6) AS score
+  FROM nbase b
+  LEFT JOIN hits h ON b.doc_id = h.doc_id AND b.label = h.label
+),
+pred AS (
+  SELECT doc_id, label AS predicted,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+  FROM nsc
+),
+sur3 AS (
+  SELECT s.* FROM sur2 s WHERE s.doc_id % 2 = 0
+  UNION ALL
+  SELECT s.* FROM sur2 s JOIN pred p
+    ON s.doc_id = p.doc_id AND p.rn = 1 AND p.predicted = s.lang
+),
+lc AS (SELECT lang, COUNT(*)::BIGINT AS n_docs FROM sur3 GROUP BY lang),
+lt AS (SELECT SUM(n_docs)::DOUBLE AS N FROM lc),
+ls AS (
+  SELECT lang, n_docs / lt.N AS p, POW(n_docs / lt.N, 0.3) AS pa
+  FROM lc CROSS JOIN lt
+),
+lz AS (SELECT SUM(pa) AS z FROM ls),
+tw AS (
+  SELECT lang, ROUND((pa / lz.z) / p, 6) AS boost FROM ls CROSS JOIN lz
+),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+),
+c AS (SELECT vec_id AS center_id, v AS cv FROM e WHERE vec_id < 4),
+covranked AS (
+  SELECT e.vec_id, c.center_id,
+         ROUND(1 - list_cosine_similarity(e.v, c.cv), 6) AS d,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(1 - list_cosine_similarity(e.v, c.cv), 6),
+                    c.center_id) AS rn
+  FROM e, c
+),
+cov AS (
+  SELECT vec_id AS doc_id, center_id, d AS center_dist
+  FROM covranked WHERE rn = 1
+)
+SELECT s.doc_id, s.lang, s.n_copies,
+       ROUND(1.0 / s.n_copies, 6) AS dedup_weight,
+       w.boost,
+       ROUND(w.boost / s.n_copies, 6) AS sample_weight,
+       cv.center_id, cv.center_dist
+FROM sur3 s
+JOIN tw w USING (lang)
+JOIN cov cv USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+@register("docs_curation_pipeline_v3", CURATION_V3_ORACLE)
+def docs_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 operator families composed into one program (r11):
+
+    1. soft-dedup canonicalization — ONE window over the normalized
+       fingerprint yields both the survivor (min id per class) and
+       its ``n_copies`` loss-weight denominator;
+    2. near-dup gate on the bounded fresh slice (exact-verified
+       Jaccard >= 0.8, larger id rejected — the batch form of
+       streaming/dedup_gate.py, same pair definition as its oracle);
+    3. Naive Bayes language gate (classify.nb_classify): fit on the
+       even-id survivors, keep the training half plus every scored doc
+       whose predicted language matches its label;
+    4. temperature mixture (curation.temperature_weights, alpha=0.3)
+       over the gated corpus — per-language boost;
+    5. coverage selection (selection.coverage_assign, 4 fixed centers,
+       zero-exchange struct-min) over the embeddings of the survivors.
+
+    Output: per kept doc — duplication count, 1/n dedup weight, the
+    language boost, their product as the final sampling weight, and
+    the assigned coverage center. No stage materializes to the driver;
+    the only bounded collect is coverage_assign's k=4 center pull."""
+    from pyspark.sql import Window
+
+    from ..operators import classify, curation, selection
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.text import normalized_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    exact = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    mutated = (
+        docs.filter((F.col("doc_id") < 100) & (F.col("doc_id") % 2 == 0))
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" z")))
+    )
+    corpus = docs.unionByName(exact).unionByName(mutated)
+
+    # stage 1: one window -> canonical survivor + copy count
+    w = Window.partitionBy(normalized_fingerprint("text"))
+    sur1 = (
+        corpus.select(
+            "doc_id", "text", "lang",
+            F.count("*").over(w).cast("long").alias("n_copies"),
+            F.min("doc_id").over(w).alias("__canon"),
+        )
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .drop("__canon")
+    )
+    # stage 2: bounded near-dup verification (fresh slice only)
+    cand = sur1.filter(
+        (F.col("doc_id") < 100) | (F.col("doc_id") >= 2000000)
+    ).select("doc_id", "text")
+    rejected = (
+        ngram_jaccard_pairs(cand)
+        .filter(F.col("jaccard") >= 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    # checkpoint: three downstream consumers (NB fit, NB scores join,
+    # temperature groupBy) would each replay the window + pair scan
+    sur2 = sur1.join(rejected, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    # stage 3: NB language gate
+    pred = classify.nb_classify(sur2, "lang", F.col("doc_id") % 2 == 0)
+    kept_scored = (
+        pred.join(sur2.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("predicted") == F.col("lang"))
+        .select("doc_id")
+    )
+    sur3 = sur2.join(
+        sur2.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id")
+        .unionByName(kept_scored),
+        "doc_id",
+        "left_semi",
+    )
+    # stage 4: temperature mixture over the gated corpus
+    tw = curation.temperature_weights(sur3, "lang", alpha=0.3).select(
+        "lang", "boost"
+    )
+    # stage 5: coverage selection over the survivors' embeddings
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = selection.coverage_assign(
+        emb, emb.filter(F.col("vec_id") < 4)
+    ).withColumnRenamed("vec_id", "doc_id")
+    return (
+        sur3.join(F.broadcast(tw), "lang")
+        .join(cov, "doc_id")
+        .select(
+            "doc_id", "lang", "n_copies",
+            F.round(1.0 / F.col("n_copies"), 6).alias("dedup_weight"),
+            "boost",
+            F.round(F.col("boost") / F.col("n_copies"), 6).alias(
+                "sample_weight"
+            ),
+            "center_id", "center_dist",
+        )
+        .orderBy("doc_id")
+    )

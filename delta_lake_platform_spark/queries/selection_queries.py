@@ -226,3 +226,134 @@ def embeddings_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selection.mmr_rerank(cands, k=4, lambda_=0.7).orderBy(
         "query_id", "mmr_rank"
     )
+
+
+# --- sampled k-center (r11) --------------------------------------------------
+
+def _kcenter_stages(k: int, src: str) -> str:
+    """Unrolled greedy k-center CTE stages over source CTE ``src``:
+    the same rounded-argmax-with-id-tie-break per round as
+    selection.kcenter_select, value-exact. Returns the CTE text for
+    s1..s{k} / d1..d{k-1} (callers add the final UNION)."""
+    parts = [
+        f"s1 AS (SELECT vec_id, v FROM {src} ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS (
+  SELECT {src}.vec_id, {src}.v,
+         ROUND(1 - list_cosine_similarity({src}.v, s1.v), 6) AS d
+  FROM {src}, s1
+)""",
+    ]
+    for r in range(2, k + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, r)
+        )
+        parts.append(
+            f"""s{r} AS (
+  SELECT vec_id, v, d FROM d{r - 1}
+  WHERE vec_id NOT IN ({prior})
+  ORDER BY d DESC, vec_id LIMIT 1
+)"""
+        )
+        if r < k:
+            parts.append(
+                f"""d{r} AS (
+  SELECT d{r - 1}.vec_id, d{r - 1}.v,
+         LEAST(d{r - 1}.d,
+               ROUND(1 - list_cosine_similarity(d{r - 1}.v, s{r}.v), 6)) AS d
+  FROM d{r - 1}, s{r}
+)"""
+            )
+    return ",\n".join(parts)
+
+
+def _kcenter_union(k: int) -> str:
+    rows = [
+        "SELECT CAST(1 AS BIGINT) AS rank, vec_id,"
+        " CAST(NULL AS DOUBLE) AS kc_dist FROM s1"
+    ]
+    rows += [f"SELECT {r}, vec_id, d FROM s{r}" for r in range(2, k + 1)]
+    return " UNION ALL ".join(rows)
+
+
+# sampled tier: greedy on the vec_id%2==0 half, then the full-corpus
+# coverage radius (max over rows of the rounded min distance to the
+# selected centers) — the oracle replays BOTH the sampled greedy and
+# the full sweep.
+KCENTER_SAMPLED_ORACLE = f"""
+WITH {_E},
+es AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+{_kcenter_stages(5, "es")},
+centers AS (
+  SELECT v FROM s1 UNION ALL SELECT v FROM s2 UNION ALL SELECT v FROM s3
+  UNION ALL SELECT v FROM s4 UNION ALL SELECT v FROM s5
+),
+cov AS (
+  SELECT MAX(md) AS coverage_radius FROM (
+    SELECT ef.vec_id,
+           MIN(ROUND(1 - list_cosine_similarity(ef.v, c.v), 6)) AS md
+    FROM e ef CROSS JOIN centers c GROUP BY ef.vec_id
+  )
+)
+SELECT rank, vec_id, kc_dist,
+       (SELECT coverage_radius FROM cov) AS coverage_radius
+FROM ({_kcenter_union(5)})
+ORDER BY rank
+"""
+
+
+@register("embeddings_kcenter_sampled", KCENTER_SAMPLED_ORACLE)
+def embeddings_kcenter_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-coreset tier (selection.kcenter_select_sampled): greedy
+    k-center on the deterministic 1-in-2 subsample, then ONE
+    coverage_assign sweep over the full corpus reporting the achieved
+    radius — k passes over n/2 rows + 1 over n, the shape that
+    survives k in the thousands at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return selection.kcenter_select_sampled(
+        emb, k=5, sample_mod=2
+    ).orderBy("rank")
+
+
+# --- MMR over a persisted-IVF shortlist (r11) --------------------------------
+
+# The composed serving path a real pipeline runs: ANN probe feeds the
+# diversity re-rank. On the planted corpus (pipeline.py::
+# _planted_ann_corpus) the probe's top-5 for each query is PROVABLY
+# its 5 exact copies (cosine 1.0 vs natural max ~0.51; an exact copy
+# assigns to the query's own argmax centroid — the first probe), so
+# the MMR stage's input is a constant and its greedy is too: all
+# relevances round to 1.0 and all pairwise sims are 1.0, so pick 1 is
+# the smallest neighbor id at score 1.0 and every later pick scores
+# lambda - (1-lambda) = 0.4, ids ascending. Any regression in the
+# probe join, the partition pruning, the vector join-back, or the
+# greedy loop breaks the constant and hash-mismatches.
+MMR_IVF_ORACLE = """
+SELECT q.vec_id AS query_id,
+       q.vec_id * 100 + 2000000 + t.j AS neighbor_id,
+       CASE WHEN t.j = 0 THEN 1.0 ELSE 0.4 END AS mmr_score,
+       CAST(t.j + 1 AS BIGINT) AS mmr_rank
+FROM embeddings q CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j) t
+WHERE q.vec_id < 10
+ORDER BY query_id, mmr_rank
+"""
+
+
+@register("embeddings_mmr_ivf", MMR_IVF_ORACLE)
+def embeddings_mmr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-rank over a PERSISTED-IVF shortlist: ivf_probe_index
+    (partition-pruned cells, no corpus pass) -> join candidate vectors
+    back from the index itself -> per-query greedy inside
+    applyInPandas. The brute-force-shortlist equivalence on this
+    corpus is pinned in tests/test_selection.py."""
+    from .pipeline import _ivf_index, _planted_ann_corpus
+
+    queries_df, _ = _planted_ann_corpus(spark, sf_dir)
+    idx = _ivf_index(spark, sf_dir)
+    short = similarity.ivf_probe_index(queries_df, idx, k=5, nprobe=4)
+    cands = short.join(
+        idx.read().select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+    return selection.mmr_rerank(cands, k=4, lambda_=0.7).orderBy(
+        "query_id", "mmr_rank"
+    )

@@ -226,6 +226,18 @@ class ConcurrentWriteError(Exception):
     create is the atomic commit point)."""
 
 
+class _TxnAlreadyApplied(Exception):
+    """Internal control flow for the idempotent-writer race (Delta's
+    ConcurrentTransactionException, resolved as a no-op): a concurrent
+    commit recorded this transaction's txnAppId at a version >= ours.
+    Raised inside the commit retry, caught by ``append`` — never
+    escapes the public API."""
+
+    def __init__(self, version: int):
+        super().__init__(f"txn already applied at table version {version}")
+        self.version = version
+
+
 class TableFeatureError(Exception):
     """The table's recorded protocol requires a newer reader or writer
     than this library supports (Delta's protocol action): failing
@@ -343,6 +355,10 @@ class ManagedTable:
       probes forward from the pointer instead of listing the directory
       (Delta's ``_last_checkpoint`` protocol).
     """
+
+    # whether the most recent append() on this handle no-opped under
+    # the idempotent-writer (txnAppId/txnVersion) contract
+    last_append_was_noop: bool = False
 
     def __init__(self, spark: SparkSession, path: str, protocol=None):
         from .commit_protocol import RenameCommitProtocol
@@ -1627,6 +1643,7 @@ class ManagedTable:
         extra: dict | None = None,
         commutes=None,
         read_version: int | None = None,
+        txn_noop: tuple[str, int] | None = None,
     ) -> int:
         """Commit a delta-action entry with optimistic-concurrency
         retries: on a version clash, re-attempt the ENTRY ALONE against
@@ -1637,6 +1654,15 @@ class ManagedTable:
         is this commit's row-count effect; ``numOutputRows`` is
         recomputed against each attempt's predecessor so the log's row
         accounting survives reordering.
+
+        ``txn_noop`` = (appId, version) closes the idempotent-writer
+        race Delta closes with ConcurrentTransactionException: if an
+        INTERVENING commit (after the snapshot read, before this entry
+        lands) already recorded the same ``txn`` appId at a version >=
+        ours, this work has been applied by a concurrent replica —
+        return the current head WITHOUT committing, making the
+        exactly-once contract hold under two concurrent writers, not
+        just under replays.
 
         ``read_version`` is the snapshot version the OPERATION read
         (scan/DV/batch write all happened against it). Every commit
@@ -1659,6 +1685,16 @@ class ManagedTable:
         attempt_from = None if read_version is None else read_version + 1
         for attempt in range(self._APPEND_RETRIES + 1):
             v_prev = self.latest_version()
+            if (
+                txn_noop is not None
+                and attempt_from is not None
+                and v_prev >= attempt_from
+            ):
+                app, tv = txn_noop
+                for v in range(attempt_from, v_prev + 1):
+                    t = (self._entry(v) or {}).get("txn")
+                    if t and t.get("appId") == app and t["version"] >= tv:
+                        raise _TxnAlreadyApplied(v_prev)
             if attempt_from is not None and v_prev >= attempt_from:
                 if not commutes(attempt_from, v_prev):
                     raise ConcurrentWriteError(
@@ -1704,6 +1740,7 @@ class ManagedTable:
         extra: dict | None = None,
         read_version: int | None = None,
         commutes=None,
+        txn_noop: tuple[str, int] | None = None,
     ) -> int:
         """Fast-append commit: write ONLY the batch's files — O(batch)
         cost, the only viable append shape when the table is 100 TB and
@@ -1750,6 +1787,7 @@ class ManagedTable:
             extra=extra,
             commutes=commutes or self._append_commutes_with,
             read_version=read_version,
+            txn_noop=txn_noop,
         )
         self._maybe_extend_bloom(v_new, local)
         return v_new
@@ -3509,11 +3547,20 @@ class ManagedTable:
         df: DataFrame,
         operation: str = "WRITE",
         overwrite_schema: bool = False,
+        read_version: int | None = None,
     ) -> int:
         """Replace the table contents. Delta semantics: an overwrite
         that would CHANGE the column set requires explicit opt-in
         (``overwriteSchema``) — otherwise a typo'd projection silently
         rewrites the table shape for every downstream reader.
+
+        ``read_version`` anchors a read-modify-write overwrite to the
+        snapshot the batch was DERIVED from: if any commit landed
+        after it, the publish raises ConcurrentWriteError instead of
+        silently erasing the intervening writer (the streaming
+        maintenance folds' guard — they re-read the watermark and
+        recompute). Without it, the overwrite is a blind replace and
+        always wins.
 
         On a row-tracked table every overwritten row is a NEW row
         (Delta semantics: overwrite = delete all + insert all), so the
@@ -3550,8 +3597,12 @@ class ManagedTable:
                 operation,
                 {"numOutputRows": None},
                 extra={"rowIdHighWaterMark": hwm + n},
+                read_version=read_version,
             )
-        return self._commit(df, operation, {"numOutputRows": None})
+        return self._commit(
+            df, operation, {"numOutputRows": None},
+            read_version=read_version,
+        )
 
     def overwrite_where(
         self,
@@ -3827,22 +3878,37 @@ class ManagedTable:
         is a NO-OP returning the current table version. A foreachBatch
         sink passing (query_id, batch_id) gets exactly-once appends
         across micro-batch retries and driver restarts — the state
-        lives in the target table's own log, not in the writer."""
+        lives in the target table's own log, not in the writer.
+        The contract holds under CONCURRENT duplicate writers too, not
+        just replays: a peer's same-appId commit landing between this
+        writer's snapshot pin and its entry create is detected in the
+        commit retry (Delta's ConcurrentTransactionException, resolved
+        as a no-op). ``last_append_was_noop`` reports whether THIS
+        call committed (False) or found the work already applied
+        (True) — streaming folds use it to skip their sidecar stats
+        fold when a peer won the race."""
+        self.last_append_was_noop = False
         if (txn_app is None) != (txn_version is None):
             raise ValueError("txn_app and txn_version go together")
+        # Pin the snapshot the schema check/cast runs against: a
+        # non-commuting commit (OVERWRITE, schema change) landing after
+        # this point must fail the append, not be silently built on.
+        # Pinned BEFORE the txn pre-check so the two scans tile the
+        # log with no gap: the pre-check (run after, scans the whole
+        # log) covers everything <= its own head, and the commit-time
+        # txn_noop scan covers rv+1..head — a peer's txn commit can
+        # never fall between them.
+        rv = self.latest_version()
         if txn_app is not None:
             last = self.last_txn_version(txn_app)
             if last is not None and last >= txn_version:
+                self.last_append_was_noop = True
                 return self.latest_version()
         txn_extra = (
             {"txn": {"appId": txn_app, "version": txn_version}}
             if txn_app is not None
             else None
         )
-        # Pin the snapshot the schema check/cast runs against: a
-        # non-commuting commit (OVERWRITE, schema change) landing after
-        # this point must fail the append, not be silently built on.
-        rv = self.latest_version()
         # Schema from the LOG, not a scan: read(rv) builds a full
         # parquet relation (O(#live files) driver-side listing) only to
         # be asked for columns/dtypes — the dominant term of the
@@ -3886,18 +3952,27 @@ class ManagedTable:
                 df = df.select(
                     *[F.col(c).cast(tgt[c]) for c in df.columns]
                 )
-            return self._commit_incremental(
-                df.select(*tbl_cols),
-                "APPEND",
-                {},
-                extra=txn_extra,
-                read_version=rv,
-                commutes=(
-                    self._identity_append_commutes(id_marks)
-                    if id_marks
-                    else None
-                ),
-            )
+            try:
+                return self._commit_incremental(
+                    df.select(*tbl_cols),
+                    "APPEND",
+                    {},
+                    extra=txn_extra,
+                    read_version=rv,
+                    commutes=(
+                        self._identity_append_commutes(id_marks)
+                        if id_marks
+                        else None
+                    ),
+                    txn_noop=(
+                        (txn_app, txn_version)
+                        if txn_app is not None
+                        else None
+                    ),
+                )
+            except _TxnAlreadyApplied as e:
+                self.last_append_was_noop = True
+                return e.version
         if self.row_tracking_enabled():
             # Snapshot-rewrite append: existing rows keep their ids
             # (materialized), the new batch mints fresh ones.

@@ -26,8 +26,11 @@ build-time refit contract.
 Exactly-once rides the shared commit-metadata batch watermark
 (streaming/decayed.py::_batch_watermark, family "ivf"): the batch id
 is attached to the SAME commit that publishes the fold (create or
-fast-append), so a replayed micro-batch is a no-op. Same single-writer
--per-index contract as the other maintenance folds.
+fast-append), so a replayed micro-batch is a no-op. Concurrent
+duplicate writers are guarded (r11): appends carry txnAppId/
+txnVersion (a peer's same-batch commit turns ours into an atomic
+no-op inside the commit retry) and a losing bootstrap create retries
+off the peer's watermark.
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     build_ivf_index, ivf_assign, ivf_index_drift, refit_ivf_index,
 )
-from ..sources.managed_table import ManagedTable
+from ..sources.managed_table import ConcurrentWriteError, ManagedTable
 from .decayed import _batch_watermark
 
 
@@ -63,16 +66,26 @@ def ivf_maintain_stream(
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         nonlocal n_folded
-        last = _batch_watermark(index, stream_id, family="ivf")
-        if last is not None and batch_id <= last:
-            return
-        index.set_commit_metadata(f"ivf:{stream_id}:batch={batch_id}")
-        if not index.exists():
-            build_ivf_index(
-                batch, index, vec_col=vec_col, id_col=id_col,
-                dim=dim, n_centroids=n_centroids,
-            )
-        else:
+        # concurrent-writer guard (r11): the bootstrap create races are
+        # resolved by ConcurrentWriteError + watermark re-read; the
+        # steady-state appends carry txnAppId/txnVersion, so a peer's
+        # duplicate fold no-ops ATOMICALLY inside the commit retry
+        # (Delta's ConcurrentTransaction rule) — not just on replay.
+        for _ in range(6):
+            last = _batch_watermark(index, stream_id, family="ivf")
+            if last is not None and batch_id <= last:
+                return
+            index.set_commit_metadata(f"ivf:{stream_id}:batch={batch_id}")
+            if not index.exists():
+                try:
+                    build_ivf_index(
+                        batch, index, vec_col=vec_col, id_col=id_col,
+                        dim=dim, n_centroids=n_centroids,
+                    )
+                except ConcurrentWriteError:
+                    continue  # a peer bootstrapped; re-read + retry
+                n_folded += 1
+                return
             import numpy as np
 
             with open(os.path.join(index.path, "_ivf", "index.json")) as fh:
@@ -86,8 +99,17 @@ def ivf_maintain_stream(
             # fast append: O(batch) commit; the hive layout keeps new
             # rows inside their centroid partitions so probes stay
             # file-pruned over the whole (old + streamed) index
-            index.append(assigned.repartition("centroid_id"), fast=True)
-        n_folded += 1
+            index.append(
+                assigned.repartition("centroid_id"), fast=True,
+                txn_app=f"ivf:{stream_id}", txn_version=batch_id,
+            )
+            if not index.last_append_was_noop:
+                n_folded += 1
+            return
+        raise ConcurrentWriteError(
+            f"ivf:{stream_id} batch {batch_id}: index kept moving "
+            "through 6 fold attempts"
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(_fold)

@@ -18,10 +18,12 @@ audit field).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 
 from ..operators.temporal import decayed_agg_update, decayed_agg_with_anchor
-from ..sources.managed_table import ManagedTable
+from ..sources.managed_table import ConcurrentWriteError, ManagedTable
 
 _STATE_COLS = (
     "n_events", "decayed_sum", "decayed_count", "anchor_ts", "decayed_avg"
@@ -48,6 +50,55 @@ def _batch_watermark(
     return None
 
 
+def _fold_with_guard(
+    state: ManagedTable,
+    stream_id: str,
+    batch_id: int,
+    family: str,
+    build: Callable[[int | None], DataFrame],
+    retries: int = 5,
+) -> bool:
+    """Optimistic-concurrency wrapper for the overwrite-shaped folds —
+    upgrades the documented single-writer contract to a GUARD.
+
+    One attempt = pin the state head, check the watermark against it,
+    compute the folded state FROM that pinned snapshot
+    (``build(read_version)`` — it must read ``state.read(rv)``, never
+    the moving head, and return a materialized frame), and publish
+    anchored to the same snapshot (``overwrite(read_version=rv)``).
+    Any commit landing between pin and publish — a concurrent replica
+    folding the same batch, or any foreign write — surfaces as
+    ConcurrentWriteError at the entry create instead of silently
+    erasing the intervening writer. The guard then RE-READS the
+    watermark: if a peer already folded this batch the fold no-ops;
+    otherwise it recomputes from the new head and retries. Two
+    replicas folding the same stream therefore apply each batch
+    exactly once, deterministically, whichever interleaving occurs.
+
+    Returns True iff THIS writer's commit published the batch.
+    """
+    for _ in range(retries + 1):
+        exists = state.exists()
+        rv = state.latest_version() if exists else None
+        last = _batch_watermark(state, stream_id, family=family)
+        if last is not None and batch_id <= last:
+            return False
+        new = build(rv)
+        state.set_commit_metadata(f"{family}:{stream_id}:batch={batch_id}")
+        try:
+            if exists:
+                state.overwrite(new, read_version=rv)
+            else:
+                state.create(new)
+            return True
+        except ConcurrentWriteError:
+            continue  # re-read watermark + head, then retry or no-op
+    raise ConcurrentWriteError(
+        f"{family}:{stream_id} batch {batch_id}: state table kept "
+        f"moving through {retries + 1} fold attempts"
+    )
+
+
 def decayed_maintain_stream(
     stream_df: DataFrame,
     state: ManagedTable,
@@ -70,43 +121,39 @@ def decayed_maintain_stream(
     new stream_id to fold genuinely new data under a fresh
     checkpoint).
 
-    SINGLE WRITER PER STATE TABLE: the watermark is read (history
-    scan) and committed in a separate overwrite, so two queries
-    folding the SAME state table concurrently could both pass the
-    check and double-fold or lose an update. That matches the
-    deployment shape (one maintenance stream owns one state table —
-    Structured Streaming itself enforces one active query per
-    checkpoint), but it is a contract, not a guard: run at most one
-    folder per state table; replay-idempotence (the thing the
-    watermark provides) is only exactly-once under that contract."""
+    CONCURRENT WRITERS ARE GUARDED (r11): the watermark check and the
+    publish are anchored to one pinned snapshot version inside
+    ``_fold_with_guard`` — a peer committing in between surfaces as
+    ConcurrentWriteError, after which the watermark is re-read and the
+    fold either no-ops (peer already folded this batch) or recomputes
+    from the new head. Two replicas folding the same state table
+    apply each batch exactly once under any interleaving; the normal
+    deployment shape is still one folder per state table (Structured
+    Streaming enforces one active query per checkpoint)."""
     n_folded = 0
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         nonlocal n_folded
-        last = _batch_watermark(state, stream_id)
-        if last is not None and batch_id <= last:
-            return
-        if state.exists():
-            new = decayed_agg_update(
-                state.read(), batch,
-                key_col=key_col, ts_col=ts_col, value_col=value_col,
-                half_life_seconds=half_life_seconds,
-            )
-        else:
-            new = decayed_agg_with_anchor(
-                batch,
-                key_col=key_col, ts_col=ts_col, value_col=value_col,
-                half_life_seconds=half_life_seconds,
-            )
-        # the fold reads the CURRENT state lazily; publish from a
-        # materialized copy so the overwrite never reads its own target
-        new = new.select(key_col, *_STATE_COLS).localCheckpoint()
-        state.set_commit_metadata(f"decayed:{stream_id}:batch={batch_id}")
-        if state.exists():
-            state.overwrite(new)
-        else:
-            state.create(new)
-        n_folded += 1
+
+        def _build(rv: int | None) -> DataFrame:
+            if rv is not None:
+                new = decayed_agg_update(
+                    state.read(rv), batch,
+                    key_col=key_col, ts_col=ts_col, value_col=value_col,
+                    half_life_seconds=half_life_seconds,
+                )
+            else:
+                new = decayed_agg_with_anchor(
+                    batch,
+                    key_col=key_col, ts_col=ts_col, value_col=value_col,
+                    half_life_seconds=half_life_seconds,
+                )
+            # read the PINNED snapshot and publish from a materialized
+            # copy so the overwrite never reads its own target
+            return new.select(key_col, *_STATE_COLS).localCheckpoint()
+
+        if _fold_with_guard(state, stream_id, batch_id, "decayed", _build):
+            n_folded += 1
 
     q = (
         stream_df.writeStream.foreachBatch(_fold)

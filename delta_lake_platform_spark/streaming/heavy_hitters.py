@@ -19,10 +19,12 @@ oracled registry query uses; the bound regime is test-pinned
 separately.
 
 Exactly-once across micro-batch replays uses the same
-commitInfo.userMetadata watermark contract as streaming/decayed.py
-(and the same SINGLE WRITER PER STATE TABLE assumption documented
-there): the batch id rides the commit that publishes the folded state,
-and a replayed id at-or-below the watermark is a no-op.
+commitInfo.userMetadata watermark contract as streaming/decayed.py —
+including its r11 concurrent-writer guard (``_fold_with_guard``): the
+batch id rides the commit that publishes the folded state, a replayed
+id at-or-below the watermark is a no-op, and a peer committing
+between the watermark check and the publish is detected via the
+snapshot-anchored overwrite and resolved by re-reading the watermark.
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..operators.sketches import mg_truncate
 from ..sources.managed_table import ManagedTable
-from .decayed import _batch_watermark  # shared watermark contract
+from .decayed import _fold_with_guard  # shared watermark + race guard
 
 
 def heavy_hitters_maintain_stream(
@@ -51,29 +53,26 @@ def heavy_hitters_maintain_stream(
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         nonlocal n_folded
-        last = _batch_watermark(state, stream_id, family="hh")
-        if last is not None and batch_id <= last:
-            return
-        bc = batch.groupBy(key_col).agg(F.count(F.lit(1)).alias("mg_count"))
-        if state.exists():
+
+        def _build(rv: int | None) -> DataFrame:
+            bc = batch.groupBy(key_col).agg(
+                F.count(F.lit(1)).alias("mg_count")
+            )
             merged = (
-                state.read()
+                state.read(rv)
                 .select(key_col, "mg_count")
                 .unionByName(bc)
                 .groupBy(key_col)
                 .agg(F.sum("mg_count").alias("mg_count"))
+                if rv is not None
+                else bc
             )
-        else:
-            merged = bc
-        # publish from a materialized copy so the overwrite never
-        # reads its own target (same pattern as decayed.py)
-        new = mg_truncate(merged, m, key_col).localCheckpoint()
-        state.set_commit_metadata(f"hh:{stream_id}:batch={batch_id}")
-        if state.exists():
-            state.overwrite(new)
-        else:
-            state.create(new)
-        n_folded += 1
+            # read the PINNED snapshot; publish from a materialized
+            # copy so the overwrite never reads its own target
+            return mg_truncate(merged, m, key_col).localCheckpoint()
+
+        if _fold_with_guard(state, stream_id, batch_id, "hh", _build):
+            n_folded += 1
 
     q = (
         stream_df.writeStream.foreachBatch(_fold)

@@ -10,7 +10,10 @@ the index ages (unlike frozen-centroid IVF, BM25's "model" IS the
 stats, and those fold exactly).
 
 Exactly-once rides the shared commit-metadata batch watermark
-(family "bm25", same single-writer contract as the other folds). The
+(family "bm25") plus the r11 concurrent-writer guard: extends carry
+txnAppId/txnVersion (a peer's duplicate fold no-ops atomically,
+postings and stats together) and a losing bootstrap create retries
+off the peer's watermark. The
 stats sidecar write is NOT atomic with the posting append
 (operators/search.py::extend_bm25_index documents the crash window);
 after an unclean stop, run ``repair_bm25_stats(index)`` before serving
@@ -23,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from ..operators.search import build_bm25_index, extend_bm25_index
-from ..sources.managed_table import ManagedTable
+from ..sources.managed_table import ConcurrentWriteError, ManagedTable
 from .decayed import _batch_watermark
 
 
@@ -42,15 +45,36 @@ def bm25_maintain_stream(
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         nonlocal n_folded
-        last = _batch_watermark(index, stream_id, family="bm25")
-        if last is not None and batch_id <= last:
+        # concurrent-writer guard (r11), same shape as the IVF fold:
+        # bootstrap create races resolve via ConcurrentWriteError +
+        # watermark re-read; steady-state extends carry txnAppId/
+        # txnVersion so a peer's duplicate fold no-ops atomically —
+        # postings AND stats (extend skips its stats fold when the
+        # append reports the batch already applied).
+        for _ in range(6):
+            last = _batch_watermark(index, stream_id, family="bm25")
+            if last is not None and batch_id <= last:
+                return
+            index.set_commit_metadata(f"bm25:{stream_id}:batch={batch_id}")
+            if not index.exists():
+                try:
+                    build_bm25_index(
+                        batch, index, id_col=id_col, text_col=text_col
+                    )
+                except ConcurrentWriteError:
+                    continue  # a peer bootstrapped; re-read + retry
+                n_folded += 1
+                return
+            if extend_bm25_index(
+                batch, index, text_col=text_col,
+                txn_app=f"bm25:{stream_id}", txn_version=batch_id,
+            ):
+                n_folded += 1
             return
-        index.set_commit_metadata(f"bm25:{stream_id}:batch={batch_id}")
-        if not index.exists():
-            build_bm25_index(batch, index, id_col=id_col, text_col=text_col)
-        else:
-            extend_bm25_index(batch, index, text_col=text_col)
-        n_folded += 1
+        raise ConcurrentWriteError(
+            f"bm25:{stream_id} batch {batch_id}: index kept moving "
+            "through 6 fold attempts"
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(_fold)

@@ -377,3 +377,80 @@ def test_coverage_assign_is_shuffle_free_projection(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     df = selection.coverage_assign(emb, emb.filter(F.col("vec_id") < 4))
     assert count_exchanges(df) == 0
+
+
+def test_nb_predict_no_cartesian_and_broadcast_model(spark, sf_dir):
+    """classify.nb_classify's scoring side: the sparse (token, class)
+    delta table and the |classes|-row prior frame join in as
+    broadcasts; no CartesianProduct may appear anywhere (the only
+    cross joins are the 1-row/|classes|-row broadcast scalars, which
+    Spark plans as BroadcastNestedLoop, never Cartesian)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_platform_spark.operators import classify
+    from delta_lake_platform_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = classify.nb_classify(docs, "lang", F.col("doc_id") % 2 == 0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert has_broadcast_hash_join(df), "token-delta join not broadcast"
+
+
+def test_mmr_single_group_exchange(spark, sf_dir):
+    """mmr_rerank = ONE exchange (the per-query applyInPandas groupBy)
+    past the shortlist stage: candidates enter pre-grouped, the greedy
+    runs inside the task, nothing else shuffles. The shortlist's own
+    exchanges are excluded by checkpointing it first (at scale the
+    shortlist is the ANN stage's output, materialized or streamed)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_platform_spark.operators import selection, similarity
+    from delta_lake_platform_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3)
+    short = (
+        similarity.cosine_topk_bruteforce(queries_df, emb, k=10)
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .localCheckpoint()
+    )
+    df = selection.mmr_rerank(short, k=4, lambda_=0.7)
+    assert count_exchanges(df) == 1, count_exchanges(df)
+
+
+def test_kcenter_round_is_single_scan_no_exchange(spark, sf_dir):
+    """The exact tier's per-round state fold (running min-distance +
+    one new cosine) must stay a pure projection over the previous
+    round's checkpoint: zero exchanges; the argmax is TakeOrdered
+    (a limit, not a global sort exchange)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_platform_spark.functions.vectors import (
+        cosine_similarity, l2_norm,
+    )
+    from delta_lake_platform_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", F.col("embedding").alias("__v"))
+        .filter(F.col("embedding").isNotNull() & (l2_norm("embedding") > 0))
+        .localCheckpoint()
+    )
+    center = [0.1] * len(base.first()["__v"])
+    state = base.withColumn(
+        "__d",
+        F.least(
+            F.lit(1.0),
+            F.round(
+                1.0 - cosine_similarity(
+                    F.col("__v"), F.array(*[F.lit(x) for x in center])
+                ),
+                6,
+            ),
+        ),
+    )
+    assert count_exchanges(state) == 0, count_exchanges(state)

@@ -185,3 +185,131 @@ def test_kcenter_radius_dominates_coverage(spark, sf_dir):
     assigned = selection.coverage_assign(emb, centers)
     radius = assigned.agg(F.max("center_dist")).first()[0]
     assert radius <= dists[-1] + 1e-6, (radius, dists)
+
+
+def test_kcenter_sampled_matches_exact_on_sample(spark, sf_dir):
+    """The sampled tier IS the exact greedy restricted to the
+    deterministic subsample: (rank, id, kc_dist) must match
+    kcenter_select over the pre-filtered corpus row for row, and the
+    reported coverage_radius must equal the full-corpus max of the
+    min rounded distance to the selected centers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sampled = selection.kcenter_select_sampled(emb, k=5, sample_mod=2)
+    rows = sorted(sampled.collect(), key=lambda r: r["rank"])
+    exact_on_sample = sorted(
+        selection.kcenter_select(
+            emb.filter(F.col("vec_id") % 2 == 0), k=5
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [
+        (r["rank"], r["vec_id"], r["kc_dist"]) for r in rows
+    ] == [tuple(r) for r in exact_on_sample]
+    # all sampled ids obey the sample predicate
+    assert all(r["vec_id"] % 2 == 0 for r in rows)
+    # radius re-derivation
+    centers = emb.join(
+        sampled.select("vec_id"), "vec_id", "left_semi"
+    ).select("vec_id", "embedding")
+    radius = (
+        selection.coverage_assign(emb, centers)
+        .agg(F.max("center_dist"))
+        .first()[0]
+    )
+    assert all(abs(r["coverage_radius"] - radius) < 1e-9 for r in rows)
+
+
+def test_kcenter_sampled_radius_near_exact(spark, sf_dir):
+    """Quality of the sampled tier on the fixture: its full-corpus
+    coverage radius stays within a small factor of the exact tier's.
+    (Greedy-on-sample misses only regions thinner than ~sample_mod
+    points; the fixture's embedding space has none, so the radii are
+    close — this pins the trade-off claim with a number.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sampled = selection.kcenter_select_sampled(emb, k=5, sample_mod=2)
+    s_radius = sampled.select("coverage_radius").first()[0]
+    exact = selection.kcenter_select(emb, k=5)
+    centers = emb.join(
+        exact.select("vec_id"), "vec_id", "left_semi"
+    ).select("vec_id", "embedding")
+    e_radius = (
+        selection.coverage_assign(emb, centers)
+        .agg(F.max("center_dist"))
+        .first()[0]
+    )
+    assert s_radius <= 1.25 * e_radius + 1e-6, (s_radius, e_radius)
+
+
+def test_kcenter_one_scan_per_round_and_no_block_leak(spark, sf_dir):
+    """Two scale contracts of the exact tier, pinned by observation
+    rather than docstring:
+
+    1. lineage truncation works — total STAGES grow linearly in k
+       (a regression that replays rounds 1..r-1 inside round r goes
+       quadratic);
+    2. every round's localCheckpoint blocks are freed — after the
+       call returns, no new persistent RDDs remain (k rounds used to
+       retain up to k corpus-sized copies)."""
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint()
+    sc = spark.sparkContext
+    before_rdds = set(sc._jsc.getPersistentRDDs().keySet())
+
+    def stages_for(k: int) -> int:
+        group = f"kc_probe_{k}"
+        sc.setJobGroup(group, "kcenter stage audit")
+        try:
+            selection.kcenter_select(emb, k=k).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        tracker = sc.statusTracker()
+        n = 0
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            if info is not None:
+                n += len(info.stageIds)
+        return n
+
+    s4, s8 = stages_for(4), stages_for(8)
+    # linear growth: doubling k at most ~doubles stages (+ slack for
+    # the constant setup jobs). Quadratic replay would make
+    # s8 ≈ 4x s4 and trip this.
+    assert s8 <= 2 * s4 + 6, (s4, s8)
+    after_rdds = set(sc._jsc.getPersistentRDDs().keySet())
+    leaked = after_rdds - before_rdds - {emb.rdd.id()}
+    # the input's own checkpoint stays (we made it); kcenter's
+    # per-round checkpoints must all be gone
+    assert not leaked or len(leaked) <= 1, leaked
+
+
+def test_mmr_over_ivf_matches_bruteforce_shortlist(spark, sf_dir):
+    """The composed ANN-probe -> MMR path returns the SAME re-ranked
+    rows as MMR over the exact brute-force shortlist on the planted
+    corpus (both shortlists resolve to the 5 exact copies)."""
+    import shutil
+    import tempfile
+
+    from delta_lake_platform_spark.queries.pipeline import (
+        _planted_ann_corpus,
+    )
+    from delta_lake_platform_spark.sources.managed_table import ManagedTable
+
+    queries_df, corpus = _planted_ann_corpus(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="mmr_ivf_")
+    try:
+        idx = ManagedTable(spark, f"{d}/idx")
+        similarity.build_ivf_index(corpus, idx)
+        short_ivf = similarity.ivf_probe_index(queries_df, idx, k=5, nprobe=4)
+        short_bf = similarity.cosine_topk_bruteforce(queries_df, corpus, k=5)
+        vecs = corpus.select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        )
+        out_ivf = selection.mmr_rerank(
+            short_ivf.join(vecs, "neighbor_id"), k=4, lambda_=0.7
+        ).collect()
+        out_bf = selection.mmr_rerank(
+            short_bf.join(vecs, "neighbor_id"), k=4, lambda_=0.7
+        ).collect()
+        assert sorted(map(tuple, out_ivf)) == sorted(map(tuple, out_bf))
+        assert len(out_ivf) == 40  # 10 queries x 4 picks
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
