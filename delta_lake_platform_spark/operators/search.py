@@ -54,15 +54,38 @@ def _build_postings(
     id_col: str,
     text_col: str,
     terms: list[str] | None,
+    observation=None,
 ) -> DataFrame:
     """(id, __term, __tf, __dl) — doc length rides the posting rows
     (F.first in the same agg), so no separate lens frame and no
     doc-keyed join shuffle. ``terms`` filters BEFORE the aggregate;
-    None keeps the full vocabulary (index build)."""
-    exploded = docs.select(
+    None keeps the full vocabulary (index build).
+
+    Tokenize ONCE: the token array is bound to a column in its own
+    projection and size()/explode() reference the column. Putting both
+    directly over ``_tokens_arr`` would land the regex split in two
+    operators (the size Project and the explode Generate), where
+    whole-stage codegen's subexpression elimination cannot reach
+    across — the corpus would be tokenized twice per pass.
+
+    ``observation`` (optional ``pyspark.sql.Observation``): attached
+    to the one-row-per-doc node, so (doc count, token total) ride
+    whatever action executes the postings — the caller gets exact
+    corpus stats with ZERO extra jobs and zero extra scans.
+    """
+    base = docs.select(
+        F.col(id_col), _tokens_arr(text_col).alias("__toks")
+    )
+    if observation is not None:
+        base = base.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(F.size("__toks")), F.lit(0)).alias("total_dl"),
+        )
+    exploded = base.select(
         F.col(id_col),
-        F.size(_tokens_arr(text_col)).alias("__dl"),
-        F.explode(_tokens_arr(text_col)).alias("__term"),
+        F.size("__toks").alias("__dl"),
+        F.explode("__toks").alias("__term"),
     )
     if terms is not None:
         exploded = exploded.filter(F.col("__term").isin(terms))
@@ -159,27 +182,30 @@ def build_bm25_index(
     in table properties (exact round-trip via repr) — derived data,
     like the IVF sidecar: losing the index means rebuild, never wrong
     results."""
-    postings = _build_postings(docs, id_col, text_col, None).select(
+    from pyspark.sql import Observation
+
+    if docs.isEmpty():  # cheap limit-1 probe, keeps the no-table contract
+        raise ValueError("cannot build a BM25 index over an empty corpus")
+    obs = Observation()
+    postings = _build_postings(
+        docs, id_col, text_col, None, observation=obs
+    ).select(
         F.col(id_col),
         F.col("__term").alias("term"),
         F.col("__tf").alias("tf"),
         F.col("__dl").alias("dl"),
     )
-    base = docs.select(F.size(_tokens_arr(text_col)).alias("__dl"))
-    n, total = base.agg(
-        F.count(F.lit(1)), F.sum("__dl")
-    ).first()
-    if not n:
-        raise ValueError("cannot build a BM25 index over an empty corpus")
-    # sum over all-NULL texts is NULL while n > 0: a corpus of rows
-    # whose text column is entirely NULL still builds (empty postings,
-    # zero token total) instead of raising on int(None).
-    total = int(total or 0)
     table.create(
         postings.repartitionByRange(n_files, "term").sortWithinPartitions(
             "term"
         )
     )
+    # exact stats observed ON the create's write action (CollectMetrics
+    # over the one-row-per-doc node) — no separate corpus pass. The sum
+    # over all-NULL texts coalesces to 0, so such a corpus still builds
+    # (empty postings, zero token total) instead of failing on NULL.
+    got = obs.get
+    n, total = int(got["n_docs"]), int(got["total_dl"])
     table.set_property("bm25.n_docs", str(int(n)))
     table.set_property("bm25.avgdl", repr(float(total) / float(n)))
     # exact integer token total: extend_bm25_index folds THIS, not the
@@ -217,23 +243,21 @@ def extend_bm25_index(
     stats fold is skipped with it. Returns True iff THIS call extended
     the index (False: no rows, or a peer already applied the batch).
     """
+    from pyspark.sql import Observation
+
     props = table.properties()
     id_col = props.get("bm25.id_col", "doc_id")
-    postings = _build_postings(docs_batch, id_col, text_col, None).select(
+    if docs_batch.isEmpty():  # limit-1 probe; no commit on empty batches
+        return False
+    obs = Observation()
+    postings = _build_postings(
+        docs_batch, id_col, text_col, None, observation=obs
+    ).select(
         F.col(id_col),
         F.col("__term").alias("term"),
         F.col("__tf").alias("tf"),
         F.col("__dl").alias("dl"),
     )
-    base = docs_batch.select(F.size(_tokens_arr(text_col)).alias("__dl"))
-    n_new, total_new = base.agg(F.count(F.lit(1)), F.sum("__dl")).first()
-    if not n_new:
-        return False
-    # a batch whose every text is NULL has n_new > 0 but a NULL token
-    # sum; int(None) would raise AFTER the postings append committed,
-    # forcing the stats-behind-postings repair path on a plain data
-    # edge — fold 0 instead.
-    total_new = int(total_new or 0)
     table.append(
         postings.repartitionByRange(n_files, "term").sortWithinPartitions(
             "term"
@@ -245,8 +269,16 @@ def extend_bm25_index(
     if txn_app is not None and table.last_append_was_noop:
         # a peer (or an earlier attempt) already applied this batch —
         # its postings AND stats are in; folding stats again would
-        # double-count the batch.
+        # double-count the batch. Checked BEFORE touching the
+        # observation: a no-op never executed the plan, so the
+        # observation holds nothing to read.
         return False
+    # exact batch stats observed ON the append's write action — the
+    # fold pays no separate stats job and no second tokenize pass. The
+    # all-NULL-text batch coalesces its token sum to 0 (n_new > 0, no
+    # postings) instead of raising AFTER the postings committed.
+    got = obs.get
+    n_new, total_new = int(got["n_docs"]), int(got["total_dl"])
     n_old = int(props["bm25.n_docs"])
     # integer-exact fold (legacy indexes without total_dl reconstruct
     # it once from avgdl*n, then carry the exact total forward)
