@@ -199,6 +199,33 @@ def _minhash_banded(
     measured 15.6s -> 0.7s on a 134-doc frame). Bucket VALUES are
     unchanged (same minima, same concat, same hash), so candidate
     sets and every downstream result are identical."""
+    return (
+        _minhash_bucket_array(
+            df, id_col, payload_cols, num_hashes, bands, shingles_col,
+            out_col="bb",
+        )
+        .select(id_col, *payload_cols, F.explode("bb").alias("bb"))
+        .select(id_col, *payload_cols, "bb.band", "bb.bucket")
+    )
+
+
+def _minhash_bucket_array(
+    df: DataFrame,
+    id_col: str,
+    payload_cols: list[str],
+    num_hashes: int,
+    bands: int,
+    shingles_col: str = "shingles",
+    out_col: str = "__bands",
+) -> DataFrame:
+    """The un-exploded form of ``_minhash_banded``: one row per
+    document carrying its full band->bucket map as an
+    ``array<struct<band,bucket>>`` column. Same minima, same concat,
+    same hash — ``explode(out_col)`` reproduces ``_minhash_banded``
+    row for row. Callers that PERSIST bucket state (the streaming
+    ingest gate) store this nested form so the bucket index rides in
+    the same table — and the same commit — as the documents it
+    indexes."""
     rows_per_band = num_hashes // bands
     shingles = F.col(shingles_col)
 
@@ -217,15 +244,11 @@ def _minhash_banded(
     return df.select(
         id_col,
         *payload_cols,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"), _bucket(b).alias("bucket")
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, *payload_cols, "bb.band", "bb.bucket")
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(b.alias("band"), _bucket(b).alias("bucket")),
+        ).alias(out_col),
+    )
 
 
 def minhash_lsh_pairs(

@@ -663,8 +663,9 @@ def docs_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutated copies arrive in 4 micro-batches; each batch's MinHash
     buckets are checked against the admitted corpus (plus verified
     within-batch pairs), and only one member per near-dup class
-    survives — whichever batch it arrived in. txn-idempotent appends
-    make replays and mid-chain crashes heal. The oracle derives the
+    survives — whichever batch it arrived in. Each fold is ONE
+    txn-idempotent append (docs + bucket index in the same commit),
+    so folds are atomic and replays no-op. The oracle derives the
     three counts from the brute-force pair structure; a missed
     rejection, a double admission, or a dropped batch hash-mismatches."""
     import shutil
@@ -676,9 +677,12 @@ def docs_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.managed_table import ManagedTable
     from ..streaming.dedup_gate import neardup_gate_stream
 
+    # pin the 100-doc slice once: the pair scan reads it twice (a/b),
+    # the clean join and the three corpus branches again — without the
+    # checkpoint each consumer re-scans the full documents parquet.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
-    ).filter(F.col("doc_id") < 100)
+    ).filter(F.col("doc_id") < 100).localCheckpoint()
     # the clean-originals set must use the SAME pair definition as the
     # oracle (brute-force exact Jaccard) — an LSH-derived set agrees
     # only when banding misses no natural >=0.8 pair, which is
@@ -708,10 +712,9 @@ def docs_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     admitted = ManagedTable(spark, f"{d}/admitted")
-    bands = ManagedTable(spark, f"{d}/bands")
     with _stateful_shuffle_partitions(spark):
         neardup_gate_stream(
-            stream, admitted, bands, f"{d}/ckpt",
+            stream, admitted, f"{d}/ckpt",
             stream_id="docs_gate",
         )
     n_arrived = corpus.count()

@@ -5,28 +5,38 @@ that never stop arriving are admitted only if nothing near-identical
 was admitted BEFORE them — the ingest-time dedup gate every crawl
 pipeline runs, instead of periodic full-corpus dedup sweeps.
 
+ONE table, ONE commit per fold. The admitted table carries each
+survivor's banded MinHash buckets as a nested ``minhash_bands``
+array<struct<band,bucket>> column, so the doc store and the bucket
+index land in the same transactional append — a fold is atomic by
+construction. There is no mid-chain crash state to heal: a crash
+before the commit leaves no trace and the replay recomputes the
+identical keep set; a crash after it is a completed fold whose replay
+no-ops off the txn record (txnAppId/txnVersion = stream_id, batch id).
+
 Per micro-batch:
-1. candidates vs HISTORY: the batch's banded MinHash buckets equi-join
-   the admitted corpus's bucket table; only bucket-mates pay the exact
-   shingle-Jaccard verification (recomputed from the admitted doc's
-   stored text — a candidate sliver, never the corpus).
-2. candidates WITHIN the batch: the same banded frame feeds the
+1. candidates vs HISTORY: the batch's banded buckets — bounded at
+   O(batch x bands) — are BROADCAST against the exploded history
+   bucket column; the admitted corpus is scanned (columns pruned to
+   id + minhash_bands) but never shuffled, at any history size. Explicit
+   broadcast hints because AQE is off inside a streaming query.
+2. verification: only bucket-mates pay the exact shingle-Jaccard
+   check, and the history side shingles ONLY the matched docs — the
+   candidate ids broadcast into the admitted scan first, then the
+   survivors' texts are shingled (O(candidates), not O(corpus)).
+3. candidates WITHIN the batch: the same banded frame feeds the
    bucketed pair generator (hot-bucket star guard included); a doc is
    rejected if a verified near-dup with a SMALLER id shares its batch
    (deterministic one-survivor rule). The batch is shingled and
-   MinHash-banded exactly ONCE per fold — the history probe, the
-   within-batch pairs, and the state-bands append all reuse the one
-   lazily-checkpointed banded frame.
-3. survivors append to the admitted table (which doubles as the doc
-   store the verifier reads texts from); their bucket rows append to
-   the bands state table. TWO commits per fold, and the survivor rows
-   are written once, not twice.
+   MinHash-banded exactly ONCE per fold.
+4. survivors append (id, text, minhash_bands) to the admitted table — the
+   single commit of the fold.
 
 State stays lean BY CONSTRUCTION: only admitted (near-dup-free) docs
-enter the bucket table, so a bucket holds at most one member of each
+enter the bucket index, so a bucket holds at most one member of each
 near-dup class — identical-document spam cannot grow a hot history
 bucket (within-batch spam is the star guard's job). State size is
-O(admitted x bands) bucket rows: the same asymptotics as any dedup
+O(admitted x bands) bucket entries: the same asymptotics as any dedup
 index over the deduped corpus.
 
 For clique-shaped near-dup classes (exact and lightly-mutated copies —
@@ -37,17 +47,6 @@ can admit more than one member depending on arrival order — inherent
 to ANY online gate that never revisits past admissions; the offline
 cluster resolution (dedup.connected_components) is the sweep that
 collapses those.
-
-Exactly-once: both appends carry txnAppId/txnVersion (= stream_id,
-batch id), so a replayed batch no-ops PER TABLE. The early exit keys
-on the LAST table of the chain (bands) — its txn proves the whole
-fold completed. A crash between the two appends (admitted committed,
-bands not) heals on replay: the batch's own bucket rows never reached
-the bands table, so the history probe sees exactly the pre-crash
-state, the keep set recomputes identically, the admitted append
-no-ops off its txn record, and the bands append lands (this is why
-the fold uses txn actions, not the single-commit userMetadata
-watermark the overwrite-shaped folds use).
 """
 
 from __future__ import annotations
@@ -56,15 +55,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    _bucketed_candidate_pairs, _minhash_banded, char_shingles, jaccard,
+    _bucketed_candidate_pairs, _minhash_bucket_array, char_shingles,
+    jaccard,
 )
 from ..sources.managed_table import ManagedTable
+
+BANDS_COL = "minhash_bands"
 
 
 def neardup_gate_stream(
     stream_df: DataFrame,
     admitted: ManagedTable,
-    state_bands: ManagedTable,
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -76,69 +77,87 @@ def neardup_gate_stream(
     stream_id: str = "neardup_gate",
 ) -> int:
     """Drain ``stream_df`` (availableNow) through the gate. Returns
-    the number of batches folded (replays are skipped, not counted)."""
+    the number of batches folded (replays are skipped, not counted).
+
+    ``admitted`` doubles as doc store and bucket index: survivors'
+    rows carry their band->bucket map in the ``minhash_bands`` column."""
     n_folded = 0
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         nonlocal n_folded
-        # early-exit keys on the LAST table of the append chain (see
-        # module doc). Explicit None check: a recorded txn version of
-        # 0 is a REAL commit (batch 0), and `or -1` would treat it as
-        # never-seen — replays of batch 0 would then recompute the
-        # whole gate instead of exiting here.
+        # Explicit None check: a recorded txn version of 0 is a REAL
+        # commit (batch 0), and `or -1` would treat it as never-seen —
+        # replays of batch 0 would then recompute the whole gate
+        # instead of exiting here.
         last = (
-            state_bands.last_txn_version(stream_id)
-            if state_bands.exists()
+            admitted.last_txn_version(stream_id)
+            if admitted.exists()
             else None
         )
         if last is not None and last >= batch_id:
             return
-        batch = batch.select(id_col, text_col).localCheckpoint()
+        # no checkpoint on the batch: a foreachBatch micro-batch is
+        # already pinned source files — re-scanning it is cheaper than
+        # materializing a copy.
+        batch = batch.select(id_col, text_col)
         sh = batch.select(
             F.col(id_col), char_shingles(text_col, k).alias("shingles")
         )
         # ONE banding pass per fold; the shingles ride along as
         # payload so within-batch verification never re-shingles. Lazy
-        # checkpoint: three consumers (history probe, within-batch
-        # pairs, state append) share the materialization.
-        banded = _minhash_banded(
-            sh, id_col, ["shingles"], num_hashes, bands
+        # checkpoint: the history probe, the within-batch pairs, and
+        # the final append all share the one materialization.
+        banded_arr = _minhash_bucket_array(
+            sh, id_col, ["shingles"], num_hashes, bands,
+            out_col=BANDS_COL,
         ).localCheckpoint(eager=False)
+        banded = banded_arr.select(
+            id_col, "shingles", F.explode(BANDS_COL).alias("bb")
+        ).select(id_col, "shingles", "bb.band", "bb.bucket")
 
         rejected = None
-        # verification needs BOTH the bucket rows and the admitted
-        # texts; on the very first batch neither exists yet.
-        if state_bands.exists() and admitted.exists():
+        if admitted.exists():
+            # broadcast the BATCH side everywhere: a micro-batch is
+            # bounded while the admitted corpus grows without bound —
+            # these joins scan history (columns pruned) but never
+            # shuffle it. Hints are load-bearing: AQE is disabled
+            # inside streaming queries, so without them every join
+            # here is a shuffle join of the history side per fold.
+            hist_buckets = admitted.read().select(
+                F.col(id_col).alias("__hist_id"),
+                F.explode(BANDS_COL).alias("bb"),
+            ).select("__hist_id", "bb.band", "bb.bucket")
             cand = (
-                banded.select(id_col, "band", "bucket")
-                .join(
-                    state_bands.read().select(
-                        F.col(id_col).alias("__hist_id"), "band", "bucket"
-                    ),
+                hist_buckets.join(
+                    F.broadcast(banded.select(id_col, "band", "bucket")),
                     ["band", "bucket"],
                 )
                 .select(id_col, "__hist_id")
-                # defense in depth: with the exit keyed on the bands
-                # table a batch whose own bands landed always exits
-                # above, so self-pairs cannot occur — the filter keeps
-                # the invariant local instead of relying on the chain
-                # order at a distance.
                 .filter(F.col("__hist_id") != F.col(id_col))
+                # this distinct gates the expensive Jaccard verify (a
+                # pair sharing b buckets would otherwise verify b
+                # times); output sets below skip theirs — they only
+                # feed anti-joins, where duplicates are harmless.
                 .distinct()
             )
-            hist_sh = admitted.read().select(
-                F.col(id_col).alias("__hist_id"),
-                char_shingles(text_col, k).alias("__hist_shingles"),
-            )
+            # shingle ONLY the matched history docs: candidate ids
+            # broadcast into the admitted scan first, THEN the
+            # survivors' texts are shingled — O(candidates) shingle
+            # work, not O(corpus) per fold.
             rejected = (
-                cand.join(sh, id_col)
-                .join(hist_sh, "__hist_id")
+                admitted.read()
+                .select(F.col(id_col).alias("__hist_id"), F.col(text_col))
+                .join(
+                    F.broadcast(cand.join(F.broadcast(sh), id_col)),
+                    "__hist_id",
+                )
                 .filter(
-                    jaccard(F.col("shingles"), F.col("__hist_shingles"))
+                    jaccard(
+                        F.col("shingles"), char_shingles(text_col, k)
+                    )
                     >= threshold
                 )
                 .select(id_col)
-                .distinct()
             )
         # within-batch: verified bucket-mate pairs off the SAME banded
         # frame, reject the larger id of each (id_a < id_b contract)
@@ -152,27 +171,20 @@ def neardup_gate_stream(
                 >= threshold
             )
             .select(F.col("id_b").alias(id_col))
-            .distinct()
         )
         rejected = (
             self_rej if rejected is None
-            else rejected.unionByName(self_rej).distinct()
+            else rejected.unionByName(self_rej)
         )
-        keep = batch.join(rejected, id_col, "left_anti").localCheckpoint()
-
-        def _append(table: ManagedTable, df: DataFrame) -> None:
-            if not table.exists():
-                table.create(df.limit(0))
-            table.append(
-                df, fast=True, txn_app=stream_id, txn_version=batch_id
-            )
-
-        _append(admitted, keep)
-        _append(
-            state_bands,
-            banded.join(keep.select(id_col), id_col, "left_semi").select(
-                id_col, "band", "bucket"
-            ),
+        # survivors carry text AND bucket map into the ONE commit
+        keep = (
+            batch.join(F.broadcast(rejected), id_col, "left_anti")
+            .join(F.broadcast(banded_arr.select(id_col, BANDS_COL)), id_col)
+        )
+        if not admitted.exists():
+            admitted.create(keep.limit(0))
+        admitted.append(
+            keep, fast=True, txn_app=stream_id, txn_version=batch_id
         )
         n_folded += 1
 

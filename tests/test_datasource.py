@@ -295,10 +295,19 @@ def test_stream_max_files_per_trigger_chunks_the_backfill(table, spark):
 
     import time as _time
 
-    batches: list[int] = []
+    # Keyed by epoch: q.stop() below can land after the sink ran but
+    # before the epoch's commit is recorded, and the restart then
+    # replays that SAME epoch id — foreachBatch's documented
+    # at-least-once contract, which a list-append sink double-counts.
+    # An idempotent sink still catches real offset bugs: re-served
+    # data arrives under NEW epoch ids and inflates the sum.
+    by_epoch: dict[int, int] = {}
 
     def sink(df, epoch_id):
-        batches.append(df.count())
+        by_epoch[epoch_id] = df.count()
+
+    def batches():
+        return list(by_epoch.values())
 
     def run_until(total, timeout=120):
         # Python DataSource streams fall back to single-batch execution
@@ -326,24 +335,24 @@ def test_stream_max_files_per_trigger_chunks_the_backfill(table, spark):
         )
         try:
             deadline = _time.time() + timeout
-            while sum(batches) < total and _time.time() < deadline:
+            while sum(batches()) < total and _time.time() < deadline:
                 _time.sleep(0.5)
         finally:
             q.stop()
 
     run_until(225)
-    assert sum(batches) == 225  # 200 snapshot + 20 + 5, exactly once
-    nonempty = [b for b in batches if b]
+    assert sum(batches()) == 225  # 200 snapshot + 20 + 5, exactly once
+    nonempty = [b for b in batches() if b]
     assert len(nonempty) >= 3, (
-        f"2-file admission over 5 files needs >=3 batches, got {batches}"
+        f"2-file admission over 5 files needs >=3 batches, got {by_epoch}"
     )
     # No batch may exceed 2 files' worth of rows (the snapshot's 200
     # rows span 3 files, so any two files hold < 200).
-    assert all(b < 200 for b in nonempty), batches
+    assert all(b < 200 for b in nonempty), by_epoch
 
     # The tail keeps exactly-once across a checkpoint restart: two more
     # single-file appends resume from the stored (version, idx) offset.
-    start_total = sum(batches)
+    start_total = sum(batches())
     table.append(spark.range(3000, 3003).select(
         "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
     ).coalesce(1), fast=True)
@@ -351,7 +360,7 @@ def test_stream_max_files_per_trigger_chunks_the_backfill(table, spark):
         "id", (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("v")
     ).coalesce(1), fast=True)
     run_until(start_total + 5)
-    assert sum(batches) == start_total + 5  # 3 + 2, nothing replayed
+    assert sum(batches()) == start_total + 5  # 3 + 2, nothing replayed
 
 
 def test_stream_uncapped_behavior_unchanged(table, spark):

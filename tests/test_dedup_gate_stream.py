@@ -1,7 +1,8 @@
 """Streaming near-dup ingest gate (streaming/dedup_gate.py): one
 survivor per clique-shaped near-dup class no matter how the stream
 batches them, cross-batch rejection against admitted history, replay
-no-ops, and mid-chain crash healing."""
+no-ops, and single-commit fold atomicity (a crash before the commit
+leaves no trace; there is no mid-chain state)."""
 
 from __future__ import annotations
 
@@ -12,14 +13,9 @@ from pyspark.sql import functions as F
 
 from delta_lake_platform_spark.sources.catalog import load_table
 from delta_lake_platform_spark.sources.managed_table import ManagedTable
-from delta_lake_platform_spark.streaming.dedup_gate import neardup_gate_stream
-
-
-def _gate_tables(spark, d):
-    return (
-        ManagedTable(spark, f"{d}/admitted"),
-        ManagedTable(spark, f"{d}/bands"),
-    )
+from delta_lake_platform_spark.streaming.dedup_gate import (
+    BANDS_COL, neardup_gate_stream,
+)
 
 
 def _planted_corpus(spark, sf_dir):
@@ -65,23 +61,39 @@ def test_one_survivor_per_class_any_batching(spark, sf_dir):
     for n_files, tag in [(1, "all_at_once"), (4, "four_batches")]:
         d = tempfile.mkdtemp(prefix=f"gate_{tag}_")
         try:
-            admitted, bands = _gate_tables(spark, d)
+            admitted = ManagedTable(spark, f"{d}/admitted")
             folded = neardup_gate_stream(
                 _stream_of(spark, corpus, d, n_files=n_files),
-                admitted, bands, f"{d}/ckpt",
+                admitted, f"{d}/ckpt",
             )
             assert folded == n_files
+            # ONE commit per fold: create() wrote v0, then exactly one
+            # txn append per micro-batch — no sidecar writes
+            assert admitted.latest_version() == n_files
             # every near-dup class is a clique around one clean
             # original: one survivor per class however batched
             assert admitted.read().count() == n_clean
+            # each survivor carries its full bucket map in-row
+            assert (
+                admitted.read()
+                .select(F.size(BANDS_COL).alias("n"))
+                .filter("n != 16")
+                .count()
+                == 0
+            )
             # the admitted set is mutually near-dup-free: re-running
-            # the gate over it admits everything
+            # the gate over it admits everything (the gate drops the
+            # incoming minhash_bands column and re-bands from text)
             d2 = tempfile.mkdtemp(prefix="gate_regate_")
             try:
-                a2, b2 = _gate_tables(spark, d2)
+                a2 = ManagedTable(spark, f"{d2}/admitted")
                 neardup_gate_stream(
-                    _stream_of(spark, admitted.read(), d2, n_files=1),
-                    a2, b2, f"{d2}/ckpt",
+                    _stream_of(
+                        spark,
+                        admitted.read().select("doc_id", "text"),
+                        d2, n_files=1,
+                    ),
+                    a2, f"{d2}/ckpt",
                 )
                 assert a2.read().count() == n_clean
             finally:
@@ -97,18 +109,18 @@ def test_cross_batch_rejection_against_history(spark, sf_dir):
     copies = docs.withColumn("doc_id", F.col("doc_id") + 1000000)
     d = tempfile.mkdtemp(prefix="gate_cross_")
     try:
-        admitted, bands = _gate_tables(spark, d)
+        admitted = ManagedTable(spark, f"{d}/admitted")
         # batch 1: originals; batch 2: exact copies — all rejected
         neardup_gate_stream(
             _stream_of(spark, docs, f"{d}/a", n_files=1),
-            admitted, bands, f"{d}/ck1", stream_id="g1",
+            admitted, f"{d}/ck1", stream_id="g1",
         )
         # natural near-dups among the originals may reject a few
         n1 = admitted.read().count()
         assert 15 <= n1 <= 20
         neardup_gate_stream(
             _stream_of(spark, copies, f"{d}/b", n_files=1),
-            admitted, bands, f"{d}/ck2", stream_id="g2",
+            admitted, f"{d}/ck2", stream_id="g2",
         )
         # an exact copy of EVERY original (admitted or naturally
         # rejected) near-matches admitted history: nothing new lands
@@ -123,41 +135,34 @@ def test_replay_is_noop(spark, sf_dir):
     corpus, _ = _planted_corpus(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="gate_replay_")
     try:
-        admitted, bands = _gate_tables(spark, d)
+        admitted = ManagedTable(spark, f"{d}/admitted")
         stream = _stream_of(spark, corpus, d)
         assert neardup_gate_stream(
-            stream, admitted, bands, f"{d}/ck1", stream_id="s"
+            stream, admitted, f"{d}/ck1", stream_id="s"
         ) == 4
-        versions = (admitted.latest_version(), bands.latest_version())
+        version = admitted.latest_version()
         assert neardup_gate_stream(
-            stream, admitted, bands, f"{d}/ck2", stream_id="s"
+            stream, admitted, f"{d}/ck2", stream_id="s"
         ) == 0
-        assert (
-            admitted.latest_version(), bands.latest_version()
-        ) == versions
+        assert admitted.latest_version() == version
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def test_midchain_crash_heals_on_replay(spark, sf_dir):
-    """Crash after the admitted append but before the bands append:
-    the replayed batch must reproduce the SAME keep set (its bucket
-    rows never reached the bands table, so the history probe sees the
-    pre-crash state) and heal the missing bands append as the only
-    real write — the admitted append no-ops off its txn record."""
+def test_crash_before_commit_leaves_no_trace(spark, sf_dir):
+    """A fold is ONE commit: a crash during the append either left
+    nothing (the table is untouched) or everything (docs + bucket
+    index together). The replay recomputes the identical keep set and
+    lands it as the only write — no partial state to reconcile."""
     corpus, n_clean = _planted_corpus(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="gate_crash_")
     try:
-        admitted, bands = _gate_tables(spark, d)
-        calls = {"n": 0}
+        admitted = ManagedTable(spark, f"{d}/admitted")
         orig_append = ManagedTable.append
 
         def crashing_append(self, df, *a, **kw):
-            out = orig_append(self, df, *a, **kw)
-            calls["n"] += 1
-            if calls["n"] == 1:  # after admitted of batch 1
-                raise RuntimeError("injected crash")
-            return out
+            # crash BEFORE the commit lands — the fold's only write
+            raise RuntimeError("injected crash")
 
         import pytest as _pytest
 
@@ -168,23 +173,26 @@ def test_midchain_crash_heals_on_replay(spark, sf_dir):
             with _pytest.raises(StreamingQueryException):
                 neardup_gate_stream(
                     _stream_of(spark, corpus, f"{d}/one", n_files=1),
-                    admitted, bands, f"{d}/ck1", stream_id="s",
+                    admitted, f"{d}/ck1", stream_id="s",
                 )
         finally:
             ManagedTable.append = orig_append
-        assert admitted.exists()
-        assert not bands.exists() or bands.read().count() == 0
-        # replay heals: same survivors, bands table filled in
+        # nothing committed: the create() left an empty v0 at most
+        assert not admitted.exists() or admitted.read().count() == 0
+        # replay recomputes the identical fold and lands it whole
         neardup_gate_stream(
             _stream_of(spark, corpus, f"{d}/two", n_files=1),
-            admitted, bands, f"{d}/ck2", stream_id="s",
+            admitted, f"{d}/ck2", stream_id="s",
         )
         assert admitted.read().count() == n_clean
-        a_ids = {r["doc_id"] for r in admitted.read().collect()}
-        b_ids = {r["doc_id"] for r in bands.read().collect()}
-        assert a_ids == b_ids
-        # one bucket row per (admitted doc, band)
-        assert bands.read().count() == n_clean * 16
+        # docs and bucket index arrived in the same rows: one bucket
+        # entry per (admitted doc, band)
+        n_bucket_rows = (
+            admitted.read()
+            .select(F.explode(BANDS_COL))
+            .count()
+        )
+        assert n_bucket_rows == n_clean * 16
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -197,12 +205,12 @@ def test_batch0_replay_exits_early(spark, sf_dir):
     ).filter(F.col("doc_id") < 10)
     d = tempfile.mkdtemp(prefix="gate_b0_")
     try:
-        admitted, bands = _gate_tables(spark, d)
+        admitted = ManagedTable(spark, f"{d}/admitted")
         neardup_gate_stream(
             _stream_of(spark, docs, f"{d}/a", n_files=1),
-            admitted, bands, f"{d}/ck1", stream_id="s",
+            admitted, f"{d}/ck1", stream_id="s",
         )
-        assert bands.last_txn_version("s") == 0
+        assert admitted.last_txn_version("s") == 0
         calls = {"n": 0}
         orig_append = ManagedTable.append
 
@@ -214,7 +222,7 @@ def test_batch0_replay_exits_early(spark, sf_dir):
         try:
             assert neardup_gate_stream(
                 _stream_of(spark, docs, f"{d}/b", n_files=1),
-                admitted, bands, f"{d}/ck2", stream_id="s",
+                admitted, f"{d}/ck2", stream_id="s",
             ) == 0
         finally:
             ManagedTable.append = orig_append
