@@ -157,7 +157,7 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex — no UDF in the scan."""
     from ..operators.text import redact_pii, with_pii_flags
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id",
         F.concat(
             F.col("text"),

@@ -82,7 +82,7 @@ ORDER BY doc_id
 
 @register("docs_quality_score", QUALITY_ORACLE)
 def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return (
         text.with_quality_score(docs)
         .select(
@@ -162,7 +162,7 @@ def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synthetic docs run 10-99 words with <=1 canonical stopword) so
     the gate demonstrably splits the corpus; the operator defaults to
     the paper's constants."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return (
         text.with_gopher_flags(docs, min_words=30, min_stopword_hits=1)
         .select(
@@ -247,7 +247,7 @@ def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     gotcha in aggregate-fold shape). The expression form remains the
     semantic reference (value-equality is test-pinned) and the oracle
     brute-forces the same quantities with unnest + GROUP BY per n."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     rep_cols = []
     for n, (kind, _) in text.GOPHER_REP_THRESHOLDS.items():
         rep_cols += [f"{kind}_{n}gram_frac", f"flag_{kind}_{n}gram"]
@@ -365,7 +365,7 @@ ORDER BY doc_id
 
 @register("docs_lang_id", LANG_ORACLE)
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return (
         text.with_lang_id(docs)
         .select("doc_id", "lang", "predicted_lang")
@@ -491,7 +491,7 @@ def docs_fuzzy_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs into candidates (measured 7.4k of 16k possible), silently
     degrading to all-pairs Levenshtein — 4 rows per band keeps the
     background at ~12% while planted recall stays exact."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id", "text").filter(
         F.col("doc_id") < 100
     )
     planted = (
@@ -531,7 +531,7 @@ LIMIT 20
 def docs_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs 5-gram Jaccard on a bounded sample — the
     verification primitive under the LSH paths, exposed directly."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id", "text").filter(
         F.col("doc_id") < 60
     )
     return (
@@ -633,7 +633,7 @@ ORDER BY query_id, rank
 
 @register("ann_cosine_topk", ANN_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_bruteforce(queries, emb, k=5).orderBy(
         "query_id", "rank"
@@ -1167,7 +1167,7 @@ def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rule on window TEXT while the Spark side shuffles 8-byte
     xxhash64 window keys — a hash-policy divergence, off-by-one in
     the covered range, or a dropped short/empty document mismatches."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", parallel=True).select("doc_id", "text")
     out = text.dedup_corpus_spans(docs, k=8, max_docs=1)
     return out.select(
         "doc_id",
@@ -1488,7 +1488,7 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal replaces in ONE projection — zero exchanges, no regex, no
     UDFs; the oracle generates the identical replace chain from the
     same constant."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     return (
         text.bpe_apply_merges(docs)
         .select(
@@ -1523,7 +1523,12 @@ def _bm25_index(spark: SparkSession, sf_dir: str):
     d = _tempfile.mkdtemp(prefix="dlp_bm25_idx_")
     _atexit.register(_shutil.rmtree, d, ignore_errors=True)
     idx = ManagedTable(spark, f"{d}/bm25_index")
-    build_bm25_index(load_table(spark, sf_dir, "documents"), idx)
+    # tokenization is the compute-bound narrow stage of the build:
+    # restore scan width (measured: batch probe 1.61s -> 1.36s,
+    # persisted probe 0.46s -> 0.38s, build included in both)
+    build_bm25_index(
+        load_table(spark, sf_dir, "documents", parallel=True), idx
+    )
     _BM25_IDX[key] = (spark, idx)
     return idx
 

@@ -79,7 +79,7 @@ def events_variant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the point: paths are field-id lookups into the shredded value,
     not repeated JSON string parses, and everything here stays in
     whole-stage codegen."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", parallel=True)
     v = F.parse_json(_enriched_json())
     rows = ev.select("event_type", v.alias("v"))
     amount = F.try_variant_get(F.col("v"), "$.amount_cents", "long")

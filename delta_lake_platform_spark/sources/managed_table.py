@@ -2606,13 +2606,24 @@ class ManagedTable:
                     f"MERGE assigns unknown target column(s) {sorted(unknown)}"
                     " (pass auto_schema_evolution=True to widen the schema)"
                 )
+        idents_all = self.identity_columns()
+        # UPDATE-shaped clauses can never assign an identity column
+        # (either mode — Delta's contract); INSERT may supply a
+        # GENERATED BY DEFAULT column (NULLs still draw fresh ids).
         ident_assigned = sorted(
-            set(self.identity_columns())
-            & (
-                set(clauses.matched_update or {})
-                | set(clauses.not_matched_insert or {})
-                | set(clauses.by_source_update or {})
+            (
+                set(idents_all)
+                & (
+                    set(clauses.matched_update or {})
+                    | set(clauses.by_source_update or {})
+                )
             )
+            | {
+                c
+                for c in set(idents_all)
+                & set(clauses.not_matched_insert or {})
+                if idents_all[c].get("always", True)
+            }
         )
         if ident_assigned:
             raise MergeError(
@@ -2789,12 +2800,27 @@ class ManagedTable:
                         else max(hwm + spec["step"], spec["start"])
                     )
                     id_next[col] = (nxt, spec["step"])
-                    inserts = assign_unique_ids(
-                        inserts.drop(col),
-                        start=nxt,
-                        id_col=col,
-                        step=spec["step"],
-                    ).select(*tcols)
+                    if (
+                        not spec.get("always", True)
+                        and col in clauses.not_matched_insert
+                    ):
+                        # BY DEFAULT with an explicit insert expression:
+                        # the expression's values pass through, NULLs
+                        # draw fresh ids (same contract as append).
+                        tmp = f"__{col}_idgen"
+                        inserts = assign_unique_ids(
+                            inserts, start=nxt, id_col=tmp,
+                            step=spec["step"],
+                        ).withColumn(
+                            col, F.coalesce(F.col(col), F.col(tmp))
+                        ).select(*tcols)
+                    else:
+                        inserts = assign_unique_ids(
+                            inserts.drop(col),
+                            start=nxt,
+                            id_col=col,
+                            step=spec["step"],
+                        ).select(*tcols)
             rid_hwm0 = None
             if rt:
                 # Inserted rows are NEW rows: fresh materialized ids
@@ -5636,11 +5662,24 @@ class ManagedTable:
             return json.load(f)
 
     def set_identity_column(
-        self, col: str, start: int = 1, step: int = 1
+        self, col: str, start: int = 1, step: int = 1,
+        always: bool = True,
     ) -> None:
-        """Declare ``col`` GENERATED ALWAYS AS IDENTITY. The column
-        must exist with BIGINT type; existing values (if any) simply
-        seed the high-water mark. ``step`` must be >= 1."""
+        """Declare ``col`` an identity column. The column must exist
+        with BIGINT type; existing values (if any) simply seed the
+        high-water mark. ``step`` must be >= 1.
+
+        ``always=True`` is GENERATED ALWAYS AS IDENTITY: the writer
+        must NOT supply the column. ``always=False`` is Delta's
+        GENERATED BY DEFAULT AS IDENTITY: supplied values pass through
+        and only NULLs draw generated ids. Because the high-water mark
+        folds in the snapshot's footer-stats column max
+        (``_identity_hwm``), user-supplied values advance the mark on
+        the very next allocation — the realignment Delta requires an
+        explicit ALTER TABLE ... SYNC IDENTITY for is inherent here.
+        (Like Delta, a supplied value can still collide with an id
+        generated in the SAME batch — uniqueness of mixed writes is
+        the user's contract, not the engine's.)"""
         if step < 1:
             raise ValueError("identity step must be >= 1")
         state = self._state(self.latest_version())
@@ -5653,7 +5692,9 @@ class ManagedTable:
                 f"{schema[col].dataType.simpleString()}"
             )
         idents = self.identity_columns()
-        idents[col] = {"start": int(start), "step": int(step)}
+        idents[col] = {
+            "start": int(start), "step": int(step), "always": bool(always),
+        }
         with open(self._identity_path(), "w") as f:
             json.dump(idents, f)
 
@@ -5692,7 +5733,8 @@ class ManagedTable:
 
         marks: dict[str, int] = {}
         for col, spec in idents.items():
-            if col in df.columns:
+            supplied = col in df.columns
+            if supplied and spec.get("always", True):
                 raise ValueError(
                     f"GENERATED ALWAYS AS IDENTITY column {col!r} "
                     "cannot be supplied by the writer"
@@ -5700,7 +5742,20 @@ class ManagedTable:
             start, step = spec["start"], spec["step"]
             hwm = self._identity_hwm(col, read_version)
             nxt = start if hwm is None else max(hwm + step, start)
-            df = assign_unique_ids(df, start=nxt, id_col=col, step=step)
+            if supplied:
+                # BY DEFAULT: supplied values pass through, NULLs draw
+                # fresh ids. One allocation pass sizes to the whole
+                # batch (ids covering non-NULL rows stay burned —
+                # identity promises uniqueness, not density), so the
+                # recorded mark stays a one-expression fold below.
+                cols = df.columns
+                tmp = f"__{col}_idgen"
+                df = assign_unique_ids(df, start=nxt, id_col=tmp, step=step)
+                df = df.withColumn(
+                    col, F.coalesce(F.col(col), F.col(tmp))
+                ).select(*cols)
+            else:
+                df = assign_unique_ids(df, start=nxt, id_col=col, step=step)
             # Exactly #rows ids are allocated; the count is one cached-
             # layout job (assign_unique_ids pinned the batch already).
             n = df.count()

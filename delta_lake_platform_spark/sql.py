@@ -412,8 +412,11 @@ class PlatformSQL:
             line = f"  {f.name} {f.dataType.simpleString().upper()}"
             if f.name in idents:
                 spec = idents[f.name]
+                mode = (
+                    "ALWAYS" if spec.get("always", True) else "BY DEFAULT"
+                )
                 line += (
-                    f" GENERATED ALWAYS AS IDENTITY (START WITH "
+                    f" GENERATED {mode} AS IDENTITY (START WITH "
                     f"{spec['start']} INCREMENT BY {spec['step']})"
                 )
             elif f.name in gens:
@@ -843,17 +846,19 @@ class PlatformSQL:
                         rest = nn.group(1).strip()
                         continue
                     im = re.match(
-                        r"(?is)^GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+                        r"(?is)^GENERATED\s+(ALWAYS|BY\s+DEFAULT)"
+                        r"\s+AS\s+IDENTITY"
                         r"(?:\s*\(\s*START\s+WITH\s+(\d+)"
                         r"(?:\s+INCREMENT\s+BY\s+(\d+))?\s*\))?\s*(.*)$",
                         rest,
                     )
                     if im:
                         idents[cname] = (
-                            int(im.group(1) or 1),
                             int(im.group(2) or 1),
+                            int(im.group(3) or 1),
+                            im.group(1).upper() == "ALWAYS",
                         )
-                        rest = im.group(3).strip()
+                        rest = im.group(4).strip()
                         continue
                     gm = re.match(
                         r"(?is)^GENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*$",
@@ -884,8 +889,10 @@ class PlatformSQL:
                     [c.strip() for c in pcols.split(",")] if pcols else None
                 ),
             )
-            for cname, (istart, istep) in idents.items():
-                table.set_identity_column(cname, start=istart, step=istep)
+            for cname, (istart, istep, ialways) in idents.items():
+                table.set_identity_column(
+                    cname, start=istart, step=istep, always=ialways
+                )
             for cname, gexpr in gens.items():
                 table.set_generated_column(cname, gexpr)
             for cname, dexpr in defaults.items():

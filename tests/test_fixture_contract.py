@@ -74,3 +74,54 @@ def test_real_fixture_loads_with_expected_dtypes(spark, name):
         )
     # The load itself must be executable, not just analyzable.
     assert df.limit(1).count() >= 0
+
+
+def test_scan_parallelism_restored_for_degenerate_layouts(spark, tmp_path):
+    """The driver fixtures are single-file single-row-group parquet —
+    ONE input split however wide the cluster, and maxPartitionBytes
+    cannot cut inside a row group. load_table restores cluster-width
+    parallelism with one post-scan repartition, but ONLY for that
+    degenerate shape: small tables and healthy multi-row-group layouts
+    pass through unchanged (at production scale the policy is a no-op
+    by construction)."""
+    from delta_lake_platform_spark.sources.catalog import (
+        _restore_scan_parallelism,
+    )
+
+    width = spark.sparkContext.defaultParallelism
+
+    # degenerate: one big row group -> repartitioned to cluster width
+    big = str(tmp_path / "big.parquet")
+    spark.range(10_000).coalesce(1).write.parquet(str(tmp_path / "bigdir"))
+    import glob
+    import shutil
+
+    shutil.move(glob.glob(str(tmp_path / "bigdir" / "part-*.parquet"))[0], big)
+    out = _restore_scan_parallelism(spark, big, spark.read.parquet(big))
+    assert out.rdd.getNumPartitions() == width
+
+    # small table: unchanged (an exchange would cost more than it buys)
+    small = str(tmp_path / "small.parquet")
+    spark.range(100).coalesce(1).write.parquet(str(tmp_path / "smalldir"))
+    shutil.move(
+        glob.glob(str(tmp_path / "smalldir" / "part-*.parquet"))[0], small
+    )
+    sdf = spark.read.parquet(small)
+    assert _restore_scan_parallelism(spark, small, sdf) is sdf
+
+    # healthy layout: enough row groups to fill the cluster -> unchanged
+    many = str(tmp_path / "many.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"id": list(range(100_000))}), many, row_group_size=2_000
+    )
+    mdf = spark.read.parquet(many)
+    assert _restore_scan_parallelism(spark, many, mdf) is mdf
+
+    # directory roots pass through untouched
+    ddir = str(tmp_path / "adir")
+    spark.range(10_000).coalesce(1).write.parquet(ddir)
+    ddf = spark.read.parquet(ddir)
+    assert _restore_scan_parallelism(spark, ddir, ddf) is ddf

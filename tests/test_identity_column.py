@@ -121,7 +121,7 @@ def test_sql_create_table_with_identity(spark):
     )
     t = sess.tables["accounts"]
     assert t.identity_columns() == {
-        "account_key": {"start": 10, "step": 1}
+        "account_key": {"start": 10, "step": 1, "always": True}
     }
     sess.sql(
         "INSERT INTO accounts (name, balance) VALUES ('ann', 1.5), ('bob', 2.5)"
@@ -377,3 +377,107 @@ def test_negative_identity_floor_survives_log_retention(
     t.append(_batch(spark, ["f"]))
     ids = sorted(r["id"] for r in t.read().collect())
     assert ids == [-100, -97], f"burned ids re-minted: {ids}"
+
+
+# --- GENERATED BY DEFAULT AS IDENTITY (r11) ----------------------------------
+#
+# Delta's second identity mode: supplied values pass through, NULLs
+# draw generated ids. Because _identity_hwm folds in the snapshot's
+# footer-stats column max, user-supplied values advance the mark on
+# the next allocation automatically — the realignment Delta needs an
+# explicit ALTER TABLE ... SYNC IDENTITY for is inherent here.
+
+
+@pytest.fixture()
+def bydefault_table(spark):
+    d = tempfile.mkdtemp(prefix="ident_bydef_")
+    t = ManagedTable(spark, f"{d}/t")
+    t.create(spark.createDataFrame([], "id bigint, name string"))
+    t.set_identity_column("id", start=10, always=False)
+    return t
+
+
+def test_by_default_fills_nulls_and_passes_values(spark, bydefault_table):
+    t = bydefault_table
+    t.append(
+        spark.createDataFrame(
+            [(None, "a"), (500, "b"), (None, "c")], "id bigint, name string"
+        )
+    )
+    rows = {r["name"]: r["id"] for r in t.read().collect()}
+    assert rows["b"] == 500  # supplied value passed through
+    # NULLs drew generated ids from the start mark
+    assert {rows["a"], rows["c"]} <= {10, 11, 12}
+    assert rows["a"] != rows["c"]
+
+
+def test_by_default_supplied_peak_advances_mark(spark, bydefault_table):
+    """A user-supplied peak enters the footer stats, so the NEXT
+    allocation starts above it — no SYNC IDENTITY step needed."""
+    t = bydefault_table
+    t.append(
+        spark.createDataFrame([(500, "big")], "id bigint, name string")
+    )
+    # batch without the column at all: plain generated path
+    t.append(spark.createDataFrame([("x",)], "name string"))
+    ids = {r["name"]: r["id"] for r in t.read().collect()}
+    assert ids["big"] == 500
+    assert ids["x"] > 500
+
+
+def test_by_default_sql_roundtrip(spark):
+    d = tempfile.mkdtemp(prefix="ident_bydef_sql_")
+    sess = PlatformSQL(spark)
+    sess.sql(
+        f"""CREATE TABLE bd_accounts (
+              account_key BIGINT GENERATED BY DEFAULT AS IDENTITY
+                (START WITH 10 INCREMENT BY 2),
+              name STRING
+            ) LOCATION '{d}/t'"""
+    )
+    t = sess.tables["bd_accounts"]
+    assert t.identity_columns() == {
+        "account_key": {"start": 10, "step": 2, "always": False}
+    }
+    # supplying the key is ALLOWED in by-default mode
+    sess.sql(
+        "INSERT INTO bd_accounts (account_key, name) VALUES (1000, 'eve')"
+    )
+    sess.sql("INSERT INTO bd_accounts (name) VALUES ('gen')")
+    got = {
+        r["name"]: r["account_key"]
+        for r in sess.sql("SELECT * FROM bd_accounts").collect()
+    }
+    assert got["eve"] == 1000
+    assert got["gen"] > 1000 and (got["gen"] - 1000) % 2 == 0
+    # SHOW CREATE round-trips the mode
+    ddl = sess.sql("SHOW CREATE TABLE bd_accounts").collect()[0][0]
+    assert "GENERATED BY DEFAULT AS IDENTITY (START WITH 10" in ddl
+
+
+@pytest.mark.parametrize("rewrite", [True, False])
+def test_merge_insert_by_default_respects_expression(
+    spark, bydefault_table, rewrite
+):
+    """MERGE inserts into a BY DEFAULT identity column keep the insert
+    expression's values and fill only its NULLs."""
+    t = bydefault_table
+    t.append(spark.createDataFrame([(None, "a")], "id bigint, name string"))
+    src = spark.createDataFrame(
+        [(700, "c"), (None, "d")], "want_id bigint, name string"
+    )
+    t.merge(
+        src,
+        _merge_clauses(
+            "target.name = updates.name",
+            insert={"id": "updates.want_id", "name": "updates.name"},
+        ),
+        rewrite=rewrite,
+    )
+    rows = {r["name"]: r["id"] for r in t.read().collect()}
+    assert rows["c"] == 700
+    assert rows["d"] is not None and rows["d"] != 700
+    # next allocation clears the supplied peak via footer stats
+    t.append(spark.createDataFrame([("e",)], "name string"))
+    got = {r["name"]: r["id"] for r in t.read().collect()}
+    assert got["e"] > 700

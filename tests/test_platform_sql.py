@@ -467,7 +467,9 @@ def test_show_tblproperties_and_create_table(spark):
     for stmt in replay.split(";\n"):
         p.sql(stmt)
     t2 = p.tables["acct2"]
-    assert t2.identity_columns() == {"account_key": {"start": 10, "step": 1}}
+    assert t2.identity_columns() == {
+        "account_key": {"start": 10, "step": 1, "always": True}
+    }
     assert t2.generated_columns() == {"dollars": "cents / 100.0"}
     assert t2.constraints() == {"nonneg": "cents >= 0"}
     assert t2.properties() == {
