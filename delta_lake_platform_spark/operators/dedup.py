@@ -198,15 +198,52 @@ def _minhash_banded(
     band's slice, recomputing the signature per band (32x the work;
     measured 15.6s -> 0.7s on a 134-doc frame). Bucket VALUES are
     unchanged (same minima, same concat, same hash), so candidate
-    sets and every downstream result are identical."""
-    return (
-        _minhash_bucket_array(
-            df, id_col, payload_cols, num_hashes, bands, shingles_col,
-            out_col="bb",
+    sets and every downstream result are identical.
+
+    The explode MUST stay inline in the same select that builds the
+    band array (NOT a select over ``_minhash_bucket_array``): with the
+    array built in its own projection, ``InferFiltersFromGenerate``
+    adds ``size(bands) > 0`` above the Generate and filter pushdown
+    then substitutes the WHOLE banding expression (shingling + all
+    ``num_hashes`` hash minima) into a Filter at the scan — every
+    input row pays the full MinHash twice, once of it interpreted.
+    Measured on the 150-doc neardup corpus: banding 5.4s -> 40.1s,
+    docs_minhash_neardup 3.7s -> 26.7s (r11 regression, reverted
+    here; plans/r11/docs_minhash_neardup_{before,after}.txt). With
+    the generator input inline, the rule has no named column to infer
+    a filter from and the plan keeps the single clean Generate. The
+    nested form lives on in ``_minhash_bucket_array`` for callers
+    that PERSIST bucket state (the streaming gate), where a
+    checkpoint boundary blocks that pushdown."""
+    rows_per_band = num_hashes // bands
+    shingles = F.col(shingles_col)
+
+    def _bucket(b: Column) -> Column:
+        minima = F.transform(
+            F.sequence(
+                b * rows_per_band, b * rows_per_band + (rows_per_band - 1)
+            ),
+            lambda i: F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s: F.xxhash64(F.concat(i.cast("string"), s)),
+                )
+            ).cast("string"),
         )
-        .select(id_col, *payload_cols, F.explode("bb").alias("bb"))
-        .select(id_col, *payload_cols, "bb.band", "bb.bucket")
-    )
+        return F.xxhash64(F.concat_ws(",", minima))
+
+    return df.select(
+        id_col,
+        *payload_cols,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), _bucket(b).alias("bucket")
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, *payload_cols, "bb.band", "bb.bucket")
 
 
 def _minhash_bucket_array(
