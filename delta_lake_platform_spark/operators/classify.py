@@ -86,7 +86,11 @@ def nb_classify(
     counts = train_toks.groupBy("__tok", label_col).agg(
         F.count("*").alias("__cnt")
     )
-    if counts.limit(1).count() == 0:
+    # Emptiness guard on the TOKEN STREAM, not the count table: counts
+    # is empty iff train_toks is empty, and limit(1) over the stream
+    # early-exits at the first token, where limit(1) over counts must
+    # first run the full tokenize + groupBy (a whole extra pass).
+    if train_toks.limit(1).count() == 0:
         raise ValueError(
             "nb_classify: empty training slice or no tokens to fit on"
         )

@@ -2408,6 +2408,17 @@ class ManagedTable:
                 break
         return out
 
+    def iter_history(self):
+        """Newest-first commit log as a LAZY iterator: early-exiting
+        scans (txn-version lookup, fold watermarks — normally satisfied
+        by entry 0 or 1) parse one or two JSON entries instead of the
+        whole log, which ``history()`` reads eagerly. Per-fold callers
+        otherwise pay O(versions) file parses per fold — O(V^2) JSON
+        over a maintenance stream's lifetime."""
+        for v in reversed(self._versions()):
+            with open(os.path.join(self._log_dir, f"{v}.json")) as f:
+                yield json.load(f)
+
     def _merge_candidate_files(
         self, source: DataFrame, condition: str, version: int
     ) -> tuple[list[str], list[str]]:
@@ -3875,8 +3886,9 @@ class ManagedTable:
     def last_txn_version(self, app_id: str) -> int | None:
         """Highest transaction version committed for ``app_id`` (Delta's
         ``txnAppId``/``txnVersion`` idempotent-writer protocol). One
-        newest-first log scan; None if the app never committed."""
-        for entry in self.history():
+        newest-first LAZY log scan (normally one entry); None if the
+        app never committed."""
+        for entry in self.iter_history():
             txn = entry.get("txn")
             if txn and txn.get("appId") == app_id:
                 return txn["version"]

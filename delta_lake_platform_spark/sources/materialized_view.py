@@ -470,7 +470,10 @@ class MaterializedAggView:
             hll_cols=self.approx_distinct_cols,
             hll_lg_k=self.hll_lg_k,
         )
+        from ..blocks import snapshot_persisted, unpersist_new_since
+
         n_dirty = 0
+        pre_blocks = snapshot_persisted(self.state.spark)
         # Metadata short-circuit: when every commit in the span only
         # ADDED files (blind appends — the log proves it), the feed has
         # no deletes, no group can be dirty, and the checkpoint + count
@@ -525,11 +528,16 @@ class MaterializedAggView:
                     ],
                 )
         merged = merged.drop("__dirty")
-        return self.state._commit(
+        out = self.state._commit(
             merged,
             "MV_REFRESH",
             {"baseVersion": cur, "numDirtyGroups": n_dirty},
         )
+        # refresh-scoped checkpoint blocks are dead once the state
+        # commit landed; a long-lived maintainer must not retain one
+        # block set per refresh (guide §5: unpersist when done)
+        unpersist_new_since(self.state.spark, pre_blocks)
+        return out
 
     def read(self) -> DataFrame:
         """View contents with derived ``avg_<col>`` /
@@ -866,10 +874,13 @@ class MaterializedJoinAggView:
         return delta_rows
 
     def refresh(self) -> int:
+        from ..blocks import snapshot_persisted, unpersist_new_since
+
         l0, r0 = self._versions_at_create()
         l1, r1 = self.left.latest_version(), self.right.latest_version()
         if (l0, r0) == (l1, r1):
             return self.state.latest_version()
+        pre_blocks = snapshot_persisted(self.state.spark)
         delta_rows = self._delta_frame(l0, r0, l1, r1)
         if delta_rows is not None:
             missing = [
@@ -944,11 +955,15 @@ class MaterializedJoinAggView:
                     ],
                 )
         merged = merged.drop("__dirty")
-        return self.state._commit(
+        out = self.state._commit(
             merged,
             "MV_REFRESH",
             {"leftVersion": l1, "rightVersion": r1, "numDirtyGroups": n_dirty},
         )
+        # refresh-scoped checkpoint blocks (signed feeds + merged) are
+        # dead once the state commit landed (guide §5)
+        unpersist_new_since(self.state.spark, pre_blocks)
+        return out
 
     def read(self) -> DataFrame:
         df = self.state.read()

@@ -154,11 +154,14 @@ def cdc_replicate(
     pk_eq = " AND ".join(f"target.{c} = updates.{c}" for c in key_cols)
 
     def sink(batch: DataFrame, from_v: int, to_v: int) -> None:
+        from ..blocks import snapshot_persisted, unpersist_new_since
+
         cols = [
             c
             for c in batch.columns
             if c not in ("_change_type", "_commit_version")
         ]
+        pre_blocks = snapshot_persisted(batch.sparkSession)
         batch = batch.localCheckpoint(eager=False)  # two filters reuse it
         ups = batch.filter(
             F.col("_change_type").isin("insert", "update_postimage")
@@ -188,6 +191,8 @@ def cdc_replicate(
                 ),
                 rewrite=False,
             )
+        # fold-scoped checkpoint blocks are dead once the merges landed
+        unpersist_new_since(batch.sparkSession, pre_blocks)
 
     return stream.process_available(sink)
 
@@ -265,6 +270,9 @@ def scd_maintain_stream(
     meta = ["_change_type", "_commit_version"]
 
     def sink(batch: DataFrame, from_v: int, to_v: int) -> None:
+        from ..blocks import snapshot_persisted, unpersist_new_since
+
+        pre_blocks = snapshot_persisted(batch.sparkSession)
         batch = batch.localCheckpoint(eager=False)  # two filters reuse
         ups = batch.filter(
             F.col("_change_type").isin("insert", "update_postimage")
@@ -273,5 +281,7 @@ def scd_maintain_stream(
         if not ups.isEmpty():
             apply_scd(ups, dimension, cfg)
         scd_soft_close(dels, dimension, cfg)
+        # fold-scoped checkpoint blocks are dead once the commits landed
+        unpersist_new_since(batch.sparkSession, pre_blocks)
 
     return stream.process_available(sink)

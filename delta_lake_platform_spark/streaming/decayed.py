@@ -39,11 +39,11 @@ def _batch_watermark(
     if not state.exists():
         return None
     tag = f"{family}:{stream_id}:batch="
-    # newest-first scan exits at the first fold commit — normally entry
-    # 0 or 1 (an OPTIMIZE/VACUUM may interleave); a pathological run of
-    # foreign commits degrades to a full log listing, the same cost
-    # class as the state read the fold performs anyway
-    for entry in state.history():
+    # newest-first LAZY scan exits at the first fold commit — normally
+    # entry 0 or 1 (an OPTIMIZE/VACUUM may interleave); a pathological
+    # run of foreign commits degrades to a full log listing, the same
+    # cost class as the state read the fold performs anyway
+    for entry in state.iter_history():
         meta = entry.get("userMetadata") or ""
         if meta.startswith(tag):
             return int(meta[len(tag):])
@@ -77,12 +77,15 @@ def _fold_with_guard(
 
     Returns True iff THIS writer's commit published the batch.
     """
+    from ..blocks import snapshot_persisted, unpersist_new_since
+
     for _ in range(retries + 1):
         exists = state.exists()
         rv = state.latest_version() if exists else None
         last = _batch_watermark(state, stream_id, family=family)
         if last is not None and batch_id <= last:
             return False
+        pre_blocks = snapshot_persisted(state.spark)
         new = build(rv)
         state.set_commit_metadata(f"{family}:{stream_id}:batch={batch_id}")
         try:
@@ -90,8 +93,13 @@ def _fold_with_guard(
                 state.overwrite(new, read_version=rv)
             else:
                 state.create(new)
+            # the build's checkpoint blocks are dead once the state is
+            # on disk; an unbounded stream must not retain one block
+            # set per fold (guide §5: unpersist when done)
+            unpersist_new_since(state.spark, pre_blocks)
             return True
         except ConcurrentWriteError:
+            unpersist_new_since(state.spark, pre_blocks)
             continue  # re-read watermark + head, then retry or no-op
     raise ConcurrentWriteError(
         f"{family}:{stream_id} batch {batch_id}: state table kept "

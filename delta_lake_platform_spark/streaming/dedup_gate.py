@@ -54,6 +54,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..blocks import snapshot_persisted, unpersist_new_since
 from ..operators.dedup import (
     _bucketed_candidate_pairs, _minhash_bucket_array, char_shingles,
     jaccard,
@@ -96,6 +97,7 @@ def neardup_gate_stream(
         )
         if last is not None and last >= batch_id:
             return
+        pre_blocks = snapshot_persisted(batch.sparkSession)
         # no checkpoint on the batch: a foreachBatch micro-batch is
         # already pinned source files — re-scanning it is cheaper than
         # materializing a copy.
@@ -107,10 +109,16 @@ def neardup_gate_stream(
         # payload so within-batch verification never re-shingles. Lazy
         # checkpoint: the history probe, the within-batch pairs, and
         # the final append all share the one materialization.
+        # EAGER checkpoint: the banded frame feeds ~5 concurrent
+        # broadcast builds; a lazy checkpoint is not yet materialized
+        # when they launch, so each broadcast thread re-evaluated the
+        # full banding (measured: five ~330ms single-task jobs per
+        # fold). One eager job computes it once; the broadcasts then
+        # read cached partitions.
         banded_arr = _minhash_bucket_array(
             sh, id_col, ["shingles"], num_hashes, bands,
             out_col=BANDS_COL,
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         banded = banded_arr.select(
             id_col, "shingles", F.explode(BANDS_COL).alias("bb")
         ).select(id_col, "shingles", "bb.band", "bb.bucket")
@@ -123,7 +131,11 @@ def neardup_gate_stream(
             # shuffle it. Hints are load-bearing: AQE is disabled
             # inside streaming queries, so without them every join
             # here is a shuffle join of the history side per fold.
-            hist_buckets = admitted.read().select(
+            # ONE read() for both history consumers: each read builds
+            # a fresh log-backed relation (driver JSON + analysis);
+            # column pruning splits the scan per subtree anyway.
+            hist = admitted.read()
+            hist_buckets = hist.select(
                 F.col(id_col).alias("__hist_id"),
                 F.explode(BANDS_COL).alias("bb"),
             ).select("__hist_id", "bb.band", "bb.bucket")
@@ -143,12 +155,21 @@ def neardup_gate_stream(
             # shingle ONLY the matched history docs: candidate ids
             # broadcast into the admitted scan first, THEN the
             # survivors' texts are shingled — O(candidates) shingle
-            # work, not O(corpus) per fold.
+            # work, not O(corpus) per fold. The BATCH side's shingles
+            # come from the checkpointed band array (payload column),
+            # not a re-scan + re-shingle of the batch.
             rejected = (
-                admitted.read()
+                hist
                 .select(F.col(id_col).alias("__hist_id"), F.col(text_col))
                 .join(
-                    F.broadcast(cand.join(F.broadcast(sh), id_col)),
+                    F.broadcast(
+                        cand.join(
+                            F.broadcast(
+                                banded_arr.select(id_col, "shingles")
+                            ),
+                            id_col,
+                        )
+                    ),
                     "__hist_id",
                 )
                 .filter(
@@ -160,11 +181,14 @@ def neardup_gate_stream(
                 .select(id_col)
             )
         # within-batch: verified bucket-mate pairs off the SAME banded
-        # frame, reject the larger id of each (id_a < id_b contract)
+        # frame, reject the larger id of each (id_a < id_b contract).
+        # pin=False: banded explodes off the checkpointed band array —
+        # re-pinning would buy nothing and cost a fold-time analysis +
+        # materialization.
         self_rej = (
             _bucketed_candidate_pairs(
                 banded, ["band", "bucket"], id_col, ["shingles"],
-                hot_bucket_cap,
+                hot_bucket_cap, pin=False,
             )
             .filter(
                 jaccard(F.col("shingles_a"), F.col("shingles_b"))
@@ -186,6 +210,10 @@ def neardup_gate_stream(
         admitted.append(
             keep, fast=True, txn_app=stream_id, txn_version=batch_id
         )
+        # the fold's checkpoint blocks are dead once the commit landed
+        # (survivors are on disk); an unbounded stream must not retain
+        # one block set per fold (guide §5: unpersist when done)
+        unpersist_new_since(batch.sparkSession, pre_blocks)
         n_folded += 1
 
     q = (
