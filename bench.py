@@ -199,7 +199,13 @@ def main() -> None:
     # rather than carrying it).
     from delta_lake_platform_spark.blocks import free_persisted_rdds
 
+    import gc
+
     for name, fn in sorted(QUERIES.items()):
+        # Python gc releases py4j references, which lets the JVM
+        # ContextCleaner reap dead broadcasts/RDDs from hundreds of
+        # prior plans — also outside the timed region.
+        gc.collect()
         reps: list[float] = []
         for _ in range(n_runs):
             free_persisted_rdds(spark)

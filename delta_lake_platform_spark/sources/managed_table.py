@@ -5397,6 +5397,17 @@ class ManagedTable:
         unknown = [c for c in cols if c not in schema.fieldNames()]
         if unknown:
             raise ValueError(f"ANALYZE: no such column(s) {unknown}")
+        # Width restoration for the aggregate (guide §2.6 narrow-stage
+        # pattern): a table written as one file is ONE input split, so
+        # the partial aggregate — which with exact NDV processes an
+        # Expand of #cols x rows — runs on a single core no matter the
+        # cluster width. One narrow repartition of just the analyzed
+        # columns spreads it; skipped when the layout already fills the
+        # cluster (the production case — thousands of row groups).
+        width = self.spark.sparkContext.defaultParallelism
+        df = df.select(*cols)
+        if len(self._all_data_files(v)) < max(2, width // 2):
+            df = df.repartition(width)
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in cols:
             ndv = (
