@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -270,6 +270,25 @@ def decayed_agg(
     )
 
 
+# Sentinel for "derive the anchor inside the plan" (the default two
+# 1-row broadcast aggregates). Callers that already KNOW the new anchor
+# (streaming folds: batch max via one tiny collect + state anchor from
+# footer stats) pass ``anchor_us`` explicitly — the plan then carries a
+# literal timestamp instead of two aggregate subtrees joined in, which
+# at fold frequency is the difference between 8 jobs and 2 per fold.
+# The arithmetic is IDENTICAL (same unix_timestamp/pow expressions over
+# the same timestamp value), so results are bit-equal.
+_ANCHOR_IN_PLAN = object()
+
+
+def _anchor_lit(anchor_us) -> Column:
+    """Literal timestamp column from epoch microseconds (None -> typed
+    NULL, the value the in-plan aggregate yields for an empty input)."""
+    if anchor_us is None:
+        return F.lit(None).cast("timestamp")
+    return F.timestamp_micros(F.lit(int(anchor_us)))
+
+
 def decayed_agg_update(
     state: DataFrame,
     batch: DataFrame,
@@ -277,6 +296,7 @@ def decayed_agg_update(
     ts_col: str = "ts",
     value_col: str = "value",
     half_life_seconds: float = 7 * 86400.0,
+    anchor_us=_ANCHOR_IN_PLAN,
 ) -> DataFrame:
     """Fold a new micro-batch into an existing ``decayed_agg`` state
     WITHOUT revisiting history — the maintenance form that makes the
@@ -292,40 +312,49 @@ def decayed_agg_update(
     a batch older than the state's anchor decays itself instead).
     Physical shape: two 1-row anchor aggregates, one groupBy over the
     BATCH only, and a full-outer join on the key — cost is
-    O(batch + |state keys|), never O(history).
+    O(batch + |state keys|), never O(history). With ``anchor_us``
+    supplied (epoch microseconds of max(batch ts, state anchor)) the
+    anchor subtrees collapse to one literal: same values, no joins.
     """
-    new_anchor = (
-        batch.agg(F.max(F.col(ts_col)).alias("__ba"))
-        .join(
-            F.broadcast(
-                state.agg(F.max(F.col("anchor_ts")).alias("__sa"))
+    if anchor_us is _ANCHOR_IN_PLAN:
+        new_anchor = (
+            batch.agg(F.max(F.col(ts_col)).alias("__ba"))
+            .join(
+                F.broadcast(
+                    state.agg(F.max(F.col("anchor_ts")).alias("__sa"))
+                )
+            )
+            .select(
+                F.greatest(
+                    F.coalesce(F.col("__ba"), F.col("__sa")),
+                    F.coalesce(F.col("__sa"), F.col("__ba")),
+                ).alias("__anchor")
             )
         )
-        .select(
-            F.greatest(
-                F.coalesce(F.col("__ba"), F.col("__sa")),
-                F.coalesce(F.col("__sa"), F.col("__ba")),
-            ).alias("__anchor")
-        )
-    )
+        batch_anchored = batch.join(F.broadcast(new_anchor))
+        anchor_col = F.col("__anchor")
+        state_anchored = state.join(F.broadcast(new_anchor))
+    else:
+        batch_anchored = batch.withColumn("__anchor", _anchor_lit(anchor_us))
+        anchor_col = _anchor_lit(anchor_us)
+        state_anchored = state
     fresh = _decayed_rows(
-        batch.join(F.broadcast(new_anchor)),
-        key_col, ts_col, value_col, half_life_seconds,
+        batch_anchored, key_col, ts_col, value_col, half_life_seconds,
     )
     shift = F.pow(
         F.lit(2.0),
         -(
-            F.unix_timestamp(F.col("__anchor"))
+            F.unix_timestamp(anchor_col)
             - F.unix_timestamp(F.col("anchor_ts"))
         ).cast("double")
         / F.lit(float(half_life_seconds)),
     )
-    old = state.join(F.broadcast(new_anchor)).select(
+    old = state_anchored.select(
         F.col(key_col),
         F.col("n_events"),
         (F.col("decayed_sum") * shift).alias("decayed_sum"),
         (F.col("decayed_count") * shift).alias("decayed_count"),
-        F.col("__anchor"),
+        anchor_col.alias("__anchor"),
     )
     merged = old.unionByName(fresh).groupBy(key_col).agg(
         F.sum("n_events").cast("long").alias("n_events"),
@@ -368,14 +397,20 @@ def decayed_agg_with_anchor(
     ts_col: str = "ts",
     value_col: str = "value",
     half_life_seconds: float = 7 * 86400.0,
+    anchor_us=_ANCHOR_IN_PLAN,
 ) -> DataFrame:
     """``decayed_agg`` in its maintainable form: unrounded sums plus
     the ``anchor_ts`` column, the state ``decayed_agg_update`` folds
-    batches into."""
-    anchor = df.agg(F.max(F.col(ts_col)).alias("__anchor"))
+    batches into. ``anchor_us`` as in ``decayed_agg_update``: a known
+    anchor (epoch micros of max(ts)) becomes a literal, skipping the
+    1-row aggregate + broadcast join."""
+    if anchor_us is _ANCHOR_IN_PLAN:
+        anchor = df.agg(F.max(F.col(ts_col)).alias("__anchor"))
+        anchored = df.join(F.broadcast(anchor))
+    else:
+        anchored = df.withColumn("__anchor", _anchor_lit(anchor_us))
     out = _decayed_rows(
-        df.join(F.broadcast(anchor)),
-        key_col, ts_col, value_col, half_life_seconds,
+        anchored, key_col, ts_col, value_col, half_life_seconds,
     )
     return out.withColumnRenamed("__anchor", "anchor_ts").withColumn(
         "decayed_avg", F.col("decayed_sum") / F.col("decayed_count")

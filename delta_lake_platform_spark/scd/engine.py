@@ -557,6 +557,7 @@ def scd_soft_close(
     table: ManagedTable,
     cfg: ScdConfig,
     now: datetime | None = None,
+    assume_nonempty: bool = False,
 ) -> int | None:
     """Soft-close (SCD2 logical DELETE) the ACTIVE row of every key in
     ``keys``: ``record_status`` flips to ``'D'`` and ``effective_to``
@@ -565,9 +566,11 @@ def scd_soft_close(
     to the caller. No-op (None) when the batch has no keys; already-
     closed or unknown keys are untouched (the merge gate requires an
     ACTIVE match). Merge-on-read commit: O(matched rows), never a
-    dimension rewrite."""
+    dimension rewrite. ``assume_nonempty`` skips the emptiness probe
+    when the caller already counted the batch (the streaming sink's
+    one-pass change-type counts)."""
     keys = keys.select(*cfg.pk_cols).distinct()
-    if keys.isEmpty():
+    if not assume_nonempty and keys.isEmpty():
         return None
     now = now or cfg.clock()
     ts = f"TIMESTAMP '{now.strftime('%Y-%m-%d %H:%M:%S.%f')}'"

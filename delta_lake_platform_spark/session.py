@@ -42,6 +42,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Modern timestamp encoding (Delta/Iceberg write the same):
+        # INT96 — Spark's legacy default — carries NO parquet min/max
+        # stats, so every timestamp column was invisible to footer-
+        # stats data skipping and to log-recorded column_max lookups
+        # (the streaming decayed fold reads its state anchor from
+        # them). TIMESTAMP_MICROS restores both at identical values.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

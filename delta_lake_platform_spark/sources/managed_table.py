@@ -2651,6 +2651,7 @@ class ManagedTable:
         cdc_parts: list[DataFrame] = []
         n_updated = n_inserted = n_deleted = 0
         n_bupdated = n_bdeleted = 0
+        counts_obs = None  # set on the MoR fast path (counts ride the write)
         if (
             clauses.matched_update is not None
             or clauses.matched_delete_condition
@@ -2734,14 +2735,31 @@ class ManagedTable:
                 do_bupdate.alias("__bupd"),
                 do_bdelete.alias("__bdel"),
             ).localCheckpoint(eager=False)
-            counts = flagged.select(
+            count_exprs = [
                 F.sum((F.col("__upd") & ~F.col("__bupd")).cast("long")).alias("u"),
                 F.sum((F.col("__del") & ~F.col("__bdel")).cast("long")).alias("d"),
                 F.sum(F.col("__bupd").cast("long")).alias("bu"),
                 F.sum(F.col("__bdel").cast("long")).alias("bd"),
-            ).first()
-            n_updated, n_deleted = int(counts.u or 0), int(counts.d or 0)
-            n_bupdated, n_bdeleted = int(counts.bu or 0), int(counts.bd or 0)
+            ]
+            if cdf_on or rewrite:
+                counts = flagged.select(*count_exprs).first()
+                n_updated = int(counts.u or 0)
+                n_deleted = int(counts.d or 0)
+                n_bupdated = int(counts.bu or 0)
+                n_bdeleted = int(counts.bd or 0)
+            else:
+                # Merge-on-read with CDF off: the counts are needed
+                # only for the commit metrics, which are written AFTER
+                # the batch dir lands — ride them on that write as an
+                # Observation (guide §1.4 observe-on-action) instead of
+                # a separate full pass over the joined frame. The
+                # observe node sits above the checkpoint and below the
+                # batch/DV filters, so the sums cover every joined row
+                # exactly like the eager pass.
+                from pyspark.sql import Observation
+
+                counts_obs = Observation()
+                flagged = flagged.observe(counts_obs, *count_exprs)
             if cdf_on:
                 # Preimages come off the SAME checkpointed join the
                 # merge itself consumed; postimages are the updated
@@ -2928,6 +2946,19 @@ class ManagedTable:
         _n_batch, batch_stats = _scan_parquet_footers(batch_dir, rel_root=self.path)
         if rt:
             batch_stats = self._mat_stats(batch_stats)
+        if counts_obs is not None:
+            # the batch write above evaluated the observe node over the
+            # full joined frame; harvest the deferred counts now
+            got = counts_obs.get
+            n_updated = int(got["u"] or 0)
+            n_deleted = int(got["d"] or 0)
+            n_bupdated = int(got["bu"] or 0)
+            n_bdeleted = int(got["bd"] or 0)
+            metrics["numTargetRowsUpdated"] = n_updated
+            metrics["numTargetRowsDeleted"] = n_deleted
+            if has_bysrc:
+                metrics["numTargetRowsNotMatchedBySourceUpdated"] = n_bupdated
+                metrics["numTargetRowsNotMatchedBySourceDeleted"] = n_bdeleted
 
         dv_dir = self._new_dv_dir()
         old_dv_dir = self._state(v_prev)["dv"]

@@ -274,13 +274,21 @@ def scd_maintain_stream(
 
         pre_blocks = snapshot_persisted(batch.sparkSession)
         batch = batch.localCheckpoint(eager=False)  # two filters reuse
+        # ONE pass answers both routing questions (and materializes the
+        # checkpoint): the per-type counts replace an ups.isEmpty()
+        # probe here plus a keys.isEmpty() probe inside scd_soft_close —
+        # three jobs' worth of emptiness checks for one tiny aggregate.
+        n_by_type = dict(
+            batch.groupBy("_change_type").count().collect()
+        )
         ups = batch.filter(
             F.col("_change_type").isin("insert", "update_postimage")
         ).drop(*meta)
         dels = batch.filter(F.col("_change_type") == "delete").drop(*meta)
-        if not ups.isEmpty():
+        if n_by_type.get("insert") or n_by_type.get("update_postimage"):
             apply_scd(ups, dimension, cfg)
-        scd_soft_close(dels, dimension, cfg)
+        if n_by_type.get("delete"):
+            scd_soft_close(dels, dimension, cfg, assume_nonempty=True)
         # fold-scoped checkpoint blocks are dead once the commits landed
         unpersist_new_since(batch.sparkSession, pre_blocks)
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.temporal import decayed_agg_update, decayed_agg_with_anchor
 from ..sources.managed_table import ConcurrentWriteError, ManagedTable
@@ -50,6 +51,34 @@ def _batch_watermark(
     return None
 
 
+def _state_anchor_us(state: ManagedTable, rv: int) -> int | None:
+    """Epoch-microsecond anchor of a decayed state snapshot. Every
+    state row carries the same ``anchor_ts`` by construction (each
+    fold writes the whole state at one anchor), so the snapshot max IS
+    the anchor — read from the log's footer stats (no Spark job, no
+    data read; temporal stats are recorded as naive-UTC ISO strings),
+    with a 1-row aggregate as the stats-less fallback."""
+    iso = state.column_max("anchor_ts", rv)
+    if isinstance(iso, str):
+        import calendar
+        from datetime import datetime, timezone
+
+        try:
+            dt = datetime.fromisoformat(iso)
+        except ValueError:
+            dt = None
+        if dt is not None:
+            if dt.tzinfo is not None:  # pyarrow stats: instant in UTC
+                dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+            return (
+                calendar.timegm(dt.timetuple()) * 1_000_000
+                + dt.microsecond
+            )
+    return (
+        state.read(rv).agg(F.unix_micros(F.max("anchor_ts"))).first()[0]
+    )
+
+
 def _fold_with_guard(
     state: ManagedTable,
     stream_id: str,
@@ -64,7 +93,9 @@ def _fold_with_guard(
     One attempt = pin the state head, check the watermark against it,
     compute the folded state FROM that pinned snapshot
     (``build(read_version)`` — it must read ``state.read(rv)``, never
-    the moving head, and return a materialized frame), and publish
+    the moving head; the pinned version makes a lazy frame safe, and
+    the commit's staged write is its single evaluation — no
+    fold-time localCheckpoint, no per-fold block hygiene), and publish
     anchored to the same snapshot (``overwrite(read_version=rv)``).
     Any commit landing between pin and publish — a concurrent replica
     folding the same batch, or any foreign write — surfaces as
@@ -77,15 +108,12 @@ def _fold_with_guard(
 
     Returns True iff THIS writer's commit published the batch.
     """
-    from ..blocks import snapshot_persisted, unpersist_new_since
-
     for _ in range(retries + 1):
         exists = state.exists()
         rv = state.latest_version() if exists else None
         last = _batch_watermark(state, stream_id, family=family)
         if last is not None and batch_id <= last:
             return False
-        pre_blocks = snapshot_persisted(state.spark)
         new = build(rv)
         state.set_commit_metadata(f"{family}:{stream_id}:batch={batch_id}")
         try:
@@ -93,13 +121,8 @@ def _fold_with_guard(
                 state.overwrite(new, read_version=rv)
             else:
                 state.create(new)
-            # the build's checkpoint blocks are dead once the state is
-            # on disk; an unbounded stream must not retain one block
-            # set per fold (guide §5: unpersist when done)
-            unpersist_new_since(state.spark, pre_blocks)
             return True
         except ConcurrentWriteError:
-            unpersist_new_since(state.spark, pre_blocks)
             continue  # re-read watermark + head, then retry or no-op
     raise ConcurrentWriteError(
         f"{family}:{stream_id} batch {batch_id}: state table kept "
@@ -144,21 +167,36 @@ def decayed_maintain_stream(
         nonlocal n_folded
 
         def _build(rv: int | None) -> DataFrame:
+            # Anchors are resolved DRIVER-SIDE so the fold plan carries
+            # literals instead of two 1-row aggregate subtrees joined
+            # in (8 jobs/fold -> 2): the batch max is one tiny collect,
+            # the state anchor comes from the log's footer stats (every
+            # state row carries the same anchor_ts by construction —
+            # zero jobs), falling back to a 1-row aggregate only for a
+            # stats-less state file. Same unix_timestamp/pow arithmetic
+            # over the same values — results are bit-equal (oracle- and
+            # test-pinned).
+            ba = batch.agg(F.unix_micros(F.max(ts_col))).first()[0]
             if rv is not None:
+                sa = _state_anchor_us(state, rv)
+                known = [x for x in (ba, sa) if x is not None]
+                anchor = max(known) if known else None
                 new = decayed_agg_update(
                     state.read(rv), batch,
                     key_col=key_col, ts_col=ts_col, value_col=value_col,
                     half_life_seconds=half_life_seconds,
+                    anchor_us=anchor,
                 )
             else:
                 new = decayed_agg_with_anchor(
                     batch,
                     key_col=key_col, ts_col=ts_col, value_col=value_col,
                     half_life_seconds=half_life_seconds,
+                    anchor_us=ba,
                 )
-            # read the PINNED snapshot and publish from a materialized
-            # copy so the overwrite never reads its own target
-            return new.select(key_col, *_STATE_COLS).localCheckpoint()
+            # the PINNED snapshot read keeps the lazy frame stable; the
+            # commit's staged write is its single evaluation
+            return new.select(key_col, *_STATE_COLS)
 
         if _fold_with_guard(state, stream_id, batch_id, "decayed", _build):
             n_folded += 1

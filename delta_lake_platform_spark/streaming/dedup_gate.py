@@ -98,17 +98,42 @@ def neardup_gate_stream(
         if last is not None and last >= batch_id:
             return
         pre_blocks = snapshot_persisted(batch.sparkSession)
+        try:
+            _fold_body(batch, batch_id)
+        finally:
+            # the fold's checkpoint blocks are dead once the commit
+            # landed (survivors are on disk) — and equally dead if any
+            # step after the checkpoint raised; an unbounded stream
+            # must not retain one block set per fold either way
+            # (guide §5: unpersist when done)
+            unpersist_new_since(batch.sparkSession, pre_blocks)
+
+    def _fold_body(batch: DataFrame, batch_id: int) -> None:
+        nonlocal n_folded
         # no checkpoint on the batch: a foreachBatch micro-batch is
         # already pinned source files — re-scanning it is cheaper than
         # materializing a copy.
         batch = batch.select(id_col, text_col)
-        sh = batch.select(
+        # A 1-file micro-batch is ONE partition, so the fold's most
+        # expensive stage — shingling + 64-hash MinHash banding into
+        # the eager checkpoint — ran on one core regardless of cluster
+        # width (measured: 300-380ms single-task jobs per fold). Widen
+        # narrow batches before the banding (guide §2.6) — but only
+        # modestly: the checkpoint's partition count is inherited by
+        # every downstream broadcast-build job (~5 per fold), so full
+        # cluster width multiplies task launches across all of them
+        # (measured: width 32 turned five 1-task jobs into five
+        # 32-task jobs and LOST time). A no-op for healthy multi-split
+        # batches; the exchange moves only (id, text).
+        width = min(4, batch.sparkSession.sparkContext.defaultParallelism)
+        banding_input = batch
+        if batch.rdd.getNumPartitions() < width:
+            banding_input = batch.repartition(width)
+        sh = banding_input.select(
             F.col(id_col), char_shingles(text_col, k).alias("shingles")
         )
         # ONE banding pass per fold; the shingles ride along as
-        # payload so within-batch verification never re-shingles. Lazy
-        # checkpoint: the history probe, the within-batch pairs, and
-        # the final append all share the one materialization.
+        # payload so within-batch verification never re-shingles.
         # EAGER checkpoint: the banded frame feeds ~5 concurrent
         # broadcast builds; a lazy checkpoint is not yet materialized
         # when they launch, so each broadcast thread re-evaluated the
@@ -210,10 +235,6 @@ def neardup_gate_stream(
         admitted.append(
             keep, fast=True, txn_app=stream_id, txn_version=batch_id
         )
-        # the fold's checkpoint blocks are dead once the commit landed
-        # (survivors are on disk); an unbounded stream must not retain
-        # one block set per fold (guide §5: unpersist when done)
-        unpersist_new_since(batch.sparkSession, pre_blocks)
         n_folded += 1
 
     q = (

@@ -67,9 +67,12 @@ def heavy_hitters_maintain_stream(
                 if rv is not None
                 else bc
             )
-            # read the PINNED snapshot; publish from a materialized
-            # copy so the overwrite never reads its own target
-            return mg_truncate(merged, m, key_col).localCheckpoint()
+            # the PINNED snapshot read keeps the lazy frame stable; the
+            # threshold probe inside mg_truncate and the commit's
+            # staged write are its only evaluations (a union-agg over
+            # state + batch — cheaper re-run than a fold-time
+            # checkpoint job + per-fold block hygiene)
+            return mg_truncate(merged, m, key_col)
 
         if _fold_with_guard(state, stream_id, batch_id, "hh", _build):
             n_folded += 1

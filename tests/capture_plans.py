@@ -51,11 +51,14 @@ def main() -> None:
                 fh.write(explain_str(df))
             print(f"wrote {path}", file=sys.stderr)
         if args.time:
+            from delta_lake_platform_spark.blocks import free_persisted_rdds
+
             spark.sparkContext.setJobDescription(f"time:{name}")
             if args.warm:
                 fn(spark, sf_dir).collect()
             reps = []
             for _ in range(args.time):
+                free_persisted_rdds(spark)  # bench.py methodology
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
                 reps.append(round(time.perf_counter() - t0, 3))
